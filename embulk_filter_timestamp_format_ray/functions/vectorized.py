@@ -170,16 +170,23 @@ class _VectorSingleParser:
         if not matched.any():
             return np.zeros(n_full, dtype=np.int64), matched
         # work densely on matched rows only (struct children at null slots
-        # hold garbage), scatter back at the end
-        matched_pa = pa.array(matched)
-        arr = full_arr.filter(matched_pa)
-        ex = ex_full.filter(matched_pa)
-        match_idx = np.nonzero(matched)[0]
+        # hold garbage), scatter back at the end; skip the filter entirely in
+        # the common everything-matched case
+        all_matched = bool(matched.all())
+        if all_matched:
+            arr, ex, match_idx = full_arr, ex_full, None
+        else:
+            matched_pa = pa.array(matched)
+            arr = full_arr.filter(matched_pa)
+            ex = ex_full.filter(matched_pa)
+            match_idx = np.nonzero(matched)[0]
         n = len(arr)
         ok = np.ones(n, dtype=bool)
 
         def _ints(field_arr, default=0):
-            vals = pc.fill_null(pc.cast(field_arr, pa.int64()), default)
+            vals = pc.cast(field_arr, pa.int64())
+            if vals.null_count:
+                vals = pc.fill_null(vals, default)
             return np.asarray(vals)
 
         year = np.full(n, 1970, dtype=np.int64)
@@ -329,9 +336,11 @@ class _VectorSingleParser:
                 ns_out = msec * 1_000_000
         else:
             ns_out = epoch_sec * NS + nano
-        ns_out = ns_out.astype(np.int64)
+        ns_out = ns_out.astype(np.int64, copy=False)
         if rescued_idx:
             ns_out[np.array(rescued_idx)] = np.array(rescued_ns, dtype=np.int64)
+        if all_matched:
+            return ns_out, ok
         # scatter dense results back to full length
         full_ns = np.zeros(n_full, dtype=np.int64)
         full_ok = np.zeros(n_full, dtype=bool)
