@@ -1,0 +1,359 @@
+"""The CDC / incremental-ingest pipeline (north_rule hot path).
+
+    binlog events ──► NormalizeStage ──► PartitionStage ──► groupby(_pid)
+                     (ts re-parse per     (hash merge key)    .map_groups(merge)
+                      schema epoch,                               │
+                      role renames,                    staged parquet per pid
+                      envelope checks,                            │
+                      low-watermark prune)          driver: atomic manifest swap
+
+Stage roles map to SURVEY.md §2.8; the ts normalization inside
+``NormalizeStage`` is the reference competency (per-column timestamp
+re-parse across evolving source formats) applied per schema epoch using the
+same vectorized kernels as ``TimestampFormatStage``.
+
+Merge semantics (per partition, fully vectorized):
+* drop events with ``lsn <= last_applied_lsn`` (idempotent replay dedup —
+  the exactly-once guarantee under at-least-once task execution)
+* concat with prior partition state (Arrow schema unification handles
+  evolution: missing columns null-filled, e.g. the epoch-0 ``tool`` column)
+* keep the max-LSN row per (conv_id, turn_idx); a ``delete`` op as the
+  winner removes the row (delete-wins tombstone)
+* rows keep their originating ``lsn`` — per-row lineage in the lake
+
+The merge runs inside ``groupby("_pid").map_groups`` so Ray Data's hash
+shuffle moves each partition's delta to one task; prior state is read from
+the partition's parquet file on the worker (never on the driver).  Only the
+tiny per-partition manifest rows return to the driver, which performs the
+write-then-manifest-swap commit (state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from embulk_filter_timestamp_format_ray.config import ColumnConfig, TaskConfig
+from embulk_filter_timestamp_format_ray.functions.casts import CastError
+from embulk_filter_timestamp_format_ray.sources.changegen import (
+    EPOCH1_FORMAT,
+    EPOCH2_FORMAT,
+    EPOCH2_TZ,
+    ROLE_RENAMES_EPOCH2,
+)
+from embulk_filter_timestamp_format_ray.stages.partition import PartitionStage
+from embulk_filter_timestamp_format_ray.stages.timestamp_format import ColumnKernel
+from embulk_filter_timestamp_format_ray.state import manifest as mf
+
+logger = logging.getLogger(__name__)
+
+_TS_NS_UTC = pa.timestamp("ns", tz="UTC")
+
+#: default epoch → ts_raw interpretation (FIXTURES.md F2); each entry is a
+#: full per-column cast config exercising a different reference parser family
+DEFAULT_EPOCH_SPECS: "dict[int, ColumnConfig]" = {
+    0: ColumnConfig("ts_raw", "timestamp", from_format=("%Q",)),  # epoch millis
+    1: ColumnConfig("ts_raw", "timestamp", from_format=(EPOCH1_FORMAT,),
+                    from_timezone="UTC"),
+    2: ColumnConfig("ts_raw", "timestamp", from_format=(EPOCH2_FORMAT,),
+                    from_timezone=EPOCH2_TZ),
+}
+
+MERGE_KEY = ("conv_id", "turn_idx")
+VALID_OPS = ("upsert", "delete")
+
+
+class NormalizeStage:
+    """map_batches callable: envelope validation + role-enum unification +
+    per-epoch ts normalization → ``ts: timestamp[ns, UTC]`` column."""
+
+    def __init__(self, epoch_specs: "dict[int, ColumnConfig] | None" = None,
+                 role_renames: "dict[str, str] | None" = None,
+                 low_watermark: int = -1,
+                 stop_on_invalid: bool = False):
+        self.epoch_specs = epoch_specs or DEFAULT_EPOCH_SPECS
+        self.role_renames = role_renames if role_renames is not None else {
+            v: k for k, v in ROLE_RENAMES_EPOCH2.items()
+        }
+        self.low_watermark = low_watermark
+        self.stop_on_invalid = stop_on_invalid
+        self._kernels: "dict[int, ColumnKernel] | None" = None
+
+    def _kernel(self, epoch: int) -> ColumnKernel:
+        if self._kernels is None:
+            self._kernels = {}
+        k = self._kernels.get(epoch)
+        if k is None:
+            cfg = self.epoch_specs.get(epoch)
+            if cfg is None:
+                raise CastError(f"no ts_raw spec for schema epoch {epoch}")
+            task = TaskConfig(columns=(cfg,), stop_on_invalid_record=self.stop_on_invalid)
+            k = ColumnKernel(task, cfg)
+            self._kernels[epoch] = k
+        return k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # ---- low-watermark prune (early, before the shuffle)
+        if self.low_watermark >= 0:
+            batch = batch.filter(pc.greater(batch.column("lsn"), self.low_watermark))
+        if batch.num_rows == 0:
+            return self._empty_out(batch)
+        # ---- envelope validation
+        op_valid = pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS))
+        env_valid = pc.and_(
+            pc.and_(op_valid, pc.is_valid(batch.column("conv_id"))),
+            pc.greater_equal(batch.column("lsn"), 0),
+        )
+        n_bad = batch.num_rows - pc.sum(pc.cast(env_valid, pa.int64())).as_py()
+        if n_bad:
+            if self.stop_on_invalid:
+                raise CastError(f"{n_bad} invalid change-event envelopes")
+            logger.warning("dropping %d invalid change-event envelopes", n_bad)
+            batch = batch.filter(env_valid)
+        # ---- role-enum rename (schema evolution)
+        role = batch.column("role")
+        if self.role_renames:
+            combined = role.combine_chunks() if isinstance(role, pa.ChunkedArray) else role
+            enc = pc.dictionary_encode(combined)
+            dictionary = [self.role_renames.get(r, r) for r in enc.dictionary.to_pylist()]
+            role = pc.take(pa.array(dictionary, type=pa.string()), enc.indices)
+        # ---- ts normalization per epoch (the reference competency)
+        epochs = np.asarray(batch.column("schema_epoch").cast(pa.int64()))
+        raw = batch.column("ts_raw")
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        ns = np.zeros(batch.num_rows, dtype=np.int64)
+        null_mask = np.zeros(batch.num_rows, dtype=bool)
+        for epoch in np.unique(epochs):
+            mask = epochs == epoch
+            kernel = self._kernel(int(epoch))
+            sub, _ = kernel.cast_array(raw.filter(pa.array(mask)))
+            sub_ns = np.asarray(pc.fill_null(sub.cast(pa.int64()), 0))
+            sub_null = np.asarray(pc.is_null(sub))
+            idx = np.nonzero(mask)[0]
+            ns[idx] = sub_ns
+            null_mask[idx] = sub_null
+        ts = pa.array(ns).cast(pa.timestamp("ns")).cast(_TS_NS_UTC)
+        if null_mask.any():
+            ts = pc.if_else(pa.array(~null_mask), ts, pa.scalar(None, _TS_NS_UTC))
+        out = pa.table({
+            "lsn": batch.column("lsn"),
+            "op": batch.column("op"),
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx").cast(pa.int32()),
+            "role": role,
+            "text": batch.column("text"),
+            "tool": batch.column("tool")
+            if "tool" in batch.schema.names
+            else pa.nulls(batch.num_rows, pa.string()),
+            "ts": ts,
+        })
+        return out
+
+    @staticmethod
+    def _empty_out(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lsn": pa.array([], pa.int64()), "op": pa.array([], pa.string()),
+            "conv_id": pa.array([], pa.string()), "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()), "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts": pa.array([], _TS_NS_UTC),
+        })
+
+
+LAKE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+
+
+def merge_partition_table(delta: pa.Table, prior: "pa.Table | None",
+                          watermark: int) -> "tuple[pa.Table, int, int]":
+    """Vectorized per-partition merge → (new state, new watermark, applied).
+
+    See module docstring for semantics. ``delta`` carries op+lsn; ``prior``
+    is the committed lake state (op column absent, rows are live upserts).
+    """
+    max_in = pc.max(delta.column("lsn")).as_py() if delta.num_rows else None
+    new_watermark = max(watermark, max_in if max_in is not None else -1)
+    # replay dedup: only events beyond the watermark apply
+    fresh = delta.filter(pc.greater(delta.column("lsn"), watermark))
+    applied = fresh.num_rows
+    parts = []
+    if prior is not None and prior.num_rows:
+        prior_ops = prior.append_column("op", pa.array(["upsert"] * prior.num_rows))
+        parts.append(prior_ops.select(["op", *LAKE_COLUMNS]))
+    if fresh.num_rows:
+        parts.append(fresh.select(["op", *LAKE_COLUMNS]))
+    if not parts:
+        schema = pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("role", pa.string()), ("text", pa.string()), ("tool", pa.string()),
+            ("ts", _TS_NS_UTC), ("lsn", pa.int64()),
+        ])
+        empty = pa.table({f.name: pa.array([], f.type) for f in schema})
+        return empty, new_watermark, 0
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    # keep-max-lsn per (conv_id, turn_idx): sort then take last row per key
+    order = pc.sort_indices(
+        merged,
+        sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending"),
+                   ("lsn", "ascending")],
+    )
+    merged = merged.take(order)
+    conv = np.asarray(pc.dictionary_encode(
+        merged.column("conv_id").combine_chunks()).indices.cast(pa.int64()))
+    turn = np.asarray(merged.column("turn_idx").cast(pa.int64()))
+    n = len(conv)
+    last = np.ones(n, dtype=bool)
+    if n > 1:
+        same = (conv[:-1] == conv[1:]) & (turn[:-1] == turn[1:])
+        last[:-1] = ~same
+    winners = merged.filter(pa.array(last))
+    live = winners.filter(pc.equal(winners.column("op"), "upsert"))
+    return live.select(LAKE_COLUMNS), new_watermark, applied
+
+
+class MergeApplier:
+    """Per-partition stateful merge applier used via
+    ``groupby("_pid").map_groups`` (each group = one partition's delta).
+
+    The callable form also works as an actor-pool ``map_batches`` stage when
+    upstream data is already partition-bucketed; state (manifest snapshot,
+    txn id) is constructed once and reused per group — the reference's
+    build-once-per-open pattern (ColumnCaster.java:51-57).
+    """
+
+    def __init__(self, lake_dir: str, txn_id: str,
+                 partition_meta: "dict[int, dict]"):
+        self.lake_dir = lake_dir
+        self.txn_id = txn_id
+        self.partition_meta = partition_meta  # pid -> {path, last_applied_lsn}
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return self._result(None)
+        pid = int(group.column("_pid")[0].as_py())
+        meta = self.partition_meta.get(pid, {})
+        watermark = meta.get("last_applied_lsn", -1)
+        prior = None
+        prior_path = meta.get("path")
+        if prior_path:
+            prior = pq.read_table(os.path.join(self.lake_dir, prior_path))
+        delta = group.drop_columns(["_pid"])
+        state, new_watermark, applied = merge_partition_table(delta, prior, watermark)
+        rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
+        full = os.path.join(self.lake_dir, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(state, full, compression="zstd")
+        return self._result({
+            "pid": pid, "path": rel, "rows": state.num_rows,
+            "last_applied_lsn": new_watermark, "events_applied": applied,
+            "events_seen": delta.num_rows,
+        })
+
+    @staticmethod
+    def _result(row: "dict | None") -> pa.Table:
+        schema = pa.schema([
+            ("pid", pa.int64()), ("path", pa.string()), ("rows", pa.int64()),
+            ("last_applied_lsn", pa.int64()), ("events_applied", pa.int64()),
+            ("events_seen", pa.int64()),
+        ])
+        rows = [row] if row else []
+        return pa.Table.from_pylist(rows, schema=schema)
+
+
+class CDCPipeline:
+    """End-to-end apply: events Dataset → exactly-once lake commit."""
+
+    def __init__(self, lake_dir: str, num_partitions: int = 64,
+                 epoch_specs: "dict[int, ColumnConfig] | None" = None,
+                 stop_on_invalid: bool = False):
+        self.lake_dir = lake_dir
+        self.num_partitions = num_partitions
+        self.epoch_specs = epoch_specs
+        self.stop_on_invalid = stop_on_invalid
+
+    def apply(self, events_ds) -> "dict":
+        """Apply a change-event Dataset; returns commit stats."""
+        manifest = mf.read_manifest(self.lake_dir)
+        low = mf.min_watermark(manifest, self.num_partitions)
+        normalize = NormalizeStage(self.epoch_specs, low_watermark=low,
+                                   stop_on_invalid=self.stop_on_invalid)
+        partition = PartitionStage(self.num_partitions)
+        txn_id = uuid.uuid4().hex[:12]
+        partition_meta = {
+            int(pid): meta for pid, meta in manifest["partitions"].items()
+        }
+        applier = MergeApplier(self.lake_dir, txn_id, partition_meta)
+
+        ds = events_ds.map_batches(normalize, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        ds = ds.map_batches(partition, batch_format="pyarrow", zero_copy_batch=True)
+
+        def merge_partition(group: pa.Table) -> pa.Table:
+            return applier(group)
+
+        results = ds.groupby("_pid").map_groups(merge_partition, batch_format="pyarrow")
+        rows = results.take_all()  # tiny: ≤ num_partitions manifest rows
+
+        # ---- driver-side atomic commit (write-then-manifest-swap)
+        partitions = dict(manifest["partitions"])
+        total_applied = 0
+        for r in rows:
+            pid = str(r["pid"])
+            prev = partitions.get(pid, {})
+            lineage = list(prev.get("lineage", []))
+            lineage.append({"txn": txn_id, "events_applied": int(r["events_applied"])})
+            partitions[pid] = {
+                "path": r["path"], "rows": int(r["rows"]),
+                "last_applied_lsn": int(r["last_applied_lsn"]),
+                "lineage": lineage[-16:],  # bounded lineage history
+            }
+            total_applied += int(r["events_applied"])
+        new_manifest = {
+            "version": manifest["version"] + 1,
+            "partitions": partitions,
+            "num_partitions": self.num_partitions,
+            "last_txn": txn_id,
+            "schema_columns": LAKE_COLUMNS,
+        }
+        mf.commit_manifest(self.lake_dir, new_manifest)
+        return {
+            "txn": txn_id, "version": new_manifest["version"],
+            "partitions_touched": len(rows), "events_applied": total_applied,
+        }
+
+    # -------------------------------------------------------------- reads
+
+    def read_lake(self):
+        """Committed lake state as a streaming Dataset (manifest-scoped)."""
+        import ray.data
+
+        manifest = mf.read_manifest(self.lake_dir)
+        files = [os.path.join(self.lake_dir, p) for p in mf.data_files(manifest)]
+        if not files:
+            schema = pa.schema([
+                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("role", pa.string()), ("text", pa.string()),
+                ("tool", pa.string()), ("ts", _TS_NS_UTC), ("lsn", pa.int64()),
+            ])
+            return ray.data.from_arrow(pa.table({f.name: pa.array([], f.type) for f in schema}))
+        return ray.data.read_parquet(files)
+
+    def final_state_sorted(self) -> pa.Table:
+        """Verification read: stable (conv_id, turn_idx) ordering."""
+        ds = self.read_lake().sort(["conv_id", "turn_idx"])
+        batches = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+                   for b in ds.iter_batches(batch_format="pyarrow")]
+        if not batches:
+            schema = pa.schema([
+                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("role", pa.string()), ("text", pa.string()),
+                ("tool", pa.string()), ("ts", _TS_NS_UTC), ("lsn", pa.int64()),
+            ])
+            return pa.table({f.name: pa.array([], f.type) for f in schema})
+        return pa.concat_tables(batches, promote_options="permissive")

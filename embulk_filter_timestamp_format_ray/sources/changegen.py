@@ -1,0 +1,210 @@
+"""Deterministic synthetic CDC binlog over transcript tables (FIXTURES.md F2).
+
+Every field of event #lsn is a pure function of (seed, lsn) via counter-based
+splitmix64 hashing, so generation is reproducible regardless of Ray block /
+batch boundaries and replayed events are bit-identical to their originals.
+
+Stream properties (SURVEY.md §7 step 4):
+* strictly-increasing LSNs with injected exact duplicates (replay): a small
+  fraction of emitted rows re-emit the event of an earlier lsn
+* bounded reordering: rows are shuffled deterministically within each batch
+* hot-key skew: quadratic rank skew + an explicit hot-conversation boost
+* three schema-evolution epochs for the ``ts_raw`` representation:
+    epoch 0 — int64 epoch-milliseconds rendered as digits
+    epoch 1 — ruby-format string "%Y-%m-%d %H:%M:%S.%N %z" (UTC)
+    epoch 2 — java-format string "yyyy-MM-dd HH:mm:ss.nnnnnnnnn"
+              wall-clock in Asia/Tokyo (no zone suffix in text)
+  plus the epoch-2 role-enum rename (user→human, assistant→ai) and the
+  epoch-0 missing ``tool`` column (emitted as null).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+EPOCH1_FORMAT = "%Y-%m-%d %H:%M:%S.%N %z"
+EPOCH2_FORMAT = "yyyy-MM-dd HH:mm:ss.nnnnnnnnn"
+EPOCH2_TZ = "Asia/Tokyo"
+ROLES = ["user", "assistant", "system", "tool"]
+ROLE_RENAMES_EPOCH2 = {"user": "human", "assistant": "ai"}
+BASE_TS_MS = 1704067200000  # 2024-01-01T00:00:00Z
+MAX_TURNS = 40
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray, seed: int) -> np.ndarray:
+    """Counter-based 64-bit hash (public splitmix64 constants)."""
+    z = (x.astype(np.uint64) + np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))) & _MASK
+    z = (z + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return z ^ (z >> np.uint64(31))
+
+
+def _u01(h: np.ndarray) -> np.ndarray:
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+_WORDS = np.array(
+    "the of data model turn agent tool call reply plan code test batch merge "
+    "stream shard key value table row block store query state log index".split(),
+    dtype=object,
+)
+
+
+def event_fields(lsn: np.ndarray, seed: int, num_events: int, num_convs: int):
+    """All event payload fields as numpy/arrow arrays, derived from lsn."""
+    lsn = lsn.astype(np.int64)
+    h1 = splitmix64(lsn, seed + 1)
+    h2 = splitmix64(lsn, seed + 2)
+    h3 = splitmix64(lsn, seed + 3)
+    h4 = splitmix64(lsn, seed + 4)
+    h5 = splitmix64(lsn, seed + 5)
+
+    # conv rank: quadratic skew + 4% of traffic to 8 hot conversations
+    u = _u01(h1)
+    conv = (u * u * num_convs).astype(np.int64)
+    hot = (h2 % np.uint64(25)) == 0
+    conv = np.where(hot, (h2 % np.uint64(8)).astype(np.int64), conv)
+
+    turn = (h3 % np.uint64(MAX_TURNS)).astype(np.int32)
+    is_delete = (h4 % np.uint64(100)) < np.uint64(3)
+
+    epoch = np.minimum((lsn * 3) // max(num_events, 1), 2).astype(np.int8)
+
+    # role enum (epoch 2 emits renamed spellings)
+    role_idx = (h5 % np.uint64(4)).astype(np.int64)
+    role_plain = np.array(ROLES, dtype=object)[role_idx]
+    role_renamed = np.array(
+        [ROLE_RENAMES_EPOCH2.get(r, r) for r in ROLES], dtype=object
+    )[role_idx]
+    role = np.where(epoch >= 2, role_renamed, role_plain)
+
+    # text: deterministic, references lsn so upserts change content
+    w1 = _WORDS[(h1 % np.uint64(len(_WORDS))).astype(np.int64)]
+    w2 = _WORDS[(h2 % np.uint64(len(_WORDS))).astype(np.int64)]
+    w3 = _WORDS[(h3 % np.uint64(len(_WORDS))).astype(np.int64)]
+    text = pc.binary_join_element_wise(
+        pa.array(w1, type=pa.string()), pa.array(w2, type=pa.string()),
+        pa.array(w3, type=pa.string()),
+        pc.cast(pa.array(lsn), pa.string()), " ",
+    )
+
+    tool = np.where(
+        (epoch >= 1) & ((h4 % np.uint64(3)) == 0),
+        np.char.add("tool-", (h4 % np.uint64(8)).astype(np.int64).astype(str)).astype(object),
+        None,
+    )
+
+    ts_ms = BASE_TS_MS + lsn * 997 + (h5 % np.uint64(1000)).astype(np.int64)
+    ts_ns = ts_ms * 1_000_000 + (h2 % np.uint64(1_000_000)).astype(np.int64)
+
+    conv_id = pc.binary_join_element_wise(
+        "conv-",
+        pc.utf8_lpad(pc.cast(pa.array(conv), pa.string()), width=8, padding="0"),
+        "",
+    )
+    return {
+        "conv_id": conv_id,
+        "turn_idx": pa.array(turn),
+        "role": pa.array(role, type=pa.string()),
+        "text": text,
+        "tool": pa.array(tool.tolist(), type=pa.string()),
+        "ts_ns": ts_ns,
+        "epoch": epoch,
+        "is_delete": is_delete,
+    }
+
+
+def _render_ts_raw(ts_ns: np.ndarray, epoch: np.ndarray) -> pa.Array:
+    """Per-epoch ts representation (uses the engine's own formatters)."""
+    from embulk_filter_timestamp_format_ray.functions.vectorized import (
+        make_vector_formatter,
+    )
+
+    out = np.empty(len(ts_ns), dtype=object)
+    m0 = epoch == 0
+    if m0.any():
+        out[m0] = (ts_ns[m0] // 1_000_000).astype(str)
+    m1 = epoch == 1
+    if m1.any():
+        f1 = make_vector_formatter(EPOCH1_FORMAT, "UTC")
+        out[m1] = np.asarray(f1.format_array(ts_ns[m1]), dtype=object)
+    m2 = epoch == 2
+    if m2.any():
+        f2 = make_vector_formatter(EPOCH2_FORMAT, EPOCH2_TZ)
+        out[m2] = np.asarray(f2.format_array(ts_ns[m2]), dtype=object)
+    return pa.array(out.tolist(), type=pa.string())
+
+
+class ChangeEventBatchGenerator:
+    """map_batches callable: block of ids → CDC event batch (pa.Table)."""
+
+    def __init__(self, seed: int, num_events: int, num_convs: int,
+                 replay_fraction: float = 0.02, reorder: bool = True):
+        self.seed = seed
+        self.num_events = num_events
+        self.num_convs = num_convs
+        self.replay_every = max(int(1 / replay_fraction), 1) if replay_fraction else 0
+        self.reorder = reorder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("id"), dtype=np.int64)
+        lsn = ids
+        if self.replay_every:
+            # exact duplicates IN ADDITION to the originals: a replayed copy
+            # of an earlier event is appended after its original position
+            h = splitmix64(ids, self.seed + 90)
+            replay = (h % np.uint64(self.replay_every)) == 0
+            lag = (splitmix64(ids, self.seed + 91) % np.uint64(64)).astype(np.int64) + 1
+            dup_lsn = ids[replay & (ids >= lag)] - lag[replay & (ids >= lag)]
+            lsn = np.concatenate([ids, dup_lsn])
+        f = event_fields(lsn, self.seed, self.num_events, self.num_convs)
+        op = np.where(f["is_delete"], "delete", "upsert")
+        tbl = pa.table({
+            "lsn": pa.array(lsn),
+            "op": pa.array(op.tolist(), type=pa.string()),
+            "conv_id": f["conv_id"],
+            "turn_idx": f["turn_idx"],
+            "role": f["role"],
+            "text": f["text"],
+            "tool": f["tool"],
+            "ts_raw": _render_ts_raw(f["ts_ns"], f["epoch"]),
+            "schema_epoch": pa.array(f["epoch"]),
+        })
+        if self.reorder:
+            # bounded deterministic reordering within the batch
+            pos = np.arange(tbl.num_rows, dtype=np.int64)
+            jitter = (splitmix64(lsn, self.seed + 92) % np.uint64(32)).astype(np.int64)
+            perm = np.argsort(pos + jitter, kind="stable")
+            tbl = tbl.take(pa.array(perm))
+        return tbl
+
+
+def change_events(num_events: int, *, seed: int = 42, num_convs: "int | None" = None,
+                  parallelism: "int | None" = None, replay_fraction: float = 0.02,
+                  reorder: bool = True):
+    """Ray Dataset of `num_events` synthetic CDC events (streaming blocks)."""
+    import ray.data
+
+    if num_convs is None:
+        num_convs = max(num_events // 50, 1)
+    ds = ray.data.range(num_events, override_num_blocks=parallelism)
+    gen = ChangeEventBatchGenerator(seed, num_events, num_convs,
+                                    replay_fraction, reorder)
+    return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def expected_event_table(num_events: int, *, seed: int = 42,
+                         num_convs: "int | None" = None) -> pa.Table:
+    """Driver-side oracle input: all events in lsn-emission order, without
+    replay/reorder noise (used by tests to cross-check the generator)."""
+    if num_convs is None:
+        num_convs = max(num_events // 50, 1)
+    ids = np.arange(num_events, dtype=np.int64)
+    gen = ChangeEventBatchGenerator(seed, num_events, num_convs,
+                                    replay_fraction=0.0, reorder=False)
+    return gen(pa.table({"id": ids}))

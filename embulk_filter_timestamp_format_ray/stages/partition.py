@@ -1,0 +1,70 @@
+"""Hash partitioning for the CDC upsert path (SURVEY.md §2.8, §7 step 5).
+
+The shuffle key is ``hash(conv_id, turn_idx) % P`` — the merge key itself —
+so hot conversations spread across partitions by construction (turn-level
+salting) while per-key max-LSN dedup stays partition-local, and the
+partition id is stable across apply() calls so incremental merges find their
+prior state.  ``hash(conv_id) % P`` (conversation-local layout) is available
+via ``by_turn=False`` for pipelines that need whole conversations
+co-located; that mode supports explicit hot-key salting via ``salt_keys``.
+
+Hashing trick: conv_id strings repeat heavily (one per turn/update), so we
+dictionary-encode and hash only the uniques in Python (crc32), then map back
+via the dictionary indices — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+
+
+def hash_strings_dict(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Deterministic uint64 hash per row of a string column via
+    dictionary-encode + hash-the-uniques."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = pc.dictionary_encode(arr)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dictionary = enc.dictionary.to_pylist()
+    uniq_hash = np.array(
+        [zlib.crc32(s.encode() if s is not None else b"\x00") for s in dictionary],
+        dtype=np.uint64,
+    )
+    idx = np.asarray(enc.indices.cast(pa.int64()))
+    return uniq_hash[idx]
+
+
+class PartitionStage:
+    """map_batches callable: append an int32 ``_pid`` partition column."""
+
+    def __init__(self, num_partitions: int, by_turn: bool = True,
+                 salt_keys: "frozenset[str] | None" = None, salt_factor: int = 8):
+        self.num_partitions = num_partitions
+        self.by_turn = by_turn
+        self.salt_keys = salt_keys or frozenset()
+        self.salt_factor = salt_factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_hash = hash_strings_dict(batch.column("conv_id"))
+        if self.by_turn:
+            turn = np.asarray(batch.column("turn_idx").cast(pa.int64())).astype(np.uint64)
+            mixed = splitmix64(conv_hash ^ (turn * np.uint64(0x9E3779B97F4A7C15)), 7)
+        else:
+            mixed = splitmix64(conv_hash, 7)
+            if self.salt_keys:
+                conv = batch.column("conv_id").to_pylist()
+                turn = np.asarray(batch.column("turn_idx").cast(pa.int64())).astype(np.uint64)
+                salted = np.array([c in self.salt_keys for c in conv])
+                salt = splitmix64(turn, 11) % np.uint64(self.salt_factor)
+                mixed = np.where(salted, splitmix64(mixed ^ salt, 13), mixed)
+        pid = (mixed % np.uint64(self.num_partitions)).astype(np.int32)
+        if "_pid" in batch.schema.names:
+            batch = batch.drop_columns(["_pid"])
+        return batch.append_column("_pid", pa.array(pid))

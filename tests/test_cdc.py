@@ -1,0 +1,214 @@
+"""End-to-end CDC replay tests (FIXTURES.md F2 / SURVEY.md §5 plan):
+
+* full replay incl. duplicated + reordered events and all three
+  schema-evolution epochs must equal the sequentially-applied oracle under
+  per-turn text equality and stable (conv_id, turn_idx) ordering
+* re-applying an overlapping stream (crash/restart simulation) converges to
+  the same state (idempotent replay via per-partition LSN watermarks)
+* exactly-once: a failed (uncommitted) txn leaves the committed state
+  untouched; orphan files are GC-able
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from embulk_filter_timestamp_format_ray.functions.parser import TimestampParser
+from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+    CDCPipeline,
+    NormalizeStage,
+    merge_partition_table,
+)
+from embulk_filter_timestamp_format_ray.sources.changegen import (
+    EPOCH1_FORMAT,
+    EPOCH2_FORMAT,
+    EPOCH2_TZ,
+    ROLE_RENAMES_EPOCH2,
+    change_events,
+    expected_event_table,
+)
+from embulk_filter_timestamp_format_ray.state import manifest as mf
+
+N_EVENTS = 4000
+
+
+def sequential_oracle(num_events: int, seed: int = 42) -> "dict[tuple, dict]":
+    """Apply the pure (replay-free) event stream one-by-one in lsn order."""
+    tbl = expected_event_table(num_events, seed=seed)
+    renames = {v: k for k, v in ROLE_RENAMES_EPOCH2.items()}
+    parsers = {
+        0: TimestampParser(["%Q"], "UTC"),
+        1: TimestampParser([EPOCH1_FORMAT], "UTC"),
+        2: TimestampParser([EPOCH2_FORMAT], EPOCH2_TZ),
+    }
+    state: dict[tuple, dict] = {}
+    for row in tbl.to_pylist():
+        key = (row["conv_id"], row["turn_idx"])
+        if row["op"] == "delete":
+            state.pop(key, None)
+            continue
+        ts = parsers[row["schema_epoch"]].parse(row["ts_raw"])
+        state[key] = {
+            "role": renames.get(row["role"], row["role"]),
+            "text": row["text"], "tool": row["tool"],
+            "ts_ns": ts.ns, "lsn": row["lsn"],
+        }
+    return state
+
+
+def _lake_as_dict(pipeline: CDCPipeline) -> "dict[tuple, dict]":
+    final = pipeline.final_state_sorted()
+    out = {}
+    for row in final.to_pylist():
+        key = (row["conv_id"], row["turn_idx"])
+        assert key not in out, f"duplicate merge key {key} in lake"
+        ts = row["ts"]
+        out[key] = {
+            "role": row["role"], "text": row["text"], "tool": row["tool"],
+            "ts_ns": int(ts.timestamp() * 1e9) if ts else None, "lsn": row["lsn"],
+        }
+    return out
+
+
+def _assert_matches_oracle(lake: dict, oracle: dict):
+    assert set(lake) == set(oracle)
+    for key in oracle:
+        got, exp = lake[key], oracle[key]
+        assert got["text"] == exp["text"], key          # per-turn text equality
+        assert got["role"] == exp["role"], key
+        assert got["tool"] == exp["tool"], key
+        assert got["lsn"] == exp["lsn"], key
+        # ts equality at ns resolution (float roundtrip in test helper only)
+        assert abs(got["ts_ns"] - exp["ts_ns"]) < 1000, key
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return sequential_oracle(N_EVENTS)
+
+
+def test_full_replay_matches_oracle(ray_session, tmp_path_factory, oracle):
+    lake = str(tmp_path_factory.mktemp("lake_full"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    events = change_events(N_EVENTS, seed=42, parallelism=8)
+    stats = pipe.apply(events)
+    assert stats["events_applied"] > 0
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_incremental_apply_in_epoch_chunks(ray_session, tmp_path_factory, oracle):
+    # three applies (one per schema epoch window) — exercises schema
+    # unification against prior state + watermark advance
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_inc"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    thirds = [full.slice(0, 1500), full.slice(1500, 1000), full.slice(2500)]
+    versions = []
+    for chunk in thirds:
+        stats = pipe.apply(ray.data.from_arrow(chunk))
+        versions.append(stats["version"])
+    assert versions == [1, 2, 3]
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_restart_overlapping_stream_idempotent(ray_session, tmp_path_factory, oracle):
+    # crash-restart: re-deliver an overlapping suffix; watermarks make the
+    # replayed prefix a no-op
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_restart"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2500)))
+    before = _lake_as_dict(pipe)
+    # restart re-reads from an older offset: delivers [1000, N) again
+    pipe2 = CDCPipeline(lake, num_partitions=16)
+    stats = pipe2.apply(ray.data.from_arrow(full.slice(1000)))
+    assert stats["events_applied"] <= N_EVENTS - 2500 + 16  # replays dropped
+    _assert_matches_oracle(_lake_as_dict(pipe2), oracle)
+    # prefix state unchanged for keys not touched after lsn 2500
+    assert set(before) <= set(_lake_as_dict(pipe2)) | set(before)
+
+
+def test_exactly_once_uncommitted_txn_invisible(ray_session, tmp_path_factory):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_2pc"))
+    pipe = CDCPipeline(lake, num_partitions=4)
+    full = expected_event_table(500)
+    pipe.apply(ray.data.from_arrow(full))
+    committed = mf.read_manifest(lake)
+    # simulate a crashed txn: orphan staged files, no manifest swap
+    orphan = os.path.join(lake, "txn-deadbeef")
+    os.makedirs(orphan)
+    pa.parquet.write_table(pa.table({"x": [1]}), os.path.join(orphan, "part-00000.parquet"))
+    assert mf.read_manifest(lake) == committed  # commit point untouched
+    removed = mf.gc_orphan_txns(lake, keep_txns=set())
+    assert "txn-deadbeef" in removed
+    # live files survive GC
+    for p in mf.data_files(mf.read_manifest(lake)):
+        assert os.path.exists(os.path.join(lake, p))
+
+
+def test_merge_semantics_unit():
+    ts = pa.array([0], pa.timestamp("ns", tz="UTC"))
+
+    def ev(lsn, op, conv, turn, text):
+        return pa.table({
+            "lsn": pa.array([lsn], pa.int64()), "op": pa.array([op]),
+            "conv_id": pa.array([conv]), "turn_idx": pa.array([turn], pa.int32()),
+            "role": pa.array(["user"]), "text": pa.array([text]),
+            "tool": pa.array([None], pa.string()), "ts": ts,
+        })
+
+    delta = pa.concat_tables([
+        ev(1, "upsert", "c1", 0, "v1"),
+        ev(2, "upsert", "c1", 0, "v2"),     # supersedes lsn 1
+        ev(2, "upsert", "c1", 0, "v2"),     # exact duplicate (replay)
+        ev(3, "delete", "c1", 1, ""),       # delete of absent key: no-op
+        ev(4, "upsert", "c2", 0, "x"),
+        ev(5, "delete", "c2", 0, ""),       # delete wins over lsn 4
+        ev(6, "upsert", "c2", 1, "y"),
+    ])
+    state, watermark, applied = merge_partition_table(delta, None, -1)
+    assert watermark == 6 and applied == 7
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in state.to_pylist()}
+    assert rows[("c1", 0)]["text"] == "v2" and rows[("c1", 0)]["lsn"] == 2
+    assert ("c2", 0) not in rows
+    assert rows[("c2", 1)]["text"] == "y"
+    # second round: replay below watermark is dropped; reinsert after delete
+    delta2 = pa.concat_tables([
+        ev(2, "upsert", "c1", 0, "stale-replay"),
+        ev(7, "upsert", "c2", 0, "reborn"),
+    ])
+    state2, wm2, applied2 = merge_partition_table(delta2, state, watermark)
+    assert wm2 == 7 and applied2 == 1
+    rows2 = {(r["conv_id"], r["turn_idx"]): r for r in state2.to_pylist()}
+    assert rows2[("c1", 0)]["text"] == "v2"
+    assert rows2[("c2", 0)]["text"] == "reborn"
+
+
+def test_normalize_stage_epochs():
+    stage = NormalizeStage()
+    batch = pa.table({
+        "lsn": pa.array([0, 1, 2], pa.int64()),
+        "op": pa.array(["upsert", "upsert", "bogus"]),
+        "conv_id": pa.array(["a", "b", "c"]),
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "role": pa.array(["human", "ai", "user"]),
+        "text": pa.array(["t0", "t1", "t2"]),
+        "tool": pa.array([None, "tool-1", None], pa.string()),
+        "ts_raw": pa.array(["1436713200100",
+                            "2015-07-12 15:00:00.100000000 +0000",
+                            "whatever"]),
+        "schema_epoch": pa.array([0, 1, 0], pa.int8()),
+    })
+    out = stage(batch)
+    assert out.num_rows == 2  # invalid envelope dropped
+    assert out.column("role").to_pylist() == ["user", "assistant"]
+    ts = out.column("ts").to_pylist()
+    assert ts[0].timestamp() == pytest.approx(1436713200.1)
+    assert ts[1].timestamp() == pytest.approx(1436713200.1)
