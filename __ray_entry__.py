@@ -1,44 +1,491 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() per-operator callables,
+oracle_sql() DuckDB equivalents (run side-by-side at sf=0.01).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name contract: every computed column is named identically in the Ray
+callable and its oracle SQL (the driver sorts columns by name before value
+hashing).  Float aggregates are stabilised with floor(x*100+0.5)/100 on both
+sides so association order cannot flip a hash.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# timestamp_format operator queries (the reference competency, SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+def q_ts_format_string(sf_dir: str):
+    from embulk_filter_timestamp_format_ray import ColumnConfig, TaskConfig
+    from embulk_filter_timestamp_format_ray.stages.timestamp_format import (
+        TimestampFormatStage,
+    )
+
+    task = TaskConfig(columns=(
+        ColumnConfig("ts", "string", to_format="%Y-%m-%d %H:%M:%S", to_timezone="UTC"),
+    ))
+    ds = _read(sf_dir, "events").select_columns(["event_id", "ts"])
+    ds = ds.map_batches(TimestampFormatStage(task), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.map_batches(lambda b: b.rename_columns(["event_id", "ts_str"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ts_to_epoch_ms(sf_dir: str):
+    from embulk_filter_timestamp_format_ray import ColumnConfig, TaskConfig
+    from embulk_filter_timestamp_format_ray.stages.timestamp_format import (
+        TimestampFormatStage,
+    )
+
+    task = TaskConfig(columns=(ColumnConfig("ts", "long", to_unit="ms"),))
+    ds = _read(sf_dir, "events").select_columns(["event_id", "ts"])
+    ds = ds.map_batches(TimestampFormatStage(task), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.map_batches(lambda b: b.rename_columns(["event_id", "ts_ms"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ts_unit_ms_to_sec(sf_dir: str):
+    from embulk_filter_timestamp_format_ray import ColumnConfig, TaskConfig
+    from embulk_filter_timestamp_format_ray.stages.timestamp_format import (
+        TimestampFormatStage,
+    )
+
+    # timestamp → long(ms) → unit-change(ms → sec) exercises U5 truncation
+    to_ms = TimestampFormatStage(TaskConfig(columns=(
+        ColumnConfig("ts", "long", to_unit="ms"),)))
+    ms_to_sec = TimestampFormatStage(TaskConfig(
+        columns=(ColumnConfig("ts", "long", from_unit="ms", to_unit="sec"),)))
+    ds = _read(sf_dir, "events").select_columns(["event_id", "ts"])
+    ds = ds.map_batches(to_ms, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(ms_to_sec, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(lambda b: b.rename_columns(["event_id", "ts_sec"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ts_parse_roundtrip(sf_dir: str):
+    """format → multi-format fallback parse → epoch micros (identity)."""
+    from embulk_filter_timestamp_format_ray import ColumnConfig, TaskConfig
+    from embulk_filter_timestamp_format_ray.stages.timestamp_format import (
+        TimestampFormatStage,
+    )
+
+    fmt = TimestampFormatStage(TaskConfig(columns=(
+        ColumnConfig("ts", "string", to_format="%Y-%m-%d %H:%M:%S.%6N %z",
+                     to_timezone="Asia/Tokyo"),)))
+    parse = TimestampFormatStage(TaskConfig(columns=(
+        ColumnConfig("ts", "long",
+                     from_format=("%Y-%m-%d %H:%M:%S.%N %z",
+                                  "%Y-%m-%d %H:%M:%S %z"),
+                     to_unit="us"),)))
+    ds = _read(sf_dir, "events").select_columns(["event_id", "ts"])
+    ds = ds.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(lambda b: b.rename_columns(["event_id", "ts_us"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ts_json_path(sf_dir: str):
+    """JSONPath rewrite inside a JSON-string document column."""
+    from embulk_filter_timestamp_format_ray import ColumnConfig, TaskConfig
+    from embulk_filter_timestamp_format_ray.stages.timestamp_format import (
+        TimestampFormatStage,
+    )
+
+    build_fmt = TimestampFormatStage(TaskConfig(columns=(
+        ColumnConfig("ts", "string", to_format="%Y-%m-%d %H:%M:%S.%N",
+                     to_timezone="UTC"),)))
+    rewrite = TimestampFormatStage(TaskConfig(columns=(
+        ColumnConfig("$.doc.t", "long",
+                     from_format=("%Y-%m-%d %H:%M:%S.%N",), from_timezone="UTC",
+                     to_unit="ms"),)))
+
+    def build_doc(b: pa.Table) -> pa.Table:
+        doc = pc.binary_join_element_wise('{"t": "', b.column("ts"), '"}', "")
+        return pa.table({"event_id": b.column("event_id"), "doc": doc})
+
+    ds = _read(sf_dir, "events").select_columns(["event_id", "ts"])
+    ds = ds.map_batches(build_fmt, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(build_doc, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# CDC / upsert queries
+# --------------------------------------------------------------------------
+
+def q_cdc_upsert_latest(sf_dir: str):
+    """Last-write-wins upsert view of the events stream: key = (user_id,
+    event_type), lsn = event_id, op = delete when value < 1.0."""
+    from embulk_filter_timestamp_format_ray.stages.relational import latest_by_key
+
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type", "value"])
+    out = latest_by_key(
+        ds, keys=["user_id", "event_type"], seq_col="event_id",
+        delete_expr=lambda t: pc.less(t.column("value"), 1.0),
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"), "event_type": b.column("event_type"),
+            "lsn": b.column("event_id"), "value": b.column("value"),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cdc_transcripts_final(sf_dir: str):
+    """Flagship transcript CDC replay: synthetic binlog → normalized,
+    hash-partitioned, watermarked merge → exactly-once lake → final state.
+    (Generator-derived input: verified against the sequential oracle in
+    pytest; the driver records a rows-only check here.)"""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    n_events = 20_000 if "0.01" in sf_dir else 5_000
+    lake = os.path.join(tempfile.gettempdir(),
+                        f"graft_cdc_lake_{uuid.uuid4().hex[:8]}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(change_events(n_events, seed=42, parallelism=16))
+    final = pipe.final_state_sorted()
+    return final.drop_columns(["ts"])  # ns-tz column irrelevant for row check
+
+
+# --------------------------------------------------------------------------
+# relational / window queries
+# --------------------------------------------------------------------------
+
+def q_agg_q1(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = grouped_aggregate(
+        ds, keys=["l_returnflag", "l_linestatus"],
+        aggs={"sum_qty": ("l_quantity", "sum"),
+              "sum_base_price": ("l_extendedprice", "sum"),
+              "count_order": ("l_quantity", "count")},
+    )
+
+    def stabilise(b: pa.Table) -> pa.Table:
+        def r2(col):
+            v = np.asarray(b.column(col), dtype=np.float64)
+            return pa.array(np.floor(v * 100 + 0.5) / 100)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty": r2("sum_qty"),
+            "sum_base_price": r2("sum_base_price"),
+            "count_order": b.column("count_order"),
+        })
+
+    return out.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_sessionize(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.relational import sessionize
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+    return sessionize(ds, key="user_id", ts_col="ts", gap_seconds=1800)
+
+
+# --------------------------------------------------------------------------
+# text analysis / dedup / ANN / multimodal
+# --------------------------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.text_stats import token_count_batch
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.map_batches(lambda b: b.drop_columns(["text"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_text_quality_counts(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.text_stats import quality_score_batch
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(quality_score_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def ints_only(b: pa.Table) -> pa.Table:
+        n_punct = pc.cast(pc.multiply(b.column("punct_ratio"),
+                                      pc.cast(pc.max_element_wise(
+                                          b.column("n_chars_q"), 1), pa.float64())),
+                          pa.float64())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars_q": b.column("n_chars_q"),
+            "n_words": b.column("n_words"),
+            "n_punct": pa.array(np.rint(np.asarray(n_punct)).astype(np.int64)),
+        })
+
+    return ds.map_batches(ints_only, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quality_score(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.text_stats import quality_score_batch
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(quality_score_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "stopword_ratio", "upper_ratio",
+                            "quality_score"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lang_id(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.text_stats import lang_id_batch
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(lambda b: b.select(["doc_id", "lang_pred"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.text_stats import FingerprintStage
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(FingerprintStage, concurrency=(1, 4),
+                        batch_format="pyarrow")
+    return ds.map_batches(lambda b: b.select(["doc_id", "fingerprint"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dedup_exact(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.dedup import dedup_exact
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = dedup_exact(ds)
+    return out.map_batches(lambda b: b.select(["doc_id", "text"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dedup_minhash(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.dedup import dedup_minhash_pairs
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return dedup_minhash_pairs(ds, threshold=0.6)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.dedup import dedup_simhash_pairs
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return dedup_simhash_pairs(ds, max_hamming=3)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """The synthetic embeddings have no natural near-dups (max pairwise
+    cosine ≈ 0.51), so plant deterministic perturbed copies of the first 32
+    vectors; the LSH+verify pipeline must recover them."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+
+    def plant_dups(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("vec_id"))
+        sel = ids < 32
+        if not sel.any():
+            return b
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = np.asarray(emb.flatten(), dtype=np.float32).reshape(len(ids), -1)
+        sub = x[sel]
+        # counter-based noise (deterministic regardless of batch boundaries)
+        from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+
+        counters = (ids[sel][:, None] * sub.shape[1]
+                    + np.arange(sub.shape[1])[None, :]).astype(np.int64)
+        u = (splitmix64(counters.ravel().astype(np.uint64), 123)
+             >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        noisy = sub + (0.02 * (u - 0.5)).reshape(sub.shape).astype(np.float32)
+        dup = pa.table({
+            "vec_id": pa.array(ids[sel] + 1_000_000),
+            "embedding": pa.array(list(noisy), type=emb.type),
+        })
+        return pa.concat_tables([b, dup], promote_options="permissive")
+
+    ds = ds.map_batches(plant_dups, batch_format="pyarrow", zero_copy_batch=True)
+    first = _read(sf_dir, "embeddings").take(1)
+    dim = len(first[0]["embedding"])
+    return embedding_neardup_pairs(ds, dim, threshold=0.95, planes=12)
+
+
+N_ANN_QUERIES = 4
+
+
+def _ann_queries(sf_dir: str) -> np.ndarray:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select embedding from read_parquet('{sf_dir}/embeddings.parquet') "
+        f"where vec_id < {N_ANN_QUERIES} order by vec_id"
+    ).fetchall()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    out = brute_force_topk(ds, _ann_queries(sf_dir), k=10)
+    return out.map_batches(lambda b: b.select(["query_id", "vec_id", "rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ann_ivf(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.ann import ivf_topk
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    out = ivf_topk(ds, _ann_queries(sf_dir), k=10, n_centroids=16, nprobe=8)
+    return out.map_batches(lambda b: b.select(["query_id", "vec_id", "rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_multimodal_decode(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        attach_fake_image_bytes,
+        decode_images,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(attach_fake_image_bytes, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = decode_images(ds, concurrency=(1, 4), batch_size=256)
+    return ds.map_batches(lambda b: b.select(["doc_id", "n_bytes"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship smoke pipeline at sf0.001: full CDC replay to a temp lake."""
+    return q_cdc_transcripts_final("/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+def queries() -> "dict[str, Callable[[str], Any]]":
+    return {
+        "ts_format_string": q_ts_format_string,
+        "ts_to_epoch_ms": q_ts_to_epoch_ms,
+        "ts_unit_ms_to_sec": q_ts_unit_ms_to_sec,
+        "ts_parse_roundtrip": q_ts_parse_roundtrip,
+        "ts_json_path": q_ts_json_path,
+        "cdc_upsert_latest": q_cdc_upsert_latest,
+        "cdc_transcripts_final": q_cdc_transcripts_final,
+        "agg_q1": q_agg_q1,
+        "sessionize": q_sessionize,
+        "token_count": q_token_count,
+        "text_quality_counts": q_text_quality_counts,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_STOP_RE_SQL = (
+    r"(?i)\b(the|of|and|a|to|in|is|it|you|that|he|was|for|on|are|as|with|his|"
+    r"they|i|at|be|this|have|from|or|had|by|not|word|but|what|some|we|can|out|"
+    r"other|were|all|there|when|up|use|your|how|said|an|each|she)\b"
+)
 
 
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+def oracle_sql() -> "dict[str, str]":
+    return {
+        "ts_format_string":
+            "select event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') as ts_str "
+            "from events",
+        "ts_to_epoch_ms":
+            "select event_id, epoch_ms(ts) as ts_ms from events",
+        "ts_unit_ms_to_sec":
+            "select event_id, epoch_ms(ts) // 1000 as ts_sec from events",
+        "ts_parse_roundtrip":
+            "select event_id, epoch_us(ts) as ts_us from events",
+        "ts_json_path":
+            "select event_id, '{\"t\":' || epoch_ms(ts)::varchar || '}' as doc "
+            "from events",
+        "cdc_upsert_latest":
+            "with ranked as (select user_id, event_type, event_id, value, "
+            "row_number() over (partition by user_id, event_type "
+            "order by event_id desc) as rn from events) "
+            "select user_id, event_type, event_id as lsn, value "
+            "from ranked where rn = 1 and value >= 1.0",
+        # cdc_transcripts_final: generator-derived input → rows-only check
+        "agg_q1":
+            "select l_returnflag, l_linestatus, "
+            "floor(sum(l_quantity) * 100 + 0.5) / 100 as sum_qty, "
+            "floor(sum(l_extendedprice) * 100 + 0.5) / 100 as sum_base_price, "
+            "count(*) as count_order "
+            "from lineitem group by l_returnflag, l_linestatus",
+        "sessionize":
+            "with g as (select user_id, epoch(ts - lag(ts) over "
+            "(partition by user_id order by ts)) as d from events) "
+            "select user_id, (1 + count(*) filter (where d > 1800))::bigint "
+            "as n_sessions from g group by user_id",
+        "token_count":
+            "select doc_id, "
+            r"coalesce(array_length(regexp_extract_all(text, '\S+')), 0)::bigint "
+            "as n_tokens_ws, "
+            f"coalesce(array_length(regexp_extract_all(text, '{_BPE_RE_SQL}')), 0)::bigint "
+            "as n_tokens_bpe from documents",
+        "text_quality_counts":
+            "select doc_id, length(text)::bigint as n_chars_q, "
+            r"coalesce(array_length(regexp_extract_all(text, '\S+')), 0)::bigint "
+            "as n_words, "
+            "coalesce(array_length(regexp_extract_all(text, '[.,!?;:]')), 0)::bigint "
+            "as n_punct from documents",
+        "lang_id":
+            "select doc_id, case "
+            f"when coalesce(array_length(regexp_extract_all(text, '{_STOP_RE_SQL}')), 0) "
+            r"  > 0.05 * greatest(coalesce(array_length(regexp_extract_all(text, '\S+')), 0), 1) "
+            "  and coalesce(array_length(regexp_extract_all(text, '[\\x00-\\x7F]')), 0) "
+            "  > 0.9 * greatest(length(text), 1) then 'en' "
+            "when coalesce(array_length(regexp_extract_all(text, '[\\x00-\\x7F]')), 0) "
+            "  > 0.9 * greatest(length(text), 1) then 'latin-other' "
+            "else 'non-latin' end as lang_pred from documents",
+        "dedup_exact":
+            "select min(doc_id) as doc_id, text from documents group by text",
+        "ann_topk":
+            f"with q as (select vec_id as qid, embedding from embeddings "
+            f"where vec_id < {N_ANN_QUERIES}) "
+            "select q.qid as query_id, e.vec_id, "
+            "row_number() over (partition by q.qid order by "
+            "list_cosine_similarity(q.embedding, e.embedding) desc, e.vec_id) "
+            "as rank from q cross join embeddings e "
+            "qualify rank <= 10",
+        "multimodal_decode":
+            "select doc_id, strlen(text)::bigint as n_bytes from documents",
+    }

@@ -1,0 +1,132 @@
+"""Generic relational operators, Ray-Data-first.
+
+These are engine capabilities beyond the reference's single filter operator
+(SURVEY.md §2.8: the missing categories supplied by the north rule).
+
+Design notes for 100 TB scale:
+* ``grouped_aggregate`` pre-aggregates INSIDE ``map_batches`` (combiner),
+  so the all-to-all shuffle moves only #groups x #blocks partial rows, not
+  the raw table — the canonical partial/combine split.
+* ``latest_by_key`` is the stateless form of the CDC merge (last-write-wins
+  by a sequence column with optional delete predicate); it shuffles only the
+  key/seq/payload columns you select upstream.
+* ``sessionize`` is a per-key windowed aggregate via ``map_groups``
+  (partition-local sort, no global sort).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_AGG_FUNCS = {"sum", "count", "min", "max"}
+
+
+class _PartialAgg:
+    """map_batches combiner: batch → per-group partial aggregate rows."""
+
+    def __init__(self, keys, aggs):
+        self.keys = list(keys)
+        self.aggs = aggs  # out_name -> (col, fn)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = []
+        for out, (col, fn) in self.aggs.items():
+            if fn == "count":
+                # count via summing ones (merges associatively downstream)
+                batch = batch.append_column(f"__one_{out}", pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)))
+                cols.append((f"__one_{out}", "sum", out))
+            else:
+                cols.append((col, fn, out))
+        gb = batch.group_by(self.keys)
+        agg_spec = [(c, fn) for c, fn, _ in cols]
+        out_tbl = gb.aggregate(agg_spec)
+        renames = {f"{c}_{fn}": out for c, fn, out in cols}
+        names = [renames.get(nm, nm) for nm in out_tbl.schema.names]
+        return out_tbl.rename_columns(names)
+
+
+def _final_combine(keys, aggs):
+    def combine(group: pa.Table) -> pa.Table:
+        out = {k: [group.column(k)[0].as_py()] for k in keys}
+        for out_name, (_, fn) in aggs.items():
+            col = group.column(out_name)
+            if fn in ("sum", "count"):
+                out[out_name] = [pc.sum(col).as_py()]
+            elif fn == "min":
+                out[out_name] = [pc.min_max(col).as_py()["min"]]
+            else:
+                out[out_name] = [pc.min_max(col).as_py()["max"]]
+        return pa.table(out)
+
+    return combine
+
+
+def grouped_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]"):
+    """ds.groupby(keys) with map-side partial aggregation.
+
+    aggs: {output_name: (input_col, fn)} with fn in sum/count/min/max.
+    """
+    for out, (_, fn) in aggs.items():
+        if fn not in _AGG_FUNCS:
+            raise ValueError(f"unsupported agg {fn} for {out}")
+    ds = ds.map_batches(_PartialAgg(keys, aggs), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.groupby(list(keys)).map_groups(
+        _final_combine(list(keys), aggs), batch_format="pyarrow"
+    )
+
+
+def latest_by_key(ds, keys, seq_col: str, delete_expr=None):
+    """Last-write-wins upsert view: keep the max-`seq_col` row per key;
+    optionally drop winners matching ``delete_expr`` (a callable
+    pa.Table → BooleanArray marking deletes)."""
+    keys = list(keys)
+
+    def keep_latest(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(k, "ascending") for k in keys] + [(seq_col, "ascending")]
+        )
+        group = group.take(order)
+        n = group.num_rows
+        if n == 0:
+            return group
+        last = np.ones(n, dtype=bool)
+        if n > 1:
+            same = np.ones(n - 1, dtype=bool)
+            for k in keys:
+                col = group.column(k).combine_chunks()
+                enc = pc.dictionary_encode(col) if pa.types.is_string(col.type) else None
+                v = np.asarray(enc.indices.cast(pa.int64()) if enc is not None
+                               else col.cast(pa.int64()))
+                same &= v[:-1] == v[1:]
+            last[:-1] = ~same
+        winners = group.filter(pa.array(last))
+        if delete_expr is not None:
+            winners = winners.filter(pc.invert(delete_expr(winners)))
+        return winners
+
+    return ds.groupby(keys).map_groups(keep_latest, batch_format="pyarrow")
+
+
+def sessionize(ds, key: str, ts_col: str, gap_seconds: float,
+               out_col: str = "n_sessions"):
+    """Per-key session count: a new session starts when the gap between
+    consecutive events exceeds ``gap_seconds`` (partition-local sort)."""
+
+    def count_sessions(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).combine_chunks().cast(pa.timestamp("ns"))
+        v = np.sort(np.asarray(ts.cast(pa.int64())))
+        if len(v) == 0:
+            n_sessions = 0
+        else:
+            gaps = np.diff(v) > gap_seconds * 1e9
+            n_sessions = 1 + int(gaps.sum())
+        return pa.table({
+            key: [group.column(key)[0].as_py()],
+            out_col: pa.array([n_sessions], pa.int64()),
+        })
+
+    return ds.groupby(key).map_groups(count_sessions, batch_format="pyarrow")

@@ -1,0 +1,118 @@
+"""Text analysis stages for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All per-batch functions are Arrow-kernel vectorized except the winnowing
+fingerprint, whose inner loop is numpy-per-document (documented; it is the
+rolling-hash state that defeats column kernels).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# deterministic small English stopword set (public knowledge)
+STOPWORDS = (
+    "the of and a to in is it you that he was for on are as with his they i "
+    "at be this have from or had by not word but what some we can out other "
+    "were all there when up use your how said an each she"
+).split()
+
+_WORD_RE = r"\S+"
+_BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_STOPWORD_RE = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
+_PUNCT_RE = r"[.,!?;:]"
+_UPPER_RE = r"[A-Z]"
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    text = batch.column(text_col)
+    ws = pc.count_substring_regex(text, pattern=_WORD_RE)
+    bpe = pc.count_substring_regex(text, pattern=_BPE_ISH_RE)
+    return batch.append_column("n_tokens_ws", pc.cast(ws, pa.int64())) \
+                .append_column("n_tokens_bpe", pc.cast(bpe, pa.int64()))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword / uppercase quality features and a
+    composite [0,1] score."""
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_words = pc.cast(pc.count_substring_regex(text, pattern=_WORD_RE), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, pattern=_PUNCT_RE), pa.float64())
+    n_upper = pc.cast(pc.count_substring_regex(text, pattern=_UPPER_RE), pa.float64())
+    n_stop = pc.cast(pc.count_substring_regex(text, pattern=_STOPWORD_RE), pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, 1.0)
+    safe_words = pc.max_element_wise(n_words, 1.0)
+    punct_ratio = pc.divide(n_punct, safe_chars)
+    upper_ratio = pc.divide(n_upper, safe_chars)
+    stop_ratio = pc.divide(n_stop, safe_words)
+    mean_word_len = pc.divide(n_chars, safe_words)
+    # composite: reward stopword presence and sane word lengths, punish
+    # heavy punctuation/caps (deterministic arithmetic only)
+    score = pc.subtract(
+        pc.add(pc.multiply(stop_ratio, 2.0),
+               pc.multiply(pc.min_element_wise(mean_word_len, 8.0), 0.05)),
+        pc.add(pc.multiply(punct_ratio, 3.0), pc.multiply(upper_ratio, 1.0)),
+    )
+    score = pc.max_element_wise(pc.min_element_wise(score, 1.0), 0.0)
+    out = batch
+    for name, col in [("n_chars_q", pc.cast(n_chars, pa.int64())),
+                      ("n_words", pc.cast(n_words, pa.int64())),
+                      ("punct_ratio", punct_ratio), ("upper_ratio", upper_ratio),
+                      ("stopword_ratio", stop_ratio), ("quality_score", score)]:
+        out = out.append_column(name, col)
+    return out
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """N-gram-heuristic language ID: English stopword density + ascii ratio.
+    (The container has no language models; this is the documented heuristic
+    tier with the same stage shape a fasttext-style model would use.)"""
+    text = batch.column(text_col)
+    n_words = pc.cast(pc.count_substring_regex(text, pattern=_WORD_RE), pa.float64())
+    n_stop = pc.cast(pc.count_substring_regex(text, pattern=_STOPWORD_RE), pa.float64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_ascii = pc.cast(pc.count_substring_regex(text, pattern=r"[\x00-\x7F]"), pa.float64())
+    stop_ratio = pc.divide(n_stop, pc.max_element_wise(n_words, 1.0))
+    ascii_ratio = pc.divide(n_ascii, pc.max_element_wise(n_chars, 1.0))
+    is_en = pc.and_(pc.greater(stop_ratio, 0.05), pc.greater(ascii_ratio, 0.9))
+    lang = pc.if_else(is_en, "en",
+                      pc.if_else(pc.greater(ascii_ratio, 0.9), "latin-other", "non-latin"))
+    return batch.append_column("lang_pred", lang) \
+                .append_column("lang_confidence", stop_ratio)
+
+
+class FingerprintStage:
+    """Winnowing document fingerprints (rolling hash over byte 4-grams,
+    window-min selection).  Callable-class stage: constants built once per
+    worker; inner loop numpy-per-document."""
+
+    def __init__(self, k: int = 4, window: int = 8):
+        self.k = k
+        self.window = window
+        self._pow = np.power(np.uint64(31), np.arange(k, dtype=np.uint64)[::-1])
+
+    def _doc_fingerprint(self, s: str) -> int:
+        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < self.k:
+            return int(b.sum()) if len(b) else 0
+        # rolling polynomial hash of k-grams via strided windows
+        win = np.lib.stride_tricks.sliding_window_view(b, self.k).astype(np.uint64)
+        grams = (win * self._pow).sum(axis=1)
+        if len(grams) <= self.window:
+            sel = grams.min()
+            return int(sel)
+        mins = np.lib.stride_tricks.sliding_window_view(grams, self.window).min(axis=1)
+        # xor-fold the selected minima into one 64-bit fingerprint
+        out = 0
+        for v in np.unique(mins):
+            out ^= (int(v) * 0x9E3779B97F4A7C15) % (1 << 64)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = np.array([self._doc_fingerprint(t or "") for t in texts], dtype=np.uint64)
+        return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))

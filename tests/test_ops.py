@@ -1,0 +1,195 @@
+"""Tests for the training-data / relational operators (dedup, ANN, text
+stats, multimodal stubs, grouped aggregation, sessionize)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from embulk_filter_timestamp_format_ray.stages.ann import brute_force_topk
+from embulk_filter_timestamp_format_ray.stages.dedup import (
+    MinHashStage,
+    SimHashStage,
+    dedup_exact,
+    dedup_minhash_pairs,
+    dedup_simhash_pairs,
+    embedding_neardup_pairs,
+    ngram_jaccard,
+)
+from embulk_filter_timestamp_format_ray.stages.multimodal import (
+    ImageDecodeStage,
+    attach_fake_image_bytes,
+)
+from embulk_filter_timestamp_format_ray.stages.relational import (
+    grouped_aggregate,
+    latest_by_key,
+    sessionize,
+)
+from embulk_filter_timestamp_format_ray.stages.text_stats import (
+    FingerprintStage,
+    lang_id_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+
+def _docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",          # exact dup
+        "the quick brown fox leaps over the lazy dog",          # near dup
+        "completely different content about spark engines",
+        "zzz qqq xxx",                                          # low quality
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_dedup_exact(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs_table())
+    out = dedup_exact(ds).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4]  # doc 1 deduped to 0
+
+
+def test_minhash_signature_properties():
+    st = MinHashStage(num_perm=64, shingle_k=3)
+    a = st.signature("the quick brown fox jumps over the lazy dog")
+    b = st.signature("the quick brown fox jumps over the lazy dog")
+    c = st.signature("the quick brown fox leaps over the lazy dog")
+    d = st.signature("completely different content about spark engines")
+    assert (a == b).all()
+    sim_near = (a == c).mean()
+    sim_far = (a == d).mean()
+    assert sim_near > sim_far
+    assert sim_near > 0.3
+
+
+def test_dedup_minhash_pairs(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = dedup_minhash_pairs(ds, threshold=0.9).to_pandas()
+    assert {(0, 1)} <= set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert 0.0 < ngram_jaccard("a b c d e", "a b c d x") < 1.0
+
+
+def test_simhash_hamming_locality():
+    st = SimHashStage()
+    a = st.simhash("the quick brown fox jumps over the lazy dog")
+    c = st.simhash("the quick brown fox leaps over the lazy dog")
+    d = st.simhash("completely different content about spark engines")
+    ham = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
+    assert ham(a, c) < ham(a, d)
+
+
+def test_dedup_simhash_pairs(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = dedup_simhash_pairs(ds, max_hamming=0).to_pandas()
+    assert {(0, 1)} <= set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def _emb_table(n=64, dim=8):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    x[1] = x[0] + 0.001  # planted near-dup
+    return pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                     "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_emb_table())
+    pairs = embedding_neardup_pairs(ds, dim=8, threshold=0.99, planes=8).to_pandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_brute_force_topk_exact(ray_session):
+    import ray.data
+
+    tbl = _emb_table(64, 8)
+    ds = ray.data.from_arrow(tbl)
+    x = np.stack([np.asarray(v) for v in tbl.column("embedding").to_pylist()])
+    out = brute_force_topk(ds, x[:2], k=5).to_pandas()
+    # exact: query 0's top hit is itself (cosine 1), then vec 1 (planted dup)
+    q0 = out[out["query_id"] == 0].sort_values("rank")
+    assert list(q0["vec_id"][:2]) == [0, 1]
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    expect = np.argsort(-(xn[:2] @ xn.T), kind="stable", axis=1)[:, :5]
+    got0 = list(q0["vec_id"])
+    assert got0 == list(expect[0])
+
+
+def test_text_stats_batches():
+    out = token_count_batch(_docs_table())
+    assert out.column("n_tokens_ws").to_pylist()[0] == 9
+    q = quality_score_batch(_docs_table())
+    scores = q.column("quality_score").to_pylist()
+    assert scores[0] > scores[4]  # junk doc scores lower
+    lid = lang_id_batch(_docs_table())
+    assert lid.column("lang_pred").to_pylist()[0] == "en"
+
+
+def test_fingerprint_deterministic():
+    st = FingerprintStage()
+    out1 = st(_docs_table()).column("fingerprint").to_pylist()
+    out2 = st(_docs_table()).column("fingerprint").to_pylist()
+    assert out1 == out2
+    assert out1[0] == out1[1]  # identical docs → identical fingerprints
+    assert out1[0] != out1[3]
+
+
+def test_multimodal_stub_stage():
+    batch = attach_fake_image_bytes(_docs_table())
+    stage = ImageDecodeStage()
+    out = stage(batch)
+    assert out.column("n_bytes").to_pylist()[0] == len(
+        _docs_table().column("text")[0].as_py().encode())
+    if stage._pil is None:
+        assert out.column("img_format").to_pylist()[0] == "FAKE"
+    strict = ImageDecodeStage(strict=True)
+    if strict._pil is None:
+        with pytest.raises(NotImplementedError):
+            strict(batch)
+
+
+def test_grouped_aggregate(ray_session):
+    import ray.data
+
+    t = pa.table({"k": ["a", "a", "b", "b", "b"],
+                  "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    ds = ray.data.from_arrow(t)
+    out = grouped_aggregate(ds, ["k"], {"s": ("v", "sum"), "n": ("v", "count"),
+                                        "mx": ("v", "max")}).to_pandas()
+    out = out.set_index("k")
+    assert out.loc["a", "s"] == 3.0 and out.loc["a", "n"] == 2
+    assert out.loc["b", "s"] == 12.0 and out.loc["b", "mx"] == 5.0
+
+
+def test_latest_by_key_and_sessionize(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "k": ["x", "x", "y", "y"],
+        "seq": pa.array([1, 2, 5, 4], pa.int64()),
+        "val": [10.0, 0.5, 7.0, 8.0],
+    })
+    out = latest_by_key(ray.data.from_arrow(t), ["k"], "seq",
+                        delete_expr=lambda b: pa.compute.less(b.column("val"), 1.0)
+                        ).to_pandas()
+    # x's latest (seq 2) is a delete → dropped; y keeps seq 5
+    assert list(out["k"]) == ["y"] and list(out["seq"]) == [5]
+
+    ts = pa.array(np.array([0, 10, 4000, 4010], dtype="datetime64[s]").astype(
+        "datetime64[ns]"))
+    t2 = pa.table({"u": ["a", "a", "a", "a"], "ts": ts})
+    sess = sessionize(ray.data.from_arrow(t2), "u", "ts", 1800).to_pandas()
+    assert list(sess["n_sessions"]) == [2]
