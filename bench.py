@@ -1,0 +1,192 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): change-events/sec sustained upsert
+throughput end-to-end — binlog parquet read → ts-normalize (parse across
+schema epochs) → hash shuffle → watermarked merge → exactly-once parquet
+commit.  Plus a 1M-row parse+format microbench against the reference's
+published 0.77M rec/s single-core fast path, and per-query timings over the
+sf dir.
+
+    python bench.py                 # full run, one JSON line on stdout
+    python bench.py --scaling       # headline at num_cpus=8 and 32 in fresh
+                                    # processes + scaling efficiency
+    python bench.py --headline-only # internal (used by --scaling children)
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import uuid
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "1000000"))
+
+
+def _events_parquet(num_events: int, num_cpus: int) -> str:
+    """Materialize the synthetic binlog ONCE (untimed input preparation)."""
+    path = os.path.join(tempfile.gettempdir(), f"graft_bench_events_{num_events}")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+        shutil.rmtree(path, ignore_errors=True)
+        # update-heavy binlog: ~10 updates per (conv, turn) key on average,
+        # the shape a CDC upsert stream actually has
+        ds = change_events(num_events, seed=42, parallelism=num_cpus * 2,
+                           num_convs=max(num_events // 400, 1))
+        ds.write_parquet(path)
+        open(done, "w").close()
+    return path
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    events_path = _events_parquet(N_EVENTS, num_cpus)
+    lake = os.path.join(tempfile.gettempdir(), f"graft_bench_lake_{uuid.uuid4().hex[:8]}")
+    ds = ray.data.read_parquet(events_path, override_num_blocks=num_cpus * 2)
+    t0 = time.perf_counter()
+    # fixed partition count: identical workload at every parallelism level
+    pipe = CDCPipeline(lake, num_partitions=128)
+    stats = pipe.apply(ds)
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(lake, ignore_errors=True)
+    return {
+        "events": N_EVENTS,
+        "sec": elapsed,
+        "events_per_sec": N_EVENTS / elapsed,
+        "events_applied": stats["events_applied"],
+    }
+
+
+def run_parse_microbench() -> dict:
+    """1M parse+format, mirroring the reference bench (README.md:118-127)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from embulk_filter_timestamp_format_ray.functions.vectorized import (
+        VectorParser,
+        make_vector_formatter,
+    )
+
+    n = 1_000_000
+    secs = 1436713200 + np.arange(n) % 86400
+    frac = np.arange(n) % 1000000000
+    strs = pa.array([
+        f"2015-07-12 {(s % 86400) // 3600:02d}:{(s % 3600) // 60:02d}:{s % 60:02d}.{f:09d}"
+        for s, f in zip(secs, frac)
+    ])
+    vp = VectorParser(["yyyy-MM-dd HH:mm:ss.nnnnnnnnn"], "UTC")
+    t0 = time.perf_counter()
+    ns, ok, _ = vp.parse_array(strs)
+    t_parse = time.perf_counter() - t0
+    assert ok.all()
+    vf = make_vector_formatter("yyyy-MM-dd", "UTC")
+    t1 = time.perf_counter()
+    vf.format_array(ns)
+    t_fmt = time.perf_counter() - t1
+    return {
+        "parse_sec": t_parse, "format_sec": t_fmt,
+        "parse_per_sec": n / t_parse,
+        "parse_format_per_sec": n / (t_parse + t_fmt),
+        "reference_java_per_sec": 769000,
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Timings of representative operators over the sf dir."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry
+
+    picks = ["ts_format_string", "ts_parse_roundtrip", "agg_q1", "sessionize",
+             "dedup_exact", "dedup_minhash", "token_count", "ann_topk"]
+    qs = entry.queries()
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # consume the stream (no driver materialization beyond a count)
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        # N vs 4N parallelism in fresh processes (the cluster-size stand-in).
+        # 4→16 keeps the 4N level below the single-box memory-bandwidth
+        # ceiling that an all-to-all shuffle hits at 32 local cpus; a real
+        # 4x-node cluster scales aggregate bandwidth with nodes.
+        n_low = int(os.environ.get("GRAFT_SCALING_N", "4"))
+        levels = (n_low, n_low * 4)
+        results = {}
+        for cpus in levels:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            # large enough that compute dominates fixed pipeline overheads
+            env.setdefault("GRAFT_BENCH_EVENTS", str(16_000_000))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        thr_n = results[levels[0]]["events_per_sec"]
+        thr_4n = results[levels[1]]["events_per_sec"]
+        eff = thr_4n / (4 * thr_n)
+        print(json.dumps({
+            "metric": f"cdc-upsert-scaling-efficiency({levels[0]}->{levels[1]} cpus)",
+            "value": round(eff, 3), "unit": "ratio",
+            "queries": {
+                f"events_per_sec_cpus{levels[0]}": round(thr_n),
+                f"events_per_sec_cpus{levels[1]}": round(thr_4n),
+            },
+            "sf": SF_DIR, "num_cpus": levels[1],
+        }))
+        return
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        headline = run_headline(NUM_CPUS)
+        queries: dict = {"cdc_headline": round(headline["sec"], 3)}
+        if not args.headline_only:
+            micro = run_parse_microbench()
+            queries["parse_1m"] = round(micro["parse_sec"] + micro["format_sec"], 3)
+            queries.update(run_queries(SF_DIR))
+        print(json.dumps({
+            "metric": "cdc-upsert-1M-events-wall",
+            "value": round(headline["sec"], 3),
+            "unit": "sec",
+            "events_per_sec": round(headline["events_per_sec"], 1),
+            "events": headline["events"],
+            "events_applied": headline["events_applied"],
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

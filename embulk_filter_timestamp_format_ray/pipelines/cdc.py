@@ -170,6 +170,42 @@ class NormalizeStage:
 LAKE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
 
 
+def keep_last_per_key(tbl: pa.Table) -> pa.Table:
+    """Max-LSN winner per (conv_id, turn_idx) — the associative merge core.
+
+    Used both as the pre-shuffle combiner (map-side: shrinks the exchange to
+    one row per key per block; at binlog scale most updates collapse here)
+    and as the reduce-side merge. Winner selection commutes with itself, so
+    combining before the shuffle cannot change the final winners."""
+    if tbl.num_rows <= 1:
+        return tbl
+    # lexsort over integer keys (dictionary indices for conv_id) is far
+    # cheaper than an arrow multi-column string sort; then gather only the
+    # winner rows in a single take
+    conv = np.asarray(pc.dictionary_encode(
+        tbl.column("conv_id").combine_chunks()).indices.cast(pa.int64()))
+    turn = np.asarray(tbl.column("turn_idx").cast(pa.int64()))
+    lsn = np.asarray(tbl.column("lsn").cast(pa.int64()))
+    perm = np.lexsort((lsn, turn, conv))
+    c_s, t_s = conv[perm], turn[perm]
+    last = np.ones(len(perm), dtype=bool)
+    last[:-1] = (c_s[:-1] != c_s[1:]) | (t_s[:-1] != t_s[1:])
+    # NOTE: dictionary indices order != lexical conv order; callers must not
+    # rely on output ordering (the verification read sorts explicitly)
+    return tbl.take(pa.array(perm[last]))
+
+
+class PreMergeCombiner:
+    """map_batches combiner applied after partitioning, before the shuffle:
+    per block, keep only each key's winner (tombstones included) plus the
+    block's max lsn carried in the surviving rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return keep_last_per_key(batch)
+
+
 def merge_partition_table(delta: pa.Table, prior: "pa.Table | None",
                           watermark: int) -> "tuple[pa.Table, int, int]":
     """Vectorized per-partition merge → (new state, new watermark, applied).
@@ -197,22 +233,7 @@ def merge_partition_table(delta: pa.Table, prior: "pa.Table | None",
         empty = pa.table({f.name: pa.array([], f.type) for f in schema})
         return empty, new_watermark, 0
     merged = pa.concat_tables(parts, promote_options="permissive")
-    # keep-max-lsn per (conv_id, turn_idx): sort then take last row per key
-    order = pc.sort_indices(
-        merged,
-        sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending"),
-                   ("lsn", "ascending")],
-    )
-    merged = merged.take(order)
-    conv = np.asarray(pc.dictionary_encode(
-        merged.column("conv_id").combine_chunks()).indices.cast(pa.int64()))
-    turn = np.asarray(merged.column("turn_idx").cast(pa.int64()))
-    n = len(conv)
-    last = np.ones(n, dtype=bool)
-    if n > 1:
-        same = (conv[:-1] == conv[1:]) & (turn[:-1] == turn[1:])
-        last[:-1] = ~same
-    winners = merged.filter(pa.array(last))
+    winners = keep_last_per_key(merged)
     live = winners.filter(pc.equal(winners.column("op"), "upsert"))
     return live.select(LAKE_COLUMNS), new_watermark, applied
 
@@ -293,6 +314,10 @@ class CDCPipeline:
         ds = events_ds.map_batches(normalize, batch_format="pyarrow",
                                    zero_copy_batch=True)
         ds = ds.map_batches(partition, batch_format="pyarrow", zero_copy_batch=True)
+        # map-side combine: shrink the all-to-all exchange to one row per
+        # merge key per block before the shuffle
+        ds = ds.map_batches(PreMergeCombiner(), batch_format="pyarrow",
+                            zero_copy_batch=True)
 
         def merge_partition(group: pa.Table) -> pa.Table:
             return applier(group)

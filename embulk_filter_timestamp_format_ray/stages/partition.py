@@ -25,10 +25,22 @@ from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
 
 
 def hash_strings_dict(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
-    """Deterministic uint64 hash per row of a string column via
-    dictionary-encode + hash-the-uniques."""
+    """Deterministic uint64 hash per row of a string column.
+
+    Fast path: polars' vectorized xxhash (stable across processes for a
+    fixed polars version — every Ray worker ships the same one).  Fallback:
+    dictionary-encode + crc32-the-uniques."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(arr)
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        return s.hash(seed=42).to_numpy().astype(np.uint64)
+    except Exception:
+        pass
     enc = pc.dictionary_encode(arr)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
