@@ -156,7 +156,26 @@ class _VectorSingleParser:
         for _, kind in self.actions:
             if kind not in _VECTOR_PARSE_KINDS:
                 raise ValueError(f"not vectorizable: {kind}")
-        self.pattern = "(?i)^" + compiled.regex.pattern + "$"
+        body = compiled.regex.pattern
+        # (?i) only when the pattern actually matches letters (RE2 runs
+        # noticeably faster case-sensitive on digit/punct-only patterns)
+        stripped = re.sub(r"\\.|\(\?P<[^>]+>", "", body)
+        flags = "(?i)" if re.search(r"[A-Za-z]", stripped) else ""
+        self.pattern = flags + "^" + body + "$"
+        # when the java format's prefix before the fraction run ends with the
+        # only '.' in it, the raw-text first-dot regex
+        # (TimestampParser.java:157-167) is guaranteed to capture exactly the
+        # main pattern's fraction group — reuse it and skip a second scan
+        self.nano_group: "str | None" = None
+        if self.handle_nano:
+            s_pattern = fmt.replace("n", "S")
+            idx = s_pattern.find("S")
+            prefix = s_pattern[:idx]
+            if prefix.endswith(".") and "." not in prefix[:-1]:
+                for gname, kind in self.actions:
+                    if kind == "fracms":
+                        self.nano_group = gname
+                        break
         # RE2 rejects some python-isms; validate eagerly via arrow
         pc.extract_regex(pa.array([], type=pa.string()), pattern=self.pattern)
 
@@ -189,14 +208,16 @@ class _VectorSingleParser:
                 vals = pc.fill_null(vals, default)
             return np.asarray(vals)
 
-        year = np.full(n, 1970, dtype=np.int64)
-        month = np.ones(n, dtype=np.int64)
-        day = np.ones(n, dtype=np.int64)
-        hour = np.zeros(n, dtype=np.int64)
-        minute = np.zeros(n, dtype=np.int64)
-        sec = np.zeros(n, dtype=np.int64)
-        nano = np.zeros(n, dtype=np.int64)
-        msec_frac = np.zeros(n, dtype=np.int64)
+        # scalar defaults broadcast through the arithmetic — fields that the
+        # format never captures cost zero allocations
+        year = 1970
+        month = 1
+        day = 1
+        hour = 0
+        minute = 0
+        sec = 0
+        nano = 0
+        msec_frac = 0
         yday = None
         hour12 = None
         ampm_pm = None
@@ -265,11 +286,12 @@ class _VectorSingleParser:
             hour = np.where(ampm_pm & (hour < 12), hour + 12, hour)
 
         if yday is not None:
-            days = v_days_from_civil(year, np.ones(n, dtype=np.int64),
-                                     np.ones(n, dtype=np.int64)) + yday - 1
+            days = v_days_from_civil(year, 1, 1) + yday - 1
         else:
             days = v_days_from_civil(year, month, day)
         naive = days * 86400 + hour * 3600 + minute * 60 + sec
+        if np.isscalar(naive) or np.ndim(naive) == 0:
+            naive = np.full(n, naive, dtype=np.int64)
 
         # rows rescued by the per-row scalar parser override everything below
         rescued_idx: list[int] = []
@@ -320,9 +342,14 @@ class _VectorSingleParser:
         if self.family == "java":
             msec = epoch_sec * 1000 + msec_frac
             if self.handle_nano:
-                # nanos from the raw-text regex with the Math.pow quirk
-                fx = pc.extract_regex(arr, pattern=r"\.(?P<f>\d+)")
-                fdig = fx.field("f")
+                # nanos from the raw-text first-dot regex with the Math.pow
+                # quirk; reuse the main pattern's fraction capture when the
+                # format guarantees they coincide (skips a second regex scan)
+                if self.nano_group is not None:
+                    fdig = ex.field(self.nano_group)
+                else:
+                    fx = pc.extract_regex(arr, pattern=r"\.(?P<f>\d+)")
+                    fdig = fx.field("f")
                 ln = np.asarray(pc.fill_null(pc.utf8_length(fdig), 0))
                 val = np.asarray(pc.fill_null(
                     pc.cast(pc.utf8_slice_codeunits(fdig, 0, 18), pa.int64()), 0))
