@@ -352,6 +352,12 @@ class CDCPipeline:
             "partitions_touched": len(rows), "events_applied": total_applied,
         }
 
+    def apply_stream(self, event_datasets) -> "list[dict]":
+        """Continuous micro-batch tail: apply each incoming change-event
+        Dataset in order; every apply is an exactly-once commit, so a crash
+        between micro-batches resumes from the last committed watermarks."""
+        return [self.apply(ds) for ds in event_datasets]
+
     # -------------------------------------------------------------- reads
 
     def read_lake(self):

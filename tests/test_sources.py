@@ -1,0 +1,113 @@
+"""Source readers + skew distribution + verify helpers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from embulk_filter_timestamp_format_ray.config import ColumnConfig, TaskConfig
+from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+from embulk_filter_timestamp_format_ray.sources.readers import (
+    read_csv_with_schema,
+    read_parquet,
+)
+from embulk_filter_timestamp_format_ray.stages.partition import PartitionStage
+from embulk_filter_timestamp_format_ray.stages.timestamp_format import TimestampFormatStage
+
+
+def test_csv_declared_schema_through_stage(ray_session, tmp_path):
+    # the reference's file-CSV → filter flow (example/example.yml) end-to-end
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        "2015-07-13,2015-07-13\n"
+        "2015-07-12 16:00:00.123456789 UTC,2015-07-12 16:00:00.123456789 UTC\n"
+    )
+    ds = read_csv_with_schema(str(csv), {"s1": pa.string(), "s2": pa.string()})
+    task = TaskConfig(
+        columns=(ColumnConfig("s1", "string"), ColumnConfig("s2", "long", to_unit="ms")),
+        default_from_timezone="Asia/Taipei",
+        default_from_timestamp_format=(
+            "%Y-%m-%d %H:%M:%S.%N %z", "%Y-%m-%d %H:%M:%S %z",
+            "%Y-%m-%d %H:%M:%S", "%Y-%m-%d %z", "%Y-%m-%d"),
+        default_to_timezone="Asia/Taipei",
+        default_to_timestamp_format="%Y-%m-%d %H:%M:%S.%N",
+    )
+    out = ds.map_batches(TimestampFormatStage(task), batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    assert list(out["s1"]) == ["2015-07-13 00:00:00.000000000",
+                               "2015-07-13 00:00:00.123456789"]
+    assert list(out["s2"]) == [1436716800000, 1436716800123]
+
+
+def test_parquet_column_pruning(ray_session, tmp_path):
+    p = tmp_path / "t.parquet"
+    pa.parquet.write_table(
+        pa.table({"a": [1, 2], "b": ["x", "y"], "c": [0.1, 0.2]}), str(p))
+    ds = read_parquet(str(p), columns=["a", "c"])
+    assert set(ds.schema().names) == {"a", "c"}
+
+
+def test_partition_distribution_under_skew():
+    """Zipf-skewed conv_ids + hot-key boost must still spread ~uniformly
+    because the shuffle key is hash(conv_id, turn_idx)."""
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        ChangeEventBatchGenerator,
+    )
+
+    gen = ChangeEventBatchGenerator(seed=42, num_events=50_000, num_convs=100)
+    tbl = gen(pa.table({"id": np.arange(50_000, dtype=np.int64)}))
+    part = PartitionStage(32)
+    out = part(tbl)
+    counts = np.bincount(np.asarray(out.column("_pid")), minlength=32)
+    assert counts.max() / counts.mean() < 1.5
+    # conv-local mode concentrates hot convs (the problem salting solves)
+    out2 = PartitionStage(32, by_turn=False)(tbl)
+    counts2 = np.bincount(np.asarray(out2.column("_pid")), minlength=32)
+    assert counts2.max() / counts2.mean() > counts.max() / counts.mean()
+
+
+def test_verify_helpers(ray_session, tmp_path):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.verify import (
+        diff_states,
+        lake_state_dict,
+        verify_replay,
+    )
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        expected_event_table,
+    )
+    from tests.test_cdc import sequential_oracle
+
+    lake = str(tmp_path / "lake")
+    pipe = CDCPipeline(lake, num_partitions=8)
+    pipe.apply(ray.data.from_arrow(expected_event_table(800)))
+    oracle_state = sequential_oracle(800)
+    oracle_rows = {
+        k: {"role": v["role"], "text": v["text"], "tool": v["tool"], "lsn": v["lsn"]}
+        for k, v in oracle_state.items()
+    }
+    verify_replay(pipe, oracle_rows)  # must not raise
+    # a poisoned oracle produces diffs
+    bad = dict(oracle_rows)
+    some_key = next(iter(bad))
+    bad[some_key] = {**bad[some_key], "text": "WRONG"}
+    assert diff_states(lake_state_dict(pipe), bad)
+    with pytest.raises(AssertionError):
+        verify_replay(pipe, bad)
+
+
+def test_apply_stream_microbatches(ray_session, tmp_path):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        expected_event_table,
+    )
+
+    lake = str(tmp_path / "lake")
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(900)
+    chunks = [ray.data.from_arrow(full.slice(i * 300, 300)) for i in range(3)]
+    stats = pipe.apply_stream(chunks)
+    assert [s["version"] for s in stats] == [1, 2, 3]
