@@ -167,9 +167,60 @@ def q_cdc_transcripts_final(sf_dir: str):
     return final.drop_columns(["ts"])  # ns-tz column irrelevant for row check
 
 
+def q_ts_unit_us_to_ns(sf_dir: str):
+    """Unit widening us → ns over a long column (U5 upscale multiply)."""
+    from embulk_filter_timestamp_format_ray import ColumnConfig, TaskConfig
+    from embulk_filter_timestamp_format_ray.stages.timestamp_format import (
+        TimestampFormatStage,
+    )
+
+    to_us = TimestampFormatStage(TaskConfig(columns=(
+        ColumnConfig("ts", "long", to_unit="us"),)))
+    us_to_ns = TimestampFormatStage(TaskConfig(
+        columns=(ColumnConfig("ts", "long", from_unit="us", to_unit="ns"),)))
+    ds = _read(sf_dir, "events").select_columns(["event_id", "ts"])
+    ds = ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(us_to_ns, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(lambda b: b.rename_columns(["event_id", "ts_ns"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # relational / window queries
 # --------------------------------------------------------------------------
+
+def q_join_revenue_by_nation(sf_dir: str):
+    """Broadcast join (orders ⋈ customer ⋈ nation) + partial-agg groupby."""
+    import pyarrow.parquet as pq
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    customer = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    # pre-join the two small sides driver-side, broadcast once
+    small = customer.join(nation.rename_columns(["c_nationkey", "n_name"]),
+                          keys="c_nationkey").select(["c_custkey", "n_name"])
+    small = small.rename_columns(["o_custkey", "n_name"])
+    ds = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, small, on="o_custkey")
+    agg = grouped_aggregate(joined, keys=["n_name"],
+                            aggs={"revenue": ("o_totalprice", "sum"),
+                                  "n_orders": ("o_totalprice", "count")})
+
+    def stabilise(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("revenue"), dtype=np.float64)
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "revenue": pa.array(np.floor(v * 100 + 0.5) / 100),
+            "n_orders": b.column("n_orders"),
+        })
+
+    return agg.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
 
 def q_agg_q1(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.relational import grouped_aggregate
@@ -395,7 +446,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ts_to_epoch_ms": q_ts_to_epoch_ms,
         "ts_unit_ms_to_sec": q_ts_unit_ms_to_sec,
         "ts_parse_roundtrip": q_ts_parse_roundtrip,
+        "ts_unit_us_to_ns": q_ts_unit_us_to_ns,
         "ts_json_path": q_ts_json_path,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "agg_q1": q_agg_q1,
@@ -434,6 +487,13 @@ def oracle_sql() -> "dict[str, str]":
             "select event_id, epoch_ms(ts) // 1000 as ts_sec from events",
         "ts_parse_roundtrip":
             "select event_id, epoch_us(ts) as ts_us from events",
+        "ts_unit_us_to_ns":
+            "select event_id, epoch_us(ts) * 1000 as ts_ns from events",
+        "join_revenue_by_nation":
+            "select n_name, floor(sum(o_totalprice) * 100 + 0.5) / 100 as revenue, "
+            "count(*) as n_orders from orders "
+            "join customer on o_custkey = c_custkey "
+            "join nation on c_nationkey = n_nationkey group by n_name",
         "ts_json_path":
             "select event_id, '{\"t\":' || epoch_ms(ts)::varchar || '}' as doc "
             "from events",

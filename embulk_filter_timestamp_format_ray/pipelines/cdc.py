@@ -352,6 +352,12 @@ class CDCPipeline:
             "partitions_touched": len(rows), "events_applied": total_applied,
         }
 
+    def gc(self) -> "list[str]":
+        """Remove txn dirs no longer referenced by the committed manifest
+        (safe under the single-writer protocol; the manifest IS the commit
+        point, so orphans are either crashed or superseded txns)."""
+        return mf.gc_orphan_txns(self.lake_dir, keep_txns=set())
+
     def apply_stream(self, event_datasets) -> "list[dict]":
         """Continuous micro-batch tail: apply each incoming change-event
         Dataset in order; every apply is an exactly-once commit, so a crash

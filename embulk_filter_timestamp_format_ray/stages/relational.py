@@ -111,6 +111,55 @@ def latest_by_key(ds, keys, seq_col: str, delete_expr=None):
     return ds.groupby(keys).map_groups(keep_latest, batch_format="pyarrow")
 
 
+class BroadcastJoinStage:
+    """map_batches inner/left join against a SMALL build side broadcast once
+    via ``ray.put`` — the scale-correct alternative to a shuffle join when
+    one side fits in memory (dimension tables, lookup maps).  The build-side
+    index is constructed once per worker from the shared object-store copy,
+    never re-shipped per batch."""
+
+    def __init__(self, small_ref, on: str, how: str = "inner",
+                 suffix: str = "_r"):
+        self.small_ref = small_ref  # ray.ObjectRef | pa.Table
+        self.on = on
+        self.how = how
+        self.suffix = suffix
+        self._small = None
+
+    def _table(self) -> pa.Table:
+        if self._small is None:
+            t = self.small_ref
+            try:
+                import ray
+
+                if isinstance(t, ray.ObjectRef):
+                    t = ray.get(t)
+            except Exception:
+                pass
+            self._small = t
+        return self._small
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        small = self._table()
+        right = small.rename_columns([
+            c if c == self.on else (c + self.suffix if c in batch.schema.names else c)
+            for c in small.schema.names
+        ])
+        return batch.join(right, keys=self.on, join_type=self.how)
+
+
+def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
+    """Join a Dataset against a small pyarrow table (broadcast once)."""
+    try:
+        import ray
+
+        ref = ray.put(small)
+    except Exception:
+        ref = small
+    return ds.map_batches(BroadcastJoinStage(ref, on, how),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sessionize(ds, key: str, ts_col: str, gap_seconds: float,
                out_col: str = "n_sessions"):
     """Per-key session count: a new session starts when the gap between

@@ -174,6 +174,20 @@ def test_grouped_aggregate(ray_session):
     assert out.loc["b", "s"] == 12.0 and out.loc["b", "mx"] == 5.0
 
 
+def test_broadcast_join(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import broadcast_join
+
+    big = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 2], pa.int64()), "v": [10.0, 20.0, 30.0, 40.0]}))
+    small = pa.table({"k": pa.array([1, 2], pa.int64()), "name": ["a", "b"]})
+    out = broadcast_join(big, small, on="k").to_pandas().sort_values("v")
+    assert list(out["name"]) == ["a", "b", "b"]  # inner join drops k=3
+    left = broadcast_join(big, small, on="k", how="left outer").to_pandas()
+    assert len(left) == 4
+
+
 def test_latest_by_key_and_sessionize(ray_session):
     import ray.data
 
