@@ -249,6 +249,36 @@ def q_agg_q1(sf_dir: str):
     return out.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_tumbling_window(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        tumbling_window_aggregate,
+    )
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+    out = tumbling_window_aggregate(
+        ds, key="user_id", ts_col="ts", window_seconds=3600,
+        aggs={"n_events": ("value", "count"), "sum_value": ("value", "sum")})
+
+    def stabilise(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("sum_value"), dtype=np.float64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "window_start": b.column("window_start"),
+            "n_events": b.column("n_events"),
+            "sum_value": pa.array(np.floor(v * 100 + 0.5) / 100),
+        })
+
+    return out.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_sample_mod(sf_dir: str):
+    """Deterministic pruning filter (pushdown-style row sampling)."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 7), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_sessionize(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.relational import sessionize
 
@@ -436,8 +466,9 @@ def q_multimodal_decode(sf_dir: str):
 
 
 def entry() -> Any:
-    """Flagship smoke pipeline at sf0.001: full CDC replay to a temp lake."""
-    return q_cdc_transcripts_final("/root/testdata/sf0.001")
+    """Flagship smoke pipeline at sf0.001: full CDC replay to a temp lake.
+    Returns a pandas DataFrame (the entry() contract excludes pa.Table)."""
+    return q_cdc_transcripts_final("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> "dict[str, Callable[[str], Any]]":
@@ -452,6 +483,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "agg_q1": q_agg_q1,
+        "tumbling_window": q_tumbling_window,
+        "sample_mod": q_sample_mod,
         "sessionize": q_sessionize,
         "token_count": q_token_count,
         "text_quality_counts": q_text_quality_counts,
@@ -510,6 +543,13 @@ def oracle_sql() -> "dict[str, str]":
             "floor(sum(l_extendedprice) * 100 + 0.5) / 100 as sum_base_price, "
             "count(*) as count_order "
             "from lineitem group by l_returnflag, l_linestatus",
+        "tumbling_window":
+            "select user_id, date_trunc('hour', ts) as window_start, "
+            "count(*) as n_events, "
+            "floor(sum(value) * 100 + 0.5) / 100 as sum_value "
+            "from events group by user_id, date_trunc('hour', ts)",
+        "sample_mod":
+            "select doc_id, n_chars from documents where doc_id % 8 = 0",
         "sessionize":
             "with g as (select user_id, epoch(ts - lag(ts) over "
             "(partition by user_id order by ts)) as d from events) "

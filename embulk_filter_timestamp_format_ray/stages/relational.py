@@ -160,6 +160,26 @@ def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def tumbling_window_aggregate(ds, key: str, ts_col: str, window_seconds: int,
+                              aggs: "dict[str, tuple[str, str]]"):
+    """Event-time tumbling-window aggregate: assign each row to its window
+    start inside map_batches (vectorized), then partial/combine aggregate by
+    (key, window_start) — no global sort, one small shuffle."""
+
+    def assign_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ns = np.asarray(ts.cast(pa.timestamp("ns")).cast(pa.int64()))
+        w = 1_000_000_000 * window_seconds
+        start = np.floor_divide(ns, w) * w
+        col = pa.array(start).cast(pa.timestamp("ns"))
+        return batch.append_column("window_start", col)
+
+    ds = ds.map_batches(assign_window, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(ds, [key, "window_start"], aggs)
+
+
 def sessionize(ds, key: str, ts_col: str, gap_seconds: float,
                out_col: str = "n_sessions"):
     """Per-key session count: a new session starts when the gap between
