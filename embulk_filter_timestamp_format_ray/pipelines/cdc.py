@@ -242,10 +242,16 @@ class MergeApplier:
     """Per-partition stateful merge applier used via
     ``groupby("_pid").map_groups`` (each group = one partition's delta).
 
-    The callable form also works as an actor-pool ``map_batches`` stage when
-    upstream data is already partition-bucketed; state (manifest snapshot,
-    txn id) is constructed once and reused per group — the reference's
-    build-once-per-open pattern (ColumnCaster.java:51-57).
+    Design note — externalized state vs in-actor state: the per-partition
+    mutable state (last-applied-LSN watermark + current rows) lives in the
+    manifest + partition parquet, NOT in long-lived actor memory.  Under Ray
+    Data's at-least-once task execution a retried merge task simply re-reads
+    the prior committed file and rewrites its staged output (same content,
+    idempotent); an in-actor delta buffer would be lost on actor death and
+    would pin partitions to actors, breaking elastic scaling.  The
+    build-once-per-open pattern of the reference (ColumnCaster.java:51-57)
+    maps to this object's construction: manifest snapshot + txn id resolved
+    once, reused for every group it is invoked on.
     """
 
     def __init__(self, lake_dir: str, txn_id: str,
@@ -292,18 +298,28 @@ class CDCPipeline:
 
     def __init__(self, lake_dir: str, num_partitions: int = 64,
                  epoch_specs: "dict[int, ColumnConfig] | None" = None,
-                 stop_on_invalid: bool = False):
+                 stop_on_invalid: bool = False,
+                 normalize_concurrency: "tuple[int, int] | int | None" = None):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.epoch_specs = epoch_specs
         self.stop_on_invalid = stop_on_invalid
+        # actor-pool mode for the stateful parse stage: per-epoch parser
+        # kernels compile once per actor (__init__/first batch) instead of
+        # once per task closure — set e.g. (2, 8) to pin a pool
+        self.normalize_concurrency = normalize_concurrency
+
+    def resume_lsn(self) -> int:
+        """Global low-watermark: a binlog tailer can seek to `resume_lsn()+1`
+        after a restart; anything at or below is guaranteed committed in
+        every partition."""
+        manifest = mf.read_manifest(self.lake_dir)
+        return mf.min_watermark(manifest, self.num_partitions)
 
     def apply(self, events_ds) -> "dict":
         """Apply a change-event Dataset; returns commit stats."""
         manifest = mf.read_manifest(self.lake_dir)
         low = mf.min_watermark(manifest, self.num_partitions)
-        normalize = NormalizeStage(self.epoch_specs, low_watermark=low,
-                                   stop_on_invalid=self.stop_on_invalid)
         partition = PartitionStage(self.num_partitions)
         txn_id = uuid.uuid4().hex[:12]
         partition_meta = {
@@ -311,8 +327,18 @@ class CDCPipeline:
         }
         applier = MergeApplier(self.lake_dir, txn_id, partition_meta)
 
-        ds = events_ds.map_batches(normalize, batch_format="pyarrow",
-                                   zero_copy_batch=True)
+        norm_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+        if self.normalize_concurrency is not None:
+            ds = events_ds.map_batches(
+                NormalizeStage,
+                fn_constructor_kwargs=dict(
+                    epoch_specs=self.epoch_specs, low_watermark=low,
+                    stop_on_invalid=self.stop_on_invalid),
+                concurrency=self.normalize_concurrency, **norm_kwargs)
+        else:
+            normalize = NormalizeStage(self.epoch_specs, low_watermark=low,
+                                       stop_on_invalid=self.stop_on_invalid)
+            ds = events_ds.map_batches(normalize, **norm_kwargs)
         ds = ds.map_batches(partition, batch_format="pyarrow", zero_copy_batch=True)
         # map-side combine: shrink the all-to-all exchange to one row per
         # merge key per block before the shuffle

@@ -1,0 +1,73 @@
+"""`ray job submit`-able CDC entrypoint.
+
+    ray job submit -- python scripts/run_cdc.py --events 10000000 \
+        --lake /tmp/lake --partitions 256 [--micro-batches 10] [--resume]
+
+Owns its Ray session (guarded init, clean shutdown) per the repo contract:
+only bench.py, CLI entrypoints, and the test fixture may init Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--lake", required=True)
+    ap.add_argument("--partitions", type=int, default=128)
+    ap.add_argument("--micro-batches", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip events at/below the committed low-watermark")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR",
+                 **({"num_cpus": args.num_cpus} if args.num_cpus else {}))
+    try:
+        from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+        from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+        pipe = CDCPipeline(args.lake, num_partitions=args.partitions)
+        start_lsn = pipe.resume_lsn() + 1 if args.resume else 0
+        per_batch = max((args.events - start_lsn) // args.micro_batches, 1)
+        t0 = time.perf_counter()
+        total = 0
+        for i in range(args.micro_batches):
+            ds = change_events(args.events, seed=args.seed)
+            # the generator emits the full lsn range; the pipeline's
+            # low-watermark prune drops already-committed events, so a resumed
+            # run only pays to re-apply the uncommitted suffix
+            stats = pipe.apply(ds) if args.micro_batches == 1 else pipe.apply(
+                ds.filter(
+                    expr=f"lsn >= {start_lsn + i * per_batch} and "
+                         f"lsn < {start_lsn + (i + 1) * per_batch}"
+                    if i < args.micro_batches - 1
+                    else f"lsn >= {start_lsn + i * per_batch}")
+            )
+            total += stats["events_applied"]
+        elapsed = time.perf_counter() - t0
+        print(json.dumps({
+            "events": args.events, "applied": total,
+            "sec": round(elapsed, 3),
+            "events_per_sec": round(args.events / elapsed, 1),
+            "lake_version": stats["version"],
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
