@@ -191,6 +191,26 @@ def test_merge_semantics_unit():
     assert rows2[("c2", 0)]["text"] == "reborn"
 
 
+def test_actor_pool_normalize_matches(ray_session, tmp_path_factory, oracle):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_actor"))
+    pipe = CDCPipeline(lake, num_partitions=16, normalize_concurrency=(1, 2))
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_resume_lsn(ray_session, tmp_path_factory):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_resume"))
+    pipe = CDCPipeline(lake, num_partitions=4)
+    assert pipe.resume_lsn() == -1
+    pipe.apply(ray.data.from_arrow(expected_event_table(400)))
+    # all partitions committed → low-watermark is some applied lsn
+    assert 0 <= pipe.resume_lsn() < 400
+
+
 def test_normalize_stage_epochs():
     stage = NormalizeStage()
     batch = pa.table({
