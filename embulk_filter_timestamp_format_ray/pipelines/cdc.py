@@ -407,6 +407,13 @@ class CDCPipeline:
             return ray.data.from_arrow(pa.table({f.name: pa.array([], f.type) for f in schema}))
         return ray.data.read_parquet(files)
 
+    def write_sorted(self, out_dir: str) -> None:
+        """Scale path for the verification read: distributed sort by
+        (conv_id, turn_idx) streamed straight to parquet — nothing
+        materializes on the driver (use this instead of final_state_sorted
+        beyond test scale)."""
+        self.read_lake().sort(["conv_id", "turn_idx"]).write_parquet(out_dir)
+
     def final_state_sorted(self) -> pa.Table:
         """Verification read: stable (conv_id, turn_idx) ordering."""
         ds = self.read_lake().sort(["conv_id", "turn_idx"])

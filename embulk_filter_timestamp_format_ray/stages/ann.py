@@ -151,10 +151,18 @@ def ivf_topk(ds, queries, k: int = 10, *, n_centroids: int = 16, nprobe: int = 4
                               zero_copy_batch=True)
     # probe set per query
     probe = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]
-    probe_lists = {int(c) for row in probe for c in row}
-    filtered = assigned.filter(
-        lambda row: row["ivf_list"] in probe_lists
-    )
+    probe_lists = sorted({int(c) for row in probe for c in row})
+    probe_arr = pa.array(probe_lists, type=pa.int64())
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("ivf_list"), value_set=probe_arr))
+
+    # vectorized probe filter (a per-row lambda filter would be the exact
+    # "Python loop in the hot path" anti-pattern)
+    filtered = assigned.map_batches(probe_filter, batch_format="pyarrow",
+                                    zero_copy_batch=True)
     qref = ray.put(queries)
     cand = filtered.map_batches(_BatchTopK(qref, k, id_col), batch_format="pyarrow")
 

@@ -191,6 +191,44 @@ def test_merge_semantics_unit():
     assert rows2[("c2", 0)]["text"] == "reborn"
 
 
+def test_schema_evolution_missing_tool_column(ray_session, tmp_path_factory):
+    """Epoch-0 batches lack the `tool` column ENTIRELY (F2: added-column
+    evolution); later epochs carry it.  Merge must unify schemas."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_evo"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(1200)
+    epoch0 = full.filter(
+        pa.compute.equal(full.column("schema_epoch"), pa.scalar(0, pa.int8())))
+    rest = full.filter(
+        pa.compute.not_equal(full.column("schema_epoch"), pa.scalar(0, pa.int8())))
+    pipe.apply(ray.data.from_arrow(epoch0.drop_columns(["tool"])))
+    first = pipe.final_state_sorted()
+    assert "tool" in first.schema.names  # null-filled by normalization
+    assert first.column("tool").null_count == first.num_rows
+    pipe.apply(ray.data.from_arrow(rest))
+    final = pipe.final_state_sorted()
+    tools = [t for t in final.column("tool").to_pylist() if t]
+    assert tools, "later epochs should contribute real tool values"
+
+
+def test_write_sorted_distributed(ray_session, tmp_path_factory):
+    import os
+
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_ws"))
+    out = str(tmp_path_factory.mktemp("sorted_out"))
+    pipe = CDCPipeline(lake, num_partitions=4)
+    pipe.apply(ray.data.from_arrow(expected_event_table(500)))
+    pipe.write_sorted(out)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    t = pa.concat_tables([pa.parquet.read_table(os.path.join(out, f)) for f in files])
+    assert t.num_rows == pipe.final_state_sorted().num_rows
+
+
 def test_actor_pool_normalize_matches(ray_session, tmp_path_factory, oracle):
     import ray.data
 
