@@ -286,6 +286,52 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, key="user_id", ts_col="ts", gap_seconds=1800)
 
 
+def q_distinct_event_types(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.relational import distinct
+
+    return distinct(_read(sf_dir, "events").select_columns(["event_type"]),
+                    ["event_type"])
+
+
+def q_topk_docs_per_source(sf_dir: str):
+    from embulk_filter_timestamp_format_ray.stages.relational import top_k_by_group
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "source", "n_chars"])
+    return top_k_by_group(ds, ["source"], "n_chars", k=3, descending=True,
+                          tie_col="doc_id")
+
+
+def q_corpus_prep(sf_dir: str):
+    """Composed training-data prep flagship: language filter → quality
+    filter → exact dedup → token counting — each stage an engine operator,
+    the whole thing streaming with one shuffle (the dedup groupby)."""
+    from embulk_filter_timestamp_format_ray.stages.dedup import dedup_exact
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        lang_id_batch,
+        quality_score_batch,
+        token_count_batch,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang_pred"), "en")).select(
+            ["doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(quality_score_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_words"), 10)).select(
+            ["doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = dedup_exact(ds)
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.map_batches(lambda b: b.select(["doc_id", "n_tokens_ws",
+                                              "n_tokens_bpe"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # text analysis / dedup / ANN / multimodal
 # --------------------------------------------------------------------------
@@ -486,6 +532,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "tumbling_window": q_tumbling_window,
         "sample_mod": q_sample_mod,
         "sessionize": q_sessionize,
+        "distinct_event_types": q_distinct_event_types,
+        "topk_docs_per_source": q_topk_docs_per_source,
+        "corpus_prep": q_corpus_prep,
         "token_count": q_token_count,
         "text_quality_counts": q_text_quality_counts,
         "quality_score": q_quality_score,
@@ -555,6 +604,26 @@ def oracle_sql() -> "dict[str, str]":
             "(partition by user_id order by ts)) as d from events) "
             "select user_id, (1 + count(*) filter (where d > 1800))::bigint "
             "as n_sessions from g group by user_id",
+        "distinct_event_types":
+            "select distinct event_type from events",
+        "topk_docs_per_source":
+            "select doc_id, source, n_chars, row_number() over "
+            "(partition by source order by n_chars desc, doc_id) as rank "
+            "from documents qualify rank <= 3",
+        "corpus_prep":
+            "with en as (select doc_id, text from documents where "
+            f"coalesce(array_length(regexp_extract_all(text, '{_STOP_RE_SQL}')), 0) "
+            r"  > 0.05 * greatest(coalesce(array_length(regexp_extract_all(text, '\S+')), 0), 1) "
+            "  and coalesce(array_length(regexp_extract_all(text, '[\\x00-\\x7F]')), 0) "
+            "  > 0.9 * greatest(length(text), 1)), "
+            "q as (select * from en where "
+            r"coalesce(array_length(regexp_extract_all(text, '\S+')), 0) >= 10), "
+            "d as (select min(doc_id) as doc_id, text from q group by text) "
+            "select doc_id, "
+            r"coalesce(array_length(regexp_extract_all(text, '\S+')), 0)::bigint "
+            "as n_tokens_ws, "
+            f"coalesce(array_length(regexp_extract_all(text, '{_BPE_RE_SQL}')), 0)::bigint "
+            "as n_tokens_bpe from d",
         "token_count":
             "select doc_id, "
             r"coalesce(array_length(regexp_extract_all(text, '\S+')), 0)::bigint "

@@ -160,6 +160,61 @@ def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def distinct(ds, cols):
+    """Distinct rows over ``cols``: project early (shuffle only the key
+    columns), then one-per-group."""
+    cols = list(cols)
+    ds = ds.map_batches(lambda b: b.select(cols).group_by(cols).aggregate([]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby(cols).map_groups(lambda g: g.slice(0, 1),
+                                       batch_format="pyarrow")
+
+
+def top_k_by_group(ds, keys, order_col: str, k: int, descending: bool = True,
+                   tie_col: "str | None" = None):
+    """Per-group top-k rows by ``order_col`` with deterministic tie-breaks.
+
+    Map-side combiner: each batch keeps only its local per-group top-k, so
+    the shuffle carries at most k rows per group per block."""
+    keys = list(keys)
+    direction = "descending" if descending else "ascending"
+    sort_keys = [(order_col, direction)]
+    if tie_col:
+        sort_keys.append((tie_col, "ascending"))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[(c, "ascending") for c in keys]
+                                + sort_keys)
+        b = batch.take(order)
+        # keep first k rows of each key run
+        import numpy as _np
+
+        if b.num_rows == 0:
+            return b
+        same = _np.ones(b.num_rows, dtype=bool)
+        same[0] = False
+        for c in keys:
+            col = b.column(c).combine_chunks()
+            enc = pc.dictionary_encode(col) if pa.types.is_string(col.type) else None
+            v = _np.asarray(enc.indices.cast(pa.int64()) if enc is not None
+                            else col.cast(pa.int64()))
+            same[1:] &= v[:-1] == v[1:]
+        idx = _np.arange(b.num_rows, dtype=_np.int64)
+        run_start_idx = _np.maximum.accumulate(_np.where(~same, idx, 0))
+        run_pos = idx - run_start_idx
+        return b.filter(pa.array(run_pos < k))
+
+    ds = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=sort_keys)
+        g = group.take(order).slice(0, k)
+        return g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)))
+
+    return ds.groupby(keys).map_groups(final_topk, batch_format="pyarrow")
+
+
 def tumbling_window_aggregate(ds, key: str, ts_col: str, window_seconds: int,
                               aggs: "dict[str, tuple[str, str]]"):
     """Event-time tumbling-window aggregate: assign each row to its window
