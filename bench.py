@@ -112,7 +112,8 @@ def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entry
 
     picks = ["ts_format_string", "ts_parse_roundtrip", "agg_q1", "sessionize",
-             "dedup_exact", "dedup_minhash", "token_count", "ann_topk"]
+             "dedup_exact", "dedup_minhash", "token_count", "ann_topk",
+             "join_revenue_by_nation", "corpus_prep", "tumbling_window"]
     qs = entry.queries()
     out = {}
     for name in picks:

@@ -174,6 +174,47 @@ def test_grouped_aggregate(ray_session):
     assert out.loc["b", "s"] == 12.0 and out.loc["b", "mx"] == 5.0
 
 
+def test_distinct_and_topk(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        distinct,
+        top_k_by_group,
+    )
+
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "b"],
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "score": pa.array([9, 7, 8, 5, 6], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t)
+    d = distinct(ds, ["g"]).to_pandas()
+    assert sorted(d["g"]) == ["a", "b"]
+    top = top_k_by_group(ds, ["g"], "score", k=2, tie_col="id").to_pandas()
+    top = top.sort_values(["g", "rank"])
+    assert list(top["id"]) == [1, 3, 5, 4]  # a: 9,8; b: 6,5
+    assert list(top["rank"]) == [1, 2, 1, 2]
+
+
+def test_tumbling_window(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        tumbling_window_aggregate,
+    )
+
+    ts = pa.array(np.array([0, 100, 3700, 7300], dtype="datetime64[s]").astype(
+        "datetime64[ns]"))
+    t = pa.table({"u": ["x", "x", "x", "x"], "ts": ts,
+                  "v": [1.0, 2.0, 3.0, 4.0]})
+    out = tumbling_window_aggregate(
+        ray.data.from_arrow(t), key="u", ts_col="ts", window_seconds=3600,
+        aggs={"n": ("v", "count"), "s": ("v", "sum")}).to_pandas()
+    out = out.sort_values("window_start")
+    assert list(out["n"]) == [2, 1, 1]
+    assert list(out["s"]) == [3.0, 3.0, 4.0]
+
+
 def test_broadcast_join(ray_session):
     import ray.data
 
