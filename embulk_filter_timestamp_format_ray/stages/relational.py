@@ -82,7 +82,11 @@ def grouped_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]"):
 def latest_by_key(ds, keys, seq_col: str, delete_expr=None):
     """Last-write-wins upsert view: keep the max-`seq_col` row per key;
     optionally drop winners matching ``delete_expr`` (a callable
-    pa.Table → BooleanArray marking deletes)."""
+    pa.Table → BooleanArray marking deletes).
+
+    Map-side combined: each block collapses to one winner per key before the
+    shuffle (winner-of-winners is the global winner — associative), so the
+    exchange carries ≤1 row per key per block."""
     keys = list(keys)
 
     def keep_latest(group: pa.Table) -> pa.Table:
@@ -108,6 +112,29 @@ def latest_by_key(ds, keys, seq_col: str, delete_expr=None):
             winners = winners.filter(pc.invert(delete_expr(winners)))
         return winners
 
+    def local_winners(batch: pa.Table) -> pa.Table:
+        # combiner: winner-per-key per block. Deletes are NOT filtered here —
+        # a local delete winner must still travel as a tombstone to beat
+        # older upserts living in other blocks.
+        order = pc.sort_indices(
+            batch, sort_keys=[(k, "ascending") for k in keys] + [(seq_col, "ascending")]
+        )
+        b = batch.take(order)
+        n = b.num_rows
+        if n <= 1:
+            return b
+        last = np.ones(n, dtype=bool)
+        same = np.ones(n - 1, dtype=bool)
+        for k in keys:
+            col = b.column(k).combine_chunks()
+            enc = pc.dictionary_encode(col) if pa.types.is_string(col.type) else None
+            v = np.asarray(enc.indices.cast(pa.int64()) if enc is not None
+                           else col.cast(pa.int64()))
+            same &= v[:-1] == v[1:]
+        last[:-1] = ~same
+        return b.filter(pa.array(last))
+
+    ds = ds.map_batches(local_winners, batch_format="pyarrow", zero_copy_batch=True)
     return ds.groupby(keys).map_groups(keep_latest, batch_format="pyarrow")
 
 
