@@ -299,7 +299,8 @@ class CDCPipeline:
     def __init__(self, lake_dir: str, num_partitions: int = 64,
                  epoch_specs: "dict[int, ColumnConfig] | None" = None,
                  stop_on_invalid: bool = False,
-                 normalize_concurrency: "tuple[int, int] | int | None" = None):
+                 normalize_concurrency: "tuple[int, int] | int | None" = None,
+                 auto_gc: bool = True):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.epoch_specs = epoch_specs
@@ -308,6 +309,10 @@ class CDCPipeline:
         # kernels compile once per actor (__init__/first batch) instead of
         # once per task closure — set e.g. (2, 8) to pin a pool
         self.normalize_concurrency = normalize_concurrency
+        # bound disk across long micro-batch streams: after each commit,
+        # remove txn files the new manifest no longer references (safe: the
+        # swap already happened; no time travel is promised)
+        self.auto_gc = auto_gc
 
     def resume_lsn(self) -> int:
         """Global low-watermark: a binlog tailer can seek to `resume_lsn()+1`
@@ -373,6 +378,8 @@ class CDCPipeline:
             "schema_columns": LAKE_COLUMNS,
         }
         mf.commit_manifest(self.lake_dir, new_manifest)
+        if self.auto_gc:
+            mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
         return {
             "txn": txn_id, "version": new_manifest["version"],
             "partitions_touched": len(rows), "events_applied": total_applied,

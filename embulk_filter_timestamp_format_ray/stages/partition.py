@@ -53,6 +53,28 @@ def hash_strings_dict(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     return uniq_hash[idx]
 
 
+def detect_hot_keys(ds, key_col: str = "conv_id", sample_rows: int = 100_000,
+                    hot_fraction: float = 0.01) -> "frozenset[str]":
+    """Sample the stream and return keys whose frequency exceeds
+    ``hot_fraction`` — candidates for salting in conv-local partition mode.
+    One pass over a bounded sample; never materializes the full dataset."""
+    import pyarrow.compute as _pc
+
+    sample = ds.limit(sample_rows)
+    counts: dict[str, int] = {}
+    total = 0
+    for batch in sample.iter_batches(batch_format="pyarrow"):
+        col = batch.column(key_col)
+        vc = col.combine_chunks().value_counts() if hasattr(col, "combine_chunks") else col.value_counts()
+        for item in vc.to_pylist():
+            counts[item["values"]] = counts.get(item["values"], 0) + item["counts"]
+            total += item["counts"]
+    if not total:
+        return frozenset()
+    cut = total * hot_fraction
+    return frozenset(k for k, c in counts.items() if c >= cut)
+
+
 class PartitionStage:
     """map_batches callable: append an int32 ``_pid`` partition column."""
 

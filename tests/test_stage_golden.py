@@ -279,6 +279,21 @@ def test_wildcard_rewrites_every_element():
     assert [e["t"] for e in got["arr"]] == ["2015-07-13", "2015-07-14"]
 
 
+def test_wildcard_type_change_on_struct_list():
+    # list<struct<t: string>> with [*] cast to long — the whole leaf column
+    # changes type (homogeneous), exercising list rebuild with a new child type
+    task = TaskConfig(
+        columns=(ColumnConfig("$.record.arr[*].t", "long",
+                              from_format=("%Y-%m-%d %H:%M:%S %z",),
+                              to_unit="ms"),),
+    )
+    doc = {"arr": [{"t": "2015-07-12 15:00:00 UTC"}, {"t": "2015-07-12 16:00:00 UTC"}]}
+    t = pa.table({"record": pa.array([doc])})
+    out = TimestampFormatStage(task)(t)
+    got = out.column("record").to_pylist()[0]
+    assert [e["t"] for e in got["arr"]] == [1436713200000, 1436716800000]
+
+
 def test_empty_config_noop():
     t = _from_string_table()
     out = TimestampFormatStage(TaskConfig())(t)
