@@ -260,9 +260,17 @@ class MergeApplier:
         self.txn_id = txn_id
         self.partition_meta = partition_meta  # pid -> {path, last_applied_lsn}
 
+    #: soft cap: a merge group beyond this is a sign num_partitions is too
+    #: small for the data volume (state file rewrite cost grows linearly)
+    GROUP_ROWS_WARN = 5_000_000
+
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return self._result(None)
+        if group.num_rows > self.GROUP_ROWS_WARN:
+            logger.warning(
+                "merge group has %d rows; raise num_partitions to bound "
+                "per-partition state rewrites", group.num_rows)
         pid = int(group.column("_pid")[0].as_py())
         meta = self.partition_meta.get(pid, {})
         watermark = meta.get("last_applied_lsn", -1)
@@ -413,6 +421,24 @@ class CDCPipeline:
             ])
             return ray.data.from_arrow(pa.table({f.name: pa.array([], f.type) for f in schema}))
         return ray.data.read_parquet(files)
+
+    def export_formatted(self, out_dir: str, to_format: str = "%Y-%m-%d %H:%M:%S.%6N %z",
+                         to_timezone: str = "UTC") -> None:
+        """Export the lake with `ts` re-rendered through the reference
+        competency (timestamp → string via the configured to_format) —
+        lake read → TimestampFormatStage → partitioned parquet, streaming."""
+        from embulk_filter_timestamp_format_ray.config import ColumnConfig, TaskConfig
+        from embulk_filter_timestamp_format_ray.stages.timestamp_format import (
+            TimestampFormatStage,
+        )
+
+        task = TaskConfig(columns=(
+            ColumnConfig("ts", "string", to_format=to_format,
+                         to_timezone=to_timezone),))
+        ds = self.read_lake().map_batches(
+            TimestampFormatStage(task), batch_format="pyarrow",
+            zero_copy_batch=True)
+        ds.write_parquet(out_dir)
 
     def write_sorted(self, out_dir: str) -> None:
         """Scale path for the verification read: distributed sort by

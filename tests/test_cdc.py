@@ -153,6 +153,52 @@ def test_exactly_once_uncommitted_txn_invisible(ray_session, tmp_path_factory):
         assert os.path.exists(os.path.join(lake, p))
 
 
+def test_merge_task_retry_idempotent(ray_session, tmp_path_factory):
+    """At-least-once execution: invoking the merge applier twice for the
+    same group (a retried task) writes identical staged content and the
+    commit is unaffected."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+        MergeApplier,
+        NormalizeStage,
+    )
+    from embulk_filter_timestamp_format_ray.stages.partition import PartitionStage
+
+    lake = str(tmp_path_factory.mktemp("lake_retry"))
+    events = expected_event_table(300)
+    normalized = NormalizeStage()(events)
+    parted = PartitionStage(1)(normalized)
+    applier = MergeApplier(lake, "txnretry", {})
+    r1 = applier(parted).to_pylist()[0]
+    r2 = applier(parted).to_pylist()[0]  # retry: same group, same txn
+    assert r1 == r2
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{lake}/{r1['path']}")
+    assert t.num_rows == r1["rows"]
+
+
+def test_export_formatted(ray_session, tmp_path_factory):
+    import os
+
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_export"))
+    out = str(tmp_path_factory.mktemp("export_out"))
+    pipe = CDCPipeline(lake, num_partitions=4)
+    pipe.apply(ray.data.from_arrow(expected_event_table(400)))
+    pipe.export_formatted(out, to_format="%Y-%m-%d %H:%M:%S", to_timezone="Asia/Tokyo")
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    t = pa.concat_tables([pq.read_table(os.path.join(out, f)) for f in files])
+    assert t.num_rows == pipe.final_state_sorted().num_rows
+    assert t.schema.field("ts").type == pa.string()
+    sample = t.column("ts").to_pylist()[0]
+    assert len(sample) == 19 and sample[4] == "-" and sample[13] == ":"
+
+
 def test_merge_semantics_unit():
     ts = pa.array([0], pa.timestamp("ns", tz="UTC"))
 
