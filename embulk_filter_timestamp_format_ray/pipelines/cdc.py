@@ -176,7 +176,11 @@ def keep_last_per_key(tbl: pa.Table) -> pa.Table:
     Used both as the pre-shuffle combiner (map-side: shrinks the exchange to
     one row per key per block; at binlog scale most updates collapse here)
     and as the reduce-side merge. Winner selection commutes with itself, so
-    combining before the shuffle cannot change the final winners."""
+    combining before the shuffle cannot change the final winners.
+
+    Contract: ``lsn`` uniquely identifies event content (true for any real
+    binlog); ties at equal (key, lsn) are exact replays, so either copy
+    winning yields identical state."""
     if tbl.num_rows <= 1:
         return tbl
     # lexsort over integer keys (dictionary indices for conv_id) is far

@@ -92,13 +92,18 @@ class MinHashStage:
         self.p = np.uint64((1 << 61) - 1)
 
     def _shingle_hashes(self, text: str) -> np.ndarray:
+        """k-gram shingle hashes: hash each WORD once (C-speed crc), combine
+        neighbors with shifted splitmix mixes — no per-shingle string joins."""
         words = text.split()
         if len(words) < self.shingle_k:
             words = words + [""] * (self.shingle_k - len(words))
-        joined = [" ".join(words[i:i + self.shingle_k])
-                  for i in range(len(words) - self.shingle_k + 1)]
-        raw = np.array([det_hash_str(s) for s in joined], dtype=np.uint64)
-        return splitmix64(raw, 77)
+        wh = np.array([det_hash_str(w) for w in words], dtype=np.uint64)
+        k = self.shingle_k
+        n = len(wh) - k + 1
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            acc ^= splitmix64(wh[j:j + n], 77 + j)
+        return splitmix64(acc, 177)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self._shingle_hashes(text or "")
