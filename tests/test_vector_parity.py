@@ -28,6 +28,11 @@ FORMATS = [
     ("yyyy-MM-dd HH:mm:ss.SSS", "Asia/Tokyo"),
     ("yyyy-MM-dd HH:mm:ss", "Asia/Taipei"),
     ("MM/dd/yyyy", "UTC"),
+    ("%y-%m-%d %H:%M", "UTC"),
+    ("%Y-%j %H:%M:%S", "UTC"),
+    ("%Y-%m-%d %H:%M:%S %Z", "Asia/Tokyo"),
+    ("yyyy-MM-dd hh:mm a", "UTC"),
+    ("yy/MM/dd HH:mm", "UTC"),
 ]
 
 FORMAT_ONLY = [
