@@ -261,9 +261,12 @@ def q_tumbling_window(sf_dir: str):
 
     def stabilise(b: pa.Table) -> pa.Table:
         v = np.asarray(b.column("sum_value"), dtype=np.float64)
+        ws = b.column("window_start")
+        if isinstance(ws, pa.ChunkedArray):
+            ws = ws.combine_chunks()
         return pa.table({
             "user_id": b.column("user_id"),
-            "window_start": b.column("window_start"),
+            "window_start": ws.cast(pa.timestamp("us")),
             "n_events": b.column("n_events"),
             "sum_value": pa.array(np.floor(v * 100 + 0.5) / 100),
         })

@@ -48,35 +48,28 @@ class _PartialAgg:
         return out_tbl.rename_columns(names)
 
 
-def _final_combine(keys, aggs):
-    def combine(group: pa.Table) -> pa.Table:
-        out = {k: [group.column(k)[0].as_py()] for k in keys}
-        for out_name, (_, fn) in aggs.items():
-            col = group.column(out_name)
-            if fn in ("sum", "count"):
-                out[out_name] = [pc.sum(col).as_py()]
-            elif fn == "min":
-                out[out_name] = [pc.min_max(col).as_py()["min"]]
-            else:
-                out[out_name] = [pc.min_max(col).as_py()["max"]]
-        return pa.table(out)
-
-    return combine
-
-
 def grouped_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]"):
     """ds.groupby(keys) with map-side partial aggregation.
 
     aggs: {output_name: (input_col, fn)} with fn in sum/count/min/max.
-    """
+    The final combine uses Ray Data's NATIVE vectorized aggregations (per-
+    group python callbacks are ruinous when group count is large)."""
+    from ray.data.aggregate import Max, Min, Sum
+
     for out, (_, fn) in aggs.items():
         if fn not in _AGG_FUNCS:
             raise ValueError(f"unsupported agg {fn} for {out}")
     ds = ds.map_batches(_PartialAgg(keys, aggs), batch_format="pyarrow",
                         zero_copy_batch=True)
-    return ds.groupby(list(keys)).map_groups(
-        _final_combine(list(keys), aggs), batch_format="pyarrow"
-    )
+    ray_aggs = []
+    for out, (_, fn) in aggs.items():
+        if fn in ("sum", "count"):  # partial counts merge by summing
+            ray_aggs.append(Sum(out, alias_name=out))
+        elif fn == "min":
+            ray_aggs.append(Min(out, alias_name=out))
+        else:
+            ray_aggs.append(Max(out, alias_name=out))
+    return ds.groupby(list(keys)).aggregate(*ray_aggs)
 
 
 def latest_by_key(ds, keys, seq_col: str, delete_expr=None):

@@ -26,7 +26,7 @@ def value_hash(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("int64")
+            df[c] = df[c].astype("datetime64[ns]").astype("int64")
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     payload = df.to_csv(index=False, float_format="%.6g").encode()
     return hashlib.sha256(payload).hexdigest()[:16]
