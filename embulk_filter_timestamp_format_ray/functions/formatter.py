@@ -97,7 +97,10 @@ class RubyFormatter:
     def _directive(self, m: "re.Match[str]", w: _Wall, ts: Ts) -> str:
         flag, width_s, colons, d = m.groups()
         width = int(width_s) if width_s else 0
-        out = self._value(d, flag, width, len(colons), w, ts)
+        try:
+            out = self._value(d, flag, width, len(colons), w, ts)
+        except ValueError:
+            return m.group(0)  # ruby strftime: unknown directives print as-is
         if flag == "^":
             out = out.upper()
         elif flag == "#":

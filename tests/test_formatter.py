@@ -75,6 +75,12 @@ def test_ruby_literal_passthrough():
     assert f.format(Ts(1436716800, 0)) == "2015-07-12T16:00:00Z"
 
 
+def test_unknown_directive_prints_literally():
+    # ruby strftime leaves unrecognized %-sequences untouched
+    f = TimestampFormatter("%Y %q %Y", "UTC")
+    assert f.format(Ts(0, 0)) == "1970 %q 1970"
+
+
 def test_ruby_misc_directives():
     ts = Ts(1463130159, 123456789)  # 2016-05-13 09:02:39 UTC (Friday)
     cases = {
