@@ -128,6 +128,31 @@ def test_brute_force_topk_exact(ray_session):
     assert got0 == list(expect[0])
 
 
+def test_ivf_recall_vs_brute_force(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    # clustered data so IVF lists are meaningful
+    centers = rng.standard_normal((8, 16)) * 3
+    x = np.concatenate([c + rng.standard_normal((64, 16)) * 0.3 for c in centers])
+    tbl = pa.table({"vec_id": pa.array(range(len(x)), pa.int64()),
+                    "embedding": pa.array(list(x.astype(np.float32)),
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    queries = x[:4]
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    approx = ivf_topk(ray.data.from_arrow(tbl), queries, k=10,
+                      n_centroids=8, nprobe=3, sample_size=512).to_pandas()
+    recalls = []
+    for q in range(4):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
 def test_text_stats_batches():
     out = token_count_batch(_docs_table())
     assert out.column("n_tokens_ws").to_pylist()[0] == 9
