@@ -289,6 +289,48 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, key="user_id", ts_col="ts", gap_seconds=1800)
 
 
+def q_semi_join_orders(sf_dir: str):
+    """Broadcast semi-join: orders of BUILDING-segment customers."""
+    import pyarrow.parquet as pq
+
+    from embulk_filter_timestamp_format_ray.stages.relational import broadcast_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING")) \
+               .select(["c_custkey"]).rename_columns(["o_custkey"])
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey",
+                                                 "o_totalprice"])
+    return broadcast_join(ds, keys, on="o_custkey", how="semi")
+
+
+def q_anti_join_orders(sf_dir: str):
+    """Broadcast anti-join: orders NOT from negative-balance customers."""
+    import pyarrow.parquet as pq
+
+    from embulk_filter_timestamp_format_ray.stages.relational import broadcast_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_acctbal"])
+    keys = cust.filter(pc.less(cust.column("c_acctbal"), 0.0)) \
+               .select(["c_custkey"]).rename_columns(["o_custkey"])
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+    return broadcast_join(ds, keys, on="o_custkey", how="anti")
+
+
+def q_explode_words(sf_dir: str):
+    """List-flatten (flat_map analog): documents → one row per word."""
+    from embulk_filter_timestamp_format_ray.stages.relational import explode_list
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "words": pc.split_pattern_regex(b.column("text"), pattern=r"\s+"),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    return explode_list(ds, "words", out_col="word")
+
+
 def q_distinct_event_types(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.relational import distinct
 
@@ -535,6 +577,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "tumbling_window": q_tumbling_window,
         "sample_mod": q_sample_mod,
         "sessionize": q_sessionize,
+        "semi_join_orders": q_semi_join_orders,
+        "anti_join_orders": q_anti_join_orders,
+        "explode_words": q_explode_words,
         "distinct_event_types": q_distinct_event_types,
         "topk_docs_per_source": q_topk_docs_per_source,
         "corpus_prep": q_corpus_prep,
@@ -607,6 +652,16 @@ def oracle_sql() -> "dict[str, str]":
             "(partition by user_id order by ts)) as d from events) "
             "select user_id, (1 + count(*) filter (where d > 1800))::bigint "
             "as n_sessions from g group by user_id",
+        "semi_join_orders":
+            "select o_orderkey, o_custkey, o_totalprice from orders "
+            "where o_custkey in (select c_custkey from customer "
+            "where c_mktsegment = 'BUILDING')",
+        "anti_join_orders":
+            "select o_orderkey, o_custkey from orders where o_custkey not in "
+            "(select c_custkey from customer where c_acctbal < 0)",
+        "explode_words":
+            "select doc_id, unnest(regexp_split_to_array(text, '\\s+')) as word "
+            "from documents",
         "distinct_event_types":
             "select distinct event_type from events",
         "topk_docs_per_source":

@@ -169,7 +169,45 @@ class BroadcastJoinStage:
 
 
 def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
-    """Join a Dataset against a small pyarrow table (broadcast once)."""
+    """Join a Dataset against a small pyarrow table (broadcast once).
+    ``how`` accepts arrow join types plus 'semi'/'anti' (membership filters
+    implemented as vectorized is_in masks — no payload columns move)."""
+    if how in ("semi", "anti"):
+        keys = small.column(on)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        try:
+            import ray
+
+            ref = ray.put(keys)
+        except Exception:
+            ref = keys
+
+        class _MembershipFilter:
+            def __init__(self):
+                self._keys = None
+
+            def _value_set(self):
+                if self._keys is None:
+                    k = ref
+                    try:
+                        import ray as _ray
+
+                        if isinstance(k, _ray.ObjectRef):
+                            k = _ray.get(k)
+                    except Exception:
+                        pass
+                    self._keys = k
+                return self._keys
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mask = pc.is_in(batch.column(on), value_set=self._value_set())
+                if how == "anti":
+                    mask = pc.invert(mask)
+                return batch.filter(mask)
+
+        return ds.map_batches(_MembershipFilter(), batch_format="pyarrow",
+                              zero_copy_batch=True)
     try:
         import ray
 
@@ -178,6 +216,31 @@ def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
         ref = small
     return ds.map_batches(BroadcastJoinStage(ref, on, how),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def explode_list(ds, list_col: str, out_col: "str | None" = None):
+    """Flatten a list column to one row per element (flat_map analog),
+    vectorized via ListArray offsets — parent columns are gathered with a
+    single take, never per-row Python."""
+    out_col = out_col or list_col
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values = col.values
+        offsets = np.asarray(col.offsets)
+        lengths = np.diff(offsets)
+        parent_idx = np.repeat(np.arange(batch.num_rows), lengths)
+        out = {}
+        for name in batch.schema.names:
+            if name == list_col:
+                continue
+            out[name] = batch.column(name).take(pa.array(parent_idx))
+        out[out_col] = values
+        return pa.table(out)
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def distinct(ds, cols):

@@ -254,6 +254,30 @@ def test_broadcast_join(ray_session):
     assert len(left) == 4
 
 
+def test_semi_anti_join_and_explode(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        broadcast_join,
+        explode_list,
+    )
+
+    big = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()), "v": ["a", "b", "c"]}))
+    small = pa.table({"k": pa.array([2, 3], pa.int64())})
+    semi = broadcast_join(big, small, on="k", how="semi").to_pandas()
+    assert sorted(semi["v"]) == ["b", "c"]
+    anti = broadcast_join(big, small, on="k", how="anti").to_pandas()
+    assert list(anti["v"]) == ["a"]
+
+    lists = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "xs": pa.array([[10, 11], [12]], pa.list_(pa.int64()))}))
+    flat = explode_list(lists, "xs", out_col="x").to_pandas().sort_values("x")
+    assert list(flat["id"]) == [1, 1, 2]
+    assert list(flat["x"]) == [10, 11, 12]
+
+
 def test_latest_by_key_and_sessionize(ray_session):
     import ray.data
 
