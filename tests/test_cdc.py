@@ -179,6 +179,38 @@ def test_merge_task_retry_idempotent(ray_session, tmp_path_factory):
     assert t.num_rows == r1["rows"]
 
 
+def test_transcript_analytics_over_lake(ray_session, tmp_path_factory):
+    """Composition over the engine's own lake: CDC replay → per-conversation
+    aggregates (turn counts, roles, duration) via grouped_aggregate — the
+    lake is a first-class queryable table."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import grouped_aggregate
+
+    lake = str(tmp_path_factory.mktemp("lake_analytics"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    pipe.apply(ray.data.from_arrow(expected_event_table(2000)))
+    lake_ds = pipe.read_lake().map_batches(
+        lambda b: b.append_column("ts_ns", b.column("ts").cast(
+            pa.timestamp("ns")).cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    stats = grouped_aggregate(
+        lake_ds, keys=["conv_id"],
+        aggs={"n_turns": ("turn_idx", "count"),
+              "first_ts": ("ts_ns", "min"),
+              "last_ts": ("ts_ns", "max"),
+              "max_lsn": ("lsn", "max")}).to_pandas()
+    # cross-check against a driver-side pandas computation on the same lake
+    flat = pipe.final_state_sorted().to_pandas()
+    flat["ts_ns"] = flat["ts"].astype("datetime64[ns, UTC]").astype("int64")
+    expect = flat.groupby("conv_id").agg(
+        n_turns=("turn_idx", "count"), first_ts=("ts_ns", "min"),
+        last_ts=("ts_ns", "max"), max_lsn=("lsn", "max")).reset_index()
+    got = stats.sort_values("conv_id").reset_index(drop=True)
+    expect = expect.sort_values("conv_id").reset_index(drop=True)
+    assert got.equals(expect[got.columns])
+
+
 def test_export_formatted(ray_session, tmp_path_factory):
     import os
 
