@@ -444,6 +444,34 @@ def q_doc_fingerprint(sf_dir: str):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_word_jaccard_pairs(sf_dir: str):
+    """Exact word-set Jaccard on fixed candidate pairs (doc i vs i+1,
+    i < 50) — the verify kernel of the near-dup pipeline, oracled against
+    DuckDB's list algebra. Scaled to int to keep hashing float-free."""
+    from embulk_filter_timestamp_format_ray.stages.dedup import ngram_jaccard
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        texts = batch.column("text").to_pylist()
+        by_id = dict(zip(ids.tolist(), texts))
+        ia, jac = [], []
+        for a in by_id:
+            if a < 50 and (a + 1) in by_id:
+                j = ngram_jaccard(by_id[a], by_id[a + 1], k=1)
+                ia.append(a)
+                jac.append(int(np.floor(100000 * j + 0.5)))
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "jac_scaled": pa.array(jac, pa.int64())})
+
+    # pairs need both docs co-resident: tiny id range → single repartition
+    return ds.map_batches(lambda b: b.filter(pc.less_equal(b.column("doc_id"), 50)),
+                          batch_format="pyarrow", zero_copy_batch=True) \
+             .repartition(1) \
+             .map_batches(pair_rows, batch_format="pyarrow", batch_size=None)
+
+
 def q_dedup_exact(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.dedup import dedup_exact
 
@@ -588,6 +616,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "word_jaccard_pairs": q_word_jaccard_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -703,6 +732,15 @@ def oracle_sql() -> "dict[str, str]":
             "when coalesce(array_length(regexp_extract_all(text, '[\\x00-\\x7F]')), 0) "
             "  > 0.9 * greatest(length(text), 1) then 'latin-other' "
             "else 'non-latin' end as lang_pred from documents",
+        "word_jaccard_pairs":
+            "with pairs as (select d1.doc_id as a, d1.text ta, d2.text tb "
+            "from documents d1 join documents d2 on d2.doc_id = d1.doc_id + 1 "
+            "where d1.doc_id < 50), "
+            r"ws as (select a, list_distinct(regexp_split_to_array(ta, '\s+')) wa, "
+            r"list_distinct(regexp_split_to_array(tb, '\s+')) wb from pairs) "
+            "select a as id_a, floor(100000.0 * len(list_intersect(wa, wb)) "
+            "/ len(list_distinct(list_concat(wa, wb))) + 0.5)::bigint as jac_scaled "
+            "from ws",
         "dedup_exact":
             "select min(doc_id) as doc_id, text from documents group by text",
         "ann_topk":
