@@ -275,10 +275,14 @@ class _VectorSingleParser:
             elif kind == "epochms":
                 epochms = _ints(f)
 
+        year_captured = not np.isscalar(year)
         if year2 is not None:
             year = np.where(year2 <= 68, 2000 + year2, 1900 + year2)
+            year_captured = True
         if century is not None:
-            year = century * 100 + (year % 100)
+            # mirror the scalar spec: without a captured year/year2 the
+            # century alone yields year = century*100 (not default%100)
+            year = century * 100 + ((year % 100) if year_captured else 0)
         if hour12 is not None:
             h = hour12 % 12
             hour = np.where(ampm_pm, h + 12, h) if ampm_pm is not None else h
