@@ -17,6 +17,8 @@ Scale shapes (the judge-graded part):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -30,6 +32,8 @@ except Exception:  # pragma: no cover
     _HAS_POLARS = False
 
 import zlib
+
+logger = logging.getLogger(__name__)
 
 
 def det_hash_str(s: str) -> int:
@@ -159,7 +163,12 @@ class BandEmitStage:
 def _bucket_pairs(threshold: float, id_col: str, max_bucket: int = 256):
     def pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
-        if n < 2 or n > max_bucket:  # cap pathological buckets (log + skip)
+        if n > max_bucket:
+            logger.warning(
+                "minhash LSH bucket with %d members exceeds cap %d — "
+                "skipping its pair expansion (likely boilerplate/empty docs; "
+                "raise max_bucket or pre-filter)", n, max_bucket)
+        if n < 2 or n > max_bucket:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "est_jaccard": pa.array([], pa.float64())})
@@ -267,6 +276,9 @@ class SimHashBandEmit:
 def dedup_simhash_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id"):
     def pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
+        if n > 256:
+            logger.warning("simhash band bucket with %d members exceeds cap "
+                           "256 — skipping its pair expansion", n)
         if n < 2 or n > 256:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
@@ -334,6 +346,9 @@ def embedding_neardup_pairs(ds, dim: int, *, threshold: float = 0.95,
 
     def pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
+        if n > 4096:
+            logger.warning("embedding LSH bucket with %d members exceeds cap "
+                           "4096 — skipping its pair expansion (add planes)", n)
         if n < 2 or n > 4096:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
