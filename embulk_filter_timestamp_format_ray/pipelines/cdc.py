@@ -58,7 +58,9 @@ _TS_NS_UTC = pa.timestamp("ns", tz="UTC")
 #: default epoch → ts_raw interpretation (FIXTURES.md F2); each entry is a
 #: full per-column cast config exercising a different reference parser family
 DEFAULT_EPOCH_SPECS: "dict[int, ColumnConfig]" = {
-    0: ColumnConfig("ts_raw", "timestamp", from_format=("%Q",)),  # epoch millis
+    # epoch millis — %Q for digit strings; from_unit=ms covers sources whose
+    # evolved schema carries ts_raw as a raw int64 column instead
+    0: ColumnConfig("ts_raw", "timestamp", from_format=("%Q",), from_unit="ms"),
     1: ColumnConfig("ts_raw", "timestamp", from_format=(EPOCH1_FORMAT,),
                     from_timezone="UTC"),
     2: ColumnConfig("ts_raw", "timestamp", from_format=(EPOCH2_FORMAT,),

@@ -327,6 +327,22 @@ def test_resume_lsn(ray_session, tmp_path_factory):
     assert 0 <= pipe.resume_lsn() < 400
 
 
+def test_normalize_accepts_int64_ts_raw():
+    """Schema evolution: a source that ships ts_raw as raw epoch-ms int64
+    (not digit strings) normalizes identically via the from_unit config."""
+    stage = NormalizeStage()
+    batch = pa.table({
+        "lsn": pa.array([0], pa.int64()), "op": pa.array(["upsert"]),
+        "conv_id": pa.array(["a"]), "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["user"]), "text": pa.array(["t"]),
+        "tool": pa.array([None], pa.string()),
+        "ts_raw": pa.array([1436713200100], pa.int64()),
+        "schema_epoch": pa.array([0], pa.int8()),
+    })
+    out = stage(batch)
+    assert out.column("ts").to_pylist()[0].timestamp() == pytest.approx(1436713200.1)
+
+
 def test_normalize_stage_epochs():
     stage = NormalizeStage()
     batch = pa.table({

@@ -80,6 +80,40 @@ def test_from_string_golden():
     assert ts4.to_pylist()[0].timestamp() == 1436716800.0
 
 
+def test_from_string_with_nested_record_golden():
+    # the FULL example.yml config: 4 plain string columns + JSONPath targets
+    # inside the record column in one task (example/from_string.txt record col)
+    fmts = ("%Y-%m-%d %H:%M:%S.%N %z", "%Y-%m-%d %H:%M:%S %z",
+            "%Y-%m-%d %H:%M:%S", "%Y-%m-%d %z", "%Y-%m-%d")
+    task = TaskConfig(
+        columns=(
+            ColumnConfig("string1", "string"),
+            ColumnConfig("string2", "long", to_unit="ms"),
+            ColumnConfig("$.record.string1", "string", to_timezone="Asia/Taipei",
+                         to_format="%Y-%m-%d %H:%M:%S.%N"),
+            ColumnConfig("$.record.string2", "long", to_unit="ms"),
+            ColumnConfig("$.record.string3", "double", to_unit="ms"),
+        ),
+        default_from_timezone="Asia/Taipei",
+        default_from_timestamp_format=fmts,
+        default_to_timezone="Asia/Taipei",
+        default_to_timestamp_format="%Y-%m-%d %H:%M:%S.%N",
+    )
+    records = [json.dumps({"string1": v, "string2": v, "string3": v})
+               for v in FROM_STRING_ROWS]
+    t = pa.table({"string1": FROM_STRING_ROWS, "string2": FROM_STRING_ROWS,
+                  "record": records})
+    out = TimestampFormatStage(task)(t)
+    assert out.column("string1").to_pylist() == EXPECT_STRING1
+    assert out.column("string2").to_pylist() == EXPECT_LONG_MS
+    docs = [json.loads(s) for s in out.column("record").to_pylist()]
+    # golden rows from example/from_string.txt record:json column
+    assert [d["string1"] for d in docs] == EXPECT_STRING1
+    assert [d["string2"] for d in docs] == EXPECT_LONG_MS
+    assert docs[0]["string3"] == 1.4367168e12
+    assert docs[4]["string3"] == 1436716800100.0
+
+
 def test_from_string_java_formats_golden():
     # example/from_string_java.yml
     task = TaskConfig(
