@@ -1,0 +1,182 @@
+"""EXPERIMENTAL: raw-actor partition exchange for the CDC merge.
+
+The Dataset-native path (`groupby("_pid").map_groups`) pays Ray Data's
+sort-based shuffle: sample → map-side sort → reduce merge.  Since the merge
+only needs *bucketing* by an int32 partition id (not ordering), a direct
+exchange can skip the sort machinery: P partition-buffer ACTORS each own a
+slice of partition ids; upstream `map_batches` tasks split each block by pid
+and push sub-tables to their owners (object-store transfers); a finalize
+round merges + writes per partition with the same watermark/manifest
+protocol.
+
+This is the "(c) raw Ray tasks/actors as a last resort" tier from the build
+brief, kept OFF the default path.  Partitioning assumption: pid is computed
+upstream by PartitionStage (hash of the merge key), so any row of a key
+lands at exactly one owner.
+
+Measured A/B on this box lives in BASELINE.md; the Dataset path remains the
+default (lineage-based retries come for free there, while actor buffers are
+lost on actor death — a crashed exchange must be re-run from the source,
+though exactly-once is still preserved by the manifest protocol).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+    MergeApplier,
+    merge_partition_table,
+)
+
+
+@ray.remote
+class PartitionBufferActor:
+    """Owns a contiguous range of partition ids; buffers pushed deltas and
+    merges+writes on finalize."""
+
+    def __init__(self, lake_dir: str, txn_id: str, partition_meta: dict):
+        self.lake_dir = lake_dir
+        self.txn_id = txn_id
+        self.partition_meta = partition_meta
+        self.buffers: dict[int, list[pa.Table]] = {}
+
+    def add(self, pid: int, table: pa.Table) -> None:
+        self.buffers.setdefault(pid, []).append(table)
+
+    def add_many(self, tables: "dict[int, pa.Table]") -> None:
+        for pid, table in tables.items():
+            self.buffers.setdefault(pid, []).append(table)
+
+    def finalize(self) -> "list[dict]":
+        rows = []
+        for pid, parts in sorted(self.buffers.items()):
+            delta = pa.concat_tables(parts, promote_options="permissive")
+            meta = self.partition_meta.get(pid, {})
+            watermark = meta.get("last_applied_lsn", -1)
+            prior = None
+            if meta.get("path"):
+                prior = pq.read_table(os.path.join(self.lake_dir, meta["path"]))
+            state, new_wm, applied = merge_partition_table(delta, prior, watermark)
+            rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
+            full = os.path.join(self.lake_dir, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            pq.write_table(state, full, compression="zstd")
+            rows.append({
+                "pid": pid, "path": rel, "rows": state.num_rows,
+                "last_applied_lsn": new_wm, "events_applied": applied,
+                "events_seen": delta.num_rows,
+            })
+        self.buffers.clear()
+        return rows
+
+
+class ActorExchange:
+    """Push-based exchange: split blocks by pid inside map_batches, route
+    sub-tables to owner actors, finalize after the upstream drains."""
+
+    def __init__(self, lake_dir: str, txn_id: str, partition_meta: dict,
+                 num_partitions: int, num_actors: int = 8):
+        self.num_partitions = num_partitions
+        self.num_actors = min(num_actors, num_partitions)
+        self.actors = [
+            PartitionBufferActor.remote(lake_dir, txn_id, {
+                pid: m for pid, m in partition_meta.items()
+                if pid % self.num_actors == a
+            })
+            for a in range(self.num_actors)
+        ]
+
+    def push_stage(self):
+        actors = self.actors
+        n_actors = self.num_actors
+
+        def push(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            # single-pass split: sort by pid once, slice contiguous runs
+            pids = np.asarray(batch.column("_pid"))
+            order = np.argsort(pids, kind="stable")
+            sorted_tbl = batch.take(pa.array(order)).drop_columns(["_pid"])
+            sorted_pids = pids[order]
+            bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(sorted_pids)]])
+            per_owner: list[dict[int, pa.Table]] = [dict() for _ in range(n_actors)]
+            for s, e in zip(starts, ends):
+                pid = int(sorted_pids[s])
+                per_owner[pid % n_actors][pid] = sorted_tbl.slice(s, e - s)
+            refs = [actors[a].add_many.remote(tables)
+                    for a, tables in enumerate(per_owner) if tables]
+            ray.get(refs)  # backpressure: block until the owners accepted
+            return pa.table({"pushed": pa.array([batch.num_rows], pa.int64())})
+
+        return push
+
+    def finalize(self) -> "list[dict]":
+        out = []
+        for rows in ray.get([a.finalize.remote() for a in self.actors]):
+            out.extend(rows)
+        return out
+
+
+def apply_with_actor_exchange(pipeline, events_ds) -> dict:
+    """CDCPipeline.apply variant using the actor exchange (experimental)."""
+    import uuid
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+        NormalizeStage,
+        PreMergeCombiner,
+    )
+    from embulk_filter_timestamp_format_ray.stages.partition import PartitionStage
+    from embulk_filter_timestamp_format_ray.state import manifest as mf
+
+    manifest = mf.read_manifest(pipeline.lake_dir)
+    low = mf.min_watermark(manifest, pipeline.num_partitions)
+    txn_id = uuid.uuid4().hex[:12]
+    partition_meta = {int(p): m for p, m in manifest["partitions"].items()}
+    exchange = ActorExchange(pipeline.lake_dir, txn_id, partition_meta,
+                             pipeline.num_partitions)
+
+    ds = events_ds.map_batches(
+        NormalizeStage(pipeline.epoch_specs, low_watermark=low,
+                       stop_on_invalid=pipeline.stop_on_invalid),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(PartitionStage(pipeline.num_partitions),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(PreMergeCombiner(), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(exchange.push_stage(), batch_format="pyarrow")
+    ds.count()  # drain the push stage
+    rows = exchange.finalize()
+
+    partitions = dict(manifest["partitions"])
+    total_applied = 0
+    for r in rows:
+        pid = str(r["pid"])
+        prev = partitions.get(pid, {})
+        lineage = list(prev.get("lineage", []))
+        lineage.append({"txn": txn_id, "events_applied": int(r["events_applied"])})
+        partitions[pid] = {
+            "path": r["path"], "rows": int(r["rows"]),
+            "last_applied_lsn": int(r["last_applied_lsn"]),
+            "lineage": lineage[-16:],
+        }
+        total_applied += int(r["events_applied"])
+    new_manifest = {
+        "version": manifest["version"] + 1,
+        "partitions": partitions,
+        "num_partitions": pipeline.num_partitions,
+        "last_txn": txn_id,
+        "schema_columns": ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"],
+    }
+    mf.commit_manifest(pipeline.lake_dir, new_manifest)
+    if pipeline.auto_gc:
+        mf.gc_orphan_txns(pipeline.lake_dir, keep_txns={txn_id})
+    return {"txn": txn_id, "version": new_manifest["version"],
+            "partitions_touched": len(rows), "events_applied": total_applied}

@@ -371,8 +371,20 @@ class CDCPipeline:
         manifest = mf.read_manifest(self.lake_dir)
         return mf.min_watermark(manifest, self.num_partitions)
 
-    def apply(self, events_ds) -> "dict":
-        """Apply a change-event Dataset; returns commit stats."""
+    def apply(self, events_ds, exchange: str = "dataset") -> "dict":
+        """Apply a change-event Dataset; returns commit stats.
+
+        exchange="dataset" (default): Ray Data sort-shuffle groupby — spills
+        via the object store, safe at any scale.  exchange="actor": raw-actor
+        push exchange (pipelines/actor_exchange.py) — measured ~1.6x faster
+        at low parallelism on this box, but buffers deltas in actor heaps
+        (no spill), so it suits bounded micro-batches only."""
+        if exchange == "actor":
+            from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
+                apply_with_actor_exchange,
+            )
+
+            return apply_with_actor_exchange(self, events_ds)
         manifest = mf.read_manifest(self.lake_dir)
         low = mf.min_watermark(manifest, self.num_partitions)
         partition = PartitionStage(self.num_partitions)

@@ -307,6 +307,20 @@ def test_write_sorted_distributed(ray_session, tmp_path_factory):
     assert t.num_rows == pipe.final_state_sorted().num_rows
 
 
+def test_actor_exchange_matches_oracle(ray_session, tmp_path_factory, oracle):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_actorx"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)),
+               exchange="actor")
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+    # incremental second apply through the actor path too
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)),
+               exchange="actor")
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
 def test_actor_pool_normalize_matches(ray_session, tmp_path_factory, oracle):
     import ray.data
 
