@@ -318,6 +318,45 @@ def tumbling_window_aggregate(ds, key: str, ts_col: str, window_seconds: int,
     return grouped_aggregate(ds, [key, "window_start"], aggs)
 
 
+def approx_quantiles(ds, col: str, qs, bins: int = 4096):
+    """Distributed approximate quantiles via a fixed-bin histogram sketch.
+
+    Two cheap passes (min/max bounds, then binned counts), each a map-side
+    partial reduced with native Sum/Min/Max — no sort, no materialization;
+    error ≤ (max-min)/bins.  The training-data use case: pick quality-score
+    thresholds ("keep top 30%") without sorting 10^10 rows."""
+    from ray.data.aggregate import Max, Min
+
+    qs = list(qs)
+    bounds = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    if hi <= lo:
+        return {q: lo for q in qs}
+    width = (hi - lo) / bins
+
+    def histogram(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col).cast(pa.float64()))
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(idx, minlength=bins)
+        return pa.table({"bin": pa.array(np.arange(bins, dtype=np.int64)),
+                         "count": pa.array(counts)})
+
+    from ray.data.aggregate import Sum
+
+    hist = ds.map_batches(histogram, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("bin").aggregate(Sum("count", alias_name="count")) \
+             .to_pandas().sort_values("bin")
+    cum = hist["count"].cumsum().to_numpy()
+    total = cum[-1]
+    out = {}
+    for q in qs:
+        target = q * total
+        b = int(np.searchsorted(cum, target, side="left"))
+        out[q] = lo + (b + 0.5) * width
+    return out
+
+
 def sessionize(ds, key: str, ts_col: str, gap_seconds: float,
                out_col: str = "n_sessions"):
     """Per-key session count: a new session starts when the gap between

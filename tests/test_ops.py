@@ -128,6 +128,20 @@ def test_brute_force_topk_exact(ray_session):
     assert got0 == list(expect[0])
 
 
+def test_approx_quantiles(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import approx_quantiles
+
+    rng = np.random.default_rng(2)
+    vals = rng.uniform(0, 100, 20_000)
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    got = approx_quantiles(ds, "v", [0.1, 0.5, 0.9], bins=4096)
+    for q in (0.1, 0.5, 0.9):
+        exact = np.quantile(vals, q)
+        assert abs(got[q] - exact) < 100 / 4096 * 4, (q, got[q], exact)
+
+
 def test_ivf_recall_vs_brute_force(ray_session):
     import ray.data
 
