@@ -75,6 +75,29 @@ def test_parse_parity_roundtrip(fmt, tz):
         assert sp.parse(t).ns == int(v), (fmt, t)
 
 
+def test_dst_transition_parse_parity():
+    """Wall-clock strings around a US DST transition (spring-forward gap and
+    fall-back ambiguity) — the vector path localizes via pandas with NaT
+    fallback to the scalar parser; both must agree."""
+    fmt = "%Y-%m-%d %H:%M:%S"
+    tz = "America/New_York"
+    texts = [
+        "2021-03-14 01:59:59",  # before the gap
+        "2021-03-14 03:00:00",  # after the gap
+        "2021-11-07 00:30:00",  # before fall-back
+        "2021-11-07 01:30:00",  # ambiguous (occurs twice)
+        "2021-11-07 02:30:00",  # after fall-back
+        "2021-06-01 12:00:00",  # plain summer
+        "2021-12-01 12:00:00",  # plain winter
+    ]
+    sp = TimestampParser([fmt], tz)
+    vp = VectorParser([fmt], tz)
+    v_ns, ok, _ = vp.parse_array(pa.array(texts))
+    assert ok.all()
+    for t, v in zip(texts, v_ns):
+        assert sp.parse(t).ns == int(v), t
+
+
 @given(st.integers(min_value=-10**9, max_value=4 * 10**9),
        st.integers(min_value=0, max_value=10**9 - 1))
 @settings(max_examples=200, deadline=None)
