@@ -369,6 +369,21 @@ def test_error_policy_stop_on_invalid():
         TimestampFormatStage(task)(t)
 
 
+def test_json_mode_stop_on_invalid():
+    task = TaskConfig(
+        columns=(ColumnConfig("$.doc.t", "long",
+                              from_format=("%Y-%m-%d",), to_unit="ms"),),
+        stop_on_invalid_record=True,
+    )
+    t = pa.table({"doc": [json.dumps({"t": "not-a-date"})]})
+    with pytest.raises(CastError):
+        TimestampFormatStage(task)(t)
+    # warn mode nulls the leaf instead
+    task2 = TaskConfig(columns=task.columns, stop_on_invalid_record=False)
+    out = TimestampFormatStage(task2)(t)
+    assert json.loads(out.column("doc").to_pylist()[0])["t"] is None
+
+
 def test_validation_errors():
     schema = pa.schema([pa.field("a", pa.string())])
     with pytest.raises(ConfigError):

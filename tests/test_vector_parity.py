@@ -29,6 +29,8 @@ FORMATS = [
     ("yyyy-MM-dd HH:mm:ss", "Asia/Taipei"),
     ("MM/dd/yyyy", "UTC"),
     ("%y-%m-%d %H:%M", "UTC"),
+    ("%Y-%b-%d %H:%M", "UTC"),
+    ("%d %B %Y", "UTC"),
     ("%Y-%j %H:%M:%S", "UTC"),
     ("%Y-%m-%d %H:%M:%S %Z", "Asia/Tokyo"),
     ("yyyy-MM-dd hh:mm a", "UTC"),
