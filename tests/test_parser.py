@@ -105,6 +105,17 @@ def test_java_no_fraction_text_gives_negative_nano_normalization():
     assert p.parse("2015-07-12 16:00:00 UTC") == Ts(1436716800, 0)
 
 
+def test_reference_bench_config_formats():
+    # bench/config_java.yml: SSSSSSSSS is a plain Joda fraction (ms
+    # resolution, first-3-digit truncation) — NOT the nano-regex path
+    p = TimestampParser(["yyyy-MM-dd HH:mm:ss.SSSSSSSSS"], "UTC")
+    got = p.parse("2015-07-12 01:02:03.123456789")
+    assert got.nano == 123000000
+    # bench/config_nano.yml: nnnnnnnnn IS the nano path
+    pn = TimestampParser(["yyyy-MM-dd HH:mm:ss.nnnnnnnnn"], "UTC")
+    assert pn.parse("2015-07-12 01:02:03.123456789").nano == 123456789
+
+
 def test_epoch_directives():
     p = TimestampParser(["%s"], "UTC")
     assert p.parse("1436716800") == Ts(1436716800, 0)
