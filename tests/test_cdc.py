@@ -341,6 +341,57 @@ def test_resume_lsn(ray_session, tmp_path_factory):
     assert 0 <= pipe.resume_lsn() < 400
 
 
+def test_merge_associativity_random_streams():
+    """Property: merging any partitioning of a random event stream (with
+    replays, deletes, arbitrary order) equals the single-shot merge — the
+    algebra the map-side combiner and incremental applies rely on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ts0 = pa.array([0], pa.timestamp("ns", tz="UTC"))
+
+    def mk(events):
+        n = len(events)
+        return pa.table({
+            "lsn": pa.array([e[0] for e in events], pa.int64()),
+            "op": pa.array([e[1] for e in events]),
+            "conv_id": pa.array([e[2] for e in events]),
+            "turn_idx": pa.array([e[3] for e in events], pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([f"t{e[0]}" for e in events]),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.concat_arrays([ts0] * n) if n else ts0.slice(0, 0),
+        })
+
+    event = st.tuples(
+        st.integers(min_value=0, max_value=40),           # lsn
+        st.sampled_from(["upsert", "delete"]),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=2),
+    )
+
+    @given(events=st.lists(event, min_size=1, max_size=24),
+           split=st.integers(min_value=0, max_value=24))
+    @settings(max_examples=80, deadline=None)
+    def check(events, split):
+        # dedupe same-lsn different-content collisions (binlog contract)
+        seen = {}
+        for e in events:
+            seen.setdefault(e[0], e)
+        events = [seen[k] for k in sorted(seen)]
+        split = min(split, len(events))
+        one_shot, wm1, _ = merge_partition_table(mk(events), None, -1)
+        first, wma, _ = merge_partition_table(mk(events[:split]), None, -1)
+        two_step, wm2, _ = merge_partition_table(mk(events[split:]), first, wma)
+        key = lambda t: sorted(  # noqa: E731
+            (r["conv_id"], r["turn_idx"], r["lsn"], r["text"])
+            for r in t.to_pylist())
+        assert key(one_shot) == key(two_step)
+        assert wm1 == wm2
+
+    check()
+
+
 def test_normalize_accepts_int64_ts_raw():
     """Schema evolution: a source that ships ts_raw as raw epoch-ms int64
     (not digit strings) normalizes identically via the from_unit config."""
