@@ -63,6 +63,14 @@ def run_headline(num_cpus: int) -> dict:
     pipe = CDCPipeline(lake, num_partitions=128)
     stats = pipe.apply(ds)
     elapsed = time.perf_counter() - t0
+    if os.environ.get("GRAFT_BENCH_STATS"):
+        # per-operator wall/cpu introspection for tuning (stderr, not the
+        # JSON contract line)
+        try:
+            final = pipe.read_lake().materialize()
+            print(final.stats(), file=sys.stderr)
+        except Exception:
+            pass
     shutil.rmtree(lake, ignore_errors=True)
     return {
         "events": N_EVENTS,
