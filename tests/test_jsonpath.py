@@ -34,6 +34,22 @@ def test_rejections():
         parse_json_path("no-dollar")
 
 
+def test_bracket_notation_key_containing_dot():
+    # README.md:73: $['payload']['key1.key2'] — dots inside bracket-quoted
+    # keys are literal, not path separators
+    steps = parse_json_path("$['payload']['key1.key2']")
+    assert steps == [("field", "payload"), ("field", "key1.key2")]
+    task = TaskConfig(
+        columns=(ColumnConfig("$['doc']['a.b']", "long",
+                              from_format=("%Y-%m-%d",), to_unit="ms"),),
+    )
+    out = TimestampFormatStage(task)(
+        pa.table({"doc": ['{"a.b": "2015-07-13", "a": {"b": "keep"}}']}))
+    got = json.loads(out.column("doc").to_pylist()[0])
+    assert got["a.b"] == 1436745600000
+    assert got["a"]["b"] == "keep"  # the dotted sibling path is untouched
+
+
 def test_index_falls_back_to_wildcard():
     # config targets arr[*]; document visits index 0 and 1 → both rewritten
     # via the [i] → [*] fallback
