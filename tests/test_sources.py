@@ -38,6 +38,35 @@ def test_csv_declared_schema_through_stage(ray_session, tmp_path):
     assert list(out["s2"]) == [1436716800000, 1436716800123]
 
 
+def test_jsonl_nested_through_stage(ray_session, tmp_path):
+    # the reference's example.jsonl flow: JSONL → struct column → JSONPath
+    # rewrite (README.md example: nested timestamp reformatted to Tokyo)
+    from embulk_filter_timestamp_format_ray.sources.readers import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"timestamp":"2015-07-12 15:00:00 UTC","nested":{"timestamp":"2015-07-12 15:00:00 UTC"}}\n'
+        '{"timestamp":"2015-07-12 15:00:00.1 UTC","nested":{"timestamp":"2015-07-12 15:00:00.1 UTC"}}\n'
+    )
+    task = TaskConfig(
+        columns=(
+            ColumnConfig("timestamp", "long", to_unit="ms"),
+            ColumnConfig("$.nested.timestamp", "string"),
+        ),
+        default_from_timestamp_format=("%Y-%m-%d %H:%M:%S.%N %z",
+                                       "%Y-%m-%d %H:%M:%S %z"),
+        default_to_timezone="Asia/Tokyo",
+        default_to_timestamp_format="%Y-%m-%d %H:%M:%S.%N",
+    )
+    ds = read_jsonl(str(p))
+    out = ds.map_batches(TimestampFormatStage(task), batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    assert list(out["timestamp"]) == [1436713200000, 1436713200100]
+    nested = [n["timestamp"] for n in out["nested"]]
+    assert nested == ["2015-07-13 00:00:00.000000000",
+                      "2015-07-13 00:00:00.100000000"]
+
+
 def test_parquet_column_pruning(ray_session, tmp_path):
     p = tmp_path / "t.parquet"
     pa.parquet.write_table(
