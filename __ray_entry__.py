@@ -481,6 +481,17 @@ def q_dedup_exact(sf_dir: str):
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_dedup_near_corpus(sf_dir: str):
+    """End-to-end near-dup removal: LSH pairs → connected components →
+    anti-join the non-representatives out of the streaming corpus."""
+    from embulk_filter_timestamp_format_ray.stages.dedup import dedup_near_duplicates
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = dedup_near_duplicates(ds, threshold=0.85)
+    return out.map_batches(lambda b: b.select(["doc_id"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedup_minhash(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.dedup import dedup_minhash_pairs
 
@@ -619,6 +630,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_near_corpus": q_dedup_near_corpus,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,

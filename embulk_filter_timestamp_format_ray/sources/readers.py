@@ -18,13 +18,19 @@ import pyarrow as pa
 import pyarrow.csv as pacsv
 
 
-def read_parquet(paths, columns=None, parallelism=None, **kwargs):
+def read_parquet(paths, columns=None, parallelism=None, row_filter=None,
+                 **kwargs):
     """Column-pruned parquet read (the only sanctioned way to read the lake
-    and testdata tables — never read all columns for a 2-column transform)."""
+    and testdata tables — never read all columns for a 2-column transform).
+
+    ``row_filter`` takes a pyarrow dataset expression
+    (e.g. ``pc.field("lang") == "en"``) pushed down to row-group pruning."""
     import ray.data
 
     if parallelism is not None:
         kwargs["override_num_blocks"] = parallelism
+    if row_filter is not None:
+        kwargs["filter"] = row_filter
     return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 

@@ -371,3 +371,59 @@ def embedding_neardup_pairs(ds, dim: int, *, threshold: float = 0.95,
     p = ds.groupby("lsh_bucket").map_groups(pairs, batch_format="pyarrow")
     return p.groupby(["id_a", "id_b"]).map_groups(lambda g: g.slice(0, 1),
                                                   batch_format="pyarrow")
+
+
+# ------------------------------------------------- near-dup clustering
+
+
+def connected_components_from_pairs(pairs_ds, max_driver_pairs: int = 5_000_000):
+    """Cluster candidate near-dup pairs into components → pa.Table
+    (doc_id, cluster_id) with cluster_id = min member id.
+
+    Near-dup candidate pairs are sparse relative to the corpus (each doc
+    pairs with a handful of near-copies), so the pair list is orders of
+    magnitude smaller than the dataset: union-find over the collected pairs
+    is the right tool (ray_guide: driver union-find when the candidate set
+    is provably small).  A pair count above ``max_driver_pairs`` raises —
+    the signal to switch to iterative min-label propagation, not to silently
+    blow up the driver."""
+    pairs = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
+    if len(pairs) > max_driver_pairs:
+        raise ValueError(
+            f"{len(pairs)} candidate pairs exceed the driver union-find bound "
+            f"({max_driver_pairs}); run label propagation instead")
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "cluster_id": pa.array([find(n) for n in nodes], pa.int64()),
+    })
+
+
+def dedup_near_duplicates(ds, *, threshold: float = 0.7, num_perm: int = 64,
+                          bands: int = 16, id_col: str = "doc_id"):
+    """Full near-dup removal: MinHash-LSH pairs → connected components →
+    drop every non-representative member (keep min id per cluster).
+
+    The drop set (non-representatives) is broadcast as an anti-join key set;
+    the corpus itself streams through one vectorized filter."""
+    pairs = dedup_minhash_pairs(ds, threshold=threshold, num_perm=num_perm,
+                                bands=bands, id_col=id_col)
+    comp = connected_components_from_pairs(pairs)
+    drop = comp.filter(pc.invert(pc.equal(comp.column(id_col),
+                                          comp.column("cluster_id"))))
+    from embulk_filter_timestamp_format_ray.stages.relational import broadcast_join
+
+    return broadcast_join(ds, drop.select([id_col]), on=id_col, how="anti")

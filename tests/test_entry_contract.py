@@ -18,6 +18,7 @@ def test_oracles_subset_of_queries():
     documented_rows_only = {
         "cdc_transcripts_final", "quality_score", "doc_fingerprint",
         "dedup_minhash", "dedup_simhash", "embedding_neardup", "ann_ivf",
+        "dedup_near_corpus",
     }
     assert qs - os_ == documented_rows_only
 

@@ -73,6 +73,27 @@ def test_dedup_minhash_pairs(ray_session):
     assert {(0, 1)} <= set(zip(pairs["id_a"], pairs["id_b"]))
 
 
+def test_connected_components_and_near_dedup(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.dedup import (
+        connected_components_from_pairs,
+        dedup_near_duplicates,
+    )
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 7], "id_b": [2, 3, 8]})
+    comp = connected_components_from_pairs(pairs).to_pandas()
+    by_id = dict(zip(comp["doc_id"], comp["cluster_id"]))
+    assert by_id == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    ds = ray.data.from_arrow(_docs_table())
+    kept = dedup_near_duplicates(ds, threshold=0.9).to_pandas()
+    ids = set(kept["doc_id"])
+    assert 1 not in ids          # exact dup of 0 clusters with it
+    assert {0, 3, 4} <= ids      # representatives + singletons survive
+
+
 def test_ngram_jaccard():
     assert ngram_jaccard("a b c d", "a b c d") == 1.0
     assert ngram_jaccard("a b c d", "x y z w") == 0.0
