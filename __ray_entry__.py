@@ -249,6 +249,28 @@ def q_agg_q1(sf_dir: str):
     return out.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: every event picks up the value of its user's latest
+    'snapshot' event (event_id % 97 == 0) at or before its timestamp."""
+    from embulk_filter_timestamp_format_ray.stages.relational import asof_join
+
+    events = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    snaps = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts",
+                                                    "value"])
+    def take_snapshots(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("event_id"))
+        return b.filter(pa.array(ids % 97 == 0)).drop_columns(["event_id"])
+
+    snaps = snaps.map_batches(take_snapshots, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = asof_join(events, snaps, by="user_id", on="ts", value_cols=["value"])
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_id": b.column("event_id"),
+            "value_asof": b.column("value_asof"),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_tumbling_window(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.relational import (
         tumbling_window_aggregate,
@@ -613,6 +635,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "agg_q1": q_agg_q1,
+        "asof_join": q_asof_join,
         "tumbling_window": q_tumbling_window,
         "sample_mod": q_sample_mod,
         "sessionize": q_sessionize,
@@ -681,6 +704,11 @@ def oracle_sql() -> "dict[str, str]":
             "floor(sum(l_extendedprice) * 100 + 0.5) / 100 as sum_base_price, "
             "count(*) as count_order "
             "from lineitem group by l_returnflag, l_linestatus",
+        "asof_join":
+            "select e.event_id, s.value as value_asof from events e "
+            "asof left join (select user_id, ts, value from events "
+            "where event_id % 97 = 0) s "
+            "on e.user_id = s.user_id and e.ts >= s.ts",
         "tumbling_window":
             "select user_id, date_trunc('hour', ts) as window_start, "
             "count(*) as n_events, "

@@ -318,6 +318,57 @@ def tumbling_window_aggregate(ds, key: str, ts_col: str, window_seconds: int,
     return grouped_aggregate(ds, [key, "window_start"], aggs)
 
 
+def asof_join(left_ds, right_ds, by: str, on: str,
+              value_cols: "list[str]", suffix: str = "_asof"):
+    """As-of join: for each left row, attach the latest right row with
+    ``right.on <= left.on`` within the same ``by`` key.
+
+    Ray Data has no native as-of join; the portable pattern (ray_guide):
+    tag + union both sides, ONE groupby(by) shuffle, and a per-key
+    ``pd.merge_asof`` over the sorted group.  Assumes per-key volumes fit a
+    task (same assumption as any keyed window)."""
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in batch.schema.names}
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        for v in value_cols:
+            cols[v + suffix] = pa.nulls(batch.num_rows, pa.float64())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {by: batch.column(by), on: batch.column(on),
+                "__side": pa.array(np.ones(batch.num_rows, dtype=np.int8))}
+        for v in value_cols:
+            cols[v + suffix] = batch.column(v).cast(pa.float64())
+        return pa.table(cols)
+
+    left_t = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    right_t = right_ds.map_batches(tag_right, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    unioned = left_t.union(right_t)
+
+    def per_key(group: "pd.DataFrame"):
+        import pandas as pd
+
+        left = group[group["__side"] == 0].drop(
+            columns=["__side"] + [v + suffix for v in value_cols])
+        right = group[group["__side"] == 1][[on] + [v + suffix for v in value_cols]]
+        if left.empty:
+            return left
+        left = left.sort_values(on, kind="mergesort")
+        if right.empty:
+            for v in value_cols:
+                left[v + suffix] = np.nan
+            return left
+        right = right.sort_values(on, kind="mergesort")
+        return pd.merge_asof(left, right, on=on, direction="backward")
+
+    import pandas as pd  # noqa: F401  (map_groups pandas batches)
+
+    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
 def approx_quantiles(ds, col: str, qs, bins: int = 4096):
     """Distributed approximate quantiles via a fixed-bin histogram sketch.
 

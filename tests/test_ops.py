@@ -149,6 +149,33 @@ def test_brute_force_topk_exact(ray_session):
     assert got0 == list(expect[0])
 
 
+def test_asof_join(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import asof_join
+
+    ts = lambda s: np.datetime64(s, "ns")  # noqa: E731
+    left = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "u": ["a", "a", "a", "b"],
+        "t": pa.array([ts("2024-01-01T00:05"), ts("2024-01-01T00:15"),
+                       ts("2024-01-01T00:00"), ts("2024-01-01T00:10")]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "u": ["a", "a", "b"],
+        "t": pa.array([ts("2024-01-01T00:00"), ts("2024-01-01T00:10"),
+                       ts("2024-01-01T00:20")]),
+        "v": [1.0, 2.0, 3.0],
+    }))
+    out = asof_join(left, right, by="u", on="t", value_cols=["v"]) \
+        .to_pandas().sort_values("id")
+    vals = list(out["v_asof"])
+    assert vals[0] == 1.0          # 00:05 → snapshot 00:00
+    assert vals[1] == 2.0          # 00:15 → snapshot 00:10
+    assert vals[2] == 1.0          # 00:00 → equal-ts snapshot included
+    assert np.isnan(vals[3])       # b@00:10 has no prior snapshot
+
+
 def test_approx_quantiles(ray_session):
     import ray.data
 
