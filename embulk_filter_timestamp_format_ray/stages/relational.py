@@ -408,6 +408,62 @@ def approx_quantiles(ds, col: str, qs, bins: int = 4096):
     return out
 
 
+def approx_count_distinct(ds, col: str, precision: int = 12) -> float:
+    """HyperLogLog distinct-count estimate: one mergeable register-max
+    sketch per batch (map_batches partial), reduced with a single Max-per-
+    register groupby — the canonical mergeable-sketch shape.
+
+    Standard HLL (public algorithm): m=2^precision registers, register j
+    keeps the max leading-zero rank of hashes routed to it; estimate =
+    alpha*m^2 / sum(2^-reg) with small-range correction."""
+    from ray.data.aggregate import Max
+
+    m = 1 << precision
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        from embulk_filter_timestamp_format_ray.stages.dedup import det_hash_str
+        from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+
+        colv = batch.column(col)
+        if pa.types.is_string(colv.type if not isinstance(colv, pa.ChunkedArray)
+                              else colv.type):
+            h = np.array([det_hash_str(x or "") for x in colv.to_pylist()],
+                         dtype=np.uint64)
+            h = splitmix64(h, 5)
+        else:
+            h = splitmix64(np.asarray(colv.cast(pa.int64())).astype(np.uint64), 5)
+        reg_idx = (h >> np.uint64(64 - precision)).astype(np.int64)
+        rest = h << np.uint64(precision)
+        # rank = leading zeros of the remaining bits + 1 (cap 64-precision+1)
+        lz = np.full(len(h), 64 - precision + 1, dtype=np.int64)
+        nz = rest != 0
+        if nz.any():
+            bits = rest[nz]
+            lz_nz = np.zeros(bits.shape, dtype=np.int64)
+            cur = bits.copy()
+            for shift in (32, 16, 8, 4, 2, 1):
+                mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+                lz_nz[mask] += shift
+                cur[mask] = cur[mask] << np.uint64(shift)
+            lz[nz] = lz_nz + 1
+        ranks = np.zeros(m, dtype=np.int64)
+        np.maximum.at(ranks, reg_idx, lz)
+        return pa.table({"reg": pa.array(np.arange(m, dtype=np.int64)),
+                         "rank": pa.array(ranks)})
+
+    merged = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True) \
+               .groupby("reg").aggregate(Max("rank", alias_name="rank")) \
+               .to_pandas()
+    ranks = np.zeros(m, dtype=np.int64)
+    ranks[merged["reg"].to_numpy()] = merged["rank"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -ranks))
+    zeros = int((ranks == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting small-range correction
+    return float(est)
+
+
 def sessionize(ds, key: str, ts_col: str, gap_seconds: float,
                out_col: str = "n_sessions"):
     """Per-key session count: a new session starts when the gap between

@@ -149,6 +149,24 @@ def test_brute_force_topk_exact(ray_session):
     assert got0 == list(expect[0])
 
 
+def test_approx_count_distinct(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        approx_count_distinct,
+    )
+
+    n_distinct = 5000
+    vals = np.repeat(np.arange(n_distinct, dtype=np.int64), 4)
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    est = approx_count_distinct(ds, "v", precision=12)
+    assert abs(est - n_distinct) / n_distinct < 0.05
+    # string column path
+    ds2 = ray.data.from_arrow(pa.table({"s": [f"u{i % 700}" for i in range(5000)]}))
+    est2 = approx_count_distinct(ds2, "s", precision=12)
+    assert abs(est2 - 700) / 700 < 0.05
+
+
 def test_asof_join(ray_session):
     import ray.data
 
