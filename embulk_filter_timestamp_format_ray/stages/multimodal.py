@@ -85,6 +85,76 @@ class ImageDecodeStage:
                     .append_column("img_format", pa.array(fmts, pa.string()))
 
 
+class ImageResizeStage:
+    """Resize stub with the real pipeline shape: binary in → binary out +
+    updated dims.  The PIL path is the genuine implementation; the fake
+    path re-derives deterministic bytes (clearly marked, never silent)."""
+
+    def __init__(self, width: int = 224, height: int = 224,
+                 binary_col: str = "image_bytes"):
+        self.width = width
+        self.height = height
+        self.binary_col = binary_col
+        try:
+            from PIL import Image
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads, ws, hs = [], [], []
+        for payload in batch.column(self.binary_col).to_pylist():
+            payload = payload or b""
+            if self._pil is not None:
+                import io
+
+                try:
+                    img = self._pil.open(io.BytesIO(payload)).resize(
+                        (self.width, self.height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    payload = buf.getvalue()
+                except Exception:
+                    payload = b""
+            else:
+                # STUB: deterministic truncation/padding stands in for decode
+                target = self.width * self.height // 64
+                payload = (payload * (target // max(len(payload), 1) + 1))[:target]
+            out_payloads.append(payload)
+            ws.append(self.width)
+            hs.append(self.height)
+        return batch.set_column(
+            batch.schema.get_field_index(self.binary_col), self.binary_col,
+            pa.array(out_payloads, pa.binary())) \
+            .append_column("resized_w", pa.array(ws, pa.int32())) \
+            .append_column("resized_h", pa.array(hs, pa.int32()))
+
+
+class EmbedImageStage:
+    """Feature-extraction stub: binary image → embedding vector.  A real
+    model would load in __init__ (once per actor); the fake derives a
+    deterministic vector from payload hashes so downstream ANN/near-dup
+    plumbing is exercisable end-to-end."""
+
+    def __init__(self, dim: int = 64, binary_col: str = "image_bytes"):
+        self.dim = dim
+        self.binary_col = binary_col
+        self._model = None  # real model handle would live here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = []
+        for payload in batch.column(self.binary_col).to_pylist():
+            b = np.frombuffer((payload or b"\x00"), dtype=np.uint8)
+            chunks = np.resize(b.astype(np.uint64), self.dim)
+            h = splitmix64(chunks + np.arange(self.dim, dtype=np.uint64), 29)
+            v = (h >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
+            vecs.append(v - 0.5)
+        return batch.append_column(
+            "embedding", pa.array([list(v) for v in vecs],
+                                  pa.list_(pa.float32())))
+
+
 class FrameSampleStage:
     """Video frame-sampling stub: binary video → every-Nth-frame offsets.
     Same actor-pool shape; the codec call is the stubbed part."""

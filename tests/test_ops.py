@@ -266,6 +266,37 @@ def test_multimodal_stub_stage():
             strict(batch)
 
 
+def test_multimodal_resize_and_embed_pipeline(ray_session):
+    """Full multimodal plumbing: attach bytes → resize → embed → ANN —
+    the decode/model steps are stubs, the Ray pipeline is real."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.ann import brute_force_topk
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        EmbedImageStage,
+        ImageResizeStage,
+        attach_fake_image_bytes,
+    )
+
+    ds = ray.data.from_arrow(_docs_table())
+    ds = ds.map_batches(attach_fake_image_bytes, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(ImageResizeStage, fn_constructor_kwargs={"width": 64,
+                                                                 "height": 64},
+                        concurrency=(1, 2), batch_format="pyarrow", batch_size=16)
+    ds = ds.map_batches(EmbedImageStage, fn_constructor_kwargs={"dim": 16},
+                        concurrency=(1, 2), batch_format="pyarrow", batch_size=16)
+    ds = ds.map_batches(lambda b: b.select(["doc_id", "embedding"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    emb = ds.to_pandas()
+    assert len(emb) == 5 and len(emb["embedding"][0]) == 16
+    # identical docs (0 and 1) produce identical embeddings → ANN finds them
+    q = np.stack(emb.sort_values("doc_id")["embedding"].to_numpy())[:1]
+    top = brute_force_topk(ray.data.from_arrow(pa.Table.from_pandas(emb)),
+                           q, k=2, id_col="doc_id").to_pandas()
+    assert set(top["doc_id"][:2]) == {0, 1}
+
+
 def test_grouped_aggregate(ray_session):
     import ray.data
 
