@@ -464,6 +464,39 @@ def approx_count_distinct(ds, col: str, precision: int = 12) -> float:
     return float(est)
 
 
+def sliding_window_aggregate(ds, key: str, ts_col: str, window_seconds: int,
+                             slide_seconds: int,
+                             aggs: "dict[str, tuple[str, str]]"):
+    """Sliding event-time windows: each row replicates into the
+    window_seconds/slide_seconds windows containing it (vectorized
+    np.repeat flat-map), then the tumbling partial/combine machinery runs
+    on (key, window_start)."""
+    if window_seconds % slide_seconds:
+        raise ValueError("window must be a multiple of slide")
+    k = window_seconds // slide_seconds
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ns = np.asarray(ts.cast(pa.timestamp("ns")).cast(pa.int64()))
+        slide_ns = 1_000_000_000 * slide_seconds
+        window_ns = 1_000_000_000 * window_seconds
+        last_start = np.floor_divide(ns, slide_ns) * slide_ns
+        idx = np.repeat(np.arange(batch.num_rows), k)
+        offsets = np.tile(np.arange(k, dtype=np.int64) * slide_ns,
+                          batch.num_rows)
+        starts = np.repeat(last_start, k) - offsets
+        keep = np.repeat(ns, k) < starts + window_ns
+        out = {name: batch.column(name).take(pa.array(idx[keep]))
+               for name in batch.schema.names}
+        out["window_start"] = pa.array(starts[keep]).cast(pa.timestamp("ns"))
+        return pa.table(out)
+
+    ds = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(ds, [key, "window_start"], aggs)
+
+
 def sessionize(ds, key: str, ts_col: str, gap_seconds: float,
                out_col: str = "n_sessions"):
     """Per-key session count: a new session starts when the gap between

@@ -351,6 +351,26 @@ def test_tumbling_window(ray_session):
     assert list(out["s"]) == [3.0, 3.0, 4.0]
 
 
+def test_sliding_window(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        sliding_window_aggregate,
+    )
+
+    # events at t=0s, 30s, 70s; window=60s slide=30s
+    ts = pa.array(np.array([0, 30, 70], dtype="datetime64[s]").astype(
+        "datetime64[ns]"))
+    t = pa.table({"u": ["x", "x", "x"], "ts": ts, "v": [1.0, 1.0, 1.0]})
+    out = sliding_window_aggregate(
+        ray.data.from_arrow(t), key="u", ts_col="ts", window_seconds=60,
+        slide_seconds=30, aggs={"n": ("v", "count")}).to_pandas()
+    secs = out["window_start"].astype("datetime64[ns]").astype("int64") // 10**9
+    counts = dict(zip(secs, out["n"]))
+    # windows: [-30,30):1  [0,60):2  [30,90):2  [60,120):1
+    assert counts == {-30: 1, 0: 2, 30: 2, 60: 1}
+
+
 def test_broadcast_join(ray_session):
     import ray.data
 
