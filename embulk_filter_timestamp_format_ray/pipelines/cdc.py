@@ -349,7 +349,8 @@ class CDCPipeline:
                  epoch_specs: "dict[int, ColumnConfig] | None" = None,
                  stop_on_invalid: bool = False,
                  normalize_concurrency: "tuple[int, int] | int | None" = None,
-                 auto_gc: bool = True, wire_encode: bool = False):
+                 auto_gc: bool = True, wire_encode: bool = False,
+                 partition_mode: str = "turn"):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.epoch_specs = epoch_specs
@@ -363,6 +364,14 @@ class CDCPipeline:
         # swap already happened; no time travel is promised)
         self.auto_gc = auto_gc
         self.wire_encode = wire_encode
+        # "turn": pid = hash(conv_id, turn_idx) — skew-free by construction,
+        #   but conversation lookups scan all partitions.
+        # "conv": pid = hash(conv_id) — whole conversations co-located
+        #   (read_conversation reads exactly one partition file); pair with
+        #   detect_hot_keys + salting when the stream is conversation-skewed.
+        if partition_mode not in ("turn", "conv"):
+            raise ValueError(f"unknown partition_mode {partition_mode!r}")
+        self.partition_mode = partition_mode
 
     def resume_lsn(self) -> int:
         """Global low-watermark: a binlog tailer can seek to `resume_lsn()+1`
@@ -387,7 +396,8 @@ class CDCPipeline:
             return apply_with_actor_exchange(self, events_ds)
         manifest = mf.read_manifest(self.lake_dir)
         low = mf.min_watermark(manifest, self.num_partitions)
-        partition = PartitionStage(self.num_partitions)
+        partition = PartitionStage(self.num_partitions,
+                                   by_turn=(self.partition_mode == "turn"))
         txn_id = uuid.uuid4().hex[:12]
         partition_meta = {
             int(pid): meta for pid, meta in manifest["partitions"].items()
@@ -493,6 +503,36 @@ class CDCPipeline:
             TimestampFormatStage(task), batch_format="pyarrow",
             zero_copy_batch=True)
         ds.write_parquet(out_dir)
+
+    def read_conversation(self, conv_id: str) -> pa.Table:
+        """Point lookup of one conversation's turns.
+
+        conv-mode lakes read EXACTLY the one partition file owning the
+        conversation (pid computable from conv_id alone); turn-mode lakes
+        must filter the full lake (the documented layout tradeoff)."""
+        import numpy as np
+
+        from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+        from embulk_filter_timestamp_format_ray.stages.partition import (
+            hash_strings_dict,
+        )
+
+        manifest = mf.read_manifest(self.lake_dir)
+        if self.partition_mode == "conv":
+            conv_hash = hash_strings_dict(pa.array([conv_id]))
+            pid = int(splitmix64(conv_hash, 7)[0] % np.uint64(self.num_partitions))
+            meta = manifest["partitions"].get(str(pid))
+            if not meta or not meta.get("path"):
+                return pa.table({})
+            t = pq.read_table(os.path.join(self.lake_dir, meta["path"]))
+        else:
+            tables = [pq.read_table(os.path.join(self.lake_dir, p))
+                      for p in mf.data_files(manifest)]
+            if not tables:
+                return pa.table({})
+            t = pa.concat_tables(tables, promote_options="permissive")
+        t = t.filter(pc.equal(t.column("conv_id"), conv_id))
+        return t.take(pc.sort_indices(t, sort_keys=[("turn_idx", "ascending")]))
 
     def write_sorted(self, out_dir: str) -> None:
         """Scale path for the verification read: distributed sort by

@@ -179,6 +179,28 @@ def test_merge_task_retry_idempotent(ray_session, tmp_path_factory):
     assert t.num_rows == r1["rows"]
 
 
+def test_conv_partition_mode_and_point_lookup(ray_session, tmp_path_factory, oracle):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_conv"))
+    pipe = CDCPipeline(lake, num_partitions=16, partition_mode="conv")
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)  # same final state
+    # point lookup reads one partition and returns ordered turns
+    conv = next(iter(oracle))[0]
+    t = pipe.read_conversation(conv)
+    assert t.num_rows == sum(1 for k in oracle if k[0] == conv)
+    turns = t.column("turn_idx").to_pylist()
+    assert turns == sorted(turns)
+    # turn-mode lookup returns identical rows (slow path)
+    lake2 = str(tmp_path_factory.mktemp("lake_turn"))
+    pipe2 = CDCPipeline(lake2, num_partitions=16)
+    pipe2.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)))
+    t2 = pipe2.read_conversation(conv)
+    assert t2.select(["conv_id", "turn_idx", "text"]).equals(
+        t.select(["conv_id", "turn_idx", "text"]))
+
+
 def test_transcript_analytics_over_lake(ray_session, tmp_path_factory):
     """Composition over the engine's own lake: CDC replay → per-conversation
     aggregates (turn counts, roles, duration) via grouped_aggregate — the
