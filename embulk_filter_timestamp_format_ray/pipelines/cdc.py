@@ -350,7 +350,8 @@ class CDCPipeline:
                  stop_on_invalid: bool = False,
                  normalize_concurrency: "tuple[int, int] | int | None" = None,
                  auto_gc: bool = True, wire_encode: bool = False,
-                 partition_mode: str = "turn"):
+                 partition_mode: str = "turn",
+                 salt_keys: "frozenset[str] | None" = None):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.epoch_specs = epoch_specs
@@ -372,6 +373,10 @@ class CDCPipeline:
         if partition_mode not in ("turn", "conv"):
             raise ValueError(f"unknown partition_mode {partition_mode!r}")
         self.partition_mode = partition_mode
+        # conv-mode hot conversations (from detect_hot_keys) sub-partition by
+        # a turn-derived salt — stable per (conv, turn), so the merge stays
+        # partition-local while the hot conv's traffic spreads
+        self.salt_keys = salt_keys
 
     def resume_lsn(self) -> int:
         """Global low-watermark: a binlog tailer can seek to `resume_lsn()+1`
@@ -397,7 +402,8 @@ class CDCPipeline:
         manifest = mf.read_manifest(self.lake_dir)
         low = mf.min_watermark(manifest, self.num_partitions)
         partition = PartitionStage(self.num_partitions,
-                                   by_turn=(self.partition_mode == "turn"))
+                                   by_turn=(self.partition_mode == "turn"),
+                                   salt_keys=self.salt_keys)
         txn_id = uuid.uuid4().hex[:12]
         partition_meta = {
             int(pid): meta for pid, meta in manifest["partitions"].items()

@@ -201,6 +201,23 @@ def test_conv_partition_mode_and_point_lookup(ray_session, tmp_path_factory, ora
         t.select(["conv_id", "turn_idx", "text"]))
 
 
+def test_conv_mode_with_salted_hot_keys(ray_session, tmp_path_factory, oracle):
+    """Salting hot conversations (conv mode) must not change the final
+    state: the salt derives from turn_idx, so every (conv, turn) key still
+    lands on a stable partition."""
+    import ray.data
+
+    hot = frozenset(k[0] for k in list(oracle)[:5])
+    lake = str(tmp_path_factory.mktemp("lake_salt"))
+    pipe = CDCPipeline(lake, num_partitions=16, partition_mode="conv",
+                       salt_keys=hot)
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+    # incremental apply re-finds the salted partitions
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
 def test_transcript_analytics_over_lake(ray_session, tmp_path_factory):
     """Composition over the engine's own lake: CDC replay → per-conversation
     aggregates (turn counts, roles, duration) via grouped_aggregate — the
