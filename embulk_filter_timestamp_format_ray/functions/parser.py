@@ -232,6 +232,20 @@ class _CompiledPattern:
         return int(local.timestamp())
 
 
+_RUBY_NUMERIC_DIRECTIVES = set("YyCmdejHkIlMSLNUVWGuwsQ")
+
+
+def _ruby_next_is_numeric(fmt: str, pos: int) -> bool:
+    """True when the directive starting at fmt[pos] is immediately followed
+    by another numeric directive (no separator) — ruby/joda then parse the
+    current numeric field at FIXED width ("%Y%m%d" → 4+2+2 digits)."""
+    m = _RUBY_DIRECTIVE_RE.match(fmt, pos)
+    if m is None:
+        return False
+    nxt = _RUBY_DIRECTIVE_RE.match(fmt, m.end())
+    return nxt is not None and nxt.group(2) in _RUBY_NUMERIC_DIRECTIVES
+
+
 def _compile_ruby(fmt: str, default_tz: _dt.tzinfo) -> _CompiledPattern:
     # expand composites (possibly nested one level: %c contains simple ones)
     for _ in range(3):
@@ -267,41 +281,45 @@ def _compile_ruby(fmt: str, default_tz: _dt.tzinfo) -> _CompiledPattern:
                 i += 1
                 continue
             d = m.group(2)
+            # adjacent numeric directives parse at FIXED width, the
+            # ruby/joda compact-format rule ("%Y%m%d" → 4+2+2 digits)
+            fixed = _ruby_next_is_numeric(fmt, i)
+            two = r"\d{2}" if fixed else r"\d{1,2}"
             i = m.end()
             if d == "%":
                 parts.append("%")
             elif d == "Y":
-                parts.append(grp(r"[+-]?\d{1,5}", "year"))
+                parts.append(grp(r"\d{4}" if fixed else r"[+-]?\d{1,5}", "year"))
             elif d == "y":
-                parts.append(grp(r"\d{1,2}", "year2"))
+                parts.append(grp(two, "year2"))
             elif d == "C":
-                parts.append(grp(r"\d{1,2}", "century"))
+                parts.append(grp(two, "century"))
             elif d == "m":
-                parts.append(grp(r"\d{1,2}", "month"))
+                parts.append(grp(two, "month"))
             elif d in ("b", "h"):
                 parts.append(grp("|".join(_MONTH_ABBREV), "monthname"))
             elif d == "B":
                 parts.append(grp("|".join(_MONTH_FULL), "monthname"))
             elif d == "d":
-                parts.append(grp(r"\d{1,2}", "day"))
+                parts.append(grp(two, "day"))
             elif d == "e":
-                parts.append(r"\s?" + grp(r"\d{1,2}", "day"))
+                parts.append(r"\s?" + grp(two, "day"))
             elif d == "j":
-                parts.append(grp(r"\d{1,3}", "yday"))
+                parts.append(grp(r"\d{3}" if fixed else r"\d{1,3}", "yday"))
             elif d == "H":
-                parts.append(grp(r"\d{1,2}", "hour"))
+                parts.append(grp(two, "hour"))
             elif d == "k":
-                parts.append(r"\s?" + grp(r"\d{1,2}", "hour"))
+                parts.append(r"\s?" + grp(two, "hour"))
             elif d == "I":
-                parts.append(grp(r"\d{1,2}", "hour12"))
+                parts.append(grp(two, "hour12"))
             elif d == "l":
-                parts.append(r"\s?" + grp(r"\d{1,2}", "hour12"))
+                parts.append(r"\s?" + grp(two, "hour12"))
             elif d == "M":
-                parts.append(grp(r"\d{1,2}", "min"))
+                parts.append(grp(two, "min"))
             elif d == "S":
-                parts.append(grp(r"\d{1,2}", "sec"))
+                parts.append(grp(two, "sec"))
             elif d == "L":
-                parts.append(grp(r"\d{1,3}", "frac"))
+                parts.append(grp(r"\d{3}" if fixed else r"\d{1,3}", "frac"))
             elif d == "N":
                 parts.append(grp(r"\d+", "frac"))
             elif d in ("U", "W", "V"):
@@ -387,46 +405,66 @@ def _compile_java(pattern: str, default_tz: _dt.tzinfo) -> _CompiledPattern:
         actions.append((name, kind))
         return f"(?P<{name}>{rx})"
 
-    for kind, payload in _lex_java(pattern):
+    tokens = _lex_java(pattern)
+    numeric_letters = set("yYCdDHhKkms") | {"M"}  # M numeric when run ≤ 2
+
+    def _is_numeric_tok(tok) -> bool:
+        kind, payload = tok
+        if kind != "tok":
+            return False
+        c0, l0 = payload[0], len(payload)
+        if c0 == "M":
+            return l0 <= 2
+        return c0 in numeric_letters or c0 == "S"
+
+    for ti, (kind, payload) in enumerate(tokens):
         if kind == "lit":
             parts.append(re.escape(payload))
             continue
         c, ln = payload[0], len(payload)
+        # joda compact rule: a numeric field directly followed by another
+        # numeric field parses at exactly its pattern width ("yyyyMMdd")
+        fixed = (_is_numeric_tok((kind, payload))
+                 and ti + 1 < len(tokens) and _is_numeric_tok(tokens[ti + 1]))
+
+        def num(default_rx: str) -> str:
+            return (r"\d{%d}" % ln) if fixed else default_rx
+
         if c == "y":
             if ln == 2:
                 parts.append(grp(r"\d{2}", "year2"))
             else:
-                parts.append(grp(r"[+-]?\d{1,5}", "year"))
+                parts.append(grp(num(r"[+-]?\d{1,5}"), "year"))
         elif c == "Y":  # weekyear ~ year for parse purposes
-            parts.append(grp(r"[+-]?\d{1,5}", "year"))
+            parts.append(grp(num(r"[+-]?\d{1,5}"), "year"))
         elif c == "C":
-            parts.append(grp(r"\d{1,2}", "century"))
+            parts.append(grp(num(r"\d{1,2}"), "century"))
         elif c == "M":
             if ln <= 2:
-                parts.append(grp(r"\d{1,2}", "month"))
+                parts.append(grp(num(r"\d{1,2}"), "month"))
             elif ln == 3:
                 parts.append(grp("|".join(_MONTH_ABBREV), "monthname"))
             else:
                 parts.append(grp("|".join(_MONTH_FULL), "monthname"))
         elif c == "d":
-            parts.append(grp(r"\d{1,2}", "day"))
+            parts.append(grp(num(r"\d{1,2}"), "day"))
         elif c == "D":
-            parts.append(grp(r"\d{1,3}", "yday"))
+            parts.append(grp(num(r"\d{1,3}"), "yday"))
         elif c == "E":
             names = _DAY_FULL if ln >= 4 else _DAY_ABBREV
             parts.append(grp("|".join(names), "ignore"))
         elif c == "e":
-            parts.append(grp(r"\d{1,2}", "ignore"))
+            parts.append(grp(num(r"\d{1,2}"), "ignore"))
         elif c in ("H", "k"):
-            parts.append(grp(r"\d{1,2}", "hour"))
+            parts.append(grp(num(r"\d{1,2}"), "hour"))
         elif c in ("h", "K"):
-            parts.append(grp(r"\d{1,2}", "hour12"))
+            parts.append(grp(num(r"\d{1,2}"), "hour12"))
         elif c == "m":
-            parts.append(grp(r"\d{1,2}", "min"))
+            parts.append(grp(num(r"\d{1,2}"), "min"))
         elif c == "s":
-            parts.append(grp(r"\d{1,2}", "sec"))
+            parts.append(grp(num(r"\d{1,2}"), "sec"))
         elif c == "S":
-            parts.append(grp(r"\d{1,%d}" % max(ln, 1), "fracms"))
+            parts.append(grp(num(r"\d{1,%d}" % max(ln, 1)), "fracms"))
         elif c == "a":
             parts.append(grp(r"[AaPp]\.?[Mm]\.?", "ampm"))
         elif c in ("z", "Z"):

@@ -105,6 +105,17 @@ def test_java_no_fraction_text_gives_negative_nano_normalization():
     assert p.parse("2015-07-12 16:00:00 UTC") == Ts(1436716800, 0)
 
 
+def test_compact_formats_fixed_width():
+    # ruby/joda rule: adjacent numeric directives parse at fixed width
+    assert TimestampParser(["%Y%m%d"], "UTC").parse("20150713") == Ts(1436745600, 0)
+    assert TimestampParser(["yyyyMMdd"], "UTC").parse("20150713") == Ts(1436745600, 0)
+    assert TimestampParser(["%Y%m%d%H%M%S"], "UTC").parse("20150713010203").sec \
+        == 1436745600 + 3723
+    # separated fields still accept short digits
+    assert TimestampParser(["%Y-%m-%d"], "UTC").parse("2015-7-3").sec \
+        == TimestampParser(["%Y-%m-%d"], "UTC").parse("2015-07-03").sec
+
+
 def test_reference_bench_config_formats():
     # bench/config_java.yml: SSSSSSSSS is a plain Joda fraction (ms
     # resolution, first-3-digit truncation) — NOT the nano-regex path
