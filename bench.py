@@ -29,7 +29,9 @@ import uuid
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "1000000"))
+# 8M default: large enough that sustained throughput, not fixed pipeline
+# overhead (~1-2 s), dominates the headline number
+N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "8000000"))
 
 
 def _events_parquet(num_events: int, num_cpus: int) -> str:
@@ -188,7 +190,7 @@ def main() -> None:
             queries["parse_1m"] = round(micro["parse_sec"] + micro["format_sec"], 3)
             queries.update(run_queries(SF_DIR))
         print(json.dumps({
-            "metric": "cdc-upsert-1M-events-wall",
+            "metric": f"cdc-upsert-{N_EVENTS // 1_000_000}M-events-wall",
             "value": round(headline["sec"], 3),
             "unit": "sec",
             "events_per_sec": round(headline["events_per_sec"], 1),
