@@ -18,6 +18,9 @@ SHARED_FORMATS = [
     "%Y-%m-%d %I:%M %p",
     "%a %b %d %Y",
     "%j %Y",
+    "%Y-%m-%dT%H:%M:%SZ",
+    "%m/%d/%y",
+    "%H:%M",
 ]
 
 
