@@ -351,12 +351,19 @@ class _VectorSingleParser:
                 # format guarantees they coincide (skips a second regex scan)
                 if self.nano_group is not None:
                     fdig = ex.field(self.nano_group)
+                    fvalid = np.asarray(pc.is_valid(fdig))
                 else:
                     fx = pc.extract_regex(arr, pattern=r"\.(?P<f>\d+)")
-                    fdig = fx.field("f")
-                ln = np.asarray(pc.fill_null(pc.utf8_length(fdig), 0))
+                    # struct children at non-matching slots hold garbage
+                    # (e.g. '') — mask by the struct validity before casting
+                    fvalid = np.asarray(pc.is_valid(fx))
+                    fdig = pc.if_else(pa.array(fvalid), fx.field("f"), "0")
+                ln = np.where(fvalid,
+                              np.asarray(pc.fill_null(pc.utf8_length(fdig), 0)), 0)
                 val = np.asarray(pc.fill_null(
-                    pc.cast(pc.utf8_slice_codeunits(fdig, 0, 18), pa.int64()), 0))
+                    pc.cast(pc.utf8_slice_codeunits(pc.fill_null(fdig, "0"),
+                                                    0, 18), pa.int64()), 0))
+                val = np.where(fvalid, val, 0)
                 # digits * (long)10^(9-len); >9 digits → multiplier 0; the
                 # full digit count (not the slice) drives the exponent
                 mult = np.where(ln <= 9, _POW10[np.clip(9 - ln, 0, 18)], 0)

@@ -77,6 +77,19 @@ def test_parse_parity_roundtrip(fmt, tz):
         assert sp.parse(t).ns == int(v), (fmt, t)
 
 
+def test_nano_format_without_dot_separator():
+    """Regression: nnnnnnnnn with a non-dot (or no) separator must not crash
+    the vector tier — the raw-text nano regex finds no dot, and the
+    reference semantics then give nsec=-1 (floor-normalized)."""
+    for fmt in ("nnnnnnnnn yyyy", "ss'T'nnnnnnnnn", "HH:nnnnnnnnn"):
+        sp = TimestampParser([fmt], "UTC")
+        vp = VectorParser([fmt], "UTC")
+        text = TimestampFormatter(fmt, "UTC").format(Ts(1436713200, 123456789))
+        v_ns, ok, _ = vp.parse_array(pa.array([text]))
+        assert ok[0], fmt
+        assert sp.parse(text).ns == int(v_ns[0]), fmt
+
+
 def test_dst_transition_parse_parity():
     """Wall-clock strings around a US DST transition (spring-forward gap and
     fall-back ambiguity) — the vector path localizes via pandas with NaT
