@@ -297,6 +297,17 @@ class _VectorSingleParser:
         if np.isscalar(naive) or np.ndim(naive) == 0:
             naive = np.full(n, naive, dtype=np.int64)
 
+        # int64-ns representable window (documented engine domain): years
+        # outside it cannot round-trip through timestamp[ns] — mark invalid
+        # (NULL under the warn policy) instead of silently wrapping
+        year_arr = year if not np.isscalar(year) else np.full(n, year)
+        in_range = (year_arr >= 1678) & (year_arr <= 2261)
+        ok &= in_range
+        # LMT-era wall clocks (pre-standardized offsets like +08:06) go
+        # through the scalar spec per row — pandas and datetime disagree on
+        # sub-minute historical offsets
+        lmt_era = in_range & (year_arr < 1930)
+
         # rows rescued by the per-row scalar parser override everything below
         rescued_idx: list[int] = []
         rescued_ns: list[int] = []
@@ -333,7 +344,7 @@ class _VectorSingleParser:
                 _scalar_rescue(scalar_rows)
         else:
             epoch_sec, loc_ok = _localize_wall_sec(naive, self.default_tz_key)
-            bad = ok & ~loc_ok
+            bad = ok & (~loc_ok | lmt_era)
             if bad.any():
                 _scalar_rescue(bad)
 
