@@ -137,6 +137,7 @@ def apply_with_actor_exchange(pipeline, events_ds) -> dict:
     from embulk_filter_timestamp_format_ray.state import manifest as mf
 
     manifest = mf.read_manifest(pipeline.lake_dir)
+    pipeline.check_manifest_compat(manifest)
     low = mf.min_watermark(manifest, pipeline.num_partitions)
     txn_id = uuid.uuid4().hex[:12]
     partition_meta = {int(p): m for p, m in manifest["partitions"].items()}
@@ -147,7 +148,13 @@ def apply_with_actor_exchange(pipeline, events_ds) -> dict:
         NormalizeStage(pipeline.epoch_specs, low_watermark=low,
                        stop_on_invalid=pipeline.stop_on_invalid),
         batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(PartitionStage(pipeline.num_partitions),
+    # Must route identically to CDCPipeline.apply: same mode + salting, or a
+    # second apply on a conv-mode lake sends keys to fresh pids and prior
+    # state is never superseded.
+    ds = ds.map_batches(PartitionStage(pipeline.num_partitions,
+                                       by_turn=(pipeline.partition_mode == "turn"),
+                                       salt_keys=pipeline.salt_keys,
+                                       salt_factor=pipeline.salt_factor),
                         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(PreMergeCombiner(), batch_format="pyarrow",
                         zero_copy_batch=True)
@@ -172,6 +179,7 @@ def apply_with_actor_exchange(pipeline, events_ds) -> dict:
         "version": manifest["version"] + 1,
         "partitions": partitions,
         "num_partitions": pipeline.num_partitions,
+        "partition_config": pipeline.partition_config(),
         "last_txn": txn_id,
         "schema_columns": ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"],
     }

@@ -351,7 +351,8 @@ class CDCPipeline:
                  normalize_concurrency: "tuple[int, int] | int | None" = None,
                  auto_gc: bool = True, wire_encode: bool = False,
                  partition_mode: str = "turn",
-                 salt_keys: "frozenset[str] | None" = None):
+                 salt_keys: "frozenset[str] | None" = None,
+                 salt_factor: int = 8):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.epoch_specs = epoch_specs
@@ -377,6 +378,45 @@ class CDCPipeline:
         # a turn-derived salt — stable per (conv, turn), so the merge stays
         # partition-local while the hot conv's traffic spreads
         self.salt_keys = salt_keys
+        self.salt_factor = salt_factor
+
+    # ---------------------------------------------- partition-layout safety
+    #
+    # The lake layout is a pure function of (num_partitions, partition_mode,
+    # salt config, hash algorithm).  Reopening a lake under ANY different
+    # value silently corrupts state: new rows route to different pids than
+    # their committed prior versions, so old versions are never superseded
+    # and point lookups miss.  The first commit freezes the config in the
+    # manifest; every later apply (both exchanges) and point-read validates.
+
+    def partition_config(self) -> "dict":
+        from embulk_filter_timestamp_format_ray.stages.partition import hash_algo_id
+
+        return {
+            "num_partitions": self.num_partitions,
+            "partition_mode": self.partition_mode,
+            "salt_keys": sorted(self.salt_keys) if self.salt_keys else [],
+            "salt_factor": self.salt_factor,
+            "hash_algo": hash_algo_id(),
+        }
+
+    def check_manifest_compat(self, manifest: "dict") -> None:
+        if manifest.get("version", 0) == 0:
+            return  # fresh lake — this pipeline's config becomes the layout
+        committed = manifest.get("partition_config")
+        if committed is None:
+            # pre-config manifest: num_partitions was always recorded
+            committed = {"num_partitions": manifest.get("num_partitions")}
+        ours = self.partition_config()
+        for key, want in committed.items():
+            have = ours.get(key)
+            if have != want:
+                raise ValueError(
+                    f"lake {self.lake_dir!r} was committed with {key}={want!r} "
+                    f"but this pipeline is configured with {have!r}; refusing "
+                    f"to merge under a different partition layout (would "
+                    f"silently duplicate keys). Recreate the lake or match "
+                    f"the committed config.")
 
     def resume_lsn(self) -> int:
         """Global low-watermark: a binlog tailer can seek to `resume_lsn()+1`
@@ -400,10 +440,12 @@ class CDCPipeline:
 
             return apply_with_actor_exchange(self, events_ds)
         manifest = mf.read_manifest(self.lake_dir)
+        self.check_manifest_compat(manifest)
         low = mf.min_watermark(manifest, self.num_partitions)
         partition = PartitionStage(self.num_partitions,
                                    by_turn=(self.partition_mode == "turn"),
-                                   salt_keys=self.salt_keys)
+                                   salt_keys=self.salt_keys,
+                                   salt_factor=self.salt_factor)
         txn_id = uuid.uuid4().hex[:12]
         partition_meta = {
             int(pid): meta for pid, meta in manifest["partitions"].items()
@@ -452,6 +494,7 @@ class CDCPipeline:
             "version": manifest["version"] + 1,
             "partitions": partitions,
             "num_partitions": self.num_partitions,
+            "partition_config": self.partition_config(),
             "last_txn": txn_id,
             "schema_columns": LAKE_COLUMNS,
         }
@@ -513,24 +556,28 @@ class CDCPipeline:
     def read_conversation(self, conv_id: str) -> pa.Table:
         """Point lookup of one conversation's turns.
 
-        conv-mode lakes read EXACTLY the one partition file owning the
-        conversation (pid computable from conv_id alone); turn-mode lakes
-        must filter the full lake (the documented layout tradeoff)."""
-        import numpy as np
-
-        from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+        conv-mode lakes read only the partition files that can own the
+        conversation — one file normally, the salt-candidate set for hot
+        (salted) conversations; turn-mode lakes must filter the full lake
+        (the documented layout tradeoff)."""
         from embulk_filter_timestamp_format_ray.stages.partition import (
-            hash_strings_dict,
+            candidate_pids_for_conv,
         )
 
         manifest = mf.read_manifest(self.lake_dir)
+        self.check_manifest_compat(manifest)
         if self.partition_mode == "conv":
-            conv_hash = hash_strings_dict(pa.array([conv_id]))
-            pid = int(splitmix64(conv_hash, 7)[0] % np.uint64(self.num_partitions))
-            meta = manifest["partitions"].get(str(pid))
-            if not meta or not meta.get("path"):
+            pids = candidate_pids_for_conv(conv_id, self.num_partitions,
+                                           self.salt_keys, self.salt_factor)
+            tables = []
+            for pid in pids:
+                meta = manifest["partitions"].get(str(pid))
+                if meta and meta.get("path"):
+                    tables.append(pq.read_table(
+                        os.path.join(self.lake_dir, meta["path"])))
+            if not tables:
                 return pa.table({})
-            t = pq.read_table(os.path.join(self.lake_dir, meta["path"]))
+            t = pa.concat_tables(tables, promote_options="permissive")
         else:
             tables = [pq.read_table(os.path.join(self.lake_dir, p))
                       for p in mf.data_files(manifest)]

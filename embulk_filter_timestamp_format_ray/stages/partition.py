@@ -53,6 +53,41 @@ def hash_strings_dict(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     return uniq_hash[idx]
 
 
+def hash_algo_id() -> str:
+    """Identifier of the partition-hash implementation actually in use.
+
+    The lake layout is a function of this hash; it is recorded in the
+    manifest at first commit and every later apply/point-read refuses to run
+    under a different algorithm (e.g. polars missing, or a polars upgrade
+    that changes xxhash output) — otherwise keys silently route to fresh
+    pids and prior state is never superseded."""
+    try:
+        import polars as pl
+
+        return f"polars-xxhash/{pl.__version__}"
+    except Exception:
+        return "crc32"
+
+
+def candidate_pids_for_conv(conv_id: str, num_partitions: int,
+                            salt_keys: "frozenset[str] | None" = None,
+                            salt_factor: int = 8) -> "list[int]":
+    """All pids that conv-mode routing can assign rows of ``conv_id`` to.
+
+    Unsalted conversations live in exactly one pid.  Salted (hot) ones are
+    spread by a turn-derived salt in 0..salt_factor-1, so a point lookup
+    must read that whole candidate set (plus the unsalted pid, which costs
+    nothing and is where PartitionStage sends rows when salting is off)."""
+    conv_hash = hash_strings_dict(pa.array([conv_id]))
+    mixed = splitmix64(conv_hash, 7)
+    pids = {int(mixed[0] % np.uint64(num_partitions))}
+    if salt_keys and conv_id in salt_keys:
+        for s in range(salt_factor):
+            salted = splitmix64(mixed ^ np.uint64(s), 13)
+            pids.add(int(salted[0] % np.uint64(num_partitions)))
+    return sorted(pids)
+
+
 def detect_hot_keys(ds, key_col: str = "conv_id", sample_rows: int = 100_000,
                     hot_fraction: float = 0.01) -> "frozenset[str]":
     """Sample the stream and return keys whose frequency exceeds

@@ -359,10 +359,16 @@ def asof_join(left_ds, right_ds, by: str, on: str,
         left = left.sort_values(on, kind="mergesort")
         if right.empty:
             for v in value_cols:
-                left[v + suffix] = np.nan
+                # Nullable Float64 so Arrow sees NULL, not float NaN — the
+                # DuckDB ASOF LEFT JOIN oracle emits NULL for no-match rows.
+                left[v + suffix] = pd.Series(pd.NA, index=left.index,
+                                             dtype="Float64")
             return left
         right = right.sort_values(on, kind="mergesort")
-        return pd.merge_asof(left, right, on=on, direction="backward")
+        merged = pd.merge_asof(left, right, on=on, direction="backward")
+        for v in value_cols:
+            merged[v + suffix] = merged[v + suffix].astype("Float64")
+        return merged
 
     import pandas as pd  # noqa: F401  (map_groups pandas batches)
 

@@ -360,6 +360,88 @@ def test_actor_exchange_matches_oracle(ray_session, tmp_path_factory, oracle):
     _assert_matches_oracle(_lake_as_dict(pipe), oracle)
 
 
+def test_actor_exchange_conv_mode_routing(ray_session, tmp_path_factory, oracle):
+    """ADVICE r1 (high): the actor-exchange apply must route with the
+    pipeline's partition_mode/salt_keys — on a conv-mode lake a second
+    exchange='actor' apply previously partitioned by_turn, sending keys to
+    different pids than their committed state → duplicate keys."""
+    import ray.data
+
+    hot = frozenset(k[0] for k in list(oracle)[:3])
+    lake = str(tmp_path_factory.mktemp("lake_actorx_conv"))
+    pipe = CDCPipeline(lake, num_partitions=16, partition_mode="conv",
+                       salt_keys=hot)
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)))
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)),
+               exchange="actor")
+    # _lake_as_dict asserts no duplicate (conv_id, turn_idx) keys
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_salted_conversation_point_lookup(ray_session, tmp_path_factory, oracle):
+    """ADVICE r1 (medium): point lookup of a SALTED conversation must read
+    the whole salt-candidate pid set, not just the unsalted pid."""
+    import ray.data
+
+    hot = frozenset(k[0] for k in list(oracle)[:5])
+    lake = str(tmp_path_factory.mktemp("lake_salt_lookup"))
+    pipe = CDCPipeline(lake, num_partitions=16, partition_mode="conv",
+                       salt_keys=hot)
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)))
+    for conv in hot:
+        expected = sum(1 for k in oracle if k[0] == conv)
+        t = pipe.read_conversation(conv)
+        assert t.num_rows == expected, conv
+        turns = t.column("turn_idx").to_pylist()
+        assert turns == sorted(turns)
+
+
+def test_manifest_partition_config_mismatch_raises(ray_session, tmp_path_factory):
+    """ADVICE r1 (medium): reopening a lake with a different partition
+    count / mode / salt config must raise, not silently corrupt."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_cfg"))
+    CDCPipeline(lake, num_partitions=16).apply(
+        ray.data.from_arrow(expected_event_table(500)))
+    small = ray.data.from_arrow(expected_event_table(100))
+    with pytest.raises(ValueError, match="num_partitions"):
+        CDCPipeline(lake, num_partitions=8).apply(small)
+    with pytest.raises(ValueError, match="partition_mode"):
+        CDCPipeline(lake, num_partitions=16, partition_mode="conv").apply(small)
+    with pytest.raises(ValueError, match="salt_keys"):
+        CDCPipeline(lake, num_partitions=16,
+                    salt_keys=frozenset({"c0"})).apply(small)
+    # actor exchange validates too
+    with pytest.raises(ValueError, match="num_partitions"):
+        CDCPipeline(lake, num_partitions=8).apply(small, exchange="actor")
+    # matching config still applies fine
+    stats = CDCPipeline(lake, num_partitions=16).apply(small)
+    assert stats["version"] == 2
+
+
+def test_manifest_hash_algo_recorded_and_enforced(ray_session, tmp_path_factory):
+    """ADVICE r1 (low): the manifest freezes the partition-hash algorithm;
+    a lake written under a different hash implementation is refused."""
+    import json
+
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.partition import hash_algo_id
+
+    lake = str(tmp_path_factory.mktemp("lake_hash"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    pipe.apply(ray.data.from_arrow(expected_event_table(500)))
+    manifest = mf.read_manifest(lake)
+    assert manifest["partition_config"]["hash_algo"] == hash_algo_id()
+    # simulate a lake written under a different hash implementation
+    manifest["partition_config"]["hash_algo"] = "other-hash/0.0"
+    mf.commit_manifest(lake, manifest)
+    with pytest.raises(ValueError, match="hash_algo"):
+        CDCPipeline(lake, num_partitions=8).apply(
+            ray.data.from_arrow(expected_event_table(100)))
+
+
 def test_actor_pool_normalize_matches(ray_session, tmp_path_factory, oracle):
     import ray.data
 

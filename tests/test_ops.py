@@ -191,7 +191,19 @@ def test_asof_join(ray_session):
     assert vals[0] == 1.0          # 00:05 → snapshot 00:00
     assert vals[1] == 2.0          # 00:15 → snapshot 00:10
     assert vals[2] == 1.0          # 00:00 → equal-ts snapshot included
-    assert np.isnan(vals[3])       # b@00:10 has no prior snapshot
+    import pandas as pd
+
+    assert pd.isna(vals[3])        # b@00:10 has no prior snapshot → NULL
+    # the no-match slot must be an Arrow NULL (DuckDB ASOF semantics), not
+    # a float NaN — r1's one red CORRECTNESS row
+    tbl = asof_join(left, right, by="u", on="t", value_cols=["v"]) \
+        .to_arrow_refs()
+    import ray as _ray
+
+    blocks = [_ray.get(r) for r in tbl]
+    blocks = [b for b in blocks if b.num_rows > 0]
+    t = pa.concat_tables(blocks, promote_options="permissive")
+    assert t.column("v_asof").null_count == 1
 
 
 def test_approx_quantiles(ray_session):
