@@ -80,6 +80,44 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
 # ------------------------------------------------------------------ minhash
 
 
+def tokenize_column(text: "pa.Array | pa.ChunkedArray"):
+    """Whole-column tokenization with Python ``str.split()`` parity.
+
+    ``pc.utf8_split_whitespace`` emits empty tokens at run boundaries
+    (" a b " → ['','a','b','']); we drop them so counts match ``.split()``.
+    Nulls tokenize to zero tokens (scalar spec: ``(text or '').split()``).
+
+    Returns ``(tok_hash, cnt)``: flat uint64 ``det_hash_str`` per token in
+    document order, and per-document token counts.  Token hashing is
+    dictionary-encoded — the Python crc loop runs over the batch VOCABULARY
+    (small), not the token stream."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_docs = len(text)
+    split = pc.utf8_split_whitespace(text)
+    parent = np.asarray(pc.list_parent_indices(split))
+    flat = split.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    nonempty = np.asarray(pc.not_equal(flat, ""))
+    tok = flat.filter(pa.array(nonempty))
+    parent = parent[nonempty]
+    cnt = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    enc = pc.dictionary_encode(tok)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab = enc.dictionary.to_pylist()
+    if vocab:
+        uniq_hash = np.array([det_hash_str(w) for w in vocab], dtype=np.uint64)
+        tok_hash = uniq_hash[np.asarray(enc.indices.cast(pa.int64()))]
+    else:
+        tok_hash = np.empty(0, dtype=np.uint64)
+    return tok_hash, cnt
+
+
+_EMPTY_TOKEN_HASH = np.uint64(det_hash_str(""))
+
+
 class MinHashStage:
     """map_batches: text → minhash signature (fixed_size_list<int64>).
 
@@ -117,9 +155,104 @@ class MinHashStage:
         vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % self.p
         return vals.min(axis=1)
 
+    def signatures_batch(self, text: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+        """Whole-batch signatures, bit-identical to ``signature()`` per doc
+        (the scalar method above stays as the executable spec; parity is
+        enforced by tests/test_vector_dedup_parity.py).
+
+        Shape: tokenize the column once, XOR-combine neighbor token hashes
+        into shingle hashes over the FLAT token stream (document boundaries
+        masked via list offsets), then per-permutation affine + segment-min
+        (``np.minimum.reduceat``) — zero per-document Python."""
+        tok_hash, cnt = tokenize_column(text)
+        n_docs = len(cnt)
+        m, k = self.num_perm, self.shingle_k
+        if n_docs == 0:
+            return np.empty((0, m), dtype=np.uint64)
+        total = len(tok_hash)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        big = cnt >= k
+        n_sh = np.where(big, cnt - k + 1, 1)
+
+        # shingle hashes for big docs: valid start positions in the flat
+        # token stream are those with k-1 same-document successors
+        parent = np.repeat(np.arange(n_docs), cnt)
+        within = np.arange(total, dtype=np.int64) - starts[parent]
+        valid = big[parent] & (within < (cnt[parent] - k + 1))
+        pos = np.nonzero(valid)[0]
+        acc_big = np.zeros(len(pos), dtype=np.uint64)
+        for j in range(k):
+            acc_big ^= splitmix64(tok_hash[pos + j], 77 + j)
+
+        # short docs (cnt < k): pad with the empty-token hash to exactly k
+        # tokens → one shingle (same as the scalar padding rule)
+        small_idx = np.nonzero(~big)[0]
+        padmat = np.full((len(small_idx), k), _EMPTY_TOKEN_HASH, dtype=np.uint64)
+        if len(small_idx):
+            small_rank = np.zeros(n_docs, dtype=np.int64)
+            small_rank[small_idx] = np.arange(len(small_idx))
+            tok_small = ~big[parent]
+            padmat[small_rank[parent[tok_small]], within[tok_small]] = \
+                tok_hash[tok_small]
+        acc_small = np.zeros(len(small_idx), dtype=np.uint64)
+        for j in range(k):
+            acc_small ^= splitmix64(padmat[:, j], 77 + j)
+
+        # interleave shingles back into document order
+        out_starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(n_sh[:-1], out=out_starts[1:])
+        sh_flat = np.zeros(int(n_sh.sum()), dtype=np.uint64)
+        sh_flat[out_starts[parent[pos]] + within[pos]] = splitmix64(acc_big, 177)
+        sh_flat[out_starts[small_idx]] = splitmix64(acc_small, 177)
+
+        # Permutation stage: per-perm affine hash + per-document segment min.
+        # (a*x+b) % p for the Mersenne prime p=2^61-1 reduces with
+        # shift/mask — bit-identical to numpy's % on the 2^64-wrapped
+        # product, no integer division.  The work is memory-bound, so it
+        # runs doc-blocked (~CHUNK shingles per block) with preallocated
+        # out= buffers that stay cache-resident instead of streaming
+        # (n_shingles × m) temporaries through DRAM.
+        sig = np.empty((n_docs, m), dtype=np.uint64)
+        CHUNK_SH, CHUNK_P = 32768, 16
+        p61 = np.uint64(61)
+        buf = np.empty((CHUNK_SH, CHUNK_P), dtype=np.uint64)
+        lo = np.empty_like(buf)
+        mask = np.empty(buf.shape, dtype=bool)
+        d0 = 0
+        while d0 < n_docs:
+            # advance until the block holds ~CHUNK_SH shingles (≥1 doc)
+            d1 = int(np.searchsorted(out_starts, out_starts[d0] + CHUNK_SH,
+                                     side="left"))
+            d1 = max(d1, d0 + 1)
+            s0 = out_starts[d0]
+            s1 = out_starts[d1] if d1 < n_docs else len(sh_flat)
+            x = sh_flat[s0:s1, None]
+            local_starts = out_starts[d0:d1] - s0
+            n_blk = s1 - s0
+            if n_blk <= CHUNK_SH:
+                v, w, ge = buf[:n_blk], lo[:n_blk], mask[:n_blk]
+            else:  # one giant doc: grow once for it
+                v = np.empty((n_blk, CHUNK_P), dtype=np.uint64)
+                w, ge = np.empty_like(v), np.empty((n_blk, CHUNK_P), bool)
+            for c0 in range(0, m, CHUNK_P):
+                c1 = min(c0 + CHUNK_P, m)
+                vc, wc, gc = v[:, :c1 - c0], w[:, :c1 - c0], ge[:, :c1 - c0]
+                np.multiply(x, self.a[None, c0:c1], out=vc)
+                np.add(vc, self.b[None, c0:c1], out=vc)
+                np.bitwise_and(vc, self.p, out=wc)
+                np.right_shift(vc, p61, out=vc)
+                np.add(vc, wc, out=vc)
+                np.greater_equal(vc, self.p, out=gc)
+                np.subtract(vc, self.p, out=wc)
+                np.copyto(vc, wc, where=gc)
+                sig[d0:d1, c0:c1] = np.minimum.reduceat(vc, local_starts,
+                                                        axis=0)
+            d0 = d1
+        return sig
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.stack([self.signature(t)
-                         for t in batch.column("text").to_pylist()])
+        sigs = self.signatures_batch(batch.column("text"))
         flat = pa.array(sigs.astype(np.int64).ravel())
         col = pa.FixedSizeListArray.from_arrays(flat, self.num_perm)
         return batch.append_column("minhash", col)
@@ -158,6 +291,16 @@ class BandEmitStage:
             "minhash": pa.FixedSizeListArray.from_arrays(
                 pa.array(np.concatenate(out_sig, axis=0).astype(np.int64).ravel()), m),
         })
+
+
+def _distinct_pairs(pairs_ds, metric_col: str):
+    """Distinct (id_a, id_b) rows via a native groupby aggregate.  The metric
+    column is identical across a pair's duplicate emissions (each is a pure
+    function of the two documents), so Min just picks the one value."""
+    from ray.data.aggregate import Min
+
+    return pairs_ds.groupby(["id_a", "id_b"]).aggregate(
+        Min(metric_col, alias_name=metric_col))
 
 
 def _bucket_pairs(threshold: float, id_col: str, max_bucket: int = 256):
@@ -205,9 +348,10 @@ def dedup_minhash_pairs(ds, *, num_perm: int = 64, bands: int = 16,
                         batch_format="pyarrow", zero_copy_batch=True)
     pairs = ds.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs(threshold, id_col), batch_format="pyarrow")
-    # distinct (a pair can surface from several bands)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # distinct (a pair can surface from several bands); est_jaccard is a pure
+    # function of the signatures so Min == the single value — a native hash
+    # aggregate, not a Python callback per pair group
+    return _distinct_pairs(pairs, "est_jaccard")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -244,9 +388,34 @@ class SimHashStage:
             out |= self._bits[i]
         return int(out)
 
+    def simhash_batch(self, text: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+        """Whole-batch simhash, bit-identical to ``simhash()`` per doc:
+        tokenize once, then 64 vectorized bit-vote segment sums
+        (``np.add.reduceat`` over the flat token-hash stream)."""
+        tok_hash, cnt = tokenize_column(text)
+        n_docs, total = len(cnt), len(tok_hash)
+        sig = np.zeros(n_docs, dtype=np.uint64)
+        if n_docs == 0 or total == 0:
+            return sig
+        h = splitmix64(tok_hash, self.seed)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        # reduceat only over nonempty docs (empty docs' segments would
+        # corrupt neighbors' boundaries); empty docs keep simhash 0
+        nz = cnt > 0
+        idx = starts[nz]
+        cnt_nz = cnt[nz]
+        sig_nz = np.zeros(len(idx), dtype=np.uint64)
+        for j in range(64):
+            bit = ((h >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bit, idx)
+            votes = 2 * ones - cnt_nz  # (+1 per set bit, -1 per clear bit)
+            sig_nz |= (votes > 0).astype(np.uint64) << np.uint64(j)
+        sig[nz] = sig_nz
+        return sig
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = np.array([self.simhash(t) for t in batch.column("text").to_pylist()],
-                        dtype=np.uint64)
+        vals = self.simhash_batch(batch.column("text"))
         return batch.append_column("simhash", pa.array(vals.astype(np.int64)))
 
 
@@ -307,8 +476,7 @@ def dedup_simhash_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id"):
                         zero_copy_batch=True)
     pairs_ds = ds.groupby(["band", "band_hash"]).map_groups(
         pairs, batch_format="pyarrow")
-    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _distinct_pairs(pairs_ds, "hamming")
 
 
 # ------------------------------------------------- embedding cosine near-dup
@@ -369,8 +537,7 @@ def embedding_neardup_pairs(ds, dim: int, *, threshold: float = 0.95,
     ds = ds.map_batches(EmbeddingLSHStage(dim, planes), batch_format="pyarrow",
                         zero_copy_batch=True)
     p = ds.groupby("lsh_bucket").map_groups(pairs, batch_format="pyarrow")
-    return p.groupby(["id_a", "id_b"]).map_groups(lambda g: g.slice(0, 1),
-                                                  batch_format="pyarrow")
+    return _distinct_pairs(p, "cosine")
 
 
 # ------------------------------------------------- near-dup clustering

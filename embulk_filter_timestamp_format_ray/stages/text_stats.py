@@ -112,7 +112,93 @@ class FingerprintStage:
             out ^= (int(v) * 0x9E3779B97F4A7C15) % (1 << 64)
         return out
 
+    def fingerprint_batch(self, text: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+        """Whole-batch winnowing, bit-identical to ``_doc_fingerprint`` (the
+        scalar spec above; parity in tests/test_vector_dedup_parity.py).
+
+        The rolling k-gram hash is computed ONCE over the batch's contiguous
+        UTF-8 buffer (Arrow string storage is already the concatenated byte
+        stream); document boundaries come from the offsets buffer.  Window
+        minima, per-doc unique selection (sort + adjacent-dedup) and the
+        XOR fold are all segment-vectorized — zero per-document Python."""
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        n_docs = len(text)
+        if n_docs == 0:
+            return np.empty(0, dtype=np.uint64)
+        bufs = text.buffers()
+        off_dtype = np.int64 if pa.types.is_large_string(text.type) else np.int32
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+            text.offset:text.offset + n_docs + 1].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+            else np.empty(0, dtype=np.uint8)
+        region = data[offsets[0]:offsets[-1]]
+        rel_base = offsets[:-1] - offsets[0]
+        L = offsets[1:] - offsets[:-1]
+        k, window = self.k, self.window
+        total = len(region)
+        fp = np.zeros(n_docs, dtype=np.uint64)
+
+        # docs shorter than k bytes: fingerprint = byte sum (scalar rule)
+        shorts = (L > 0) & (L < k)
+        if shorts.any():
+            ns = L[shorts]
+            s_starts = np.zeros(len(ns), dtype=np.int64)
+            np.cumsum(ns[:-1], out=s_starts[1:])
+            doc_of_s = np.repeat(np.arange(len(ns)), ns)
+            bidx = rel_base[shorts][doc_of_s] + \
+                (np.arange(int(ns.sum())) - s_starts[doc_of_s])
+            fp[shorts] = np.add.reduceat(region[bidx].astype(np.uint64), s_starts)
+
+        # global rolling k-gram hash over the whole byte region
+        if total >= k:
+            n_g_total = total - k + 1
+            grams = np.zeros(n_g_total, dtype=np.uint64)
+            for j in range(k):
+                grams += region[j:j + n_g_total].astype(np.uint64) * self._pow[j]
+        else:
+            grams = np.empty(0, dtype=np.uint64)
+
+        # gather each doc's valid grams, concatenated in doc order
+        ng = np.where(L >= k, L - k + 1, 0)
+        total_g = int(ng.sum())
+        g_starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(ng[:-1], out=g_starts[1:])
+        doc_of_g = np.repeat(np.arange(n_docs), ng)
+        within_g = np.arange(total_g) - g_starts[doc_of_g]
+        gflat = grams[rel_base[doc_of_g] + within_g]
+
+        nzg = ng > 0
+        if nzg.any():
+            mins_all = np.minimum.reduceat(gflat, g_starts[nzg])
+            docs_nzg = np.nonzero(nzg)[0]
+            case_a = ng[docs_nzg] <= window
+            fp[docs_nzg[case_a]] = mins_all[case_a]  # few grams: plain min
+
+        # winnowing proper: per-doc sliding-window minima over the flat gram
+        # stream, windows that straddle documents masked out by construction
+        docs_w = ng > window
+        if docs_w.any():
+            sw = np.lib.stride_tricks.sliding_window_view(gflat, window).min(axis=1)
+            nw = np.where(docs_w, ng - window + 1, 0)
+            total_w = int(nw.sum())
+            w_starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(nw[:-1], out=w_starts[1:])
+            doc_of_w = np.repeat(np.arange(n_docs), nw)
+            within_w = np.arange(total_w) - w_starts[doc_of_w]
+            wm = sw[g_starts[doc_of_w] + within_w]
+            # unique minima per doc: sort by (doc, value), drop adjacent dups
+            order = np.lexsort((wm, doc_of_w))
+            dw, vw = doc_of_w[order], wm[order]
+            first = np.ones(len(vw), dtype=bool)
+            first[1:] = (dw[1:] != dw[:-1]) | (vw[1:] != vw[:-1])
+            dw, vw = dw[first], vw[first]
+            folded = vw * np.uint64(0x9E3779B97F4A7C15)  # wraps mod 2^64
+            seg = np.nonzero(np.r_[True, dw[1:] != dw[:-1]])[0]
+            fp[dw[seg]] = np.bitwise_xor.reduceat(folded, seg)
+        return fp
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        fps = np.array([self._doc_fingerprint(t or "") for t in texts], dtype=np.uint64)
+        fps = self.fingerprint_batch(batch.column("text"))
         return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
