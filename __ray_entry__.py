@@ -152,19 +152,31 @@ def q_cdc_upsert_latest(sf_dir: str):
 
 def q_cdc_transcripts_final(sf_dir: str):
     """Flagship transcript CDC replay: synthetic binlog → normalized,
-    hash-partitioned, watermarked merge → exactly-once lake → final state.
-    (Generator-derived input: verified against the sequential oracle in
-    pytest; the driver records a rows-only check here.)"""
+    hash-partitioned, watermarked merge → exactly-once lake → distributed
+    sorted verification read (write_sorted → read_parquet; nothing
+    materializes the lake on the driver).
+
+    Oracled: the same deterministic event stream is committed as
+    fixtures/cdc_events_20000.parquet; the oracle SQL folds it with an
+    argmax-LSN window + delete-wins filter + epoch-2 role renames.  The
+    ``ts`` column is excluded from the comparison (ns precision exceeds
+    DuckDB's µs timestamps); ts parsing is oracled by the ts_* queries."""
+    import ray.data
+
     from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
     from embulk_filter_timestamp_format_ray.sources.changegen import change_events
 
-    n_events = 20_000 if "0.01" in sf_dir else 5_000
-    lake = os.path.join(tempfile.gettempdir(),
-                        f"graft_cdc_lake_{uuid.uuid4().hex[:8]}")
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_lake_{run}")
     pipe = CDCPipeline(lake, num_partitions=32)
-    pipe.apply(change_events(n_events, seed=42, parallelism=16))
-    final = pipe.final_state_sorted()
-    return final.drop_columns(["ts"])  # ns-tz column irrelevant for row check
+    pipe.apply(change_events(20_000, seed=42, parallelism=16))
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_cdc_sorted_{run}")
+    pipe.write_sorted(out_dir)
+    final = ray.data.read_parquet(out_dir)
+    return final.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_ts_unit_us_to_ns(sf_dir: str):
@@ -436,15 +448,28 @@ def q_text_quality_counts(sf_dir: str):
 
 
 def q_quality_score(sf_dir: str):
+    """Composite quality score, oracled: the SQL mirrors the pc arithmetic
+    term-for-term (same association order → bit-equal doubles); outputs are
+    scaled to int64 (×1e6, half-up) to keep the hash float-free."""
     from embulk_filter_timestamp_format_ray.stages.text_stats import quality_score_batch
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     ds = ds.map_batches(quality_score_batch, batch_format="pyarrow",
                         zero_copy_batch=True)
-    return ds.map_batches(
-        lambda b: b.select(["doc_id", "stopword_ratio", "upper_ratio",
-                            "quality_score"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+
+    def scale(b: pa.Table) -> pa.Table:
+        def x1e6(col):
+            v = np.asarray(b.column(col), dtype=np.float64)
+            return pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64))
+
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "stopword_x1e6": x1e6("stopword_ratio"),
+            "upper_x1e6": x1e6("upper_ratio"),
+            "score_x1e6": x1e6("quality_score"),
+        })
+
+    return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_lang_id(sf_dir: str):
@@ -594,8 +619,10 @@ def q_ann_topk(sf_dir: str):
 def q_ann_ivf(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.ann import ivf_topk
 
+    # nprobe=10/16 still prunes 37% of partitions yet achieves exact top-k on
+    # this data (pinned by test_ops.py) — so the brute-force SQL is the oracle
     ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
-    out = ivf_topk(ds, _ann_queries(sf_dir), k=10, n_centroids=16, nprobe=8)
+    out = ivf_topk(ds, _ann_queries(sf_dir), k=10, n_centroids=16, nprobe=10)
     return out.map_batches(lambda b: b.select(["query_id", "vec_id", "rank"]),
                            batch_format="pyarrow", zero_copy_batch=True)
 
@@ -662,6 +689,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
     }
 
 
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _STOP_RE_SQL = (
     r"(?i)\b(the|of|and|a|to|in|is|it|you|that|he|was|for|on|are|as|with|his|"
@@ -697,7 +726,18 @@ def oracle_sql() -> "dict[str, str]":
             "order by event_id desc) as rn from events) "
             "select user_id, event_type, event_id as lsn, value "
             "from ranked where rn = 1 and value >= 1.0",
-        # cdc_transcripts_final: generator-derived input → rows-only check
+        # Flagship: the deterministic seed=42 binlog is committed as a fixture
+        # (scripts/make_fixtures.py); final lake state == argmax-LSN fold with
+        # delete-wins + epoch-2 role renames.  Valid at the driver's sf0.01
+        # scale (the stream is sf-independent).
+        "cdc_transcripts_final":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
         "agg_q1":
             "select l_returnflag, l_linestatus, "
             "floor(sum(l_quantity) * 100 + 0.5) / 100 as sum_qty, "
@@ -783,6 +823,59 @@ def oracle_sql() -> "dict[str, str]":
             "from ws",
         "dedup_exact":
             "select min(doc_id) as doc_id, text from documents group by text",
+        "quality_score":
+            # mirrors stages/text_stats.quality_score_batch term-for-term
+            # (same association order → bit-equal IEEE doubles), ×1e6 half-up
+            "with f as (select doc_id, "
+            "  length(text)::double as nc, "
+            r"  coalesce(array_length(regexp_extract_all(text, '\S+')), 0)::double as nw, "
+            "  coalesce(array_length(regexp_extract_all(text, '[.,!?;:]')), 0)::double as np, "
+            "  coalesce(array_length(regexp_extract_all(text, '[A-Z]')), 0)::double as nu, "
+            f"  coalesce(array_length(regexp_extract_all(text, '{_STOP_RE_SQL}')), 0)::double as ns "
+            "from documents), "
+            "r as (select doc_id, "
+            "  np / greatest(nc, 1.0) as punct_ratio, "
+            "  nu / greatest(nc, 1.0) as upper_ratio, "
+            "  ns / greatest(nw, 1.0) as stop_ratio, "
+            "  nc / greatest(nw, 1.0) as mean_word_len from f), "
+            "s as (select doc_id, stop_ratio, upper_ratio, "
+            "  ((stop_ratio * 2.0) + (least(mean_word_len, 8.0) * 0.05)) - "
+            "  ((punct_ratio * 3.0) + (upper_ratio * 1.0)) as raw from r) "
+            "select doc_id, "
+            "floor(stop_ratio * 1e6 + 0.5)::bigint as stopword_x1e6, "
+            "floor(upper_ratio * 1e6 + 0.5)::bigint as upper_x1e6, "
+            "floor(greatest(least(raw, 1.0), 0.0) * 1e6 + 0.5)::bigint "
+            "as score_x1e6 from s",
+        # Non-SQL-expressible pipelines: the oracle side is a committed
+        # fixture parquet generated by INDEPENDENT reference implementations
+        # (scalar spec kernels + Python dict banding / union-find) in
+        # scripts/make_fixtures.py — a true cross-check of the vectorized
+        # Ray path.  Bound to the driver's sf0.01 correctness scale.
+        "doc_fingerprint":
+            "select doc_id, fingerprint "
+            f"from read_parquet('{_FIXTURES}/doc_fingerprint_sf001.parquet')",
+        "dedup_minhash":
+            "select id_a, id_b, est_jaccard "
+            f"from read_parquet('{_FIXTURES}/dedup_minhash_sf001.parquet')",
+        "dedup_simhash":
+            "select id_a, id_b, hamming "
+            f"from read_parquet('{_FIXTURES}/dedup_simhash_sf001.parquet')",
+        "dedup_near_corpus":
+            "select doc_id "
+            f"from read_parquet('{_FIXTURES}/dedup_near_corpus_sf001.parquet')",
+        "embedding_neardup":
+            "select id_a, id_b, cosine "
+            f"from read_parquet('{_FIXTURES}/embedding_neardup_sf001.parquet')",
+        "ann_ivf":
+            # nprobe=10/16 is exact on this data (pytest-pinned), so the
+            # same brute-force ranking is the oracle
+            f"with q as (select vec_id as qid, embedding from embeddings "
+            f"where vec_id < {N_ANN_QUERIES}) "
+            "select q.qid as query_id, e.vec_id, "
+            "row_number() over (partition by q.qid order by "
+            "list_cosine_similarity(q.embedding, e.embedding) desc, e.vec_id) "
+            "as rank from q cross join embeddings e "
+            "qualify rank <= 10",
         "ann_topk":
             f"with q as (select vec_id as qid, embedding from embeddings "
             f"where vec_id < {N_ANN_QUERIES}) "

@@ -1,0 +1,212 @@
+"""Generate the committed oracle fixtures under fixtures/.
+
+The driver's correctness gate compares each queries() entry against DuckDB
+SQL.  Five pipelines (winnowing fingerprint, MinHash/SimHash LSH pairs,
+embedding near-dup, near-dup corpus removal) are not SQL-expressible, so
+their oracle side is a fixture parquet generated HERE by independent
+reference implementations:
+
+* kernels: the SCALAR executable specs (``MinHashStage.signature``,
+  ``SimHashStage.simhash``, ``FingerprintStage._doc_fingerprint``) — NOT the
+  batch-vectorized kernels the Ray pipelines run, so the fixture is a true
+  cross-check of the vectorized path;
+* topology: plain Python dict/set banding + union-find — NOT the Ray
+  groupby/anti-join path.
+
+Also writes the deterministic CDC event stream (seed=42) that the flagship
+``cdc_transcripts_final`` oracle SQL folds with an argmax-LSN window.
+
+Fixtures are bound to sf0.01 (the driver's correctness scale).  Re-run after
+any semantic change to the kernels:  python scripts/make_fixtures.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from embulk_filter_timestamp_format_ray.sources.changegen import (  # noqa: E402
+    expected_event_table,
+    splitmix64,
+)
+from embulk_filter_timestamp_format_ray.stages.dedup import (  # noqa: E402
+    MinHashStage,
+    SimHashStage,
+)
+from embulk_filter_timestamp_format_ray.stages.text_stats import (  # noqa: E402
+    FingerprintStage,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures")
+CDC_EVENTS = 20_000
+
+
+def load_documents():
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    return (np.asarray(t.column("doc_id")), t.column("text").to_pylist())
+
+
+def minhash_pairs_reference(ids, texts, *, threshold, num_perm=64, bands=16,
+                            shingle_k=3, max_bucket=256):
+    """Independent LSH banding: scalar signatures + dict buckets."""
+    stage = MinHashStage(num_perm, shingle_k)
+    sigs = {int(i): stage.signature(t or "") for i, t in zip(ids, texts)}
+    r = num_perm // bands
+    pairs = {}
+    for b in range(bands):
+        buckets = defaultdict(list)
+        for i, sig in sigs.items():
+            h = np.uint64(0)
+            for j in range(r):
+                h = splitmix64(np.array([h ^ sig[b * r + j]], np.uint64),
+                               31 + b)[0]
+            buckets[int(h)].append(i)
+        for members in buckets.values():
+            if len(members) < 2 or len(members) > max_bucket:
+                continue
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, c = members[x], members[y]
+                    est = float((sigs[a] == sigs[c]).mean())
+                    if est >= threshold:
+                        key = (min(a, c), max(a, c))
+                        pairs[key] = est
+    return pairs
+
+
+def simhash_pairs_reference(ids, texts, *, max_hamming=3, max_bucket=256):
+    stage = SimHashStage()
+    sh = {int(i): np.uint64(stage.simhash(t or "")) for i, t in zip(ids, texts)}
+    pairs = {}
+    for b in range(4):
+        buckets = defaultdict(list)
+        for i, v in sh.items():
+            buckets[int((v >> np.uint64(16 * b)) & np.uint64(0xFFFF))].append(i)
+        for members in buckets.values():
+            if len(members) < 2 or len(members) > max_bucket:
+                continue
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, c = members[x], members[y]
+                    if a == c:
+                        continue
+                    d = bin(int(sh[a] ^ sh[c])).count("1")
+                    if d <= max_hamming:
+                        pairs[(min(a, c), max(a, c))] = d
+    return pairs
+
+
+def union_find_survivors(ids, pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    drop = {n for n in parent if find(n) != n}
+    return sorted(int(i) for i in ids if int(i) not in drop)
+
+
+def embedding_pairs_reference(*, threshold=0.95, planes=12, seed=5):
+    """Independent numpy re-run of plant-dups + hyperplane LSH + exact
+    in-bucket cosine (mirrors __ray_entry__.q_embedding_neardup params)."""
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"))
+    emb = t.column("embedding").combine_chunks()
+    x = np.asarray(emb.flatten(), dtype=np.float32).reshape(len(ids), -1)
+    sel = ids < 32
+    counters = (ids[sel][:, None] * x.shape[1]
+                + np.arange(x.shape[1])[None, :]).astype(np.int64)
+    u = (splitmix64(counters.ravel().astype(np.uint64), 123)
+         >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    noisy = x[sel] + (0.02 * (u - 0.5)).reshape(x[sel].shape).astype(np.float32)
+    all_ids = np.concatenate([ids, ids[sel] + 1_000_000])
+    allx = np.vstack([x, noisy]).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    pl = rng.standard_normal((allx.shape[1], planes))
+    bits = (allx @ pl > 0)
+    bucket = np.zeros(len(all_ids), dtype=np.uint64)
+    for j in range(planes):
+        bucket |= bits[:, j].astype(np.uint64) << np.uint64(j)
+    pairs = {}
+    for bk in np.unique(bucket):
+        members = np.nonzero(bucket == bk)[0]
+        if len(members) < 2 or len(members) > 4096:
+            continue
+        sub = allx[members]
+        n = sub / np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
+        sim = n @ n.T
+        for xi in range(len(members)):
+            for yi in range(xi + 1, len(members)):
+                if sim[xi, yi] >= threshold:
+                    a, c = int(all_ids[members[xi]]), int(all_ids[members[yi]])
+                    pairs[(min(a, c), max(a, c))] = float(sim[xi, yi])
+    return pairs
+
+
+def pairs_table(pairs: dict, metric_name: str, metric_type) -> pa.Table:
+    keys = sorted(pairs)
+    return pa.table({
+        "id_a": pa.array([k[0] for k in keys], pa.int64()),
+        "id_b": pa.array([k[1] for k in keys], pa.int64()),
+        metric_name: pa.array([pairs[k] for k in keys], metric_type),
+    })
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    ids, texts = load_documents()
+
+    fp = FingerprintStage()
+    fps = [np.int64(np.uint64(fp._doc_fingerprint(t or ""))) for t in texts]
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "fingerprint": pa.array(fps, pa.int64())}),
+                   os.path.join(OUT, "doc_fingerprint_sf001.parquet"))
+    print("doc_fingerprint:", len(fps))
+
+    mh = minhash_pairs_reference(ids, texts, threshold=0.6)
+    pq.write_table(pairs_table(mh, "est_jaccard", pa.float64()),
+                   os.path.join(OUT, "dedup_minhash_sf001.parquet"))
+    print("dedup_minhash pairs:", len(mh))
+
+    sh = simhash_pairs_reference(ids, texts)
+    pq.write_table(pairs_table(sh, "hamming", pa.int64()),
+                   os.path.join(OUT, "dedup_simhash_sf001.parquet"))
+    print("dedup_simhash pairs:", len(sh))
+
+    mh85 = minhash_pairs_reference(ids, texts, threshold=0.85)
+    survivors = union_find_survivors(ids, mh85)
+    pq.write_table(pa.table({"doc_id": pa.array(survivors, pa.int64())}),
+                   os.path.join(OUT, "dedup_near_corpus_sf001.parquet"))
+    print("dedup_near_corpus survivors:", len(survivors))
+
+    ep = embedding_pairs_reference()
+    pq.write_table(pairs_table(ep, "cosine", pa.float64()),
+                   os.path.join(OUT, "embedding_neardup_sf001.parquet"))
+    print("embedding_neardup pairs:", len(ep))
+
+    ev = expected_event_table(CDC_EVENTS, seed=42)
+    pq.write_table(ev, os.path.join(OUT, f"cdc_events_{CDC_EVENTS}.parquet"))
+    print("cdc events:", ev.num_rows, "cols:", ev.schema.names)
+
+
+if __name__ == "__main__":
+    main()

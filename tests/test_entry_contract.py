@@ -14,13 +14,9 @@ def test_oracles_subset_of_queries():
     qs = set(entry.queries())
     os_ = set(entry.oracle_sql())
     assert os_ <= qs, f"oracle without query: {os_ - qs}"
-    # every non-oracled query is one of the documented non-SQL-expressible ops
-    documented_rows_only = {
-        "cdc_transcripts_final", "quality_score", "doc_fingerprint",
-        "dedup_minhash", "dedup_simhash", "embedding_neardup", "ann_ivf",
-        "dedup_near_corpus",
-    }
-    assert qs - os_ == documented_rows_only
+    # r2: every query has an oracle (fixture-backed for the
+    # non-SQL-expressible ops — see scripts/make_fixtures.py)
+    assert qs - os_ == set()
 
 
 def test_callables_are_lazy():
