@@ -16,11 +16,32 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+logger = logging.getLogger(__name__)
+
 _AGG_FUNCS = {"sum", "count", "min", "max"}
+
+# Keyed-window operators (sessionize, asof_join) process one key's rows in
+# one task; a skewed key that outgrows this bound will eventually OOM a
+# worker — surface it in logs long before that (same guard as the CDC merge
+# stage's GROUP_ROWS_WARN, pipelines/cdc.py).
+KEY_GROUP_ROWS_WARN = 5_000_000
+
+
+def warn_large_key_group(n_rows: int, op: str, key_desc: str,
+                         cap: "int | None" = None) -> None:
+    if cap is None:
+        cap = KEY_GROUP_ROWS_WARN  # read at call time (tests tune it)
+    if n_rows > cap:
+        logger.warning(
+            "%s: key group %s holds %d rows (> %d) — a single task must "
+            "sort/scan it all; salt or pre-split this hot key before the "
+            "group outgrows worker memory", op, key_desc, n_rows, cap)
 
 
 class _PartialAgg:
@@ -351,6 +372,9 @@ def asof_join(left_ds, right_ds, by: str, on: str,
     def per_key(group: "pd.DataFrame"):
         import pandas as pd
 
+        if len(group):
+            warn_large_key_group(len(group), "asof_join",
+                                 repr(group[by].iloc[0]))
         left = group[group["__side"] == 0].drop(
             columns=["__side"] + [v + suffix for v in value_cols])
         right = group[group["__side"] == 1][[on] + [v + suffix for v in value_cols]]
@@ -509,6 +533,8 @@ def sessionize(ds, key: str, ts_col: str, gap_seconds: float,
     consecutive events exceeds ``gap_seconds`` (partition-local sort)."""
 
     def count_sessions(group: pa.Table) -> pa.Table:
+        warn_large_key_group(group.num_rows, "sessionize",
+                             repr(group.column(key)[0].as_py()))
         ts = group.column(ts_col).combine_chunks().cast(pa.timestamp("ns"))
         v = np.sort(np.asarray(ts.cast(pa.int64())))
         if len(v) == 0:

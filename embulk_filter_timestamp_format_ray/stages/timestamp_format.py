@@ -176,12 +176,61 @@ class ColumnKernel:
     def _from_string(self, arr: pa.Array) -> "tuple[pa.Array, int]":
         ns, valid, is_null = self.vparser.parse_array(arr)
         invalid = ~valid & ~is_null
+        # Wide-envelope fallback (reference parity, TimestampParser.java:149 /
+        # TimestampUnit.java:59): the scalar spec carries (epoch sec, nano)
+        # for ANY year a long can hold, while the vector tier's int64-ns
+        # window spans 1678–2261.  Rows the vector tier rejected are retried
+        # through the scalar parser; successes are "wide" timestamps —
+        # representable for long/double/string outputs, unrepresentable only
+        # for the Arrow timestamp[ns] output type.
+        wide: "list[tuple[int, Ts]]" = []
+        if invalid.any():
+            strs = None
+            for i in np.nonzero(invalid)[0]:
+                if strs is None:
+                    strs = arr.to_pylist()
+                try:
+                    ts = self.scalar_parser.parse(strs[i])
+                except (ParseError, ValueError):
+                    continue
+                wide.append((int(i), ts))
+                invalid[i] = False
         n_invalid = int(invalid.sum())
         if n_invalid and self.stop_on_invalid:
             bad = arr.filter(pa.array(invalid))[0].as_py()
             raise CastError(f'failed to parse string: "{bad}"')
+        if wide and self.out_type == "timestamp":
+            if self.stop_on_invalid:
+                raise CastError(
+                    f"{len(wide)} parsed timestamp(s) fall outside the Arrow "
+                    f"timestamp[ns] range (years 1678-2261) for column "
+                    f"{self.name!r}; use type long/double/string for "
+                    f"wide-range dates (documented divergence from the "
+                    f"reference's (sec,nano) in-memory type)")
+            logger.warning(
+                "%d parsed timestamp(s) outside the timestamp[ns] range set "
+                "to NULL (use long/double/string output for wide dates)",
+                len(wide))
+            for i, _ in wide:
+                invalid[i] = True
+            n_invalid += len(wide)
+            wide = []
         null_mask = is_null | invalid
+        if wide:
+            wide_rows = np.array([i for i, _ in wide])
+            null_mask = null_mask.copy()
+            null_mask[wide_rows] = True  # placeholder; patched below
         out = self._emit_from_ns(ns, null_mask if null_mask.any() else None)
+        if wide:
+            vals = out.to_pylist()  # wide rows are rare; per-row patch is fine
+            for i, ts in wide:
+                if self.out_type == "long":
+                    vals[i] = timestamp_to_long(ts, self.to_unit)
+                elif self.out_type == "double":
+                    vals[i] = timestamp_to_double(ts, self.to_unit)
+                else:  # string
+                    vals[i] = self.scalar_formatter.format(ts)
+            out = pa.array(vals, type=out.type)
         return out, n_invalid
 
     def _from_long(self, arr: pa.Array) -> pa.Array:

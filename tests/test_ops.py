@@ -440,3 +440,34 @@ def test_latest_by_key_and_sessionize(ray_session):
     t2 = pa.table({"u": ["a", "a", "a", "a"], "ts": ts})
     sess = sessionize(ray.data.from_arrow(t2), "u", "ts", 1800).to_pandas()
     assert list(sess["n_sessions"]) == [2]
+
+
+def test_keyed_window_group_guard(ray_session, caplog):
+    """Skewed-key visibility (r1 verdict #8): sessionize/asof_join log a
+    warning when one key's group exceeds the cap, instead of silently
+    growing until a task OOMs."""
+    import logging
+
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages import relational
+    from embulk_filter_timestamp_format_ray.stages.relational import sessionize
+
+    t = pa.table({
+        "u": ["hot"] * 500 + ["cold"],
+        "t": pa.array(np.arange(501, dtype="int64"),
+                      pa.int64()).cast(pa.timestamp("ns")),
+    })
+    old = relational.KEY_GROUP_ROWS_WARN
+    relational.KEY_GROUP_ROWS_WARN = 100
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="embulk_filter_timestamp_format_ray.stages.relational"):
+            out = sessionize(ray.data.from_arrow(t), key="u", ts_col="t",
+                             gap_seconds=10).to_pandas()
+        assert len(out) == 2
+        # map_groups runs in worker processes; exercise the guard in-process
+        relational.warn_large_key_group(500, "sessionize", "'hot'")
+        assert any("key group" in r.message for r in caplog.records)
+    finally:
+        relational.KEY_GROUP_ROWS_WARN = old

@@ -403,3 +403,50 @@ def test_output_schema_derivation():
     assert out.names == ["s", "keep"]
     assert out.field("s").type == pa.timestamp("ns", tz="UTC")
     assert out.field("keep").type == pa.int64()
+
+
+def test_wide_range_year_9999_parse():
+    """Reference parity (TimestampParser.java:149, TimestampUnit.java:59):
+    the reference's (epochSecond: long, nano: int) type parses any year a
+    long holds.  r2: the stage retries vector-tier rejects through the
+    scalar spec, so wide dates survive for long/double/string outputs; only
+    the Arrow timestamp[ns] output type NULLs them (documented divergence,
+    explicit error under stop_on_invalid)."""
+    import pytest
+
+    from embulk_filter_timestamp_format_ray import ColumnConfig, TaskConfig
+    from embulk_filter_timestamp_format_ray.functions.casts import CastError
+    from embulk_filter_timestamp_format_ray.stages.timestamp_format import (
+        TimestampFormatStage,
+    )
+
+    arr = pa.table({"c": pa.array(
+        ["9999-12-31 23:59:59.123456789", "1500-01-01 00:00:00.000000000",
+         "2016-05-12 15:02:39.123456789", "not a date"])})
+    fmt = ["%Y-%m-%d %H:%M:%S.%N"]
+
+    long_stage = TimestampFormatStage(TaskConfig(columns=(
+        ColumnConfig("c", "long", from_format=fmt, from_timezone="UTC",
+                     to_unit="sec"),)))
+    got = long_stage(arr).column("c").to_pylist()
+    assert got == [253402300799, -14831769600, 1463065359, None]
+
+    str_stage = TimestampFormatStage(TaskConfig(columns=(
+        ColumnConfig("c", "string", from_format=fmt, from_timezone="UTC",
+                     to_format="%Y-%m-%d %H:%M:%S.%N %z"),)))
+    got = str_stage(arr).column("c").to_pylist()
+    assert got[0] == "9999-12-31 23:59:59.123456789 +0000"
+    assert got[1] == "1500-01-01 00:00:00.000000000 +0000"
+    assert got[3] is None
+
+    ts_stage = TimestampFormatStage(TaskConfig(columns=(
+        ColumnConfig("c", "timestamp", from_format=fmt, from_timezone="UTC"),)))
+    got = ts_stage(arr).column("c").to_pylist()
+    assert got[0] is None and got[1] is None and got[2] is not None
+
+    strict = TimestampFormatStage(TaskConfig(
+        stop_on_invalid_record=True,
+        columns=(ColumnConfig("c", "timestamp", from_format=fmt,
+                              from_timezone="UTC"),)))
+    with pytest.raises(CastError, match="timestamp\\[ns\\] range"):
+        strict(pa.table({"c": pa.array(["9999-12-31 23:59:59.000000000"])}))
