@@ -294,46 +294,124 @@ class BandEmitStage:
 
 
 def _distinct_pairs(pairs_ds, metric_col: str):
-    """Distinct (id_a, id_b) rows via a native groupby aggregate.  The metric
-    column is identical across a pair's duplicate emissions (each is a pure
-    function of the two documents), so Min just picks the one value."""
-    from ray.data.aggregate import Min
+    """Distinct (id_a, id_b) rows — a pair surfaces once per colliding band.
 
-    return pairs_ds.groupby(["id_a", "id_b"]).aggregate(
-        Min(metric_col, alias_name=metric_col))
+    Shape: ONE int32-keyed shuffle into N_BUCKET_SHARDS pair-hash shards,
+    then a vectorized lexsort + adjacent-unique per shard.  (Ray's native
+    two-key sort aggregate measured ~7× slower on 3.3M pair rows — the
+    string of small sort blocks dominates.)  The metric column is identical
+    across a pair's duplicate emissions (a pure function of the two
+    documents), so keeping the first is exact."""
+
+    def add_ppid(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("id_a")).astype(np.uint64)
+        c = np.asarray(b.column("id_b")).astype(np.uint64)
+        h = splitmix64(a ^ splitmix64(c, 91), 17)
+        return b.append_column(
+            "_ppid", pa.array((h % np.uint64(N_BUCKET_SHARDS)).astype(np.int32)))
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        a = np.asarray(g.column("id_a"))
+        b2 = np.asarray(g.column("id_b"))
+        order = np.lexsort((b2, a))
+        a, b2 = a[order], b2[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        m = np.asarray(g.column(metric_col))[order]
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b2[keep], pa.int64()),
+                         metric_col: pa.array(m[keep])})
+
+    return pairs_ds.map_batches(add_ppid, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("_ppid").map_groups(dedup_group, batch_format="pyarrow")
 
 
-def _bucket_pairs(threshold: float, id_col: str, max_bucket: int = 256):
+#: coarse shuffle partitions for bucket processing: the bucket groupby runs
+#: over ~this many groups (one vectorized Python callback each) instead of
+#: one callback per LSH bucket — per-group overhead was the dominant cost at
+#: 50k docs (bench row dedup_minhash_50k)
+N_BUCKET_SHARDS = 256
+
+_EMPTY_PAIR_TRIU: "dict[int, tuple[np.ndarray, np.ndarray]]" = {}
+
+
+def _triu(s: int):
+    """Cached upper-triangle index pair for a run of size s."""
+    got = _EMPTY_PAIR_TRIU.get(s)
+    if got is None:
+        got = np.triu_indices(s, k=1)
+        _EMPTY_PAIR_TRIU[s] = got
+    return got
+
+
+def _bucket_runs(sort_keys: "list[np.ndarray]", max_bucket: int, what: str):
+    """Sort rows by bucket key(s); yield (order, run_pair_indices).
+
+    Returns the lexsort order plus (ia, ib) local pair indices (into the
+    sorted order) covering every within-bucket pair for buckets of size
+    2..max_bucket, built run-by-run (few hundred runs) with cached
+    triu indices — no per-row Python."""
+    n = len(sort_keys[0])
+    order = np.lexsort(tuple(reversed(sort_keys)))
+    sk = [k[order] for k in sort_keys]
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in sk:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.nonzero(change)[0]
+    sizes = np.diff(np.r_[starts, n])
+    over = sizes > max_bucket
+    if over.any():
+        logger.warning(
+            "%s: %d bucket(s) exceed cap %d (worst %d members) — skipping "
+            "their pair expansion (likely boilerplate/empty docs)",
+            what, int(over.sum()), max_bucket, int(sizes.max()))
+    ia_parts, ib_parts = [], []
+    for o, s in zip(starts[~over & (sizes >= 2)], sizes[~over & (sizes >= 2)]):
+        ti, tj = _triu(int(s))
+        ia_parts.append(ti + o)
+        ib_parts.append(tj + o)
+    if not ia_parts:
+        return order, np.empty(0, np.int64), np.empty(0, np.int64)
+    return order, np.concatenate(ia_parts), np.concatenate(ib_parts)
+
+
+def _bucket_pairs_sharded(threshold: float, id_col: str, max_bucket: int = 256):
+    """Per-shard vectorized pair expansion: one callback handles ALL buckets
+    hashed into its shard (runs found by sort), signature agreement computed
+    for every candidate pair in one (n_pairs, num_perm) comparison."""
+
     def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64())})
         n = group.num_rows
-        if n > max_bucket:
-            logger.warning(
-                "minhash LSH bucket with %d members exceeds cap %d — "
-                "skipping its pair expansion (likely boilerplate/empty docs; "
-                "raise max_bucket or pre-filter)", n, max_bucket)
-        if n < 2 or n > max_bucket:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
+        if n < 2:
+            return empty
+        band = np.asarray(group.column("band"))
+        bhash = np.asarray(group.column("band_hash"))
+        order, ia, ib = _bucket_runs([band, bhash], max_bucket, "minhash LSH")
+        if not len(ia):
+            return empty
         sigs = np.asarray(group.column("minhash").combine_chunks().flatten()) \
-            .reshape(n, -1)
-        ids = np.asarray(group.column(id_col))
-        ia, ib, js = [], [], []
-        for i in range(n):
-            agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            hit = np.nonzero(agree >= threshold)[0]
-            for j in hit:
-                a, b = ids[i], ids[i + 1 + j]
-                if a > b:
-                    a, b = b, a
-                ia.append(a)
-                ib.append(b)
-                js.append(agree[j])
-        return pa.table({"id_a": pa.array(ia, pa.int64()),
-                         "id_b": pa.array(ib, pa.int64()),
-                         "est_jaccard": pa.array(js, pa.float64())})
+            .reshape(n, -1)[order]
+        ids = np.asarray(group.column(id_col))[order]
+        agree = (sigs[ia] == sigs[ib]).mean(axis=1)
+        hit = agree >= threshold
+        a, b = ids[ia[hit]], ids[ib[hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo, type=pa.int64()),
+                         "id_b": pa.array(hi, type=pa.int64()),
+                         "est_jaccard": pa.array(agree[hit])})
 
     return pairs
+
+
+def _shard_column(batch: pa.Table, hash_col: str) -> pa.Table:
+    shard = (np.asarray(batch.column(hash_col)).astype(np.uint64)
+             % np.uint64(N_BUCKET_SHARDS)).astype(np.int32)
+    return batch.append_column("_shard", pa.array(shard))
 
 
 def dedup_minhash_pairs(ds, *, num_perm: int = 64, bands: int = 16,
@@ -346,8 +424,10 @@ def dedup_minhash_pairs(ds, *, num_perm: int = 64, bands: int = 16,
                         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(BandEmitStage(num_perm, bands, id_col),
                         batch_format="pyarrow", zero_copy_batch=True)
-    pairs = ds.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs(threshold, id_col), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _shard_column(b, "band_hash"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = ds.groupby("_shard").map_groups(
+        _bucket_pairs_sharded(threshold, id_col), batch_format="pyarrow")
     # distinct (a pair can surface from several bands); est_jaccard is a pure
     # function of the signatures so Min == the single value — a native hash
     # aggregate, not a Python callback per pair group
@@ -442,40 +522,44 @@ class SimHashBandEmit:
         })
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (byte-view + uint8 lookup)."""
+    b = x.astype(np.uint64).view(np.uint8).reshape(len(x), 8)
+    return _POPCOUNT8[b].sum(axis=1).astype(np.int64)
+
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 def dedup_simhash_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id"):
     def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
         n = group.num_rows
-        if n > 256:
-            logger.warning("simhash band bucket with %d members exceeds cap "
-                           "256 — skipping its pair expansion", n)
-        if n < 2 or n > 256:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        sh = np.asarray(group.column("simhash")).astype(np.uint64)
-        ids = np.asarray(group.column(id_col))
-        ia, ib, hd = [], [], []
-        for i in range(n):
-            x = sh[i + 1:] ^ sh[i]
-            d = np.array([bin(v).count("1") for v in x])
-            for j in np.nonzero(d <= max_hamming)[0]:
-                a, b = ids[i], ids[i + 1 + j]
-                if a == b:
-                    continue
-                if a > b:
-                    a, b = b, a
-                ia.append(a)
-                ib.append(b)
-                hd.append(int(d[j]))
-        return pa.table({"id_a": pa.array(ia, pa.int64()),
-                         "id_b": pa.array(ib, pa.int64()),
-                         "hamming": pa.array(hd, pa.int64())})
+        if n < 2:
+            return empty
+        band = np.asarray(group.column("band"))
+        bhash = np.asarray(group.column("band_hash"))
+        order, ia, ib = _bucket_runs([band, bhash], 256, "simhash band")
+        if not len(ia):
+            return empty
+        sh = np.asarray(group.column("simhash")).astype(np.uint64)[order]
+        ids = np.asarray(group.column(id_col))[order]
+        d = _popcount64(sh[ia] ^ sh[ib])
+        hit = (d <= max_hamming) & (ids[ia] != ids[ib])
+        a, b = ids[ia[hit]], ids[ib[hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo, type=pa.int64()),
+                         "id_b": pa.array(hi, type=pa.int64()),
+                         "hamming": pa.array(d[hit], type=pa.int64())})
 
     ds = ds.map_batches(SimHashStage(), batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(SimHashBandEmit(id_col), batch_format="pyarrow",
                         zero_copy_batch=True)
-    pairs_ds = ds.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _shard_column(b, "band_hash"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    pairs_ds = ds.groupby("_shard").map_groups(pairs, batch_format="pyarrow")
     return _distinct_pairs(pairs_ds, "hamming")
 
 
@@ -513,30 +597,35 @@ def embedding_neardup_pairs(ds, dim: int, *, threshold: float = 0.95,
     verification (numpy matmul per bucket)."""
 
     def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
         n = group.num_rows
-        if n > 4096:
-            logger.warning("embedding LSH bucket with %d members exceeds cap "
-                           "4096 — skipping its pair expansion (add planes)", n)
-        if n < 2 or n > 4096:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        x = embeddings_to_matrix(group)
+        if n < 2:
+            return empty
+        bucket = np.asarray(group.column("lsh_bucket"))
+        order, ia, ib = _bucket_runs([bucket], 4096, "embedding LSH")
+        if not len(ia):
+            return empty
+        x = embeddings_to_matrix(group)[order]
         norm = np.linalg.norm(x, axis=1, keepdims=True)
         xn = x / np.maximum(norm, 1e-12)
-        sim = xn @ xn.T
-        ids = np.asarray(group.column(id_col))
-        iu = np.triu_indices(n, k=1)
-        hit = sim[iu] >= threshold
-        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        # only i<j pairs ever computed — per-pair dot products across ALL
+        # buckets in the shard at once, not an n×n matmul per bucket
+        sim = np.einsum("ij,ij->i", xn[ia], xn[ib])
+        ids = np.asarray(group.column(id_col))[order]
+        hit = sim >= threshold
+        a, b = ids[ia[hit]], ids[ib[hit]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"id_a": pa.array(lo, type=pa.int64()),
                          "id_b": pa.array(hi, type=pa.int64()),
-                         "cosine": pa.array(sim[iu][hit])})
+                         "cosine": pa.array(sim[hit])})
 
     ds = ds.map_batches(EmbeddingLSHStage(dim, planes), batch_format="pyarrow",
                         zero_copy_batch=True)
-    p = ds.groupby("lsh_bucket").map_groups(pairs, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _shard_column(b, "lsh_bucket"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    p = ds.groupby("_shard").map_groups(pairs, batch_format="pyarrow")
     return _distinct_pairs(p, "cosine")
 
 
