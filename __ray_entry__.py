@@ -308,6 +308,34 @@ def q_tumbling_window(sf_dir: str):
     return out.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding event-time windows (1h window, 15m slide): each event
+    replicates into the 4 windows containing it, then the tumbling
+    partial/combine machinery aggregates (key, window_start)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        sliding_window_aggregate,
+    )
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+    out = sliding_window_aggregate(
+        ds, key="user_id", ts_col="ts", window_seconds=3600, slide_seconds=900,
+        aggs={"n_events": ("value", "count"), "sum_value": ("value", "sum")})
+
+    def stabilise(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("sum_value"), dtype=np.float64)
+        ws = b.column("window_start")
+        if isinstance(ws, pa.ChunkedArray):
+            ws = ws.combine_chunks()
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "window_start": ws.cast(pa.timestamp("us")),
+            "n_events": b.column("n_events"),
+            "sum_value": pa.array(np.floor(v * 100 + 0.5) / 100),
+        })
+
+    return out.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_sample_mod(sf_dir: str):
     """Deterministic pruning filter (pushdown-style row sampling)."""
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
@@ -664,6 +692,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "agg_q1": q_agg_q1,
         "asof_join": q_asof_join,
         "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
         "sample_mod": q_sample_mod,
         "sessionize": q_sessionize,
         "semi_join_orders": q_semi_join_orders,
@@ -754,6 +783,15 @@ def oracle_sql() -> "dict[str, str]":
             "count(*) as n_events, "
             "floor(sum(value) * 100 + 0.5) / 100 as sum_value "
             "from events group by user_id, date_trunc('hour', ts)",
+        "sliding_window":
+            "with s as (select unnest(range(4)) as i), "
+            "w as (select user_id, value, epoch(ts) as es, "
+            "  ((floor(epoch(ts))::bigint // 900) - s.i) * 900 as ws_sec "
+            "  from events cross join s) "
+            "select user_id, make_timestamp(ws_sec * 1000000) as window_start, "
+            "count(*) as n_events, "
+            "floor(sum(value) * 100 + 0.5) / 100 as sum_value "
+            "from w where es < ws_sec + 3600 group by user_id, ws_sec",
         "sample_mod":
             "select doc_id, n_chars from documents where doc_id % 8 = 0",
         "sessionize":
