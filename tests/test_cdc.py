@@ -482,6 +482,37 @@ def test_repartition_lake_rebounds_state(ray_session, tmp_path_factory, oracle):
     assert t.num_rows == sum(1 for k in oracle if k[0] == conv)
 
 
+def test_repartition_changes_salt_config(ray_session, tmp_path_factory, oracle):
+    """Salt keys are frozen in the manifest (changing them mid-lake corrupts
+    routing); repartition_lake is the sanctioned migration: it rewrites the
+    layout AND commits the new salt config atomically."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.state import manifest as mf_mod
+
+    hot = frozenset(k[0] for k in list(oracle)[:2])
+    lake = str(tmp_path_factory.mktemp("lake_saltmig"))
+    pipe = CDCPipeline(lake, num_partitions=8, partition_mode="conv")
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 3000)))
+    # direct salt change is refused…
+    with pytest.raises(ValueError, match="salt_keys"):
+        CDCPipeline(lake, num_partitions=8, partition_mode="conv",
+                    salt_keys=hot).apply(ray.data.from_arrow(full.slice(3000)))
+    # …but migrating through repartition_lake works
+    pipe.repartition_lake(8, salt_keys=hot)
+    cfg = mf_mod.read_manifest(lake)["partition_config"]
+    assert cfg["salt_keys"] == sorted(hot)
+    pipe.apply(ray.data.from_arrow(full.slice(3000)))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+    # salted point lookup on the migrated lake
+    pipe2 = CDCPipeline(lake, num_partitions=8, partition_mode="conv",
+                        salt_keys=hot)
+    conv = sorted(hot)[0]
+    t = pipe2.read_conversation(conv)
+    assert t.num_rows == sum(1 for k in oracle if k[0] == conv)
+
+
 def test_actor_pool_normalize_matches(ray_session, tmp_path_factory, oracle):
     import ray.data
 
