@@ -234,6 +234,33 @@ def q_join_revenue_by_nation(sf_dir: str):
 
     return agg.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
 
+def q_shuffle_join_revenue(sf_dir: str):
+    """Large×large distributed hash join (lineitem ⋈ orders on orderkey —
+    neither side broadcastable at 100 TB) + partial-agg rollup by order
+    priority."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+        shuffle_join,
+    )
+
+    li = _read(sf_dir, "lineitem").select_columns(["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
+    joined = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    agg = grouped_aggregate(joined, keys=["o_orderpriority"],
+                            aggs={"revenue": ("l_extendedprice", "sum"),
+                                  "n_items": ("l_extendedprice", "count")})
+
+    def stabilise(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("revenue"), dtype=np.float64)
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "revenue": pa.array(np.floor(v * 100 + 0.5) / 100),
+            "n_items": b.column("n_items"),
+        })
+
+    return agg.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_agg_q1(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.relational import grouped_aggregate
 
@@ -687,6 +714,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ts_unit_us_to_ns": q_ts_unit_us_to_ns,
         "ts_json_path": q_ts_json_path,
         "join_revenue_by_nation": q_join_revenue_by_nation,
+        "shuffle_join_revenue": q_shuffle_join_revenue,
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "agg_q1": q_agg_q1,
@@ -749,6 +777,11 @@ def oracle_sql() -> "dict[str, str]":
         "ts_json_path":
             "select event_id, '{\"t\":' || epoch_ms(ts)::varchar || '}' as doc "
             "from events",
+        "shuffle_join_revenue":
+            "select o_orderpriority, "
+            "floor(sum(l_extendedprice) * 100 + 0.5) / 100 as revenue, "
+            "count(*) as n_items from lineitem "
+            "join orders on l_orderkey = o_orderkey group by o_orderpriority",
         "cdc_upsert_latest":
             "with ranked as (select user_id, event_type, event_id, value, "
             "row_number() over (partition by user_id, event_type "

@@ -262,11 +262,17 @@ class BandEmitStage:
     """map_batches: signature rows → (band, band_hash, id, signature) rows —
     the LSH 'flat_map' that feeds the bucket groupby."""
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, id_col: str = "doc_id"):
+    def __init__(self, num_perm: int = 64, bands: int = 16, id_col: str = "doc_id",
+                 include_sig: bool = True):
         assert num_perm % bands == 0
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.id_col = id_col
+        # include_sig=False is the low-shuffle mode: band rows carry only
+        # (band, hash, id) — ~20 B/row instead of +8·num_perm B of signature
+        # duplicated once PER BAND; signatures are re-attached to surviving
+        # candidate pairs by hash join instead (dedup_minhash_pairs)
+        self.include_sig = include_sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = np.asarray(batch.column("minhash").combine_chunks().flatten()) \
@@ -283,14 +289,17 @@ class BandEmitStage:
             out_band.append(np.full(n, b, dtype=np.int32))
             out_hash.append(h.astype(np.int64))
             out_id.append(ids)
-            out_sig.append(sigs)
-        return pa.table({
+            if self.include_sig:
+                out_sig.append(sigs)
+        cols = {
             "band": pa.array(np.concatenate(out_band)),
             "band_hash": pa.array(np.concatenate(out_hash)),
             self.id_col: pa.array(np.concatenate(out_id)),
-            "minhash": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.concatenate(out_sig, axis=0).astype(np.int64).ravel()), m),
-        })
+        }
+        if self.include_sig:
+            cols["minhash"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(out_sig, axis=0).astype(np.int64).ravel()), m)
+        return pa.table(cols)
 
 
 def _distinct_pairs(pairs_ds, metric_col: str):
@@ -317,10 +326,12 @@ def _distinct_pairs(pairs_ds, metric_col: str):
         a, b2 = a[order], b2[order]
         keep = np.ones(len(a), dtype=bool)
         keep[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
-        m = np.asarray(g.column(metric_col))[order]
-        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
-                         "id_b": pa.array(b2[keep], pa.int64()),
-                         metric_col: pa.array(m[keep])})
+        cols = {"id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b2[keep], pa.int64())}
+        if metric_col is not None:
+            m = np.asarray(g.column(metric_col))[order]
+            cols[metric_col] = pa.array(m[keep])
+        return pa.table(cols)
 
     return pairs_ds.map_batches(add_ppid, batch_format="pyarrow",
                                 zero_copy_batch=True) \
@@ -414,24 +425,112 @@ def _shard_column(batch: pa.Table, hash_col: str) -> pa.Table:
     return batch.append_column("_shard", pa.array(shard))
 
 
+def _candidate_pairs_sharded(id_col: str, max_bucket: int = 256):
+    """Like _bucket_pairs_sharded but WITHOUT signatures: emits every
+    within-bucket (id_a, id_b) candidate; the Jaccard estimate is attached
+    later (low-shuffle mode)."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        band = np.asarray(group.column("band"))
+        bhash = np.asarray(group.column("band_hash"))
+        order, ia, ib = _bucket_runs([band, bhash], max_bucket, "minhash LSH")
+        if not len(ia):
+            return empty
+        ids = np.asarray(group.column(id_col))[order]
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo, type=pa.int64()),
+                         "id_b": pa.array(hi, type=pa.int64())})
+
+    return pairs
+
+
+def _sig_binary_table(batch: pa.Table, id_col: str, out_id: str,
+                      out_sig: str) -> pa.Table:
+    """(id, minhash fixed_size_list<int64>) → (out_id, out_sig
+    fixed_size_binary) — nested types can't ride a hash join; the raw
+    signature buffer can (zero-copy reinterpret)."""
+    arr = batch.column("minhash").combine_chunks()
+    m = arr.type.list_size
+    vals = np.ascontiguousarray(np.asarray(arr.flatten()))
+    sigb = pa.Array.from_buffers(pa.binary(m * 8), len(arr),
+                                 [None, pa.py_buffer(vals.tobytes())])
+    return pa.table({out_id: batch.column(id_col), out_sig: sigb})
+
+
+def _binary_sig_matrix(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    w = a.type.byte_width
+    raw = np.frombuffer(a.buffers()[1], dtype=np.int64)
+    start = a.offset * (w // 8)
+    return raw[start:start + len(a) * (w // 8)].reshape(len(a), w // 8)
+
+
 def dedup_minhash_pairs(ds, *, num_perm: int = 64, bands: int = 16,
                         shingle_k: int = 3, threshold: float = 0.7,
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id", carry_signatures: bool = True):
     """Candidate near-duplicate pairs with estimated Jaccard ≥ threshold.
-    Pipeline: minhash → band emit → bucket groupby → in-bucket verify →
-    distinct pairs."""
-    ds = ds.map_batches(MinHashStage(num_perm, shingle_k),
+
+    carry_signatures=True (default): band rows carry the full signature —
+    one shuffle, but the signature bytes move once per band (num_perm·8·bands
+    per doc).  carry_signatures=False (low-shuffle scale mode): band rows
+    carry only (band, hash, id); surviving candidate pairs re-attach both
+    signatures via two distributed hash joins and estimate Jaccard then —
+    total signature movement drops ~bands/2×, at the cost of two extra
+    pair-sized exchanges.  Outputs are identical (pinned by
+    tests/test_ops.py::test_minhash_low_shuffle_equivalent)."""
+    mh = ds.map_batches(MinHashStage(num_perm, shingle_k),
                         batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(BandEmitStage(num_perm, bands, id_col),
-                        batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(lambda b: _shard_column(b, "band_hash"),
-                        batch_format="pyarrow", zero_copy_batch=True)
-    pairs = ds.groupby("_shard").map_groups(
-        _bucket_pairs_sharded(threshold, id_col), batch_format="pyarrow")
-    # distinct (a pair can surface from several bands); est_jaccard is a pure
-    # function of the signatures so Min == the single value — a native hash
-    # aggregate, not a Python callback per pair group
-    return _distinct_pairs(pairs, "est_jaccard")
+    if carry_signatures:
+        b = mh.map_batches(BandEmitStage(num_perm, bands, id_col),
+                           batch_format="pyarrow", zero_copy_batch=True)
+        b = b.map_batches(lambda t: _shard_column(t, "band_hash"),
+                          batch_format="pyarrow", zero_copy_batch=True)
+        pairs = b.groupby("_shard").map_groups(
+            _bucket_pairs_sharded(threshold, id_col), batch_format="pyarrow")
+        # distinct (a pair can surface from several bands); est_jaccard is a
+        # pure function of the signatures so keeping the first is exact
+        return _distinct_pairs(pairs, "est_jaccard")
+
+    from embulk_filter_timestamp_format_ray.stages.relational import shuffle_join
+
+    b = mh.map_batches(BandEmitStage(num_perm, bands, id_col, include_sig=False),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    b = b.map_batches(lambda t: _shard_column(t, "band_hash"),
+                      batch_format="pyarrow", zero_copy_batch=True)
+    cand = b.groupby("_shard").map_groups(
+        _candidate_pairs_sharded(id_col), batch_format="pyarrow")
+    cand = _distinct_pairs(cand, None)
+    sig_a = mh.map_batches(
+        lambda t: _sig_binary_table(t, id_col, "_ja", "_sig_a"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sig_b = mh.map_batches(
+        lambda t: _sig_binary_table(t, id_col, "_jb", "_sig_b"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = shuffle_join(cand, sig_a, on="id_a", right_on="_ja")
+    j = shuffle_join(j, sig_b, on="id_b", right_on="_jb")
+
+    def estimate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = _binary_sig_matrix(t.column("_sig_a"))
+        sb = _binary_sig_matrix(t.column("_sig_b"))
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            "id_a": t.column("id_a").combine_chunks().filter(pa.array(keep)),
+            "id_b": t.column("id_b").combine_chunks().filter(pa.array(keep)),
+            "est_jaccard": pa.array(est[keep]),
+        })
+
+    return j.map_batches(estimate, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:

@@ -319,6 +319,40 @@ def top_k_by_group(ds, keys, order_col: str, k: int, descending: bool = True,
     return ds.groupby(keys).map_groups(final_topk, batch_format="pyarrow")
 
 
+def shuffle_join(left, right, on: str, how: str = "inner",
+                 num_partitions: "int | None" = None,
+                 right_on: "str | None" = None):
+    """Distributed hash join for two LARGE datasets (both sides shuffle by
+    key).  Use ``broadcast_join`` whenever one side fits in memory — this is
+    the tool when neither does.
+
+    Thin policy wrapper over Ray Data's native hash join, which runs ONE
+    LONG-LIVED AGGREGATOR ACTOR PER PARTITION, each reserving a CPU.  The
+    partition count therefore must stay well under the cluster CPU count or
+    the join starves its own upstream tasks (measured: two chained joins at
+    num_partitions=2×cpus spawned 128 actors on a 32-cpu box and hung).
+    Default: cpus/2 capped at 16, so a pipeline with a couple of concurrent
+    joins still leaves CPUs for map tasks.  Aggregator resource requests are
+    left at Ray's defaults — overriding them to larger fractions measurably
+    re-created the starvation."""
+    import ray
+
+    how_map = {"inner": "inner", "left outer": "left_outer",
+               "left_outer": "left_outer", "right outer": "right_outer",
+               "right_outer": "right_outer", "full outer": "full_outer",
+               "full_outer": "full_outer"}
+    if how not in how_map:
+        raise ValueError(f"unsupported shuffle join type {how!r}")
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(min(cpus // 2, 16), 2)
+    return left.join(right, how_map[how], num_partitions=num_partitions,
+                     on=(on,), right_on=(right_on,) if right_on else None)
+
+
 def tumbling_window_aggregate(ds, key: str, ts_col: str, window_seconds: int,
                               aggs: "dict[str, tuple[str, str]]"):
     """Event-time tumbling-window aggregate: assign each row to its window

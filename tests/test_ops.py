@@ -471,3 +471,29 @@ def test_keyed_window_group_guard(ray_session, caplog):
         assert any("key group" in r.message for r in caplog.records)
     finally:
         relational.KEY_GROUP_ROWS_WARN = old
+
+
+def test_minhash_low_shuffle_equivalent(ray_session):
+    """carry_signatures=False (band rows without signatures + two hash
+    joins) must produce the exact same pair set and estimates as the
+    default carry path."""
+    import ray.data
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox leaps over the lazy dog again and again",
+        "completely different content about ray data engines",
+        "",
+        None,
+    ] * 5
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+    a = dedup_minhash_pairs(ds, threshold=0.5).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = dedup_minhash_pairs(ds, threshold=0.5, carry_signatures=False) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(a) > 0
+    assert a[["id_a", "id_b"]].equals(b[["id_a", "id_b"]])
+    assert np.allclose(a["est_jaccard"], b["est_jaccard"])
