@@ -371,6 +371,29 @@ def q_sample_mod(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic rebalancing: keep 1/1 of src0, 1/2 of
+    src1, 1/4 of src2, 1/8 of src3; drop every other source."""
+    from embulk_filter_timestamp_format_ray.stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    return stratified_sample(ds, "source", "doc_id",
+                             {"src0": 1, "src1": 2, "src2": 4, "src3": 8})
+
+
+def q_mix_corpora(sf_dir: str):
+    """Training-mix: all English documents + 1/4 of the non-English ones,
+    as one streamed union (deterministic, resumable)."""
+    from embulk_filter_timestamp_format_ray.stages.sampling import mix_corpora
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "lang", "text"])
+    en = docs.filter(expr="lang == 'en'")
+    rest = docs.filter(expr="lang != 'en'")
+    out = mix_corpora([(en, 1), (rest, 4)], "doc_id")
+    return out.map_batches(lambda b: b.select(["doc_id", "lang"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_sessionize(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.relational import sessionize
 
@@ -722,6 +745,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "sample_mod": q_sample_mod,
+        "stratified_sample": q_stratified_sample,
+        "mix_corpora": q_mix_corpora,
         "sessionize": q_sessionize,
         "semi_join_orders": q_semi_join_orders,
         "anti_join_orders": q_anti_join_orders,
@@ -827,6 +852,15 @@ def oracle_sql() -> "dict[str, str]":
             "from w where es < ws_sec + 3600 group by user_id, ws_sec",
         "sample_mod":
             "select doc_id, n_chars from documents where doc_id % 8 = 0",
+        "stratified_sample":
+            "select doc_id, source from documents where "
+            "(source = 'src0') or (source = 'src1' and doc_id % 2 = 0) or "
+            "(source = 'src2' and doc_id % 4 = 0) or "
+            "(source = 'src3' and doc_id % 8 = 0)",
+        "mix_corpora":
+            "select doc_id, lang from documents where lang = 'en' "
+            "union all select doc_id, lang from documents "
+            "where lang <> 'en' and doc_id % 4 = 0",
         "sessionize":
             "with g as (select user_id, epoch(ts - lag(ts) over "
             "(partition by user_id order by ts)) as d from events) "

@@ -1,0 +1,88 @@
+"""Deterministic sampling / corpus-mixing operators for training-data
+pipelines.
+
+All sampling here is DETERMINISTIC (id-arithmetic or seeded counter hash),
+never RNG-per-task: the same input always yields the same sample, so a
+resumed or retried job reproduces its output exactly — the property the CDC
+layer's exactly-once story relies on, extended to the corpus side.
+
+Scale shape: every operator is a stateless vectorized ``map_batches`` filter
+— no shuffle, no driver state; rates/weights ride the task closure (tiny).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+
+
+def deterministic_sample(ds, id_col: str, modulus: int, remainder: int = 0):
+    """Keep rows where ``id % modulus == remainder`` — the cheapest
+    reproducible thinning (used by the ``sample_mod`` driver query)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).cast(pa.int64()))
+        return batch.filter(pa.array(ids % modulus == remainder))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(ds, stratum_col: str, id_col: str,
+                      rates: "dict[str, int]", default_modulus: "int | None" = None):
+    """Per-stratum deterministic sampling: keep a row when
+    ``id % rates[stratum] == 0``; strata absent from ``rates`` use
+    ``default_modulus`` (None = dropped entirely).
+
+    The training-data use: rebalance a corpus by source — keep 1/2 of a
+    high-quality stratum, 1/8 of a boilerplate-heavy one, drop the rest —
+    with byte-reproducible output."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).cast(pa.int64()))
+        strata = batch.column(stratum_col)
+        if isinstance(strata, pa.ChunkedArray):
+            strata = strata.combine_chunks()
+        # vectorized per-stratum modulus via dictionary lookup
+        enc = pc.dictionary_encode(strata)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        mods = np.array(
+            [rates.get(v, default_modulus or 0) or 0 for v in vocab],
+            dtype=np.int64)
+        m = mods[np.asarray(enc.indices.cast(pa.int64()))]
+        keep = (m > 0) & (np.where(m > 0, ids % np.maximum(m, 1), 1) == 0)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fraction_sample(ds, id_col: str, fraction: float, seed: int = 7):
+    """Keep ~``fraction`` of rows by seeded counter hash of the id —
+    arbitrary (non-reciprocal) rates, still deterministic."""
+    cut = np.uint64(int(fraction * float(1 << 53)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).cast(pa.int64())).astype(np.uint64)
+        u = splitmix64(ids, seed) >> np.uint64(11)  # 53-bit uniform
+        return batch.filter(pa.array(u < cut))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mix_corpora(parts: "list[tuple]", id_col: str):
+    """Weighted deterministic mix of corpora: each ``(ds, modulus)`` part
+    contributes rows with ``id % modulus == 0`` and the streams union —
+    the "data mixing" step of a training pipeline (e.g. 1/1 of curated
+    text + 1/4 of web scrape), reproducible across reruns and resumes.
+
+    Parts must share a schema (align columns upstream).  Union in Ray Data
+    is metadata-only — no shuffle, blocks stream from both inputs."""
+    sampled = [deterministic_sample(ds, id_col, mod) for ds, mod in parts]
+    out = sampled[0]
+    for s in sampled[1:]:
+        out = out.union(s)
+    return out

@@ -497,3 +497,37 @@ def test_minhash_low_shuffle_equivalent(ray_session):
     assert len(a) > 0
     assert a[["id_a", "id_b"]].equals(b[["id_a", "id_b"]])
     assert np.allclose(a["est_jaccard"], b["est_jaccard"])
+
+
+def test_sampling_operators(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.sampling import (
+        deterministic_sample,
+        fraction_sample,
+        mix_corpora,
+        stratified_sample,
+    )
+
+    n = 4000
+    t = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "s": pa.array([f"s{i % 4}" for i in range(n)]),
+    })
+    ds = ray.data.from_arrow(t)
+
+    out = deterministic_sample(ds, "id", 10).to_pandas()
+    assert set(out["id"]) == set(range(0, n, 10))
+
+    st = stratified_sample(ds, "s", "id", {"s0": 1, "s1": 2}).to_pandas()
+    assert set(st[st["s"] == "s0"]["id"]) == set(range(0, n, 4))
+    assert all(i % 2 == 0 for i in st[st["s"] == "s1"]["id"])
+    assert not set(st["s"]) & {"s2", "s3"}  # unlisted strata dropped
+
+    fr = fraction_sample(ds, "id", 0.25).to_pandas()
+    assert 0.18 < len(fr) / n < 0.32  # ~25%, deterministic
+    fr2 = fraction_sample(ds, "id", 0.25).to_pandas()
+    assert list(fr["id"]) == list(fr2["id"])  # byte-reproducible
+
+    mixed = mix_corpora([(ds, 1), (ds, 2)], "id").to_pandas()
+    assert len(mixed) == n + n // 2
