@@ -179,6 +179,29 @@ def q_cdc_transcripts_final(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_assemble_transcripts(sf_dir: str):
+    """Lake → corpus bridge: replay the CDC stream, then assemble each
+    conversation's turns into one ordered transcript document
+    ("role: text" lines) — the step that feeds transcripts into the
+    dedup/quality/token corpus operators.
+
+    Oracle: the same argmax-LSN fold as the flagship, topped with
+    string_agg(... ORDER BY turn_idx)."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.transcripts import (
+        assemble_conversations,
+    )
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_lake_a{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(change_events(20_000, seed=42, parallelism=16))
+    return assemble_conversations(pipe.read_lake())
+
+
 def q_ts_unit_us_to_ns(sf_dir: str):
     """Unit widening us → ns over a long column (U5 upscale multiply)."""
     from embulk_filter_timestamp_format_ray import ColumnConfig, TaskConfig
@@ -740,6 +763,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "shuffle_join_revenue": q_shuffle_join_revenue,
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_transcripts_final": q_cdc_transcripts_final,
+        "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "asof_join": q_asof_join,
         "tumbling_window": q_tumbling_window,
@@ -825,6 +849,18 @@ def oracle_sql() -> "dict[str, str]":
             "case role when 'human' then 'user' when 'ai' then 'assistant' "
             "else role end as role, text, tool, lsn "
             "from ranked where rn = 1 and op <> 'delete'",
+        "assemble_transcripts":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "final as (select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text "
+            "from ranked where rn = 1 and op <> 'delete') "
+            "select conv_id, count(*)::bigint as n_turns, "
+            "string_agg(coalesce(role, '') || ': ' || coalesce(text, ''), "
+            "chr(10) order by turn_idx) as transcript "
+            "from final group by conv_id",
         "agg_q1":
             "select l_returnflag, l_linestatus, "
             "floor(sum(l_quantity) * 100 + 0.5) / 100 as sum_qty, "

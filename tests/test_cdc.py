@@ -621,3 +621,25 @@ def test_normalize_stage_epochs():
     ts = out.column("ts").to_pylist()
     assert ts[0].timestamp() == pytest.approx(1436713200.1)
     assert ts[1].timestamp() == pytest.approx(1436713200.1)
+
+
+def test_assemble_conversations(ray_session):
+    """Lake rows → one ordered transcript doc per conversation."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.transcripts import (
+        assemble_conversations,
+    )
+
+    t = pa.table({
+        "conv_id": ["b", "a", "a", "a"],
+        "turn_idx": pa.array([0, 2, 0, 1], pa.int32()),
+        "role": ["user", "tool", "user", None],
+        "text": ["hi b", "ran", "hi a", "mid"],
+    })
+    out = assemble_conversations(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    assert list(out["conv_id"]) == ["a", "b"]
+    assert list(out["n_turns"]) == [3, 1]
+    assert out["transcript"][0] == "user: hi a\n: mid\ntool: ran"
+    assert out["transcript"][1] == "user: hi b"
