@@ -58,23 +58,36 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text",
 
 
 def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the min-id document per distinct text. Hash-partitioned:
-    only (hash, id, text) columns cross the shuffle."""
+    """Keep the min-id document per distinct text.
+
+    Shuffle by content-hash SHARD (int32, ~N_BUCKET_SHARDS groups), then one
+    vectorized sort + run-mask per shard — true-text confirmation included
+    (a hash collision lands two texts in one shard; the (text, id) sort
+    separates them), never a Python callback per distinct text."""
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        b = content_hash_batch(b, text_col)
+        shard = (np.asarray(b.column("content_hash")).astype(np.uint64)
+                 % np.uint64(N_BUCKET_SHARDS)).astype(np.int32)
+        return b.append_column("_shard", pa.array(shard))
 
     def first_per_text(group: pa.Table) -> pa.Table:
-        # group = one content-hash bucket; confirm on the real text
-        order = pc.sort_indices(group, sort_keys=[(text_col, "ascending"),
-                                                  (id_col, "ascending")])
-        g = group.take(order)
-        texts = g.column(text_col).to_pylist()
-        keep = np.ones(len(texts), dtype=bool)
-        keep[1:] = [texts[i] != texts[i - 1] for i in range(1, len(texts))]
+        g = group.drop_columns(["_shard"])
+        order = pc.sort_indices(g, sort_keys=[(text_col, "ascending"),
+                                              (id_col, "ascending")])
+        g = g.take(order)
+        if g.num_rows == 0:
+            return g.drop_columns(["content_hash"])
+        t = g.column(text_col).combine_chunks()
+        enc = pc.dictionary_encode(t)
+        v = np.asarray(enc.indices.cast(pa.int64()))
+        keep = np.ones(len(v), dtype=bool)
+        keep[1:] = v[1:] != v[:-1]
         return g.filter(pa.array(keep)).drop_columns(["content_hash"])
 
-    ds = ds.map_batches(lambda b: content_hash_batch(b, text_col),
-                        batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("content_hash").map_groups(first_per_text,
-                                                 batch_format="pyarrow")
+    ds = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("_shard").map_groups(first_per_text,
+                                           batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ minhash

@@ -141,6 +141,32 @@ def grouped_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]"):
     return ds.groupby("_shard").map_groups(combine, batch_format="pyarrow")
 
 
+def _same_as_prev_row(tbl: pa.Table, keys: "list[str]") -> np.ndarray:
+    """Boolean mask (len n): row i has the same key tuple as row i-1
+    (tbl must already be sorted by keys).  mask[0] is always False."""
+    n = tbl.num_rows
+    same = np.zeros(n, dtype=bool)
+    if n <= 1:
+        return same
+    same[1:] = True
+    for k in keys:
+        col = tbl.column(k).combine_chunks()
+        enc = pc.dictionary_encode(col) if pa.types.is_string(col.type) else None
+        v = np.asarray(enc.indices.cast(pa.int64()) if enc is not None
+                       else col.cast(pa.int64()))
+        same[1:] &= v[:-1] == v[1:]
+    return same
+
+
+def _with_key_shard(ds, keys: "list[str]"):
+    def add(b: pa.Table) -> pa.Table:
+        shard = (hash_key_columns(b, keys)
+                 % np.uint64(_COMBINE_SHARDS)).astype(np.int32)
+        return b.append_column("_shard", pa.array(shard))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def latest_by_key(ds, keys, seq_col: str, delete_expr=None):
     """Last-write-wins upsert view: keep the max-`seq_col` row per key;
     optionally drop winners matching ``delete_expr`` (a callable
@@ -148,56 +174,38 @@ def latest_by_key(ds, keys, seq_col: str, delete_expr=None):
 
     Map-side combined: each block collapses to one winner per key before the
     shuffle (winner-of-winners is the global winner — associative), so the
-    exchange carries ≤1 row per key per block."""
+    exchange carries ≤1 row per key per block.  The reduce runs per HASH
+    SHARD (one vectorized sort + run-mask over all of a shard's keys), not
+    one Python callback per key."""
     keys = list(keys)
 
-    def keep_latest(group: pa.Table) -> pa.Table:
+    def winners_sorted(tbl: pa.Table) -> pa.Table:
         order = pc.sort_indices(
-            group, sort_keys=[(k, "ascending") for k in keys] + [(seq_col, "ascending")]
-        )
-        group = group.take(order)
-        n = group.num_rows
-        if n == 0:
-            return group
-        last = np.ones(n, dtype=bool)
-        if n > 1:
-            same = np.ones(n - 1, dtype=bool)
-            for k in keys:
-                col = group.column(k).combine_chunks()
-                enc = pc.dictionary_encode(col) if pa.types.is_string(col.type) else None
-                v = np.asarray(enc.indices.cast(pa.int64()) if enc is not None
-                               else col.cast(pa.int64()))
-                same &= v[:-1] == v[1:]
-            last[:-1] = ~same
-        winners = group.filter(pa.array(last))
-        if delete_expr is not None:
-            winners = winners.filter(pc.invert(delete_expr(winners)))
-        return winners
+            tbl, sort_keys=[(k, "ascending") for k in keys]
+            + [(seq_col, "ascending")])
+        b = tbl.take(order)
+        if b.num_rows == 0:
+            return b
+        same = _same_as_prev_row(b, keys)
+        last = np.ones(b.num_rows, dtype=bool)
+        last[:-1] = ~same[1:]
+        return b.filter(pa.array(last))
 
     def local_winners(batch: pa.Table) -> pa.Table:
         # combiner: winner-per-key per block. Deletes are NOT filtered here —
         # a local delete winner must still travel as a tombstone to beat
         # older upserts living in other blocks.
-        order = pc.sort_indices(
-            batch, sort_keys=[(k, "ascending") for k in keys] + [(seq_col, "ascending")]
-        )
-        b = batch.take(order)
-        n = b.num_rows
-        if n <= 1:
-            return b
-        last = np.ones(n, dtype=bool)
-        same = np.ones(n - 1, dtype=bool)
-        for k in keys:
-            col = b.column(k).combine_chunks()
-            enc = pc.dictionary_encode(col) if pa.types.is_string(col.type) else None
-            v = np.asarray(enc.indices.cast(pa.int64()) if enc is not None
-                           else col.cast(pa.int64()))
-            same &= v[:-1] == v[1:]
-        last[:-1] = ~same
-        return b.filter(pa.array(last))
+        return winners_sorted(batch)
+
+    def shard_winners(group: pa.Table) -> pa.Table:
+        w = winners_sorted(group.drop_columns(["_shard"]))
+        if delete_expr is not None and w.num_rows:
+            w = w.filter(pc.invert(delete_expr(w)))
+        return w
 
     ds = ds.map_batches(local_winners, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby(keys).map_groups(keep_latest, batch_format="pyarrow")
+    ds = _with_key_shard(ds, keys)
+    return ds.groupby("_shard").map_groups(shard_winners, batch_format="pyarrow")
 
 
 class BroadcastJoinStage:
@@ -314,12 +322,16 @@ def explode_list(ds, list_col: str, out_col: "str | None" = None):
 
 def distinct(ds, cols):
     """Distinct rows over ``cols``: project early (shuffle only the key
-    columns), then one-per-group."""
+    columns), local distinct per block, then one Arrow hash-distinct per
+    hash shard — never a Python callback per distinct value."""
     cols = list(cols)
     ds = ds.map_batches(lambda b: b.select(cols).group_by(cols).aggregate([]),
                         batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby(cols).map_groups(lambda g: g.slice(0, 1),
-                                       batch_format="pyarrow")
+    ds = _with_key_shard(ds, cols)
+    return ds.groupby("_shard").map_groups(
+        lambda g: g.drop_columns(["_shard"]).group_by(cols).aggregate([])
+        .select(cols),
+        batch_format="pyarrow")
 
 
 def top_k_by_group(ds, keys, order_col: str, k: int, descending: bool = True,
@@ -334,37 +346,39 @@ def top_k_by_group(ds, keys, order_col: str, k: int, descending: bool = True,
     if tie_col:
         sort_keys.append((tie_col, "ascending"))
 
+    def _run_pos(b: pa.Table) -> np.ndarray:
+        """Position of each row within its key run (b sorted by keys)."""
+        same = _same_as_prev_row(b, keys)
+        idx = np.arange(b.num_rows, dtype=np.int64)
+        run_start_idx = np.maximum.accumulate(np.where(~same, idx, 0))
+        return idx - run_start_idx
+
     def local_topk(batch: pa.Table) -> pa.Table:
         order = pc.sort_indices(batch, sort_keys=[(c, "ascending") for c in keys]
                                 + sort_keys)
         b = batch.take(order)
-        # keep first k rows of each key run
-        import numpy as _np
-
         if b.num_rows == 0:
             return b
-        same = _np.ones(b.num_rows, dtype=bool)
-        same[0] = False
-        for c in keys:
-            col = b.column(c).combine_chunks()
-            enc = pc.dictionary_encode(col) if pa.types.is_string(col.type) else None
-            v = _np.asarray(enc.indices.cast(pa.int64()) if enc is not None
-                            else col.cast(pa.int64()))
-            same[1:] &= v[:-1] == v[1:]
-        idx = _np.arange(b.num_rows, dtype=_np.int64)
-        run_start_idx = _np.maximum.accumulate(_np.where(~same, idx, 0))
-        run_pos = idx - run_start_idx
-        return b.filter(pa.array(run_pos < k))
+        return b.filter(pa.array(_run_pos(b) < k))
 
     ds = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _with_key_shard(ds, keys)
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=sort_keys)
-        g = group.take(order).slice(0, k)
-        return g.append_column(
-            "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)))
+    def shard_topk(group: pa.Table) -> pa.Table:
+        # all of this shard's groups at once: sort by keys + order, keep the
+        # first k of each run, rank = within-run position + 1
+        g = group.drop_columns(["_shard"])
+        order = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in keys]
+                                + sort_keys)
+        g = g.take(order)
+        if g.num_rows == 0:
+            return g.append_column("rank", pa.array([], pa.int64()))
+        pos = _run_pos(g)
+        keep = pos < k
+        return g.filter(pa.array(keep)).append_column(
+            "rank", pa.array(pos[keep] + 1))
 
-    return ds.groupby(keys).map_groups(final_topk, batch_format="pyarrow")
+    return ds.groupby("_shard").map_groups(shard_topk, batch_format="pyarrow")
 
 
 def shuffle_join(left, right, on: str, how: str = "inner",
@@ -612,21 +626,38 @@ def sliding_window_aggregate(ds, key: str, ts_col: str, window_seconds: int,
 def sessionize(ds, key: str, ts_col: str, gap_seconds: float,
                out_col: str = "n_sessions"):
     """Per-key session count: a new session starts when the gap between
-    consecutive events exceeds ``gap_seconds`` (partition-local sort)."""
+    consecutive events exceeds ``gap_seconds``.
 
-    def count_sessions(group: pa.Table) -> pa.Table:
-        warn_large_key_group(group.num_rows, "sessionize",
-                             repr(group.column(key)[0].as_py()))
-        ts = group.column(ts_col).combine_chunks().cast(pa.timestamp("ns"))
-        v = np.sort(np.asarray(ts.cast(pa.int64())))
-        if len(v) == 0:
-            n_sessions = 0
-        else:
-            gaps = np.diff(v) > gap_seconds * 1e9
-            n_sessions = 1 + int(gaps.sum())
-        return pa.table({
-            key: [group.column(key)[0].as_py()],
-            out_col: pa.array([n_sessions], pa.int64()),
-        })
+    One hash-shard shuffle; each shard sorts (key, ts) once and counts
+    every key's session breaks with a segment mask — not one Python
+    callback (and sort) per key."""
+    gap_ns = int(gap_seconds * 1e9)
 
-    return ds.groupby(key).map_groups(count_sessions, batch_format="pyarrow")
+    def count_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        warn_large_key_group(g.num_rows, "sessionize", "shard")
+        empty = pa.table({key: pa.array([], g.column(key).type),
+                          out_col: pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        ts64 = g.set_column(g.schema.get_field_index(ts_col), ts_col,
+                            g.column(ts_col).combine_chunks()
+                            .cast(pa.timestamp("ns")).cast(pa.int64()))
+        order = pc.sort_indices(ts64, sort_keys=[(key, "ascending"),
+                                                 (ts_col, "ascending")])
+        s = ts64.take(order)
+        same = _same_as_prev_row(s, [key])
+        t = np.asarray(s.column(ts_col))
+        gap_break = np.zeros(len(t), dtype=bool)
+        gap_break[1:] = (t[1:] - t[:-1]) > gap_ns
+        gap_break &= same  # only gaps WITHIN a key start a new session
+        key_start = ~same
+        key_ids = np.cumsum(key_start) - 1
+        n_keys = int(key_ids[-1]) + 1
+        sessions = np.bincount(key_ids[gap_break], minlength=n_keys) + 1
+        key_vals = s.column(key).take(pa.array(np.nonzero(key_start)[0]))
+        return pa.table({key: key_vals,
+                         out_col: pa.array(sessions.astype(np.int64))})
+
+    ds = _with_key_shard(ds, [key])
+    return ds.groupby("_shard").map_groups(count_shard, batch_format="pyarrow")
