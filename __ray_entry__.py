@@ -728,6 +728,43 @@ def q_ann_ivf(sf_dir: str):
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_multimodal_embed_ann(sf_dir: str):
+    """Composed multimodal → similarity-search pipeline: opaque binary
+    payloads → actor-pool feature extraction (deterministic fake embedder —
+    the real model slot is EmbedImageStage.__init__) → exact cosine top-5
+    against the first two documents' embeddings.  Oracled against a fixture
+    computed by an independent numpy reimplementation."""
+    import duckdb
+
+    from embulk_filter_timestamp_format_ray.stages.ann import brute_force_topk
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        EmbedImageStage,
+        attach_fake_image_bytes,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(attach_fake_image_bytes, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(EmbedImageStage, fn_constructor_kwargs={"dim": 32},
+                        concurrency=(1, 4), batch_size=256,
+                        batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: b.select(["doc_id", "embedding"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    # queries: the first two docs' embeddings, derived with the same stage
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select doc_id, text from read_parquet('{sf_dir}/documents.parquet') "
+        "where doc_id < 2 order by doc_id").fetchall()
+    qt = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                   "text": pa.array([r[1] for r in rows], pa.string())})
+    qe = EmbedImageStage(dim=32)(attach_fake_image_bytes(qt))
+    q = np.asarray(qe.column("embedding").combine_chunks().flatten(),
+                   dtype=np.float64).reshape(len(rows), -1)
+    out = brute_force_topk(ds, q, k=5, id_col="doc_id")
+    return out.map_batches(lambda b: b.select(["query_id", "doc_id", "rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_multimodal_decode(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.multimodal import (
         attach_fake_image_bytes,
@@ -792,6 +829,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_embed_ann": q_multimodal_embed_ann,
     }
 
 
@@ -1027,4 +1065,7 @@ def oracle_sql() -> "dict[str, str]":
             "qualify rank <= 10",
         "multimodal_decode":
             "select doc_id, strlen(text)::bigint as n_bytes from documents",
+        "multimodal_embed_ann":
+            "select query_id, doc_id, rank "
+            f"from read_parquet('{_FIXTURES}/multimodal_ann_sf001.parquet')",
     }

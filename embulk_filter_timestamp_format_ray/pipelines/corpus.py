@@ -1,0 +1,117 @@
+"""Resumable corpus-prep job: documents → filter/dedup → partitioned parquet.
+
+The corpus-side analog of the CDC lake's resumable commit: output is one
+parquet file per hash partition plus a manifest listing finished parts.  A
+re-run with ``resume=True`` recomputes the (deterministic) pipeline but
+skips writing — and thus skips the write bandwidth of — every partition the
+manifest already records.  Because every stage is deterministic (seeded
+hashes, id-arithmetic sampling), a resumed run produces byte-identical
+remaining partitions.
+
+Pipeline: language filter → min-token quality filter → exact dedup
+(optionally MinHash near-dup removal) → hash-partition by doc_id → per-
+partition sorted parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+MANIFEST = "corpus_manifest.json"
+
+
+def prepared_corpus(ds, *, min_tokens: int = 10, near_dup: bool = False,
+                    near_dup_threshold: float = 0.85):
+    """documents (doc_id, text) → filtered + deduped corpus Dataset."""
+    from embulk_filter_timestamp_format_ray.stages.dedup import (
+        dedup_exact,
+        dedup_near_duplicates,
+    )
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        lang_id_batch,
+        token_count_batch,
+    )
+
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang_pred"), "en"))
+        .select(["doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_tokens_ws"),
+                                            min_tokens))
+        .select(["doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = dedup_exact(ds)
+    if near_dup:
+        ds = dedup_near_duplicates(ds, threshold=near_dup_threshold)
+    return ds
+
+
+def write_corpus(ds, out_dir: str, *, num_partitions: int = 16,
+                 resume: bool = False) -> dict:
+    """Write the corpus as one sorted parquet per doc-id hash partition,
+    committing a manifest of finished parts; ``resume`` skips partitions
+    the manifest already lists (deterministic pipeline ⇒ identical bytes)."""
+    from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, MANIFEST)
+    done: dict = {}
+    if resume and os.path.exists(mpath):
+        with open(mpath) as f:
+            done = json.load(f).get("parts", {})
+
+    def add_pid(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id").cast(pa.int64())).astype(np.uint64)
+        pid = (splitmix64(ids, 3) % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("_pid", pa.array(pid))
+
+    skip = frozenset(int(p) for p in done)
+
+    def write_part(group: pa.Table) -> pa.Table:
+        schema = pa.schema([("pid", pa.int64()), ("path", pa.string()),
+                            ("rows", pa.int64()), ("skipped", pa.bool_())])
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in schema})
+        pid = int(group.column("_pid")[0].as_py())
+        rel = f"part-{pid:05d}.parquet"
+        if pid in skip:
+            return pa.Table.from_pylist(
+                [{"pid": pid, "path": rel, "rows": 0, "skipped": True}],
+                schema=schema)
+        g = group.drop_columns(["_pid"])
+        g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        pq.write_table(g, os.path.join(out_dir, rel), compression="zstd")
+        return pa.Table.from_pylist(
+            [{"pid": pid, "path": rel, "rows": g.num_rows, "skipped": False}],
+            schema=schema)
+
+    rows = ds.map_batches(add_pid, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_pid").map_groups(write_part, batch_format="pyarrow") \
+        .take_all()  # tiny: ≤ num_partitions manifest rows
+
+    parts = dict(done)
+    written = 0
+    for r in rows:
+        if not r["skipped"]:
+            parts[str(r["pid"])] = {"path": r["path"], "rows": int(r["rows"])}
+            written += 1
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_partitions": num_partitions, "parts": parts}, f,
+                  indent=1, sort_keys=True)
+    os.replace(tmp, mpath)
+    return {"partitions": len(parts), "written": written,
+            "skipped": len(rows) - written,
+            "rows": sum(p["rows"] for p in parts.values())}

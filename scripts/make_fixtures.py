@@ -162,6 +162,34 @@ def embedding_pairs_reference(*, threshold=0.95, planes=12, seed=5):
     return pairs
 
 
+def multimodal_ann_reference(ids, texts, *, dim=32, n_queries=2, k=5):
+    """Independent reimplementation of the fake-embed + exact-cosine-top-k
+    composition (q_multimodal_embed_ann): payload = utf-8 text bytes,
+    embedding = counter-hashed floats, ranking by (-cosine, doc_id)."""
+    def embed(text):
+        b = np.frombuffer((text or "").encode("utf-8", "ignore") or b"\x00",
+                          dtype=np.uint8)
+        chunks = np.resize(b.astype(np.uint64), dim)
+        h = splitmix64(chunks + np.arange(dim, dtype=np.uint64), 29)
+        return (h >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53) \
+            - np.float32(0.5)
+
+    x = np.stack([embed(t) for t in texts]).astype(np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    by_id = {int(i): j for j, i in enumerate(ids)}
+    rows = []
+    for qid in range(n_queries):
+        sim = xn[by_id[qid]] @ xn.T
+        order = sorted(range(len(ids)), key=lambda j: (-sim[j], int(ids[j])))
+        for rank, j in enumerate(order[:k], 1):
+            rows.append((qid, int(ids[j]), rank))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "rank": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def pairs_table(pairs: dict, metric_name: str, metric_type) -> pa.Table:
     keys = sorted(pairs)
     return pa.table({
@@ -202,6 +230,10 @@ def main():
     pq.write_table(pairs_table(ep, "cosine", pa.float64()),
                    os.path.join(OUT, "embedding_neardup_sf001.parquet"))
     print("embedding_neardup pairs:", len(ep))
+
+    mm = multimodal_ann_reference(ids, texts)
+    pq.write_table(mm, os.path.join(OUT, "multimodal_ann_sf001.parquet"))
+    print("multimodal_ann rows:", mm.num_rows)
 
     ev = expected_event_table(CDC_EVENTS, seed=42)
     pq.write_table(ev, os.path.join(OUT, f"cdc_events_{CDC_EVENTS}.parquet"))

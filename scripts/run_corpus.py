@@ -1,0 +1,61 @@
+"""Corpus-prep job CLI: documents parquet → filtered/deduped partitioned
+corpus with a resumable manifest.
+
+    python scripts/run_corpus.py --input /root/testdata/sf0.1/documents.parquet \
+        --out /tmp/corpus --partitions 16 [--near-dup] [--resume]
+
+Owns its Ray session per the repo contract (only bench.py, CLI entrypoints
+and the test fixture may init Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--partitions", type=int, default=16)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR",
+                 **({"num_cpus": args.num_cpus} if args.num_cpus else {}))
+    try:
+        import ray.data
+
+        from embulk_filter_timestamp_format_ray.pipelines.corpus import (
+            prepared_corpus,
+            write_corpus,
+        )
+
+        t0 = time.perf_counter()
+        ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+        corpus = prepared_corpus(ds, min_tokens=args.min_tokens,
+                                 near_dup=args.near_dup)
+        stats = write_corpus(corpus, args.out,
+                             num_partitions=args.partitions,
+                             resume=args.resume)
+        stats["sec"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(stats))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

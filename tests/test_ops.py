@@ -531,3 +531,57 @@ def test_sampling_operators(ray_session):
 
     mixed = mix_corpora([(ds, 1), (ds, 2)], "id").to_pandas()
     assert len(mixed) == n + n // 2
+
+
+def test_sharded_reduces_match_pandas_reference(ray_session):
+    """Property check on random data: latest_by_key / distinct /
+    top_k_by_group / sessionize (all sharded reduces) must equal the
+    obvious pandas implementations."""
+    import pandas as pd
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        distinct,
+        latest_by_key,
+        sessionize,
+        top_k_by_group,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    df = pd.DataFrame({
+        "k": [f"u{i}" for i in rng.integers(0, 900, n)],
+        "seq": rng.permutation(n),
+        "v": rng.random(n),
+        "t": pd.to_datetime(rng.integers(0, 10_000_000, n), unit="s"),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    got = latest_by_key(ds, ["k"], "seq").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = df.sort_values("seq").groupby("k").last().reset_index() \
+        .sort_values("k").reset_index(drop=True)
+    assert got["seq"].tolist() == exp["seq"].tolist()
+
+    assert sorted(distinct(ds, ["k"]).to_pandas()["k"]) == \
+        sorted(df["k"].unique())
+
+    got = top_k_by_group(ds, ["k"], "v", 3, tie_col="seq").to_pandas()
+    exp_top = df.sort_values(["v", "seq"], ascending=[False, True]) \
+        .groupby("k").head(3)
+    assert len(got) == len(exp_top)
+    gm = got.sort_values(["k", "rank"]).reset_index(drop=True)
+    em = exp_top.sort_values(["k", "v"], ascending=[True, False]) \
+        .reset_index(drop=True)
+    assert np.allclose(gm["v"].to_numpy(), em["v"].to_numpy())
+
+    got = sessionize(ds, "k", "t", gap_seconds=1800).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+    def sess(g):
+        ts = np.sort(g["t"].astype("int64").to_numpy())
+        return 1 + int((np.diff(ts) > 1800 * 1e9).sum())
+
+    exp = df.groupby("k").apply(sess, include_groups=False) \
+        .sort_index()
+    assert got["n_sessions"].tolist() == exp.tolist()

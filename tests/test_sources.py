@@ -176,3 +176,47 @@ def test_apply_stream_microbatches(ray_session, tmp_path):
     chunks = [ray.data.from_arrow(full.slice(i * 300, 300)) for i in range(3)]
     stats = pipe.apply_stream(chunks)
     assert [s["version"] for s in stats] == [1, 2, 3]
+
+
+def test_corpus_write_resume(ray_session, tmp_path):
+    """Resumable corpus output: second run skips committed partitions;
+    deleting one partition + manifest entry re-writes only that part with
+    identical bytes (deterministic pipeline)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.corpus import (
+        MANIFEST,
+        prepared_corpus,
+        write_corpus,
+    )
+
+    texts = [f"the quick brown fox number {i} jumps over the lazy dog "
+             f"again and again and again" for i in range(200)]
+    texts[5] = texts[4]  # exact dup
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts)})
+
+    def corpus():
+        return prepared_corpus(ray.data.from_arrow(t), min_tokens=5)
+
+    out = str(tmp_path / "corpus")
+    s1 = write_corpus(corpus(), out, num_partitions=4)
+    assert s1["written"] == 4 and s1["rows"] == 199  # dup removed
+    s2 = write_corpus(corpus(), out, num_partitions=4, resume=True)
+    assert s2["written"] == 0 and s2["skipped"] == 4
+    assert s2["rows"] == 199  # manifest totals preserved
+    # drop one part: resume re-writes exactly it, bytes identical
+    m = json.load(open(os.path.join(out, MANIFEST)))
+    victim = sorted(m["parts"])[0]
+    before = open(os.path.join(out, m["parts"][victim]["path"]), "rb").read()
+    os.unlink(os.path.join(out, m["parts"][victim]["path"]))
+    del m["parts"][victim]
+    json.dump(m, open(os.path.join(out, MANIFEST), "w"))
+    s3 = write_corpus(corpus(), out, num_partitions=4, resume=True)
+    assert s3["written"] == 1 and s3["skipped"] == 3
+    after = open(os.path.join(out, f"part-{int(victim):05d}.parquet"), "rb").read()
+    assert before == after
