@@ -780,15 +780,112 @@ def connected_components_from_pairs(pairs_ds, max_driver_pairs: int = 5_000_000)
     })
 
 
+def connected_components_distributed(pairs_ds, id_col: str = "doc_id",
+                                     max_iters: int = 25):
+    """Distributed min-label propagation over the candidate-pair graph —
+    the scale path when the pair list exceeds the driver union-find bound.
+
+    Each round every node takes the min label among itself and its
+    neighbors (one hash join edges⋈labels + one sharded min-aggregate);
+    labels are monotonically non-increasing, so the fixpoint is exact
+    connected components with label = min member id — identical semantics
+    to the driver union-find (parity-tested).  Rounds needed = graph
+    diameter; near-dup cliques have diameter ~1-2.
+
+    Returns a Dataset of (id_col, cluster_id)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+        shuffle_join,
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("id_a"))
+        c = np.asarray(b.column("id_b"))
+        return pa.table({"src": pa.array(np.concatenate([a, c]), pa.int64()),
+                         "dst": pa.array(np.concatenate([c, a]), pa.int64())})
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    labels = grouped_aggregate(
+        edges, ["src"], {"label": ("src", "min")}).materialize()
+
+    for _ in range(max_iters):
+        nbr = shuffle_join(
+            edges,
+            labels.map_batches(
+                lambda b: pa.table({"dst": b.column("src"),
+                                    "nl": b.column("label")}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            on="dst")
+        cand = nbr.map_batches(
+            lambda b: pa.table({"src": b.column("src"), "nl": b.column("nl")}),
+            batch_format="pyarrow", zero_copy_batch=True).union(
+            labels.map_batches(
+                lambda b: pa.table({"src": b.column("src"),
+                                    "nl": b.column("label")}),
+                batch_format="pyarrow", zero_copy_batch=True))
+        new_labels = grouped_aggregate(
+            cand, ["src"], {"label": ("nl", "min")}).materialize()
+        changed = shuffle_join(
+            new_labels.map_batches(
+                lambda b: pa.table({"src": b.column("src"),
+                                    "new": b.column("label")}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            labels.map_batches(
+                lambda b: pa.table({"src": b.column("src"),
+                                    "old": b.column("label")}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            on="src").filter(expr="new != old").count()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        logger.warning(
+            "label propagation hit max_iters=%d before convergence "
+            "(graph diameter larger than expected); components may be "
+            "under-merged", max_iters)
+    return labels.map_batches(
+        lambda b: pa.table({id_col: b.column("src"),
+                            "cluster_id": b.column("label")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dedup_near_duplicates(ds, *, threshold: float = 0.7, num_perm: int = 64,
-                          bands: int = 16, id_col: str = "doc_id"):
+                          bands: int = 16, id_col: str = "doc_id",
+                          max_driver_pairs: int = 5_000_000):
     """Full near-dup removal: MinHash-LSH pairs → connected components →
     drop every non-representative member (keep min id per cluster).
+
+    Components run on the driver (union-find) while the pair list is
+    provably small, else automatically via distributed min-label
+    propagation — identical cluster semantics (min member id).
 
     The drop set (non-representatives) is broadcast as an anti-join key set;
     the corpus itself streams through one vectorized filter."""
     pairs = dedup_minhash_pairs(ds, threshold=threshold, num_perm=num_perm,
                                 bands=bands, id_col=id_col)
+    pairs = pairs.materialize()
+    if pairs.count() > max_driver_pairs:
+        comp_ds = connected_components_distributed(pairs, id_col=id_col)
+        # the DROP SET (non-representatives) is far smaller than the pair
+        # list (≤ one row per clustered doc); collect only that
+        import ray as _ray
+
+        drop_blocks = [
+            _ray.get(r) for r in comp_ds.map_batches(
+                lambda b: b.filter(pc.invert(pc.equal(
+                    b.column(id_col), b.column("cluster_id"))))
+                .select([id_col]),
+                batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
+        drop_tbl = pa.concat_tables(
+            [b for b in drop_blocks if b.num_rows], promote_options="permissive") \
+            if any(b.num_rows for b in drop_blocks) else \
+            pa.table({id_col: pa.array([], pa.int64())})
+        from embulk_filter_timestamp_format_ray.stages.relational import (
+            broadcast_join,
+        )
+
+        return broadcast_join(ds, drop_tbl, on=id_col, how="anti")
     comp = connected_components_from_pairs(pairs)
     drop = comp.filter(pc.invert(pc.equal(comp.column(id_col),
                                           comp.column("cluster_id"))))

@@ -585,3 +585,53 @@ def test_sharded_reduces_match_pandas_reference(ray_session):
     exp = df.groupby("k").apply(sess, include_groups=False) \
         .sort_index()
     assert got["n_sessions"].tolist() == exp.tolist()
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    """Distributed min-label propagation (the beyond-driver-bound scale
+    path) must produce the exact components the union-find does, on a
+    random graph with chains (diameter > 1), cliques, and singleton-free
+    pairs."""
+    import pandas as pd
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.dedup import (
+        connected_components_distributed,
+        connected_components_from_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    # chains: 0-1-2-...-9, 100-101-...-109 (diameter 9) + random edges
+    edges = [(i, i + 1) for i in range(9)] + \
+            [(100 + i, 101 + i) for i in range(9)] + \
+            [tuple(sorted(e)) for e in rng.integers(200, 400, (300, 2))
+             if e[0] != e[1]]
+    pairs = pa.table({
+        "id_a": pa.array([a for a, b in edges], pa.int64()),
+        "id_b": pa.array([b for a, b in edges], pa.int64()),
+        "est_jaccard": pa.array([1.0] * len(edges)),
+    })
+    exp = connected_components_from_pairs(pd.DataFrame(
+        {"id_a": pairs.column("id_a").to_pylist(),
+         "id_b": pairs.column("id_b").to_pylist()})).to_pandas()
+    got = connected_components_distributed(
+        ray.data.from_arrow(pairs)).to_pandas()
+    e = dict(zip(exp["doc_id"], exp["cluster_id"]))
+    g = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert e == g
+
+
+def test_near_dedup_distributed_path(ray_session):
+    """Force the distributed components path (tiny max_driver_pairs) and
+    check it removes the same docs as the driver path."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.dedup import (
+        dedup_near_duplicates,
+    )
+
+    ds = ray.data.from_arrow(_docs_table())
+    a = sorted(dedup_near_duplicates(ds, threshold=0.9).to_pandas()["doc_id"])
+    b = sorted(dedup_near_duplicates(ds, threshold=0.9,
+                                     max_driver_pairs=0).to_pandas()["doc_id"])
+    assert a == b
