@@ -326,10 +326,14 @@ def q_asof_join(sf_dir: str):
     snaps = snaps.map_batches(take_snapshots, batch_format="pyarrow",
                               zero_copy_batch=True)
     out = asof_join(events, snaps, by="user_id", on="ts", value_cols=["value"])
+    # NULL-preserving scaled int64 (not nullable float): the float column's
+    # NULL/NaN rendering was the driver's r1+r2 hash-mismatch — int64 with
+    # Arrow NULLs is hash-unambiguous on both the Ray and DuckDB sides.
     return out.map_batches(
         lambda b: pa.table({
             "event_id": b.column("event_id"),
-            "value_asof": b.column("value_asof"),
+            "value_asof_x100": pc.cast(pc.floor(pc.add(pc.multiply(
+                b.column("value_asof"), 100.0), 0.5)), pa.int64()),
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -906,7 +910,9 @@ def oracle_sql() -> "dict[str, str]":
             "count(*) as count_order "
             "from lineitem group by l_returnflag, l_linestatus",
         "asof_join":
-            "select e.event_id, s.value as value_asof from events e "
+            "select e.event_id, "
+            "cast(floor(s.value * 100 + 0.5) as bigint) as value_asof_x100 "
+            "from events e "
             "asof left join (select user_id, ts, value from events "
             "where event_id % 97 = 0) s "
             "on e.user_id = s.user_id and e.ts >= s.ts",

@@ -440,59 +440,78 @@ def asof_join(left_ds, right_ds, by: str, on: str,
     """As-of join: for each left row, attach the latest right row with
     ``right.on <= left.on`` within the same ``by`` key.
 
-    Ray Data has no native as-of join; the portable pattern (ray_guide):
-    tag + union both sides, ONE groupby(by) shuffle, and a per-key
-    ``pd.merge_asof`` over the sorted group.  Assumes per-key volumes fit a
-    task (same assumption as any keyed window)."""
+    Ray Data has no native as-of join; the pattern here: tag + union both
+    sides (right rows padded to the left schema with nulls), ONE hash-shard
+    shuffle on ``by``, then per SHARD a single sort by (by, on, side) and a
+    vectorized last-right-value backward fill over key runs — no per-key
+    Python callbacks (same sharded shape as ``sessionize``).  A right row at
+    exactly ``left.on`` matches (inclusive backward, DuckDB ASOF
+    semantics); no-match left rows get Arrow NULL."""
+    left_schema = left_ds.schema()
+    left_names = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    val_names = [v + suffix for v in value_cols]
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        cols = {c: batch.column(c) for c in batch.schema.names}
+        cols = {c: batch.column(c) for c in left_names}
         cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
-        for v in value_cols:
-            cols[v + suffix] = pa.nulls(batch.num_rows, pa.float64())
+        for vn in val_names:
+            cols[vn] = pa.nulls(batch.num_rows, pa.float64())
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        cols = {by: batch.column(by), on: batch.column(on),
-                "__side": pa.array(np.ones(batch.num_rows, dtype=np.int8))}
-        for v in value_cols:
-            cols[v + suffix] = batch.column(v).cast(pa.float64())
+        n = batch.num_rows
+        cols = {}
+        for c in left_names:
+            if c in (by, on):
+                cols[c] = batch.column(c)
+            else:  # pad to the left schema so union blocks agree
+                cols[c] = pa.nulls(n, left_types[c])
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        for v, vn in zip(value_cols, val_names):
+            cols[vn] = batch.column(v).cast(pa.float64())
         return pa.table(cols)
 
     left_t = left_ds.map_batches(tag_left, batch_format="pyarrow",
                                  zero_copy_batch=True)
     right_t = right_ds.map_batches(tag_right, batch_format="pyarrow",
                                    zero_copy_batch=True)
-    unioned = left_t.union(right_t)
+    unioned = _with_key_shard(left_t.union(right_t), [by])
+    out_names = left_names + val_names
 
-    def per_key(group: "pd.DataFrame"):
-        import pandas as pd
+    def fill_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        warn_large_key_group(g.num_rows, "asof_join", "shard")
+        if g.num_rows == 0:
+            return pa.table({c: g.column(c) for c in out_names})
+        # __side descending: right rows sort BEFORE left rows at equal
+        # `on`, so the backward fill sees equal-timestamp snapshots
+        order = pc.sort_indices(g, sort_keys=[
+            (by, "ascending"), (on, "ascending"), ("__side", "descending")])
+        g = g.take(order)
+        n = g.num_rows
+        side = np.asarray(g.column("__side"))
+        right_mask = side == 1
+        idx = np.arange(n, dtype=np.int64)
+        # index of the most recent right row at-or-before each position,
+        # invalid when it falls before this key run's start
+        last_right = np.maximum.accumulate(np.where(right_mask, idx, -1))
+        key_start = ~_same_as_prev_row(g, [by])
+        run_start = np.maximum.accumulate(np.where(key_start, idx, 0))
+        valid = last_right >= run_start
+        left_pos = idx[~right_mask]
+        ti = last_right[~right_mask]
+        tvalid = valid[~right_mask]
+        take_vals = pa.array(np.where(tvalid, ti, 0), mask=~tvalid)
+        left_idx = pa.array(left_pos)
+        cols = {c: g.column(c).take(left_idx) for c in left_names}
+        for vn in val_names:
+            # null take-index → Arrow NULL for no-match rows
+            cols[vn] = g.column(vn).combine_chunks().take(take_vals)
+        return pa.table(cols)
 
-        if len(group):
-            warn_large_key_group(len(group), "asof_join",
-                                 repr(group[by].iloc[0]))
-        left = group[group["__side"] == 0].drop(
-            columns=["__side"] + [v + suffix for v in value_cols])
-        right = group[group["__side"] == 1][[on] + [v + suffix for v in value_cols]]
-        if left.empty:
-            return left
-        left = left.sort_values(on, kind="mergesort")
-        if right.empty:
-            for v in value_cols:
-                # Nullable Float64 so Arrow sees NULL, not float NaN — the
-                # DuckDB ASOF LEFT JOIN oracle emits NULL for no-match rows.
-                left[v + suffix] = pd.Series(pd.NA, index=left.index,
-                                             dtype="Float64")
-            return left
-        right = right.sort_values(on, kind="mergesort")
-        merged = pd.merge_asof(left, right, on=on, direction="backward")
-        for v in value_cols:
-            merged[v + suffix] = merged[v + suffix].astype("Float64")
-        return merged
-
-    import pandas as pd  # noqa: F401  (map_groups pandas batches)
-
-    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
+    return unioned.groupby("_shard").map_groups(fill_shard,
+                                                batch_format="pyarrow")
 
 
 def approx_quantiles(ds, col: str, qs, bins: int = 4096):

@@ -206,6 +206,50 @@ def test_asof_join(ray_session):
     assert t.column("v_asof").null_count == 1
 
 
+def test_asof_join_parity_random(ray_session):
+    """Sharded backward-fill reduce vs an independent pd.merge_asof
+    reference on messy data: many keys, duplicate left timestamps,
+    equal-ts left/right collisions, keys with no right rows."""
+    import pandas as pd
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import asof_join
+
+    rng = np.random.default_rng(7)
+    n_left, n_right = 5000, 800
+    keys = [f"k{i}" for i in range(40)]
+    lt = pd.DataFrame({
+        "id": np.arange(n_left, dtype=np.int64),
+        "u": rng.choice(keys, n_left),
+        # coarse grid → plenty of exact-tie timestamps
+        "t": pd.to_datetime(rng.integers(0, 500, n_left) * 60, unit="s"),
+    })
+    rt = pd.DataFrame({
+        # last 5 keys never appear on the right → all-NULL keys
+        "u": rng.choice(keys[:-5], n_right),
+        "t": pd.to_datetime(rng.integers(0, 500, n_right) * 60, unit="s"),
+        "v": np.round(rng.uniform(0, 100, n_right), 3),
+    })
+    # reference: merge_asof per key (backward, inclusive), independent impl
+    rt_dedup = rt.sort_values(["u", "t"]).drop_duplicates(["u", "t"],
+                                                          keep="last")
+    expect = pd.merge_asof(
+        lt.sort_values("t", kind="mergesort"), rt_dedup.sort_values("t"),
+        on="t", by="u", direction="backward").sort_values("id")
+
+    left = ray.data.from_arrow(pa.Table.from_pandas(lt)).repartition(6)
+    right = ray.data.from_arrow(pa.Table.from_pandas(
+        rt_dedup.reset_index(drop=True))).repartition(4)
+    got = asof_join(left, right, by="u", on="t", value_cols=["v"]) \
+        .to_pandas().sort_values("id")
+    assert len(got) == n_left
+    g = got["v_asof"].to_numpy(dtype=float)
+    e = expect["v"].to_numpy(dtype=float)
+    assert np.array_equal(np.isnan(g), np.isnan(e))
+    m = ~np.isnan(g)
+    assert np.allclose(g[m], e[m])
+
+
 def test_approx_quantiles(ray_session):
     import ray.data
 
