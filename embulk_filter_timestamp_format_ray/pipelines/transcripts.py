@@ -4,10 +4,11 @@ The bridge between the engine's two halves — the exactly-once transcript
 lake (conv_id, turn_idx, role, text, …) and the corpus operators (dedup,
 quality, tokens, fingerprints) that consume a ``documents``-shaped table.
 
-Scale shape: ONE groupby(conv_id) shuffle; each group (one conversation,
-small by construction) sorts its turns locally and joins the lines
-vectorized — no driver materialization, streams straight into downstream
-``map_batches`` corpus stages.
+Scale shape: ONE hash-shard shuffle on conv_id; each SHARD sorts
+(conv_id, turn_idx) once and renders every conversation's transcript in one
+vectorized pass (run-length list offsets + ``pc.binary_join``) — no
+per-conversation Python callbacks, no ``to_pylist`` — then streams straight
+into downstream ``map_batches`` corpus stages.
 """
 
 from __future__ import annotations
@@ -16,20 +17,37 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from embulk_filter_timestamp_format_ray.stages.relational import (
+    _same_as_prev_row,
+    _with_key_shard,
+    warn_large_key_group,
+)
 
-def _assemble_group(group: pa.Table) -> pa.Table:
-    order = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
-    g = group.take(order)
+
+def _assemble_shard(group: pa.Table) -> pa.Table:
+    g = group.drop_columns(["_shard"])
+    warn_large_key_group(g.num_rows, "assemble_conversations", "shard")
+    if g.num_rows == 0:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "n_turns": pa.array([], pa.int64()),
+                         "transcript": pa.array([], pa.string())})
+    order = pc.sort_indices(g, sort_keys=[("conv_id", "ascending"),
+                                          ("turn_idx", "ascending")])
+    g = g.take(order)
     role = pc.fill_null(g.column("role"), "")
     text = pc.fill_null(g.column("text"), "")
     lines = pc.binary_join_element_wise(role, text, ": ")
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
-    doc = "\n".join(lines.to_pylist())  # one conversation: tens of lines
+    # one list entry per conversation run → a single vectorized join
+    starts = np.nonzero(~_same_as_prev_row(g, ["conv_id"]))[0]
+    offsets = np.append(starts, g.num_rows).astype(np.int32)
+    runs = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), lines)
+    transcripts = pc.binary_join(runs, "\n")
     return pa.table({
-        "conv_id": pa.array([g.column("conv_id")[0].as_py()], pa.string()),
-        "n_turns": pa.array([g.num_rows], pa.int64()),
-        "transcript": pa.array([doc], pa.string()),
+        "conv_id": g.column("conv_id").take(pa.array(starts)),
+        "n_turns": pa.array(np.diff(offsets).astype(np.int64)),
+        "transcript": transcripts,
     })
 
 
@@ -38,5 +56,6 @@ def assemble_conversations(lake_ds):
     (conv_id, n_turns, transcript) with turns ordered and rendered as
     ``role: text`` lines."""
     ds = lake_ds.select_columns(["conv_id", "turn_idx", "role", "text"])
-    return ds.groupby("conv_id").map_groups(_assemble_group,
-                                            batch_format="pyarrow")
+    ds = _with_key_shard(ds, ["conv_id"])
+    return ds.groupby("_shard").map_groups(_assemble_shard,
+                                           batch_format="pyarrow")

@@ -11,6 +11,7 @@
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -643,3 +644,43 @@ def test_assemble_conversations(ray_session):
     assert list(out["n_turns"]) == [3, 1]
     assert out["transcript"][0] == "user: hi a\n: mid\ntool: ran"
     assert out["transcript"][1] == "user: hi b"
+
+
+def test_assemble_conversations_parity_many(ray_session):
+    """Sharded vectorized assembly vs an independent per-conversation
+    Python reference over many conversations spread across blocks."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.transcripts import (
+        assemble_conversations,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    expect = {}
+    for c in range(300):
+        cid = f"conv-{c:04d}"
+        n = int(rng.integers(1, 9))
+        roles = [["user", "assistant", "tool", None][int(rng.integers(4))]
+                 for _ in range(n)]
+        texts = [f"t{c}-{i}" if rng.random() > 0.05 else None
+                 for i in range(n)]
+        order = rng.permutation(n)
+        for i in order:
+            rows.append((cid, i, roles[i], texts[i]))
+        expect[cid] = "\n".join(
+            f"{roles[i] or ''}: {texts[i] or ''}" for i in range(n))
+    rng.shuffle(rows)
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+    })
+    out = assemble_conversations(
+        ray.data.from_arrow(t).repartition(7)).to_pandas()
+    assert len(out) == 300
+    got = dict(zip(out["conv_id"], out["transcript"]))
+    assert got == expect
+    n_turns = dict(zip(out["conv_id"], out["n_turns"]))
+    assert all(n_turns[k] == len(v.split("\n")) for k, v in expect.items())
