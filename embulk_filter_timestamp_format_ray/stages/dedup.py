@@ -35,6 +35,11 @@ import zlib
 
 logger = logging.getLogger(__name__)
 
+# Drop sets up to this many rows apply as a broadcast anti-join key set;
+# larger ones route through the distributed semi/anti shuffle join so the
+# driver never materializes them (module-level so tests can tune it).
+MAX_BROADCAST_DROP = 5_000_000
+
 
 def det_hash_str(s: str) -> int:
     """Deterministic 64-bit string hash (python hash() is process-seeded and
@@ -852,7 +857,8 @@ def connected_components_distributed(pairs_ds, id_col: str = "doc_id",
 
 def dedup_near_duplicates(ds, *, threshold: float = 0.7, num_perm: int = 64,
                           bands: int = 16, id_col: str = "doc_id",
-                          max_driver_pairs: int = 5_000_000):
+                          max_driver_pairs: int = 5_000_000,
+                          max_broadcast_drop: "int | None" = None):
     """Full near-dup removal: MinHash-LSH pairs → connected components →
     drop every non-representative member (keep min id per cluster).
 
@@ -860,31 +866,39 @@ def dedup_near_duplicates(ds, *, threshold: float = 0.7, num_perm: int = 64,
     provably small, else automatically via distributed min-label
     propagation — identical cluster semantics (min member id).
 
-    The drop set (non-representatives) is broadcast as an anti-join key set;
-    the corpus itself streams through one vectorized filter."""
+    Drop-set application is two-tier: while the drop set fits memory
+    (≤ ``max_broadcast_drop`` rows) it is broadcast as an anti-join key
+    set; above that it stays a Dataset and the corpus is filtered through
+    the distributed semi/anti shuffle join (``_shuffle_semi_anti``) — no
+    driver materialization anywhere on the 100-TB path."""
+    if max_broadcast_drop is None:
+        max_broadcast_drop = MAX_BROADCAST_DROP
     pairs = dedup_minhash_pairs(ds, threshold=threshold, num_perm=num_perm,
                                 bands=bands, id_col=id_col)
     pairs = pairs.materialize()
     if pairs.count() > max_driver_pairs:
         comp_ds = connected_components_distributed(pairs, id_col=id_col)
-        # the DROP SET (non-representatives) is far smaller than the pair
-        # list (≤ one row per clustered doc); collect only that
+        drop_ds = comp_ds.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(
+                b.column(id_col), b.column("cluster_id"))))
+            .select([id_col]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        from embulk_filter_timestamp_format_ray.stages.relational import (
+            broadcast_join,
+            shuffle_join,
+        )
+
+        if drop_ds.count() > max_broadcast_drop:
+            # multi-billion-row drop sets never touch the driver: one
+            # hash-shard exchange filters the corpus in place
+            return shuffle_join(ds, drop_ds, on=id_col, how="anti")
         import ray as _ray
 
-        drop_blocks = [
-            _ray.get(r) for r in comp_ds.map_batches(
-                lambda b: b.filter(pc.invert(pc.equal(
-                    b.column(id_col), b.column("cluster_id"))))
-                .select([id_col]),
-                batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
+        drop_blocks = [_ray.get(r) for r in drop_ds.to_arrow_refs()]
         drop_tbl = pa.concat_tables(
             [b for b in drop_blocks if b.num_rows], promote_options="permissive") \
             if any(b.num_rows for b in drop_blocks) else \
             pa.table({id_col: pa.array([], pa.int64())})
-        from embulk_filter_timestamp_format_ray.stages.relational import (
-            broadcast_join,
-        )
-
         return broadcast_join(ds, drop_tbl, on=id_col, how="anti")
     comp = connected_components_from_pairs(pairs)
     drop = comp.filter(pc.invert(pc.equal(comp.column(id_col),

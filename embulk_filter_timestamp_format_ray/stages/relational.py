@@ -278,7 +278,10 @@ def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
                 return self._keys
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                mask = pc.is_in(batch.column(on), value_set=self._value_set())
+                # null keys match nothing: dropped by semi, kept by anti
+                # (DuckDB SEMI/ANTI JOIN semantics, same as _shuffle_semi_anti)
+                mask = pc.fill_null(pc.is_in(
+                    batch.column(on), value_set=self._value_set()), False)
                 if how == "anti":
                     mask = pc.invert(mask)
                 return batch.filter(mask)
@@ -381,6 +384,59 @@ def top_k_by_group(ds, keys, order_col: str, k: int, descending: bool = True,
     return ds.groupby("_shard").map_groups(shard_topk, batch_format="pyarrow")
 
 
+def _shuffle_semi_anti(left, right, on: str, how: str,
+                       right_on: "str | None" = None):
+    """Distributed semi/anti membership filter for two LARGE datasets —
+    the fallback when the right side outgrows ``broadcast_join``'s key-set
+    broadcast.  The right side projects to its key column only, both sides
+    union under a side tag, ONE hash-shard shuffle co-locates equal keys,
+    and each shard filters its left rows with a vectorized ``is_in``
+    against the shard's right keys.  No aggregator actors (Ray's native
+    join doesn't do semi/anti), no driver materialization; only the left
+    payload + right keys move.  Null left keys match nothing: dropped by
+    semi, kept by anti."""
+    rk = right_on or on
+    left_schema = left.schema()
+    left_names = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right = right.select_columns([rk])
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {c: b.column(c) for c in left_names}
+        cols["__side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {c: (b.column(rk).cast(left_types[on]) if c == on
+                    else pa.nulls(n, left_types[c])) for c in left_names}
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    left_t = left.map_batches(tag_left, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    right_t = right.map_batches(tag_right, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    unioned = _with_key_shard(left_t.union(right_t), [on])
+
+    def filter_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        side = np.asarray(g.column("__side"))
+        left_rows = g.filter(pa.array(side == 0)).drop_columns(["__side"])
+        if left_rows.num_rows == 0:
+            return left_rows
+        right_keys = g.column(on).filter(pa.array(side == 1))
+        mask = pc.fill_null(pc.is_in(
+            left_rows.column(on),
+            value_set=right_keys.combine_chunks().unique()), False)
+        if how == "anti":
+            mask = pc.invert(mask)
+        return left_rows.filter(mask)
+
+    return unioned.groupby("_shard").map_groups(filter_shard,
+                                                batch_format="pyarrow")
+
+
 def shuffle_join(left, right, on: str, how: str = "inner",
                  num_partitions: "int | None" = None,
                  right_on: "str | None" = None):
@@ -403,6 +459,8 @@ def shuffle_join(left, right, on: str, how: str = "inner",
                "left_outer": "left_outer", "right outer": "right_outer",
                "right_outer": "right_outer", "full outer": "full_outer",
                "full_outer": "full_outer"}
+    if how in ("semi", "anti"):
+        return _shuffle_semi_anti(left, right, on, how, right_on=right_on)
     if how not in how_map:
         raise ValueError(f"unsupported shuffle join type {how!r}")
     if num_partitions is None:

@@ -679,3 +679,44 @@ def test_near_dedup_distributed_path(ray_session):
     b = sorted(dedup_near_duplicates(ds, threshold=0.9,
                                      max_driver_pairs=0).to_pandas()["doc_id"])
     assert a == b
+    # force the fully-distributed drop path too: components AND the drop-set
+    # application run without any driver materialization (shuffle anti join)
+    c = sorted(dedup_near_duplicates(
+        ds, threshold=0.9, max_driver_pairs=0,
+        max_broadcast_drop=0).to_pandas()["doc_id"])
+    assert a == c
+
+
+def test_shuffle_semi_anti_join(ray_session):
+    """Distributed semi/anti shuffle join vs the broadcast membership
+    filter on the same inputs (incl. null and missing keys)."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        broadcast_join,
+        shuffle_join,
+    )
+
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 500, 4000)
+    left_tbl = pa.table({
+        "k": pa.array([None if i % 97 == 0 else int(k)
+                       for i, k in enumerate(keys)], pa.int64()),
+        "payload": pa.array([f"p{i}" for i in range(4000)]),
+    })
+    right_tbl = pa.table({
+        "k": pa.array(rng.integers(0, 300, 900), pa.int64()),
+        "extra": pa.array(np.arange(900)),
+    })
+    left = ray.data.from_arrow(left_tbl).repartition(5)
+    right = ray.data.from_arrow(right_tbl).repartition(3)
+    for how in ("semi", "anti"):
+        got = sorted(shuffle_join(left, right, on="k", how=how)
+                     .to_pandas()["payload"])
+        ref = sorted(broadcast_join(
+            ray.data.from_arrow(left_tbl), right_tbl, on="k", how=how)
+            .to_pandas()["payload"])
+        assert got == ref, how
+    # null left keys: dropped by semi, kept by anti
+    anti = shuffle_join(left, right, on="k", how="anti").to_pandas()
+    assert anti["k"].isna().sum() == left_tbl.column("k").null_count
