@@ -783,6 +783,49 @@ def q_multimodal_decode(sf_dir: str):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-count estimates over events (string + int hash
+    paths).  Deterministic given the hash primitives, so the oracle is a
+    fixture parquet from an independent SCALAR HLL reimplementation
+    (scripts/make_fixtures.py) — a cross-check of the vectorized
+    leading-zero kernel and the sparse register merge."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        approx_count_distinct,
+    )
+
+    est_type = approx_count_distinct(
+        _read(sf_dir, "events").select_columns(["event_type"]), "event_type")
+    est_user = approx_count_distinct(
+        _read(sf_dir, "events").select_columns(["user_id"]), "user_id")
+    return pa.table({
+        "column_name": pa.array(["event_type", "user_id"], pa.string()),
+        "approx_distinct": pa.array([int(np.floor(est_type + 0.5)),
+                                     int(np.floor(est_user + 0.5))],
+                                    pa.int64()),
+    })
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Histogram-sketch approximate quantiles of events.value — the
+    two-pass, no-sort quantile path.  The sketch math (trunc binning,
+    cumulative search, bin-midpoint estimate) is SQL-expressible, so the
+    oracle replays it exactly in DuckDB."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        approx_quantiles,
+    )
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    res = approx_quantiles(
+        _read(sf_dir, "events").select_columns(["value"]), "value", qs,
+        bins=4096)
+    return pa.table({
+        "q_x100": pa.array([int(round(q * 100)) for q in qs], pa.int64()),
+        "quantile_value": pa.array(
+            [float(np.floor(res[q] * 100 + 0.5) / 100) for q in qs],
+            pa.float64()),
+    })
+
+
 # --------------------------------------------------------------------------
 
 
@@ -834,6 +877,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ann_ivf": q_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_embed_ann": q_multimodal_embed_ann,
+        "hll_distinct": q_hll_distinct,
+        "approx_quantiles": q_approx_quantiles,
     }
 
 
@@ -1031,6 +1076,27 @@ def oracle_sql() -> "dict[str, str]":
             "floor(upper_ratio * 1e6 + 0.5)::bigint as upper_x1e6, "
             "floor(greatest(least(raw, 1.0), 0.0) * 1e6 + 0.5)::bigint "
             "as score_x1e6 from s",
+        # fixture oracle: independent scalar HLL (same public algorithm +
+        # hash primitives, per-value Python loop) in scripts/make_fixtures.py
+        "hll_distinct":
+            "select column_name, approx_distinct "
+            f"from read_parquet('{_FIXTURES}/hll_distinct_sf001.parquet')",
+        # SQL replay of the histogram sketch: same trunc binning, cumulative
+        # search (first bin with cum >= q*total), bin-midpoint estimate
+        "approx_quantiles":
+            "with b as (select min(value) as lo, "
+            "(max(value) - min(value)) / 4096.0 as w from events), "
+            "hist as (select least(greatest(cast(trunc((value - b.lo) / b.w) "
+            "as bigint), 0), 4095) as bin, count(*) as c "
+            "from events, b group by 1), "
+            "cum as (select bin, sum(c) over (order by bin) as cum, "
+            "sum(c) over () as total from hist), "
+            "qs as (select unnest([25, 50, 75, 90]) as q_x100), "
+            "pick as (select q_x100, min(bin) as bin from qs, cum "
+            "where cum.cum >= (q_x100 / 100.0) * cum.total group by q_x100) "
+            "select p.q_x100, "
+            "floor((b.lo + (p.bin + 0.5) * b.w) * 100 + 0.5) / 100 "
+            "as quantile_value from pick p, b order by p.q_x100",
         # Non-SQL-expressible pipelines: the oracle side is a committed
         # fixture parquet generated by INDEPENDENT reference implementations
         # (scalar spec kernels + Python dict banding / union-find) in

@@ -624,17 +624,19 @@ def approx_count_distinct(ds, col: str, precision: int = 12) -> float:
     m = 1 << precision
 
     def sketch(batch: pa.Table) -> pa.Table:
-        from embulk_filter_timestamp_format_ray.stages.dedup import det_hash_str
         from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+        from embulk_filter_timestamp_format_ray.stages.partition import (
+            hash_strings_dict,
+        )
 
         colv = batch.column(col)
-        if pa.types.is_string(colv.type if not isinstance(colv, pa.ChunkedArray)
-                              else colv.type):
-            h = np.array([det_hash_str(x or "") for x in colv.to_pylist()],
-                         dtype=np.uint64)
-            h = splitmix64(h, 5)
+        if isinstance(colv, pa.ChunkedArray):
+            colv = colv.combine_chunks()
+        if pa.types.is_string(colv.type) or pa.types.is_large_string(colv.type):
+            h = splitmix64(hash_strings_dict(colv), 5)
         else:
-            h = splitmix64(np.asarray(colv.cast(pa.int64())).astype(np.uint64), 5)
+            ints = np.asarray(pc.fill_null(colv.cast(pa.int64()), 0))
+            h = splitmix64(ints.astype(np.uint64), 5)
         reg_idx = (h >> np.uint64(64 - precision)).astype(np.int64)
         rest = h << np.uint64(precision)
         # rank = leading zeros of the remaining bits + 1 (cap 64-precision+1)
@@ -651,14 +653,21 @@ def approx_count_distinct(ds, col: str, precision: int = 12) -> float:
             lz[nz] = lz_nz + 1
         ranks = np.zeros(m, dtype=np.int64)
         np.maximum.at(ranks, reg_idx, lz)
-        return pa.table({"reg": pa.array(np.arange(m, dtype=np.int64)),
-                         "rank": pa.array(ranks)})
+        # SPARSE emission: only touched registers travel (≤ distinct-per-
+        # block rows instead of a dense m-row table per batch)
+        touched = np.nonzero(ranks)[0]
+        return pa.table({"reg": pa.array(touched.astype(np.int64)),
+                         "rank": pa.array(ranks[touched])})
 
-    merged = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True) \
+    # batch_size=None → one sketch per BLOCK, so registers merge per task
+    # before the shuffle; the groupby then reduces ≤ m rows per block
+    merged = ds.map_batches(sketch, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None) \
                .groupby("reg").aggregate(Max("rank", alias_name="rank")) \
                .to_pandas()
     ranks = np.zeros(m, dtype=np.int64)
-    ranks[merged["reg"].to_numpy()] = merged["rank"].to_numpy()
+    if len(merged):
+        ranks[merged["reg"].to_numpy()] = merged["rank"].to_numpy()
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.power(2.0, -ranks))
     zeros = int((ranks == 0).sum())

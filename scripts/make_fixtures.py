@@ -190,6 +190,57 @@ def multimodal_ann_reference(ids, texts, *, dim=32, n_queries=2, k=5):
     })
 
 
+def hll_reference(precision: int = 12) -> pa.Table:
+    """Independent SCALAR HyperLogLog over events.event_type (string hash
+    path) and events.user_id (int path): per-value Python-int splitmix64 +
+    bit_length ranks + dense register list — NOT the vectorized numpy
+    leading-zero kernel or the sparse Ray register merge it cross-checks.
+    The string pre-hash is the same polars-xxhash primitive the engine
+    uses (it's the input under test, not the logic)."""
+    import math
+
+    import polars as pl_
+
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                      columns=["event_type", "user_id"])
+    mask = (1 << 64) - 1
+
+    def sm64(x: int, seed: int) -> int:
+        z = (x + (seed * 0x9E3779B97F4A7C15) % (1 << 64)) & mask
+        z = (z + 0x9E3779B97F4A7C15) & mask
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    def estimate(hashes) -> int:
+        m = 1 << precision
+        regs = [0] * m
+        for hv in hashes:
+            h = sm64(int(hv) & mask, 5)
+            j = h >> (64 - precision)
+            rest = (h << precision) & mask
+            rank = (64 - precision + 1) if rest == 0 \
+                else 64 - rest.bit_length() + 1
+            if rank > regs[j]:
+                regs[j] = rank
+        alpha = 0.7213 / (1 + 1.079 / m)
+        ranks = np.array(regs, dtype=np.int64)
+        est = alpha * m * m / np.sum(np.power(2.0, -ranks))
+        zeros = regs.count(0)
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return int(math.floor(est + 0.5))
+
+    sh = pl_.from_arrow(t.column("event_type").combine_chunks()) \
+        .hash(seed=42).to_numpy()
+    return pa.table({
+        "column_name": pa.array(["event_type", "user_id"], pa.string()),
+        "approx_distinct": pa.array(
+            [estimate(sh), estimate(np.asarray(t.column("user_id")))],
+            pa.int64()),
+    })
+
+
 def pairs_table(pairs: dict, metric_name: str, metric_type) -> pa.Table:
     keys = sorted(pairs)
     return pa.table({
@@ -234,6 +285,10 @@ def main():
     mm = multimodal_ann_reference(ids, texts)
     pq.write_table(mm, os.path.join(OUT, "multimodal_ann_sf001.parquet"))
     print("multimodal_ann rows:", mm.num_rows)
+
+    hll = hll_reference()
+    pq.write_table(hll, os.path.join(OUT, "hll_distinct_sf001.parquet"))
+    print("hll_distinct:", hll.column("approx_distinct").to_pylist())
 
     ev = expected_event_table(CDC_EVENTS, seed=42)
     pq.write_table(ev, os.path.join(OUT, f"cdc_events_{CDC_EVENTS}.parquet"))
