@@ -437,22 +437,30 @@ def _shuffle_semi_anti(left, right, on: str, how: str,
                                                 batch_format="pyarrow")
 
 
+def shuffle_join_partitions(total_cpus: int, num_nodes: int = 1,
+                            per_node_cap: int = 16) -> int:
+    """Partition-count policy for Ray's native hash join.  Each partition
+    pins ONE long-lived aggregator actor holding a CPU for the pipeline
+    lifetime, so the count must stay well under the cluster CPU count
+    (measured: two chained joins at 2×cpus partitions spawned 128 actors on
+    a 32-cpu box and hung).  The cap scales with node count —
+    ``per_node_cap`` aggregators per node — instead of a flat global 16, so
+    a 512-core / 16-node cluster gets 256 partitions while a single dev box
+    keeps the measured ≤ cpus/2 starvation guard."""
+    return max(2, min(total_cpus // 2, per_node_cap * max(num_nodes, 1)))
+
+
 def shuffle_join(left, right, on: str, how: str = "inner",
                  num_partitions: "int | None" = None,
                  right_on: "str | None" = None):
-    """Distributed hash join for two LARGE datasets (both sides shuffle by
+    """Distributed join for two LARGE datasets (both sides shuffle by
     key).  Use ``broadcast_join`` whenever one side fits in memory — this is
-    the tool when neither does.
-
-    Thin policy wrapper over Ray Data's native hash join, which runs ONE
-    LONG-LIVED AGGREGATOR ACTOR PER PARTITION, each reserving a CPU.  The
-    partition count therefore must stay well under the cluster CPU count or
-    the join starves its own upstream tasks (measured: two chained joins at
-    num_partitions=2×cpus spawned 128 actors on a 32-cpu box and hung).
-    Default: cpus/2 capped at 16, so a pipeline with a couple of concurrent
-    joins still leaves CPUs for map tasks.  Aggregator resource requests are
-    left at Ray's defaults — overriding them to larger fractions measurably
-    re-created the starvation."""
+    the tool when neither does.  ``how='semi'/'anti'`` routes to the
+    tag-union membership filter (``_shuffle_semi_anti``); the remaining
+    types are a thin policy wrapper over Ray Data's native hash join with
+    the partition count from ``shuffle_join_partitions`` (aggregator
+    resource requests are left at Ray's defaults — overriding them to
+    larger fractions measurably re-created the starvation)."""
     import ray
 
     how_map = {"inner": "inner", "left outer": "left_outer",
@@ -466,9 +474,11 @@ def shuffle_join(left, right, on: str, how: str = "inner",
     if num_partitions is None:
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
+            nodes = sum(1 for n in ray.nodes()
+                        if n.get("Alive") and n.get("Resources", {}).get("CPU"))
         except Exception:
-            cpus = 8
-        num_partitions = max(min(cpus // 2, 16), 2)
+            cpus, nodes = 8, 1
+        num_partitions = shuffle_join_partitions(cpus, nodes)
     return left.join(right, how_map[how], num_partitions=num_partitions,
                      on=(on,), right_on=(right_on,) if right_on else None)
 

@@ -687,6 +687,19 @@ def test_near_dedup_distributed_path(ray_session):
     assert a == c
 
 
+def test_shuffle_join_partition_policy():
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        shuffle_join_partitions,
+    )
+
+    assert shuffle_join_partitions(32, 1) == 16     # single dev box: cpus/2
+    assert shuffle_join_partitions(8, 1) == 4
+    assert shuffle_join_partitions(2, 1) == 2       # floor
+    assert shuffle_join_partitions(512, 16) == 256  # scales with nodes
+    assert shuffle_join_partitions(512, 1) == 16    # one huge node: capped
+    assert shuffle_join_partitions(64, 4) == 32     # cpus/2 still binds
+
+
 def test_shuffle_semi_anti_join(ray_session):
     """Distributed semi/anti shuffle join vs the broadcast membership
     filter on the same inputs (incl. null and missing keys)."""
