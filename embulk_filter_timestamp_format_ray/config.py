@@ -107,6 +107,55 @@ class TaskConfig:
     def resolved_to_unit(self, col: ColumnConfig) -> TimestampUnit:
         return parse_unit(col.to_unit or self.default_to_timestamp_unit)
 
+    # ---------------- embulk YAML dialect front end
+
+    @classmethod
+    def from_dict(cls, d: "dict") -> "TaskConfig":
+        """Build a TaskConfig from the reference's filter-config mapping
+        (the dict under a ``filters:`` entry — same snake_case keys as the
+        dataclass fields; ``type: timestamp_format`` is ignored)."""
+        col_fields = {f.name for f in dataclasses.fields(ColumnConfig)}
+        cols = []
+        for c in d.get("columns") or ():
+            unknown = set(c) - col_fields
+            if unknown:
+                raise ConfigError(
+                    f"unknown column config keys {sorted(unknown)} for "
+                    f"{c.get('name')!r}")
+            cols.append(ColumnConfig(**c))
+        task_fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k not in ("columns", "type")}
+        unknown = set(kwargs) - task_fields
+        if unknown:
+            raise ConfigError(f"unknown task config keys {sorted(unknown)}")
+        return cls(columns=tuple(cols), **kwargs)
+
+    @classmethod
+    def from_yaml(cls, src: str) -> "TaskConfig":
+        """Parse the reference's YAML config dialect
+        (/root/reference/README.md:27-64, example/example.yml:1-11).
+
+        ``src`` is a path to a .yml file or a YAML string.  Accepts either a
+        bare filter mapping or a full embulk config, in which case the first
+        ``filters:`` entry with ``type: timestamp_format`` is used."""
+        import os
+
+        import yaml
+
+        text = src
+        if ("\n" not in src) and os.path.exists(src):
+            with open(src) as f:
+                text = f.read()
+        doc = yaml.safe_load(text) or {}
+        if not isinstance(doc, dict):
+            raise ConfigError("config must be a YAML mapping")
+        if "filters" in doc:
+            for flt in doc["filters"] or ():
+                if isinstance(flt, dict) and flt.get("type") == "timestamp_format":
+                    return cls.from_dict(flt)
+            raise ConfigError("no timestamp_format entry under filters:")
+        return cls.from_dict(doc)
+
 
 def validate(task: TaskConfig, input_schema: pa.Schema) -> None:
     """Plan-time checks (TimestampFormatFilterPlugin.java:92-122)."""
