@@ -205,6 +205,33 @@ def run_dedup_bench() -> dict:
     }
 
 
+def run_multimodal_bench() -> dict:
+    """Fake-embed actor pool over ~500k binary payloads (100× sf0.1 docs):
+    regression canary for the vectorized multimodal batch kernels."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        EmbedImageStage,
+        attach_fake_image_bytes,
+    )
+
+    n_copies = int(os.environ.get("GRAFT_MM_COPIES", "100"))
+    path = _scaled_documents(n_copies)
+    ds = ray.data.read_parquet(path, override_num_blocks=NUM_CPUS * 2)
+    ds = ds.map_batches(attach_fake_image_bytes, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(EmbedImageStage, fn_constructor_kwargs={"dim": 64},
+                        concurrency=(1, NUM_CPUS), batch_format="pyarrow",
+                        batch_size=1024)
+    t0 = time.perf_counter()
+    n = ds.map_batches(lambda b: b.select(["doc_id"]),
+                       batch_format="pyarrow", zero_copy_batch=True).count()
+    sec = time.perf_counter() - t0
+    return {"multimodal_embed_500k_sec": round(sec, 3),
+            "multimodal_embed_docs": n,
+            "multimodal_embed_docs_per_sec": round(n / sec)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -265,6 +292,8 @@ def main() -> None:
             dd = run_dedup_bench()
             queries["dedup_minhash_50k"] = dd["dedup_minhash_50k_sec"]
             queries["minhash_kernel_50k_docs"] = dd["minhash_kernel_sec_50k_docs"]
+            mm = run_multimodal_bench()
+            queries["multimodal_embed_500k"] = mm["multimodal_embed_500k_sec"]
         print(json.dumps({
             "metric": f"cdc-upsert-{N_EVENTS // 1_000_000}M-events-wall",
             "value": round(headline["sec"], 3),

@@ -30,6 +30,50 @@ def attach_fake_image_bytes(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pa.array(payloads, type=pa.binary()))
 
 
+def _binary_offsets(col: pa.Array) -> np.ndarray:
+    """Value offsets of a binary/string array as int64 (BinaryArray exposes
+    no .offsets property; read the offsets buffer, honoring slices)."""
+    dtype = np.int64 if pa.types.is_large_binary(col.type) \
+        or pa.types.is_large_string(col.type) else np.int32
+    bo = np.frombuffer(col.buffers()[1], dtype=dtype)
+    return bo[col.offset: col.offset + len(col) + 1].astype(np.int64)
+
+
+def _payload_views(col: pa.Array):
+    """(flat uint8 buffer, start offsets, lengths, empty-or-null mask) of a
+    binary column — the zero-copy ingredients of the batch kernels."""
+    offsets = _binary_offsets(col)
+    buf = col.buffers()[2]
+    flat = np.frombuffer(buf, dtype=np.uint8) if buf is not None \
+        else np.zeros(0, np.uint8)
+    starts, lens = offsets[:-1], np.diff(offsets)
+    empty = lens == 0
+    if col.null_count:
+        empty = empty | np.asarray(col.is_null())
+    return flat, starts, lens, empty
+
+
+def _payload_lengths(col: pa.Array) -> np.ndarray:
+    lens = np.diff(_binary_offsets(col))
+    if col.null_count:
+        lens = np.where(np.asarray(col.is_null()), 0, lens)
+    return lens
+
+
+def _cyclic_gather(col: pa.Array, width: int) -> np.ndarray:
+    """(n, width) uint8 matrix: each payload's bytes repeated cyclically to
+    ``width`` (the batch form of ``np.resize(payload_bytes, width)``);
+    empty/null payloads yield a zero row (the b"\\x00" stand-in)."""
+    flat, starts, lens, empty = _payload_views(col)
+    safe = np.maximum(lens, 1)
+    j = np.arange(width, dtype=np.int64)
+    idx = starts[:, None] + (j[None, :] % safe[:, None])
+    idx[empty] = 0
+    vals = flat[idx] if len(flat) else np.zeros((len(lens), width), np.uint8)
+    vals[empty] = 0
+    return vals
+
+
 class ImageDecodeStage:
     """Actor-pool stage: binary image → (width, height, n_bytes, format).
 
@@ -65,24 +109,35 @@ class ImageDecodeStage:
                 "image decode requires PIL, which is not available in this "
                 "environment; run with strict=False for the stubbed decoder"
             )
-        widths, heights, fmts, sizes = [], [], [], []
-        for payload in batch.column(self.binary_col).to_pylist():
-            payload = payload or b""
-            if self._pil is not None:
+        col = batch.column(self.binary_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = _payload_lengths(col)
+        if self._pil is not None:
+            # real codec calls are per-item by nature
+            widths, heights, fmts = [], [], []
+            for payload in col.to_pylist():
                 try:
-                    w, h, f = self._decode_real(payload)
+                    w, h, f = self._decode_real(payload or b"")
                 except Exception:
                     w, h, f = 0, 0, "ERROR"
-            else:
-                w, h, f = self._decode_fake(payload)
-            widths.append(w)
-            heights.append(h)
-            fmts.append(f)
-            sizes.append(len(payload))
-        return batch.append_column("img_width", pa.array(widths, pa.int32())) \
-                    .append_column("img_height", pa.array(heights, pa.int32())) \
-                    .append_column("n_bytes", pa.array(sizes, pa.int64())) \
-                    .append_column("img_format", pa.array(fmts, pa.string()))
+                widths.append(w)
+                heights.append(h)
+                fmts.append(f)
+            w_arr = pa.array(widths, pa.int32())
+            h_arr = pa.array(heights, pa.int32())
+            f_arr = pa.array(fmts, pa.string())
+        else:
+            # STUB, batch-vectorized: same per-payload math as _decode_fake
+            h = splitmix64(lens.astype(np.uint64), 17)
+            w_arr = pa.array((16 + h % np.uint64(1024)).astype(np.int32))
+            h_arr = pa.array(
+                (16 + (h >> np.uint64(10)) % np.uint64(1024)).astype(np.int32))
+            f_arr = pa.array(["FAKE"] * batch.num_rows, pa.string())
+        return batch.append_column("img_width", w_arr) \
+                    .append_column("img_height", h_arr) \
+                    .append_column("n_bytes", pa.array(lens.astype(np.int64))) \
+                    .append_column("img_format", f_arr)
 
 
 class ImageResizeStage:
@@ -142,17 +197,32 @@ class EmbedImageStage:
         self.binary_col = binary_col
         self._model = None  # real model handle would live here
 
+    def embed_scalar(self, payload: "bytes | None") -> np.ndarray:
+        """Executable spec: one payload → one vector (the batch kernel in
+        __call__ must match this bit-for-bit; see test parity)."""
+        b = np.frombuffer((payload or b"\x00"), dtype=np.uint8)
+        chunks = np.resize(b.astype(np.uint64), self.dim)
+        h = splitmix64(chunks + np.arange(self.dim, dtype=np.uint64), 29)
+        v = (h >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
+        return v - np.float32(0.5)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = []
-        for payload in batch.column(self.binary_col).to_pylist():
-            b = np.frombuffer((payload or b"\x00"), dtype=np.uint8)
-            chunks = np.resize(b.astype(np.uint64), self.dim)
-            h = splitmix64(chunks + np.arange(self.dim, dtype=np.uint64), 29)
-            v = (h >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
-            vecs.append(v - 0.5)
-        return batch.append_column(
-            "embedding", pa.array([list(v) for v in vecs],
-                                  pa.list_(pa.float32())))
+        col = batch.column(self.binary_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # one vectorized pass: cyclic byte gather (np.resize per row) →
+        # counter-hash → scaled floats, matching embed_scalar bit-for-bit
+        chunks = _cyclic_gather(col, self.dim).astype(np.uint64)
+        h = splitmix64(chunks + np.arange(self.dim, dtype=np.uint64)[None, :],
+                       29)
+        v = ((h >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
+             - np.float32(0.5))
+        n = batch.num_rows
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * self.dim, self.dim,
+                               dtype=np.int32)),
+            pa.array(v.ravel()))
+        return batch.append_column("embedding", emb)
 
 
 class FrameSampleStage:
@@ -164,13 +234,20 @@ class FrameSampleStage:
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        offsets = []
-        for payload in batch.column(self.binary_col).to_pylist():
-            n = len(payload or b"")
-            frames = list(range(0, max(n // 1024, 1), self.every_n))
-            offsets.append(frames)
-        return batch.append_column(
-            "frame_offsets", pa.array(offsets, pa.list_(pa.int64())))
+        col = batch.column(self.binary_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # range(0, max(len//1024, 1), every_n) per row, batch-vectorized:
+        # run lengths → flat within-run positions × every_n
+        n_frames = np.maximum(_payload_lengths(col) // 1024, 1)
+        counts = (n_frames + self.every_n - 1) // self.every_n
+        list_offsets = np.concatenate(
+            [[0], np.cumsum(counts)]).astype(np.int32)
+        run_starts = np.repeat(list_offsets[:-1].astype(np.int64), counts)
+        pos = np.arange(int(list_offsets[-1]), dtype=np.int64) - run_starts
+        frames = pa.ListArray.from_arrays(
+            pa.array(list_offsets), pa.array(pos * self.every_n))
+        return batch.append_column("frame_offsets", frames)
 
 
 def decode_images(ds, *, concurrency=(1, 8), batch_size: int = 64,

@@ -322,6 +322,48 @@ def test_multimodal_stub_stage():
             strict(batch)
 
 
+def test_multimodal_batch_kernel_parity():
+    """The vectorized fake-embed / fake-decode / frame-sample kernels must
+    match their per-payload scalar specs bit-for-bit on messy payloads
+    (empty, null, 1-byte, multi-KB)."""
+    from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        EmbedImageStage,
+        FrameSampleStage,
+        ImageDecodeStage,
+    )
+
+    rng = np.random.default_rng(3)
+    payloads = [b"", None, b"\x00", b"x",
+                bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+                bytes(rng.integers(0, 256, 137, dtype=np.uint8)),
+                b"abc" * 2000]
+    batch = pa.table({"image_bytes": pa.array(payloads, pa.binary()),
+                      "video_bytes": pa.array(payloads, pa.binary())})
+
+    embed = EmbedImageStage(dim=16)
+    got = embed(batch).column("embedding").to_pylist()
+    for p, vec in zip(payloads, got):
+        assert np.array_equal(np.array(vec, np.float32),
+                              embed.embed_scalar(p)), p
+
+    dec = ImageDecodeStage()
+    if dec._pil is None:
+        out = dec(batch)
+        for i, p in enumerate(payloads):
+            w, h, f = dec._decode_fake(p or b"")
+            assert out.column("img_width")[i].as_py() == w
+            assert out.column("img_height")[i].as_py() == h
+        assert out.column("n_bytes").to_pylist() == \
+            [len(p or b"") for p in payloads]
+
+    fs = FrameSampleStage(every_n=7)
+    out = fs(batch).column("frame_offsets").to_pylist()
+    for p, frames in zip(payloads, out):
+        n = len(p or b"")
+        assert frames == list(range(0, max(n // 1024, 1), 7)), p
+
+
 def test_multimodal_resize_and_embed_pipeline(ray_session):
     """Full multimodal plumbing: attach bytes → resize → embed → ANN —
     the decode/model steps are stubs, the Ray pipeline is real."""
