@@ -129,7 +129,8 @@ def run_queries(sf_dir: str) -> dict:
     picks = ["ts_format_string", "ts_parse_roundtrip", "agg_q1", "sessionize",
              "dedup_exact", "dedup_minhash", "token_count", "ann_topk",
              "join_revenue_by_nation", "corpus_prep", "tumbling_window",
-             "sliding_window", "shuffle_join_revenue"]
+             "sliding_window", "shuffle_join_revenue", "asof_join",
+             "assemble_transcripts", "hll_distinct", "approx_quantiles"]
     qs = entry.queries()
     out = {}
     for name in picks:
