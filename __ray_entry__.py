@@ -457,6 +457,34 @@ def q_anti_join_orders(sf_dir: str):
     return broadcast_join(ds, keys, on="o_custkey", how="anti")
 
 
+def q_shuffle_semi_orders(sf_dir: str):
+    """DISTRIBUTED semi join (both sides stream; no broadcast): orders of
+    BUILDING-segment customers through the tag-union hash-shard membership
+    filter — the large×large path when the key side outgrows memory."""
+    from embulk_filter_timestamp_format_ray.stages.relational import shuffle_join
+
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey",
+                                                     "c_mktsegment"])
+    keys = cust.filter(expr="c_mktsegment == 'BUILDING'") \
+               .select_columns(["c_custkey"])
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey",
+                                                 "o_totalprice"])
+    return shuffle_join(ds, keys, on="o_custkey", how="semi",
+                        right_on="c_custkey")
+
+
+def q_shuffle_anti_orders(sf_dir: str):
+    """DISTRIBUTED anti join: orders NOT from negative-balance customers,
+    same shape as the near-dup drop-set application at 100 TB."""
+    from embulk_filter_timestamp_format_ray.stages.relational import shuffle_join
+
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_acctbal"])
+    keys = cust.filter(expr="c_acctbal < 0").select_columns(["c_custkey"])
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+    return shuffle_join(ds, keys, on="o_custkey", how="anti",
+                        right_on="c_custkey")
+
+
 def q_explode_words(sf_dir: str):
     """List-flatten (flat_map analog): documents → one row per word."""
     from embulk_filter_timestamp_format_ray.stages.relational import explode_list
@@ -858,6 +886,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "sessionize": q_sessionize,
         "semi_join_orders": q_semi_join_orders,
         "anti_join_orders": q_anti_join_orders,
+        "shuffle_semi_orders": q_shuffle_semi_orders,
+        "shuffle_anti_orders": q_shuffle_anti_orders,
         "explode_words": q_explode_words,
         "distinct_event_types": q_distinct_event_types,
         "topk_docs_per_source": q_topk_docs_per_source,
@@ -996,6 +1026,13 @@ def oracle_sql() -> "dict[str, str]":
             "where o_custkey in (select c_custkey from customer "
             "where c_mktsegment = 'BUILDING')",
         "anti_join_orders":
+            "select o_orderkey, o_custkey from orders where o_custkey not in "
+            "(select c_custkey from customer where c_acctbal < 0)",
+        "shuffle_semi_orders":
+            "select o_orderkey, o_custkey, o_totalprice from orders "
+            "where o_custkey in (select c_custkey from customer "
+            "where c_mktsegment = 'BUILDING')",
+        "shuffle_anti_orders":
             "select o_orderkey, o_custkey from orders where o_custkey not in "
             "(select c_custkey from customer where c_acctbal < 0)",
         "explode_words":

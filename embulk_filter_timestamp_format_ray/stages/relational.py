@@ -514,17 +514,20 @@ def asof_join(left_ds, right_ds, by: str, on: str,
     vectorized last-right-value backward fill over key runs — no per-key
     Python callbacks (same sharded shape as ``sessionize``).  A right row at
     exactly ``left.on`` matches (inclusive backward, DuckDB ASOF
-    semantics); no-match left rows get Arrow NULL."""
+    semantics); no-match left rows get Arrow NULL.  Value columns keep the
+    right side's types (any Arrow type — the fill is a take)."""
     left_schema = left_ds.schema()
     left_names = list(left_schema.names)
     left_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right_ds.schema()
+    val_types = dict(zip(right_schema.names, right_schema.types))
     val_names = [v + suffix for v in value_cols]
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c) for c in left_names}
         cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
-        for vn in val_names:
-            cols[vn] = pa.nulls(batch.num_rows, pa.float64())
+        for v, vn in zip(value_cols, val_names):
+            cols[vn] = pa.nulls(batch.num_rows, val_types[v])
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
@@ -537,7 +540,7 @@ def asof_join(left_ds, right_ds, by: str, on: str,
                 cols[c] = pa.nulls(n, left_types[c])
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
         for v, vn in zip(value_cols, val_names):
-            cols[vn] = batch.column(v).cast(pa.float64())
+            cols[vn] = batch.column(v)
         return pa.table(cols)
 
     left_t = left_ds.map_batches(tag_left, batch_format="pyarrow",

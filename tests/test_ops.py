@@ -248,6 +248,14 @@ def test_asof_join_parity_random(ray_session):
     assert np.array_equal(np.isnan(g), np.isnan(e))
     m = ~np.isnan(g)
     assert np.allclose(g[m], e[m])
+    # value types are preserved (not forced to float64): string payload
+    rt2 = rt_dedup.assign(s=rt_dedup["v"].map(lambda x: f"s{x}"))
+    right2 = ray.data.from_arrow(pa.Table.from_pandas(
+        rt2.reset_index(drop=True))).repartition(4)
+    got2 = asof_join(left, right2, by="u", on="t", value_cols=["s"]) \
+        .to_pandas().sort_values("id")
+    exp2 = np.where(np.isnan(e), None, [f"s{x}" for x in e])
+    assert list(got2["s_asof"].where(got2["s_asof"].notna(), None)) == list(exp2)
 
 
 def test_approx_quantiles(ray_session):
