@@ -158,32 +158,46 @@ class ImageResizeStage:
             self._pil = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_payloads, ws, hs = [], [], []
-        for payload in batch.column(self.binary_col).to_pylist():
-            payload = payload or b""
-            if self._pil is not None:
-                import io
+        col = batch.column(self.binary_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        if self._pil is not None:
+            # real codec calls are per-item by nature
+            import io
 
+            out_payloads = []
+            for payload in col.to_pylist():
                 try:
-                    img = self._pil.open(io.BytesIO(payload)).resize(
+                    img = self._pil.open(io.BytesIO(payload or b"")).resize(
                         (self.width, self.height))
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
-                    payload = buf.getvalue()
+                    out_payloads.append(buf.getvalue())
                 except Exception:
-                    payload = b""
-            else:
-                # STUB: deterministic truncation/padding stands in for decode
-                target = self.width * self.height // 64
-                payload = (payload * (target // max(len(payload), 1) + 1))[:target]
-            out_payloads.append(payload)
-            ws.append(self.width)
-            hs.append(self.height)
+                    out_payloads.append(b"")
+            resized = pa.array(out_payloads, pa.binary())
+        else:
+            # STUB, batch-vectorized: cyclic tile/truncate each payload to
+            # `target` bytes (empty payloads stay empty, as the scalar
+            # `payload * k` tiling yields b"")
+            target = self.width * self.height // 64
+            tiled = _cyclic_gather(col, target)
+            _, _, _, empty = _payload_views(col)
+            counts = np.where(empty, 0, target).astype(np.int64)
+            offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+            flat = tiled[~empty].reshape(-1)
+            resized = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(flat.tobytes())])
         return batch.set_column(
             batch.schema.get_field_index(self.binary_col), self.binary_col,
-            pa.array(out_payloads, pa.binary())) \
-            .append_column("resized_w", pa.array(ws, pa.int32())) \
-            .append_column("resized_h", pa.array(hs, pa.int32()))
+            resized) \
+            .append_column("resized_w", pa.array(
+                np.full(n, self.width, np.int32))) \
+            .append_column("resized_h", pa.array(
+                np.full(n, self.height, np.int32)))
 
 
 class EmbedImageStage:

@@ -371,6 +371,19 @@ def test_multimodal_batch_kernel_parity():
         n = len(p or b"")
         assert frames == list(range(0, max(n // 1024, 1), 7)), p
 
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        ImageResizeStage,
+    )
+
+    rs = ImageResizeStage(width=64, height=64)
+    if rs._pil is None:
+        target = 64 * 64 // 64
+        got_rs = rs(batch).column("image_bytes").to_pylist()
+        for p, rb in zip(payloads, got_rs):
+            p = p or b""
+            expect = (p * (target // max(len(p), 1) + 1))[:target]
+            assert rb == expect, p
+
 
 def test_multimodal_resize_and_embed_pipeline(ray_session):
     """Full multimodal plumbing: attach bytes → resize → embed → ANN —
