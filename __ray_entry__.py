@@ -811,6 +811,33 @@ def q_multimodal_decode(sf_dir: str):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_redact_pii(sf_dir: str):
+    """PII scrub over documents: inject deterministic synthetic PII
+    (emails/phones/SSNs derived from doc_id — the corpus itself has none),
+    then run the vectorized RE2 redaction pass.  The oracle mirrors both
+    steps term-for-term in DuckDB (same RE2 patterns)."""
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        redact_pii_batch,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").cast(pa.string())
+        text = pc.binary_join_element_wise(
+            pc.fill_null(b.column("text"), ""),
+            " contact user", ids, "@example.com or +1555000", ids,
+            " ssn 123-45-6789", "")
+        return pa.table({"doc_id": b.column("doc_id"), "text": text})
+
+    ds = ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(redact_pii_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "text", "n_redactions"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct-count estimates over events (string + int hash
     paths).  Deterministic given the hash primitives, so the oracle is a
@@ -909,10 +936,35 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "multimodal_embed_ann": q_multimodal_embed_ann,
         "hll_distinct": q_hll_distinct,
         "approx_quantiles": q_approx_quantiles,
+        "redact_pii": q_redact_pii,
     }
 
 
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _redact_pii_sql() -> str:
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        PII_SSN_RE,
+    )
+
+    return (
+        "with injected as (select doc_id, coalesce(text, '') || "
+        "' contact user' || cast(doc_id as varchar) || "
+        "'@example.com or +1555000' || cast(doc_id as varchar) || "
+        "' ssn 123-45-6789' as text from documents), "
+        "red as (select doc_id, regexp_replace(regexp_replace("
+        f"regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{PII_SSN_RE}', '<SSN>', 'g') as text from injected) "
+        "select doc_id, text, "
+        "len(regexp_extract_all(text, '<EMAIL>|<PHONE>|<SSN>'))::bigint "
+        "as n_redactions from red")
+
+
+_REDACT_PII_SQL = _redact_pii_sql()
 
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _STOP_RE_SQL = (
@@ -1113,6 +1165,9 @@ def oracle_sql() -> "dict[str, str]":
             "floor(upper_ratio * 1e6 + 0.5)::bigint as upper_x1e6, "
             "floor(greatest(least(raw, 1.0), 0.0) * 1e6 + 0.5)::bigint "
             "as score_x1e6 from s",
+        # same RE2 patterns as stages/text_stats.py PII_*_RE, mirrored
+        # term-for-term (injection + three substitutions + marker count)
+        "redact_pii": _REDACT_PII_SQL,
         # fixture oracle: independent scalar HLL (same public algorithm +
         # hash primitives, per-value Python loop) in scripts/make_fixtures.py
         "hll_distinct":

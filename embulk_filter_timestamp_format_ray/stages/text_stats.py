@@ -67,6 +67,38 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+# PII patterns (RE2 syntax — identical semantics in Arrow and DuckDB, so
+# the redaction oracle can mirror them term-for-term)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+PII_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text",
+                     out_col: "str | None" = None) -> pa.Table:
+    """Scrub emails / E.164-ish phone numbers / SSN-shaped ids from a text
+    column — the standard pre-training privacy pass — as three vectorized
+    RE2 substitutions (no row loops).  Patterns are module constants so the
+    SQL oracle and any downstream policy can reference the exact same
+    expressions."""
+    out_col = out_col or text_col
+    col = batch.column(text_col)
+    redacted = pc.replace_substring_regex(col, pattern=PII_EMAIL_RE,
+                                          replacement="<EMAIL>")
+    redacted = pc.replace_substring_regex(redacted, pattern=PII_PHONE_RE,
+                                          replacement="<PHONE>")
+    redacted = pc.replace_substring_regex(redacted, pattern=PII_SSN_RE,
+                                          replacement="<SSN>")
+    n_hits = pc.count_substring_regex(redacted,
+                                      pattern="<EMAIL>|<PHONE>|<SSN>")
+    if out_col in batch.schema.names:
+        batch = batch.set_column(batch.schema.get_field_index(out_col),
+                                 out_col, redacted)
+    else:
+        batch = batch.append_column(out_col, redacted)
+    return batch.append_column("n_redactions", n_hits.cast(pa.int64()))
+
+
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """N-gram-heuristic language ID: English stopword density + ascii ratio.
     (The container has no language models; this is the documented heuristic

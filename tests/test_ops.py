@@ -330,6 +330,25 @@ def test_multimodal_stub_stage():
             strict(batch)
 
 
+def test_redact_pii():
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        redact_pii_batch,
+    )
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": ["mail me at a.b+c@x-corp.io today",
+                           "call +4915512345678 or 123-45-6789",
+                           "clean text, no pii",
+                           None]})
+    out = redact_pii_batch(t)
+    texts = out.column("text").to_pylist()
+    assert texts[0] == "mail me at <EMAIL> today"
+    assert texts[1] == "call <PHONE> or <SSN>"
+    assert texts[2] == "clean text, no pii"
+    assert texts[3] is None
+    assert out.column("n_redactions").to_pylist()[:3] == [1, 2, 0]
+
+
 def test_multimodal_batch_kernel_parity():
     """The vectorized fake-embed / fake-decode / frame-sample kernels must
     match their per-payload scalar specs bit-for-bit on messy payloads
