@@ -811,6 +811,26 @@ def q_multimodal_decode(sf_dir: str):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-language n_chars quantiles via per-group histogram sketches
+    ("keep the top X% per language" threshold picker).  Oracle: DuckDB
+    replay of the sketch math, partitioned by lang."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_approx_quantiles,
+    )
+
+    t = grouped_approx_quantiles(
+        _read(sf_dir, "documents").select_columns(["lang", "n_chars"]),
+        "lang", "n_chars", [0.5, 0.9], bins=256)
+    return pa.table({
+        "lang": t.column("lang"),
+        "q_x100": pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("q"), 100.0), 0.5)), pa.int64()),
+        "quantile_value": pc.divide(pc.floor(pc.add(pc.multiply(
+            t.column("quantile"), 100.0), 0.5)), 100.0),
+    })
+
+
 def q_redact_pii(sf_dir: str):
     """PII scrub over documents: inject deterministic synthetic PII
     (emails/phones/SSNs derived from doc_id — the corpus itself has none),
@@ -936,6 +956,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "multimodal_embed_ann": q_multimodal_embed_ann,
         "hll_distinct": q_hll_distinct,
         "approx_quantiles": q_approx_quantiles,
+        "grouped_quantiles": q_grouped_quantiles,
         "redact_pii": q_redact_pii,
     }
 
@@ -1189,6 +1210,29 @@ def oracle_sql() -> "dict[str, str]":
             "select p.q_x100, "
             "floor((b.lo + (p.bin + 0.5) * b.w) * 100 + 0.5) / 100 "
             "as quantile_value from pick p, b order by p.q_x100",
+        # SQL replay of the per-group histogram sketch (same math as
+        # approx_quantiles, partitioned by lang; w<=0 groups → lo)
+        "grouped_quantiles":
+            "with b as (select lang, min(n_chars) as lo, max(n_chars) as hi, "
+            "(max(n_chars) - min(n_chars)) / 256.0 as w "
+            "from documents group by lang), "
+            "hist as (select d.lang, least(greatest(cast(trunc("
+            "(d.n_chars - b.lo) / b.w) as bigint), 0), 255) as bin, "
+            "count(*) as c from documents d join b using(lang) "
+            "where b.w > 0 group by 1, 2), "
+            "cum as (select lang, bin, "
+            "sum(c) over (partition by lang order by bin) as cum, "
+            "sum(c) over (partition by lang) as total from hist), "
+            "qs as (select unnest([50, 90]) as q_x100), "
+            "pick as (select c.lang, q.q_x100, min(c.bin) as bin "
+            "from qs q, cum c where c.cum >= (q.q_x100 / 100.0) * c.total "
+            "group by 1, 2), "
+            "res as (select p.lang, p.q_x100, "
+            "b.lo + (p.bin + 0.5) * b.w as est from pick p join b using(lang) "
+            "union all select b.lang, q.q_x100, cast(b.lo as double) as est "
+            "from b, qs q where b.w <= 0) "
+            "select lang, q_x100, floor(est * 100 + 0.5) / 100 "
+            "as quantile_value from res",
         # Non-SQL-expressible pipelines: the oracle side is a committed
         # fixture parquet generated by INDEPENDENT reference implementations
         # (scalar spec kernels + Python dict banding / union-find) in

@@ -624,6 +624,73 @@ def approx_quantiles(ds, col: str, qs, bins: int = 4096):
     return out
 
 
+def grouped_approx_quantiles(ds, group_col: str, value_col: str, qs,
+                             bins: int = 256) -> pa.Table:
+    """Per-group approximate quantiles via per-group histogram sketches —
+    the corpus-curation workhorse ("top 30% quality PER LANGUAGE") without
+    sorting anything.
+
+    Two streaming passes: (1) grouped min/max (map-side combined), whose
+    result is one small row per group (groups are assumed categorical —
+    languages, sources; the bounds table is broadcast into pass 2);
+    (2) vectorized (group, bin) counts pre-aggregated per batch, reduced
+    with the sharded hash aggregate, then ≤ groups x bins rows reach the
+    driver for the cumulative search.  Same trunc-binning / cum-search /
+    bin-midpoint math as ``approx_quantiles`` (SQL-replayable).
+
+    Returns a pa.Table (group_col, q, quantile)."""
+    qs = list(qs)
+    bounds = grouped_aggregate(ds, [group_col],
+                               {"lo": (value_col, "min"),
+                                "hi": (value_col, "max")}).to_pandas()
+    groups = bounds[group_col].tolist()
+    lo = bounds["lo"].to_numpy(dtype=np.float64)
+    hi = bounds["hi"].to_numpy(dtype=np.float64)
+    width = (hi - lo) / bins
+    group_arr = pa.array(groups)
+    degenerate = width <= 0
+
+    def histogram(batch: pa.Table) -> pa.Table:
+        gidx = np.asarray(pc.index_in(batch.column(group_col),
+                                      value_set=group_arr).cast(pa.int64()))
+        v = np.asarray(batch.column(value_col).cast(pa.float64()))
+        keep = ~(degenerate[gidx] | np.isnan(v))
+        gk, vk = gidx[keep], v[keep]
+        b = np.clip(((vk - lo[gk]) / width[gk]).astype(np.int64), 0, bins - 1)
+        flat = gk * bins + b
+        counts = np.bincount(flat)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"_g": pa.array(nz // bins),
+                         "bin": pa.array(nz % bins),
+                         "count": pa.array(counts[nz])})
+
+    hist = grouped_aggregate(
+        ds.map_batches(histogram, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["_g", "bin"], {"count": ("count", "sum")}).to_pandas()
+    out_g, out_q, out_v = [], [], []
+    for gi, g in enumerate(groups):
+        if degenerate[gi]:
+            for q in qs:
+                out_g.append(g)
+                out_q.append(q)
+                out_v.append(lo[gi])
+            continue
+        h = hist[hist["_g"] == gi].sort_values("bin")
+        cum = h["count"].cumsum().to_numpy()
+        total = cum[-1]
+        bins_present = h["bin"].to_numpy()
+        for q in qs:
+            i = int(np.searchsorted(cum, q * total, side="left"))
+            b = int(bins_present[min(i, len(bins_present) - 1)])
+            out_g.append(g)
+            out_q.append(q)
+            out_v.append(lo[gi] + (b + 0.5) * width[gi])
+    return pa.table({group_col: pa.array(out_g),
+                     "q": pa.array(out_q, pa.float64()),
+                     "quantile": pa.array(out_v, pa.float64())})
+
+
 def approx_count_distinct(ds, col: str, precision: int = 12) -> float:
     """HyperLogLog distinct-count estimate: one mergeable register-max
     sketch per batch (map_batches partial), reduced with a single Max-per-

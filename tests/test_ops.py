@@ -167,6 +167,30 @@ def test_approx_count_distinct(ray_session):
     assert abs(est2 - 700) / 700 < 0.05
 
 
+def test_grouped_approx_quantiles(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_approx_quantiles,
+    )
+
+    rng = np.random.default_rng(4)
+    vals = {"a": rng.uniform(0, 100, 8000), "b": rng.uniform(50, 60, 5000),
+            "c": np.full(100, 7.0)}  # degenerate: constant group
+    t = pa.table({
+        "g": pa.array(sum(([k] * len(v) for k, v in vals.items()), [])),
+        "v": pa.array(np.concatenate(list(vals.values()))),
+    })
+    out = grouped_approx_quantiles(
+        ray.data.from_arrow(t).repartition(6), "g", "v",
+        [0.1, 0.5, 0.9], bins=512).to_pandas()
+    assert len(out) == 9
+    for _, row in out.iterrows():
+        exact = np.quantile(vals[row["g"]], row["q"])
+        span = vals[row["g"]].max() - vals[row["g"]].min()
+        assert abs(row["quantile"] - exact) <= max(span / 512 * 2, 1e-9), row
+
+
 def test_asof_join(ray_session):
     import ray.data
 
