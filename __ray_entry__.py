@@ -811,6 +811,49 @@ def q_multimodal_decode(sf_dir: str):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_top_words(sf_dir: str):
+    """Corpus-wide top-20 words: flat-map explode → sharded count aggregate
+    → global top-k combiner (≤ k rows survive per block; no global sort,
+    no driver rows)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        explode_list,
+        grouped_aggregate,
+        top_k_global,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["text"])
+    ds = ds.map_batches(
+        lambda b: pa.table({
+            "words": pc.split_pattern_regex(b.column("text"), pattern=r"\s+"),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    words = explode_list(ds, "words", out_col="word")
+    counts = grouped_aggregate(words, ["word"], {"n": ("word", "count")})
+    return top_k_global(counts, "n", 20, tie_cols=("word",))
+
+
+def q_quality_filter_median(sf_dir: str):
+    """The curation composition: per-language median n_chars from the
+    grouped histogram sketch, broadcast back, keep docs at-or-above their
+    language's median.  Oracle replays the sketch + join + filter."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        broadcast_join,
+        grouped_approx_quantiles,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["lang", "n_chars"])
+    med = grouped_approx_quantiles(docs, "lang", "n_chars", [0.5], bins=256)
+    med_tbl = pa.table({"lang": med.column("lang"),
+                        "med": med.column("quantile")})
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang",
+                                                    "n_chars"])
+    joined = broadcast_join(ds, med_tbl, on="lang", how="inner")
+    return joined.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column("n_chars").cast(pa.float64()), b.column("med")))
+        .select(["doc_id", "lang", "n_chars"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Per-language n_chars quantiles via per-group histogram sketches
     ("keep the top X% per language" threshold picker).  Oracle: DuckDB
@@ -958,6 +1001,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "approx_quantiles": q_approx_quantiles,
         "grouped_quantiles": q_grouped_quantiles,
         "redact_pii": q_redact_pii,
+        "top_words": q_top_words,
+        "quality_filter_median": q_quality_filter_median,
     }
 
 
@@ -1210,6 +1255,31 @@ def oracle_sql() -> "dict[str, str]":
             "select p.q_x100, "
             "floor((b.lo + (p.bin + 0.5) * b.w) * 100 + 0.5) / 100 "
             "as quantile_value from pick p, b order by p.q_x100",
+        # same split regex as explode_words; deterministic (n desc, word) order
+        "top_words":
+            "select word, count(*) as n from (select "
+            "unnest(regexp_split_to_array(text, '\\s+')) as word "
+            "from documents) group by word order by n desc, word limit 20",
+        # replay of the per-lang median sketch + join + threshold filter
+        "quality_filter_median":
+            "with b as (select lang, min(n_chars) as lo, "
+            "(max(n_chars) - min(n_chars)) / 256.0 as w "
+            "from documents group by lang), "
+            "hist as (select d.lang, least(greatest(cast(trunc("
+            "(d.n_chars - b.lo) / b.w) as bigint), 0), 255) as bin, "
+            "count(*) as c from documents d join b using(lang) "
+            "where b.w > 0 group by 1, 2), "
+            "cum as (select lang, bin, "
+            "sum(c) over (partition by lang order by bin) as cum, "
+            "sum(c) over (partition by lang) as total from hist), "
+            "pick as (select lang, min(bin) as bin from cum "
+            "where cum >= 0.5 * total group by lang), "
+            "m as (select p.lang, b.lo + (p.bin + 0.5) * b.w as med "
+            "from pick p join b using(lang) "
+            "union all select lang, cast(lo as double) as med from b "
+            "where w <= 0) "
+            "select d.doc_id, d.lang, d.n_chars from documents d "
+            "join m using(lang) where d.n_chars >= m.med",
         # SQL replay of the per-group histogram sketch (same math as
         # approx_quantiles, partitioned by lang; w<=0 groups → lo)
         "grouped_quantiles":

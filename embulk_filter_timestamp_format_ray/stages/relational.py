@@ -437,6 +437,28 @@ def _shuffle_semi_anti(left, right, on: str, how: str,
                                                 batch_format="pyarrow")
 
 
+def top_k_global(ds, order_col: str, k: int, descending: bool = True,
+                 tie_cols: "tuple[str, ...]" = ()):
+    """Global top-k rows with deterministic tie-breaks — no global sort.
+
+    Combiner shape: each block keeps its local top-k (≤ k rows per block
+    survive), the ≤ k x blocks partial winners coalesce into ONE task, and
+    a final local top-k finishes.  The driver never touches rows."""
+    direction = "descending" if descending else "ascending"
+    sort_keys = [(order_col, direction)] + [(c, "ascending")
+                                            for c in tie_cols]
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(b, sort_keys=sort_keys)
+        return b.take(order.slice(0, k))
+
+    ds = ds.map_batches(local_topk, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    return ds.repartition(1).map_batches(local_topk, batch_format="pyarrow",
+                                         zero_copy_batch=True,
+                                         batch_size=None)
+
+
 def shuffle_join_partitions(total_cpus: int, num_nodes: int = 1,
                             per_node_cap: int = 16) -> int:
     """Partition-count policy for Ray's native hash join.  Each partition

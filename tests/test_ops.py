@@ -167,6 +167,25 @@ def test_approx_count_distinct(ray_session):
     assert abs(est2 - 700) / 700 < 0.05
 
 
+def test_top_k_global(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        top_k_global,
+    )
+
+    rng = np.random.default_rng(8)
+    vals = rng.permutation(10_000)
+    t = pa.table({"v": pa.array(vals), "tag": pa.array(
+        [f"t{v % 3}" for v in vals])})
+    out = top_k_global(ray.data.from_arrow(t).repartition(9), "v", 5,
+                       tie_cols=("tag",)).to_pandas()
+    assert list(out["v"]) == [9999, 9998, 9997, 9996, 9995]
+    asc = top_k_global(ray.data.from_arrow(t).repartition(9), "v", 3,
+                       descending=False).to_pandas()
+    assert list(asc["v"]) == [0, 1, 2]
+
+
 def test_grouped_approx_quantiles(ray_session):
     import ray.data
 
