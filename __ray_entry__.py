@@ -944,6 +944,57 @@ def q_approx_quantiles(sf_dir: str):
     })
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition features per document (top-2-gram mass,
+    duplicated-5-gram mass) — stateless batch kernel, no shuffle.  Ratios
+    are integer per-mille so the DuckDB n-gram oracle replays them
+    bit-for-bit."""
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        repetition_stats,
+    )
+
+    return repetition_stats(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-suite decontamination: documents with doc_id % 37 == 0 play the
+    held-out benchmark; the remaining (train) docs are flagged when ≥20% of
+    their word-5-gram occurrences appear in the benchmark's gram set.  The
+    eval gram-hash set is broadcast once via ray.put; membership is one
+    searchsorted per batch."""
+    from embulk_filter_timestamp_format_ray.stages.ngrams import decontaminate
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    train = docs.map_batches(
+        lambda b: b.filter(pc.not_equal(
+            pc.subtract(b.column("doc_id"),
+                        pc.multiply(pc.divide(b.column("doc_id"), 37), 37)),
+            0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    evals = docs.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b.column("doc_id"),
+                        pc.multiply(pc.divide(b.column("doc_id"), 37), 37)),
+            0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return decontaminate(train, evals, k=5, threshold_pct=20)
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 characteristic terms per document by the integer-exact tf/df
+    score (rarity-weighted frequency; see stages/ngrams.py on why the
+    ranking avoids float log-idf).  One vocabulary-sized DF shuffle, DF
+    broadcast back, per-doc ranking inside map_batches."""
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        top_k=3)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1003,6 +1054,9 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "redact_pii": q_redact_pii,
         "top_words": q_top_words,
         "quality_filter_median": q_quality_filter_median,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1346,4 +1400,69 @@ def oracle_sql() -> "dict[str, str]":
         "multimodal_embed_ann":
             "select query_id, doc_id, rank "
             f"from read_parquet('{_FIXTURES}/multimodal_ann_sf001.parquet')",
+        # word n-grams via list slicing (same tokenization as tokenize_column:
+        # regex-split on \s+, empties dropped); integer per-mille ratios
+        "repetition_stats":
+            "with d as (select doc_id, list_filter(string_split_regex("
+            "text, '\\s+'), x -> x <> '') as ws from documents), "
+            "g2 as (select doc_id, unnest(list_transform(generate_series(1, "
+            "len(ws) - 1), i -> array_to_string(ws[i:i+1], ' '))) as gram "
+            "from d), "
+            "c2 as (select doc_id, gram, count(*) as c from g2 "
+            "group by doc_id, gram), "
+            "a2 as (select doc_id, max(c) as mx, sum(c)::bigint as n "
+            "from c2 group by doc_id), "
+            "g5 as (select doc_id, unnest(list_transform(generate_series(1, "
+            "len(ws) - 4), i -> array_to_string(ws[i:i+4], ' '))) as gram "
+            "from d), "
+            "c5 as (select doc_id, gram, count(*) as c from g5 "
+            "group by doc_id, gram), "
+            "a5 as (select doc_id, sum(case when c > 1 then c else 0 end)"
+            "::bigint as dup, sum(c)::bigint as n from c5 group by doc_id) "
+            "select d.doc_id, coalesce(a2.n, 0) as n_grams_2, "
+            "coalesce((a2.mx * 1000) // a2.n, 0)::bigint as top2_x1000, "
+            "coalesce(a5.n, 0) as n_grams_5, "
+            "coalesce((a5.dup * 1000) // a5.n, 0)::bigint as dup5_x1000 "
+            "from d left join a2 using(doc_id) left join a5 using(doc_id) "
+            "order by doc_id",
+        # docs with doc_id % 37 = 0 are the held-out benchmark; a train doc
+        # is contaminated when ≥20% of its 5-gram occurrences hit the set
+        "decontaminate":
+            "with d as (select doc_id, list_filter(string_split_regex("
+            "text, '\\s+'), x -> x <> '') as ws from documents), "
+            "g as (select doc_id, unnest(list_transform(generate_series(1, "
+            "len(ws) - 4), i -> array_to_string(ws[i:i+4], ' '))) as gram "
+            "from d), "
+            "ev as (select distinct gram from g where doc_id % 37 = 0), "
+            "st as (select g.doc_id, count(*)::bigint as n_grams, "
+            "sum(case when ev.gram is not null then 1 else 0 end)::bigint "
+            "as n_contaminated from g left join ev on g.gram = ev.gram "
+            "where g.doc_id % 37 <> 0 group by g.doc_id) "
+            "select b.doc_id, coalesce(st.n_grams, 0) as n_grams, "
+            "coalesce(st.n_contaminated, 0) as n_contaminated, "
+            "(case when coalesce(st.n_grams, 0) > 0 and "
+            "coalesce(st.n_contaminated, 0) * 100 >= "
+            "coalesce(st.n_grams, 0) * 20 then 1 else 0 end)::bigint "
+            "as contaminated "
+            "from (select doc_id from documents where doc_id % 37 <> 0) b "
+            "left join st using(doc_id) order by b.doc_id",
+        # integer-exact tf/df ranking (ties by term asc) — replays the
+        # engine's score_ppm = cnt*1e6 // (df * n_tokens) bit-for-bit
+        "tfidf_top_terms":
+            "with d as (select doc_id, list_filter(string_split_regex("
+            "text, '\\s+'), x -> x <> '') as ws from documents), "
+            "t as (select doc_id, unnest(ws) as term, len(ws) as n_tokens "
+            "from d), "
+            "c as (select doc_id, term, count(*)::bigint as cnt, "
+            "any_value(n_tokens)::bigint as n_tokens from t "
+            "group by doc_id, term), "
+            "f as (select term, count(*)::bigint as df from c "
+            "group by term), "
+            "s as (select c.doc_id, c.term, c.cnt, f.df, "
+            "(c.cnt * 1000000) // (f.df * greatest(c.n_tokens, 1)) "
+            "as score_ppm, row_number() over (partition by c.doc_id "
+            "order by (c.cnt * 1000000) // (f.df * greatest(c.n_tokens, 1)) "
+            "desc, c.term) as rn from c join f using(term)) "
+            "select doc_id, term, cnt, df, score_ppm::bigint as score_ppm "
+            "from s where rn <= 3 order by doc_id, term",
     }

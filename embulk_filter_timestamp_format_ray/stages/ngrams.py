@@ -1,0 +1,353 @@
+"""Word n-gram operators for training-data curation: decontamination
+(eval-set n-gram overlap), Gopher-style repetition statistics, and
+rarity-weighted term scoring (tf-idf family).
+
+Scale shapes:
+* The gram kernel hashes the whole batch's token stream at once (built on
+  ``tokenize_column``'s dictionary-encoded token hashing): per-doc gram
+  offsets come from token-count cumsums; the k-fold hash is k vectorized
+  splitmix64 passes over shifted views — zero per-document Python.
+* Decontamination broadcasts the EVAL gram-hash set once via ``ray.put``
+  (eval suites are benchmark-sized — thousands of documents — by nature;
+  that assumption is the contract, mirroring ``BroadcastJoinStage``), and
+  each train batch tests membership with one ``np.searchsorted`` pass.
+* Repetition stats are per-document-independent: one lexsort per batch
+  over (doc, gram) finds within-doc gram runs; max-run and duplicated-run
+  masses reduce per doc with ``reduceat``.  No shuffle at all.
+* Term scoring shuffles once: per-(doc, term) count rows (built by the same
+  run trick) → sharded DF aggregate; the vocabulary-sized DF table is
+  broadcast back for the per-doc ranking pass (Zipf: vocab ≪ corpus).
+
+All ratios are emitted as integer-exact scaled values (``(a * 1000) // b``)
+so the DuckDB oracles replay them bit-for-bit — repo rule: never
+hash-compare floats (DESIGN.md #17).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+from embulk_filter_timestamp_format_ray.stages.dedup import tokenize_column
+
+
+def word_ngram_hashes(text: "pa.Array | pa.ChunkedArray", k: int):
+    """Hash every word k-gram of every document in one vectorized pass.
+
+    Returns ``(gh, ng, doc_of_g)``: flat uint64 gram hashes in document
+    order, per-document gram counts (int64, ``max(n_tokens - k + 1, 0)``),
+    and the owning document index of each flat gram.  Equal token sequences
+    hash equal; different sequences collide with ~2^-64 probability (the
+    fold salts each position, so grams are order-sensitive)."""
+    tok_hash, cnt = tokenize_column(text)
+    n_docs = len(cnt)
+    ng = np.maximum(cnt - (k - 1), 0)
+    total_g = int(ng.sum())
+    if total_g == 0:
+        return (np.empty(0, dtype=np.uint64), ng,
+                np.empty(0, dtype=np.int64))
+    tok_start = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=tok_start[1:])
+    g_start = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(ng[:-1], out=g_start[1:])
+    doc_of_g = np.repeat(np.arange(n_docs, dtype=np.int64), ng)
+    within = np.arange(total_g, dtype=np.int64) - g_start[doc_of_g]
+    pos0 = tok_start[doc_of_g] + within
+    gh = np.zeros(total_g, dtype=np.uint64)
+    for j in range(k):
+        gh = splitmix64(gh ^ tok_hash[pos0 + j], 77 + j)
+    return gh, ng, doc_of_g
+
+
+def _gram_runs(gh: np.ndarray, doc_of_g: np.ndarray, n_docs: int):
+    """Within-document gram runs: one lexsort by (doc, gram), then run
+    boundaries.  Returns ``(run_doc, run_cnt, doc_first_run)`` where
+    ``doc_first_run`` maps doc → index of its first run (searchsorted;
+    docs with zero grams map onto the next doc's slot — callers must mask
+    with ``ng > 0``)."""
+    order = np.lexsort((gh, doc_of_g))
+    d, g = doc_of_g[order], gh[order]
+    starts = np.ones(len(g), dtype=bool)
+    starts[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+    run_idx = np.nonzero(starts)[0]
+    run_doc = d[run_idx]
+    run_cnt = np.diff(np.r_[run_idx, len(g)])
+    doc_first_run = np.searchsorted(run_doc, np.arange(n_docs))
+    return run_doc, run_cnt, doc_first_run
+
+
+# ------------------------------------------------------------- repetition
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition features per document (public Rae et al.
+    2021 quality rules, re-expressed over word n-grams):
+
+    * ``top2_x1000``  — occurrences of the most frequent 2-gram as a
+      per-mille of all 2-gram occurrences (integer floor division).
+    * ``dup5_x1000``  — per-mille of 5-gram occurrences whose gram occurs
+      more than once within the document.
+
+    Both are 0 for documents too short to have grams."""
+    text = batch.column(text_col)
+    n_docs = batch.num_rows
+    out = {id_col: batch.column(id_col)}
+    for k, mode, nm_n, nm_s in ((2, "top", "n_grams_2", "top2_x1000"),
+                                (5, "dup", "n_grams_5", "dup5_x1000")):
+        gh, ng, doc_of_g = word_ngram_hashes(text, k)
+        stat = np.zeros(n_docs, dtype=np.int64)
+        if len(gh):
+            run_doc, run_cnt, first = _gram_runs(gh, doc_of_g, n_docs)
+            has = ng > 0
+            if mode == "top":
+                per_doc = np.maximum.reduceat(run_cnt, first[has]) \
+                    if has.any() else np.empty(0, dtype=np.int64)
+            else:
+                dup_mass = np.where(run_cnt > 1, run_cnt, 0)
+                per_doc = np.add.reduceat(dup_mass, first[has]) \
+                    if has.any() else np.empty(0, dtype=np.int64)
+            stat[has] = (per_doc * 1000) // ng[has]
+        out[nm_n] = pa.array(ng, type=pa.int64())
+        out[nm_s] = pa.array(stat, type=pa.int64())
+    return pa.table(out)
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset-level repetition statistics — purely per-batch, no shuffle."""
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b, text_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------------------- decontamination
+
+
+def build_eval_gram_set(ds, text_col: str = "text", k: int = 5) -> np.ndarray:
+    """Distinct gram hashes of the EVAL dataset as a sorted int64 array.
+
+    The driver collects only the deduplicated hashes — bounded by the eval
+    suite's size (benchmarks are small by construction), not the corpus."""
+    import ray
+
+    def uniq(b: pa.Table) -> pa.Table:
+        gh, _, _ = word_ngram_hashes(b.column(text_col), k)
+        return pa.table({"gh": pa.array(np.unique(gh).astype(np.int64))})
+
+    part = ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+    tbls = [ray.get(r) for r in part.to_arrow_refs()]
+    merged = pa.concat_tables([t for t in tbls if t.num_rows] or
+                              [pa.table({"gh": pa.array([], pa.int64())})])
+    return np.unique(np.asarray(merged.column("gh")))
+
+
+class DecontaminateStage:
+    """map_batches: flag train documents whose word-k-gram occurrences
+    overlap an eval suite's gram set at/above ``threshold_pct`` percent.
+
+    The sorted eval hash array rides the object store (``ray.put`` once);
+    each worker binds it in ``__init__``-equivalent lazy state and tests a
+    whole batch's grams with one searchsorted."""
+
+    def __init__(self, eval_ref, k: int = 5, threshold_pct: int = 20,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.eval_ref = eval_ref  # ray.ObjectRef | np.ndarray (sorted int64)
+        self.k = k
+        self.threshold_pct = threshold_pct
+        self.text_col = text_col
+        self.id_col = id_col
+        self._eval = None
+
+    def _eval_arr(self) -> np.ndarray:
+        if self._eval is None:
+            arr = self.eval_ref
+            try:
+                import ray
+
+                if isinstance(arr, ray.ObjectRef):
+                    arr = ray.get(arr)
+            except Exception:
+                pass
+            self._eval = np.asarray(arr, dtype=np.int64)
+        return self._eval
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ev = self._eval_arr()
+        gh, ng, doc_of_g = word_ngram_hashes(batch.column(self.text_col),
+                                             self.k)
+        n_docs = batch.num_rows
+        n_cont = np.zeros(n_docs, dtype=np.int64)
+        if len(gh) and len(ev):
+            sgh = gh.astype(np.int64)
+            pos = np.searchsorted(ev, sgh)
+            pos[pos == len(ev)] = 0
+            hit = ev[pos] == sgh
+            np.add.at(n_cont, doc_of_g, hit.astype(np.int64))
+        flag = ((ng > 0) &
+                (n_cont * 100 >= ng * self.threshold_pct)).astype(np.int64)
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "n_grams": pa.array(ng, type=pa.int64()),
+                         "n_contaminated": pa.array(n_cont, type=pa.int64()),
+                         "contaminated": pa.array(flag, type=pa.int64())})
+
+
+def decontaminate(train_ds, eval_ds, *, k: int = 5, threshold_pct: int = 20,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  drop: bool = False):
+    """Flag (or drop) train documents contaminated by an eval suite.
+
+    Builds the eval gram set once, broadcasts it, and runs one stateless
+    membership pass over the train corpus.  ``drop=True`` keeps only the
+    clean documents (composition form for corpus-prep pipelines)."""
+    import ray
+
+    ev = build_eval_gram_set(eval_ds, text_col=text_col, k=k)
+    ref = ray.put(ev) if ray.is_initialized() else ev
+    flagged = train_ds.map_batches(
+        DecontaminateStage(ref, k=k, threshold_pct=threshold_pct,
+                           text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if not drop:
+        return flagged
+    return flagged.map_batches(
+        lambda b: b.filter(pc.equal(b.column("contaminated"), 0))
+        .select([id_col, "n_grams", "n_contaminated"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------- term scoring
+
+
+def doc_term_count_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Per-(document, term) occurrence rows: (doc_id, term, cnt, n_tokens).
+
+    One dictionary-encode + lexsort per batch; terms come back as strings
+    via the batch vocabulary (small), never a per-token Python loop."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_docs = batch.num_rows
+    split = pc.utf8_split_whitespace(pc.fill_null(text, ""))
+    parent = np.asarray(pc.list_parent_indices(split))
+    flat = split.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    nonempty = np.asarray(pc.not_equal(flat, ""))
+    tok = flat.filter(pa.array(nonempty))
+    parent = parent[nonempty]
+    cnt_per_doc = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    enc = pc.dictionary_encode(tok)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices.cast(pa.int64())) if len(tok) else \
+        np.empty(0, dtype=np.int64)
+    order = np.lexsort((codes, parent))
+    d, c = parent[order], codes[order]
+    starts = np.ones(len(c), dtype=bool)
+    starts[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+    run_idx = np.nonzero(starts)[0]
+    run_cnt = np.diff(np.r_[run_idx, len(c)])
+    run_doc, run_code = d[run_idx], c[run_idx]
+    ids = batch.column(id_col).combine_chunks() \
+        if isinstance(batch.column(id_col), pa.ChunkedArray) \
+        else batch.column(id_col)
+    return pa.table({
+        id_col: ids.take(pa.array(run_doc)),
+        "term": enc.dictionary.take(pa.array(run_code)),
+        "cnt": pa.array(run_cnt.astype(np.int64)),
+        "n_tokens": pa.array(cnt_per_doc[run_doc]),
+    })
+
+
+def term_df(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Document frequency per term (vocabulary-sized result): per-batch
+    (doc, term) rows → sharded count aggregate."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+    )
+
+    rows = ds.map_batches(
+        lambda b: doc_term_count_batch(b, text_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(rows, ["term"], {"df": ("term", "count")})
+
+
+def tfidf_top_terms(ds, *, top_k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Top characteristic terms per document by rarity-weighted frequency.
+
+    Score is the integer-exact tf/df form ``cnt * 1_000_000 //
+    (df * n_tokens)`` — the idf factor is 1/df rather than log(N/df) so the
+    DuckDB oracle replays the ranking bit-for-bit (never hash floats,
+    DESIGN.md #17); a float log-idf column would rank near-ties
+    differently across engines.  Ties break by term ascending.
+
+    Shape: one DF shuffle (vocabulary-sized output), DF broadcast back via
+    the object store, per-doc ranking inside map_batches."""
+    import ray
+
+    df_tbl = pa.Table.from_pandas(term_df(ds, text_col, id_col).to_pandas())
+    df_map_ref = ray.put(df_tbl) if ray.is_initialized() else df_tbl
+
+    class _Rank:
+        def __init__(self):
+            self._df = None
+
+        def _df_tbl(self) -> pa.Table:
+            if self._df is None:
+                t = df_map_ref
+                try:
+                    if isinstance(t, ray.ObjectRef):
+                        t = ray.get(t)
+                except Exception:
+                    pass
+                self._df = t
+            return self._df
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = doc_term_count_batch(batch, text_col, id_col)
+            dft = self._df_tbl()
+            idx = pc.index_in(
+                rows.column("term"),
+                value_set=dft.column("term").combine_chunks())
+            dfv = np.asarray(dft.column("df").combine_chunks().take(idx)
+                             .cast(pa.int64()))
+            cnt = np.asarray(rows.column("cnt"))
+            ntok = np.asarray(rows.column("n_tokens"))
+            score = (cnt * 1_000_000) // (dfv * np.maximum(ntok, 1))
+            doc = rows.column(id_col).combine_chunks()
+            dv = np.asarray(doc.cast(pa.int64()))
+            term = rows.column("term").combine_chunks()
+            enc = pc.dictionary_encode(term)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = np.asarray(enc.indices.cast(pa.int64()))
+            # tie-break must be the term STRING ascending, and dictionary
+            # codes are in first-appearance order — map code → alpha rank
+            alpha = np.asarray(pc.sort_indices(enc.dictionary))
+            t_rank = np.empty(len(alpha), dtype=np.int64)
+            t_rank[alpha] = np.arange(len(alpha))
+            # rank within doc by (-score, term): lexsort minor→major
+            order = np.lexsort((t_rank[codes] if len(codes) else codes,
+                                -score, dv))
+            dsorted = dv[order]
+            starts = np.ones(len(dsorted), dtype=bool)
+            starts[1:] = dsorted[1:] != dsorted[:-1]
+            seg_start = np.nonzero(starts)[0]
+            rank = np.arange(len(dsorted)) - np.repeat(
+                seg_start, np.diff(np.r_[seg_start, len(dsorted)]))
+            keep = order[rank < top_k]
+            out = pa.table({
+                id_col: doc.take(pa.array(keep)),
+                "term": term.take(pa.array(keep)),
+                "cnt": rows.column("cnt").combine_chunks().take(pa.array(keep)),
+                "df": pa.array(dfv[keep]),
+                "score_ppm": pa.array(score[keep]),
+            })
+            return out
+
+    return ds.map_batches(_Rank, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=4)

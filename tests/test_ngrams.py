@@ -1,0 +1,172 @@
+"""N-gram curation operators: decontamination, repetition stats, term
+scoring — batch-kernel parity vs naive Python specs, plus end-to-end
+Dataset behavior."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from embulk_filter_timestamp_format_ray.stages.ngrams import (
+    DecontaminateStage,
+    build_eval_gram_set,
+    decontaminate,
+    doc_term_count_batch,
+    repetition_stats_batch,
+    tfidf_top_terms,
+    word_ngram_hashes,
+)
+
+
+def _naive_grams(t, k):
+    ws = (t or "").split()
+    return [tuple(ws[i:i + k]) for i in range(max(len(ws) - k + 1, 0))]
+
+
+def _rand_docs(n, seed):
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "y", "z", "the"]
+    docs = []
+    for _ in range(n):
+        m = int(rng.integers(0, 14))
+        docs.append(" ".join(rng.choice(vocab, size=m)) if m else "")
+    docs[0] = None  # null doc
+    docs.append("   ")  # whitespace-only
+    return docs
+
+
+def test_word_ngram_hashes_matches_naive_structure():
+    docs = _rand_docs(60, seed=7)
+    arr = pa.array(docs, pa.string())
+    for k in (1, 2, 3, 5):
+        gh, ng, doc_of_g = word_ngram_hashes(arr, k)
+        naive = [_naive_grams(t, k) for t in docs]
+        assert ng.tolist() == [len(g) for g in naive]
+        assert doc_of_g.tolist() == [i for i, g in enumerate(naive)
+                                     for _ in g]
+        # equal gram tuples ⇔ equal hashes (injective on this data)
+        flat = [g for gs in naive for g in gs]
+        by_hash = {}
+        for h, g in zip(gh.tolist(), flat):
+            assert by_hash.setdefault(h, g) == g
+        assert len({h for h in gh.tolist()}) == len(set(flat))
+
+
+def test_repetition_stats_matches_naive():
+    docs = _rand_docs(80, seed=11)
+    batch = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+    out = repetition_stats_batch(batch).to_pandas().set_index("doc_id")
+    for i, t in enumerate(docs):
+        g2, g5 = _naive_grams(t, 2), _naive_grams(t, 5)
+        c2, c5 = Counter(g2), Counter(g5)
+        top2 = (max(c2.values()) * 1000) // len(g2) if g2 else 0
+        dup5 = (sum(v for v in c5.values() if v > 1) * 1000) // len(g5) \
+            if g5 else 0
+        assert out.loc[i, "n_grams_2"] == len(g2)
+        assert out.loc[i, "top2_x1000"] == top2
+        assert out.loc[i, "n_grams_5"] == len(g5)
+        assert out.loc[i, "dup5_x1000"] == dup5
+
+
+def test_doc_term_counts_match_counter():
+    docs = _rand_docs(50, seed=3)
+    batch = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+    rows = doc_term_count_batch(batch).to_pandas()
+    got = {(r.doc_id, r.term): (r.cnt, r.n_tokens)
+           for r in rows.itertuples()}
+    want = {}
+    for i, t in enumerate(docs):
+        ws = (t or "").split()
+        for w, c in Counter(ws).items():
+            want[(i, w)] = (c, len(ws))
+    assert got == want
+
+
+def test_decontaminate_stage_flags_copies(ray_session):
+    import ray.data
+
+    evals = ["the quick brown fox jumps over the lazy dog today",
+             "pack my box with five dozen liquor jugs now"]
+    train = [
+        "the quick brown fox jumps over the lazy dog today",  # full copy
+        "completely unrelated words about other topics entirely here",
+        "intro text then the quick brown fox jumps over the lazy dog today",
+    ]
+    ev_ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(evals)}))
+    tr_ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(train)}))
+    out = decontaminate(tr_ds, ev_ds, k=5, threshold_pct=20) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[0, "contaminated"] == 1
+    assert out.loc[0, "n_contaminated"] == out.loc[0, "n_grams"]
+    assert out.loc[1, "contaminated"] == 0
+    assert out.loc[1, "n_contaminated"] == 0
+    assert out.loc[2, "contaminated"] == 1  # suffix overlap ≥ 20%
+    # drop=True keeps only the clean doc
+    kept = decontaminate(tr_ds, ev_ds, k=5, threshold_pct=20,
+                         drop=True).to_pandas()
+    assert kept["doc_id"].tolist() == [1]
+
+
+def test_decontaminate_zero_gram_doc_not_flagged():
+    ev = np.sort(np.array([1, 2, 3], dtype=np.int64))
+    st = DecontaminateStage(ev, k=5)
+    b = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["one two"])})  # < 5 tokens → 0 grams
+    out = st(b).to_pandas()
+    assert out["n_grams"].tolist() == [0]
+    assert out["contaminated"].tolist() == [0]
+
+
+def test_build_eval_gram_set_is_sorted_distinct(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a b c d e a b c d e", "a b c d e"])}))
+    ev = build_eval_gram_set(ds, k=5)
+    assert ev.dtype == np.int64
+    assert np.all(np.diff(ev) > 0)
+    # "a b c d e" appears 3 times (incl. wrap overlap grams differ) but the
+    # identical gram dedups: the two-doc set has 6 + 1 grams, ≤ 7 distinct
+    assert 1 <= len(ev) <= 7
+
+
+def test_tfidf_ranking_and_tiebreak(ray_session):
+    import ray.data
+
+    docs = [
+        "rare rare common common",        # 'rare' df=1 cnt=2 should win
+        "common common zeta zeta alpha",
+        "common filler words here",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(docs)}))
+    out = tfidf_top_terms(ds, top_k=2).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("score_ppm", ascending=False)
+    assert d0.iloc[0]["term"] == "rare"
+    # exact integer score replay: cnt*1e6 // (df * n_tokens)
+    assert d0.iloc[0]["score_ppm"] == 2_000_000 // (1 * 4)
+    d1 = out[out.doc_id == 1]
+    assert set(d1["term"]) == {"zeta", "alpha"}  # both df=1 beat common
+    # zeta cnt=2 outranks alpha cnt=1
+    z = d1.set_index("term")["score_ppm"]
+    assert z["zeta"] > z["alpha"]
+
+
+def test_tfidf_tie_breaks_alphabetically(ray_session):
+    import ray.data
+
+    # two df=1 terms with identical cnt/n_tokens → identical score; top_k=1
+    # must pick the alphabetically smaller term
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["zebra apple"])}))
+    out = tfidf_top_terms(ds, top_k=1).to_pandas()
+    assert out["term"].tolist() == ["apple"]
