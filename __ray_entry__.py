@@ -981,6 +981,46 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_range_join_windows(sf_dir: str):
+    """Interval join: per campaign user (user_id % 10 == 0) a 6-hour window
+    opens at their first event; every event (any user) inside a window
+    joins it.  Uses the granule-shuffle tier (the 100-TB shape: intervals
+    replicate to hour granules, one groupby co-locates events with exactly
+    the intervals that can contain them), then aggregates per window.
+    Values are per-event rounded to x100 ints BEFORE summing so the sum is
+    order-independent on both sides."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+        range_join,
+    )
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "ts", "value"])
+    camp = ev.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b.column("user_id"),
+                        pc.multiply(pc.divide(b.column("user_id"), 10), 10)),
+            0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    firsts = grouped_aggregate(camp, ["user_id"],
+                               {"s": ("ts", "min")}).to_pandas()
+    s_us = firsts["s"].astype("datetime64[us]").astype("int64").to_numpy()
+    intervals = pa.table({
+        "window_id": pa.array(firsts["user_id"].to_numpy(), pa.int64()),
+        "start": pa.array(s_us, pa.int64()),
+        "end": pa.array(s_us + 6 * 3_600_000_000, pa.int64()),
+    })
+    joined = range_join(ev, intervals, ts_col="ts",
+                        granule_us=3_600_000_000)
+    joined = joined.map_batches(
+        lambda b: b.append_column("value_x100", pc.cast(pc.floor(
+            pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
+            pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(joined, ["window_id"],
+                             {"n_events": ("value_x100", "count"),
+                              "sum_value_x100": ("value_x100", "sum")})
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Top-3 characteristic terms per document by the integer-exact tf/df
     score (rarity-weighted frequency; see stages/ngrams.py on why the
@@ -1057,6 +1097,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "range_join_windows": q_range_join_windows,
     }
 
 
@@ -1465,4 +1506,15 @@ def oracle_sql() -> "dict[str, str]":
             "desc, c.term) as rn from c join f using(term)) "
             "select doc_id, term, cnt, df, score_ppm::bigint as score_ppm "
             "from s where rn <= 3 order by doc_id, term",
+        # interval containment join; values rounded to x100 ints per event
+        # BEFORE summing so the aggregate is order-independent
+        "range_join_windows":
+            "with iv as (select user_id as window_id, min(ts) as s "
+            "from events where user_id % 10 = 0 group by user_id), "
+            "j as (select iv.window_id, "
+            "floor(e.value * 100 + 0.5)::bigint as v from events e "
+            "join iv on e.ts >= iv.s and e.ts < iv.s + interval 6 hour) "
+            "select window_id, count(*)::bigint as n_events, "
+            "sum(v)::bigint as sum_value_x100 from j "
+            "group by window_id order by window_id",
     }

@@ -849,3 +849,170 @@ def sessionize(ds, key: str, ts_col: str, gap_seconds: float,
 
     ds = _with_key_shard(ds, [key])
     return ds.groupby("_shard").map_groups(count_shard, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- range join
+
+
+def _ts_to_us(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
+    else:
+        col = col.cast(pa.int64())
+    return np.asarray(col)
+
+
+def _match_intervals(ts_us: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray):
+    """All (event, interval) matches with start <= ts < end.  Vectorized
+    per INTERVAL (one boolean mask each) — never per event row; the
+    interval side is small inside a granule / broadcast table by contract.
+    Returns (event_idx, interval_idx) int64 arrays."""
+    ev_idx, iv_idx = [], []
+    for j in range(len(starts)):
+        m = np.nonzero((ts_us >= starts[j]) & (ts_us < ends[j]))[0]
+        if len(m):
+            ev_idx.append(m)
+            iv_idx.append(np.full(len(m), j, dtype=np.int64))
+    if not ev_idx:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    return np.concatenate(ev_idx), np.concatenate(iv_idx)
+
+
+def _joined(batch: pa.Table, intervals: pa.Table, ev_idx: np.ndarray,
+            iv_idx: np.ndarray, start_col: str, end_col: str) -> pa.Table:
+    out = batch.take(pa.array(ev_idx))
+    for name in intervals.schema.names:
+        if name in (start_col, end_col) or name in batch.schema.names:
+            continue
+        out = out.append_column(
+            name, intervals.column(name).combine_chunks()
+            .take(pa.array(iv_idx)))
+    return out
+
+
+def range_join(events_ds, intervals: pa.Table, ts_col: str,
+               start_col: str = "start", end_col: str = "end",
+               *, granule_us: "int | None" = None):
+    """Interval join: each event row joins every interval row whose
+    [start, end) contains its timestamp (overlapping intervals allowed —
+    an event may match several).  Interval payload columns (everything but
+    start/end) are appended to the matching event rows.
+
+    Two tiers, same semantics (parity-tested):
+
+    * **broadcast** (default): the interval table rides the object store
+      via ``ray.put`` once — correct when intervals fit in worker memory
+      (campaign windows, maintenance windows, A/B test spans: thousands,
+      not billions).  Matching is one vectorized mask per interval.
+    * **granule shuffle** (``granule_us`` set): the 100-TB shape when the
+      interval side is too large to broadcast.  Events map to time granule
+      ``ts // granule_us``; intervals replicate to every granule they
+      cover (``np.repeat`` flat-map); ONE groupby(granule) co-locates each
+      event with exactly the intervals that can contain it, and the
+      in-granule match is the same vectorized mask.  Pick ``granule_us``
+      near the median interval length so replication stays O(1) per
+      interval; matches are deduped by construction (an event matches an
+      interval in exactly one granule — the event's own).
+    """
+    if granule_us is None:
+        import ray
+
+        ref = ray.put(intervals) if ray.is_initialized() else intervals
+
+        class _BcastRange:
+            def __init__(self):
+                self._iv = None
+
+            def _tbl(self) -> pa.Table:
+                if self._iv is None:
+                    t = ref
+                    try:
+                        import ray as _r
+
+                        if isinstance(t, _r.ObjectRef):
+                            t = _r.get(t)
+                    except Exception:
+                        pass
+                    self._iv = (t, _ts_to_us(t.column(start_col)),
+                                _ts_to_us(t.column(end_col)))
+                return self._iv
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                iv, s, e = self._tbl()
+                ts = _ts_to_us(batch.column(ts_col))
+                ev_idx, iv_idx = _match_intervals(ts, s, e)
+                return _joined(batch, iv, ev_idx, iv_idx,
+                               start_col, end_col)
+
+        return events_ds.map_batches(_BcastRange, batch_format="pyarrow",
+                                     zero_copy_batch=True, concurrency=4)
+
+    g_us = int(granule_us)
+    ev_schema = events_ds.schema()
+    ev_names = list(ev_schema.names)
+    ev_types = dict(zip(ev_schema.names, ev_schema.types))
+    iv_s = _ts_to_us(intervals.column(start_col))
+    iv_e = _ts_to_us(intervals.column(end_col))
+    payload = intervals.drop_columns(
+        [c for c in (start_col, end_col) if c in intervals.schema.names])
+    pay_names = [c for c in payload.schema.names if c not in ev_names]
+    pay_types = {c: payload.schema.field(c).type for c in pay_names}
+    out_names = ev_names + pay_names
+
+    # replicate each interval to all covered granules (flat-map), padded to
+    # the union schema (asof_join's tag pattern)
+    n_gran = np.maximum((iv_e - 1) // g_us - iv_s // g_us + 1, 1)
+    rep = np.repeat(np.arange(len(iv_s), dtype=np.int64), n_gran)
+    offs = np.zeros(len(iv_s), dtype=np.int64)
+    np.cumsum(n_gran[:-1], out=offs[1:])
+    gran = (iv_s // g_us)[rep] + (np.arange(len(rep)) - offs[rep])
+    iv_cols = {c: pa.nulls(len(rep), ev_types[c]) for c in ev_names}
+    for c in pay_names:
+        iv_cols[c] = payload.column(c).combine_chunks().take(pa.array(rep))
+    iv_cols["_start_us"] = pa.array(iv_s[rep])
+    iv_cols["_end_us"] = pa.array(iv_e[rep])
+    iv_cols["_granule"] = pa.array(gran)
+    iv_cols["_side"] = pa.array(np.zeros(len(rep), dtype=np.int8))
+    import ray.data as rd
+
+    iv_ds = rd.from_arrow(pa.table(iv_cols))
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        ts = _ts_to_us(b.column(ts_col))
+        cols = {c: b.column(c) for c in ev_names}
+        for c in pay_names:
+            cols[c] = pa.nulls(b.num_rows, pay_types[c])
+        cols["_start_us"] = pa.nulls(b.num_rows, pa.int64())
+        cols["_end_us"] = pa.nulls(b.num_rows, pa.int64())
+        cols["_granule"] = pa.array(ts // g_us)
+        cols["_side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    ev_ds = events_ds.map_batches(tag_events, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    both = iv_ds.union(ev_ds)
+
+    def match_granule(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("_side"))
+        iv = group.filter(pa.array(side == 0))
+        ev = group.filter(pa.array(side == 1))
+        if iv.num_rows == 0 or ev.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], ev_types.get(c) or pay_types[c])
+                 for c in out_names})
+        ts = _ts_to_us(ev.column(ts_col))
+        ev_idx, iv_idx = _match_intervals(
+            ts, np.asarray(iv.column("_start_us")),
+            np.asarray(iv.column("_end_us")))
+        out_cols = {c: ev.column(c).combine_chunks().take(pa.array(ev_idx))
+                    for c in ev_names}
+        for c in pay_names:
+            out_cols[c] = iv.column(c).combine_chunks() \
+                .take(pa.array(iv_idx))
+        return pa.table(out_cols)
+
+    return both.groupby("_granule").map_groups(match_granule,
+                                               batch_format="pyarrow")
