@@ -981,6 +981,27 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Training-batch sequence packing: docs concatenated in doc_id order
+    and chunked into 512-token sequences; each doc's seq_id is
+    tokens_before // 512.  Runs on the distributed exclusive prefix sum
+    (bucket totals → driver offsets → per-bucket local cumsum), so no task
+    sees the whole corpus.  The oracle is a plain window cumsum."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        pack_sequences,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = docs.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                b.column("text"), pattern=r"\S+"), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    return pack_sequences(ds, "doc_id", "n_tokens", seq_len=512,
+                          bucket_size=100)
+
+
 def q_range_join_windows(sf_dir: str):
     """Interval join: per campaign user (user_id % 10 == 0) a 6-hour window
     opens at their first event; every event (any user) inside a window
@@ -1098,6 +1119,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "decontaminate": q_decontaminate,
         "tfidf_top_terms": q_tfidf_top_terms,
         "range_join_windows": q_range_join_windows,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1517,4 +1539,14 @@ def oracle_sql() -> "dict[str, str]":
             "select window_id, count(*)::bigint as n_events, "
             "sum(v)::bigint as sum_value_x100 from j "
             "group by window_id order by window_id",
+        # exclusive window cumsum replays the distributed prefix sum
+        "pack_sequences":
+            "with t as (select doc_id, len(list_filter(string_split_regex("
+            "text, '\\s+'), x -> x <> ''))::bigint as n_tokens "
+            "from documents), "
+            "c as (select doc_id, n_tokens, coalesce(sum(n_tokens) over ("
+            "order by doc_id rows between unbounded preceding and "
+            "1 preceding), 0)::bigint as cum_before from t) "
+            "select doc_id, n_tokens, cum_before, "
+            "(cum_before // 512)::bigint as seq_id from c order by doc_id",
     }

@@ -1016,3 +1016,84 @@ def range_join(events_ds, intervals: pa.Table, ts_col: str,
 
     return both.groupby("_granule").map_groups(match_granule,
                                                batch_format="pyarrow")
+
+
+# ------------------------------------------------------- ordered prefix sum
+
+
+def ordered_prefix_sum(ds, order_col: str, value_col: str,
+                       out_col: str = "cum_before",
+                       bucket_size: int = 100_000):
+    """Exclusive prefix sum of ``value_col`` in global ``order_col`` order
+    (``out_col[i] = sum of value over all rows with order < this row``).
+
+    Distributed two-pass shape — no global sort, no driver materialization
+    of rows:
+
+    1. rows bucket by ``order_col // bucket_size``; one tiny aggregate
+       yields per-bucket totals (#buckets rows — the only driver-side
+       state, ~rows/bucket_size).
+    2. the driver prefix-sums the bucket totals into per-bucket offsets
+       (broadcast back), and ONE groupby(bucket) shuffle lets each bucket
+       sort its own rows and add local cumsum + its offset.
+
+    Requires a numeric/timestamp ``order_col`` with unique values (ties
+    would make "before" ambiguous).  Skew guard: a bucket is one task —
+    pick ``bucket_size`` so bucket row counts stay bounded."""
+    import ray
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        o = np.asarray(b.column(order_col).combine_chunks()
+                       .cast(pa.int64()))
+        return b.append_column("_bucket",
+                               pa.array(o // np.int64(bucket_size)))
+
+    bds = ds.map_batches(add_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    totals = grouped_aggregate(bds, ["_bucket"],
+                               {"t": (value_col, "sum")}).to_pandas() \
+        .sort_values("_bucket")
+    buckets = totals["_bucket"].to_numpy()
+    offs = np.zeros(len(buckets), dtype=np.int64)
+    np.cumsum(totals["t"].to_numpy()[:-1], out=offs[1:])
+    off_map = dict(zip(buckets.tolist(), offs.tolist()))
+    off_ref = ray.put(off_map) if ray.is_initialized() else off_map
+
+    def bucket_cumsum(group: pa.Table) -> pa.Table:
+        omap = off_ref
+        try:
+            if isinstance(omap, ray.ObjectRef):
+                omap = ray.get(omap)
+        except Exception:
+            pass
+        bkt = int(group.column("_bucket")[0].as_py())
+        g = group.drop_columns(["_bucket"])
+        order = pc.sort_indices(g, sort_keys=[(order_col, "ascending")])
+        g = g.take(order)
+        v = np.asarray(g.column(value_col).combine_chunks()
+                       .cast(pa.int64()))
+        cum = np.zeros(len(v), dtype=np.int64)
+        np.cumsum(v[:-1], out=cum[1:])
+        cum += omap.get(bkt, 0)
+        return g.append_column(out_col, pa.array(cum))
+
+    return bds.groupby("_bucket").map_groups(bucket_cumsum,
+                                             batch_format="pyarrow")
+
+
+def pack_sequences(ds, order_col: str, token_col: str,
+                   seq_len: int = 512, bucket_size: int = 100_000):
+    """Deterministic sequence packing for training-batch assembly: docs are
+    concatenated in ``order_col`` order and split into fixed token-budget
+    sequences; each doc is assigned ``seq_id = tokens_before // seq_len``
+    (offset packing — the standard concat-then-chunk layout).  Built on the
+    distributed exclusive prefix sum, so no single task ever sees the
+    whole corpus."""
+    out = ordered_prefix_sum(ds, order_col, token_col,
+                             out_col="cum_before",
+                             bucket_size=bucket_size)
+    return out.map_batches(
+        lambda b: b.append_column(
+            "seq_id", pa.array(
+                np.asarray(b.column("cum_before")) // np.int64(seq_len))),
+        batch_format="pyarrow", zero_copy_batch=True)

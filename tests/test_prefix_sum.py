@@ -1,0 +1,47 @@
+"""Distributed exclusive prefix sum + sequence packing: exactness vs a
+single-process cumsum on shuffled, non-contiguous inputs."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_ordered_prefix_sum_matches_numpy(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        ordered_prefix_sum,
+    )
+
+    rng = np.random.default_rng(13)
+    # non-contiguous, shuffled order keys spanning many buckets
+    order = rng.permutation(np.arange(0, 30_000, 7, dtype=np.int64))
+    vals = rng.integers(1, 50, size=len(order)).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(order),
+                                       "v": pa.array(vals)})) \
+        .repartition(8)
+    out = ordered_prefix_sum(ds, "k", "v", bucket_size=1_000) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    srt = np.argsort(order)
+    want_cum = np.zeros(len(order), dtype=np.int64)
+    np.cumsum(vals[srt][:-1], out=want_cum[1:])
+    assert out["k"].to_numpy().tolist() == order[srt].tolist()
+    assert out["cum_before"].to_numpy().tolist() == want_cum.tolist()
+
+
+def test_pack_sequences_chunking(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        pack_sequences,
+    )
+
+    # 10 docs × 100 tokens, seq_len 256 → seq boundaries every 2.56 docs
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "n_tokens": pa.array(np.full(10, 100, dtype=np.int64))}))
+    out = pack_sequences(ds, "doc_id", "n_tokens", seq_len=256,
+                         bucket_size=4).to_pandas().sort_values("doc_id")
+    # cum_before = 0,100,...,900; seq_id = cum // 256
+    assert out["seq_id"].tolist() == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
+    # every sequence's token mass is ≤ seq_len + max doc (straddle rule)
+    assert out.groupby("seq_id")["n_tokens"].sum().max() <= 256 + 100
