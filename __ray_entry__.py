@@ -981,6 +981,20 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Deterministic distributed k-means over the embedding column
+    (fixed-point Lloyd iterations — integer sums are associative, so the
+    distributed combine is bit-identical to the sequential fixture
+    reference in scripts/make_fixtures.py)."""
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        kmeans_fit_predict,
+    )
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    assigned, _ = kmeans_fit_predict(ds, k=10, iters=5)
+    return assigned
+
+
 def q_pack_sequences(sf_dir: str):
     """Training-batch sequence packing: docs concatenated in doc_id order
     and chunked into 512-token sequences; each doc's seq_id is
@@ -1120,6 +1134,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "tfidf_top_terms": q_tfidf_top_terms,
         "range_join_windows": q_range_join_windows,
         "pack_sequences": q_pack_sequences,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -1549,4 +1564,8 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from t) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c order by doc_id",
+        # sequential fixed-point k-means replay (exact: integer arithmetic)
+        "kmeans_clusters":
+            "select vec_id, cluster "
+            f"from read_parquet('{_FIXTURES}/kmeans_clusters_sf001.parquet')",
     }

@@ -175,3 +175,148 @@ def ivf_topk(ds, queries, k: int = 10, *, n_centroids: int = 16, nprobe: int = 4
         return g.append_column("rank", pa.array(np.arange(1, g.num_rows + 1)))
 
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- k-means
+
+
+KMEANS_SCALE = 1 << 16  # fixed-point grid: exact in float64, assoc. in int64
+
+
+def _quantize(x: np.ndarray) -> np.ndarray:
+    """float vectors → int64 fixed-point grid.  ×2^16 is exact in float64;
+    rounding to int makes every later sum/distance integer arithmetic —
+    associative in ANY combine order, so the distributed result is
+    bit-identical to a sequential reference implementation."""
+    return np.round(x.astype(np.float64) * KMEANS_SCALE).astype(np.int64)
+
+
+def _centroid_update(sums: np.ndarray, counts: np.ndarray,
+                     prev: np.ndarray) -> np.ndarray:
+    """Integer round-half-up mean per cluster; empty clusters keep their
+    previous centroid.  (2s+n) // (2n) == round(s/n) for n>0, consistently
+    for negative sums (floor division both sides)."""
+    out = prev.copy()
+    nz = counts > 0
+    n = counts[nz][:, None]
+    out[nz] = (2 * sums[nz] + n) // (2 * n)
+    return out
+
+
+def _assign_quantized(xq: np.ndarray, cq: np.ndarray) -> np.ndarray:
+    """argmin_k Σ(xq - cq_k)² in pure int64 (first minimum wins) — one
+    vectorized pass per CENTROID, never per vector."""
+    n = len(xq)
+    best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    assign = np.zeros(n, dtype=np.int64)
+    for c in range(len(cq)):
+        d = xq - cq[c]
+        dist = np.einsum("ij,ij->i", d, d)
+        better = dist < best
+        best[better] = dist[better]
+        assign[better] = c
+    return assign
+
+
+class _KMeansAssignStage:
+    """map_batches: vectors → (id, cluster) against broadcast centroids."""
+
+    def __init__(self, cent_ref, id_col: str = "vec_id",
+                 col: str = "embedding"):
+        self.cent_ref = cent_ref
+        self.id_col = id_col
+        self.col = col
+        self._c = None
+
+    def _cent(self) -> np.ndarray:
+        if self._c is None:
+            c = self.cent_ref
+            try:
+                import ray
+
+                if isinstance(c, ray.ObjectRef):
+                    c = ray.get(c)
+            except Exception:
+                pass
+            self._c = np.asarray(c, dtype=np.int64)
+        return self._c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        xq = _quantize(embeddings_to_matrix(batch, self.col))
+        assign = _assign_quantized(xq, self._cent())
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "cluster": pa.array(assign)})
+
+
+def kmeans_fit_predict(ds, k: int = 10, iters: int = 5,
+                       col: str = "embedding", id_col: str = "vec_id",
+                       sample_size: int = 2048, seed: int = 17):
+    """Deterministic distributed k-means over an embedding column.
+
+    Lloyd iterations in fixed-point arithmetic (``KMEANS_SCALE`` grid):
+    quantized sums are int64 and therefore exactly associative, so the
+    per-batch partial sums + sharded combine produce the SAME centroids as
+    a sequential pass — no float summation-order drift, which is what makes
+    the independent fixture oracle (scripts/make_fixtures.py) exact.
+
+    Per iteration: centroids (k×dim int64, tiny) broadcast via ``ray.put``;
+    each batch emits ≤k partial rows (cluster, per-dim sums, count); one
+    ``grouped_aggregate`` reduces them to k rows on the driver.  The data
+    never shuffles — only k×dim integers move.  Init is seeded choice from
+    a bounded driver-side sample (same contract as ``ivf_topk``).
+
+    Returns ``(assignments_ds, centroids_int)``: (id, cluster) rows plus
+    the final quantized centroid matrix."""
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+    )
+
+    # limit() returns blocks in nondeterministic order (parallel read) —
+    # sort by id so the seeded init is identical on any topology
+    sample_tbl = ds.limit(sample_size).to_pandas() \
+        .sort_values(id_col).reset_index(drop=True)
+    x0 = np.stack(sample_tbl[col].to_numpy())
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(x0), size=min(k, len(x0)), replace=False)
+    cq = _quantize(x0)[pick]
+    dim = cq.shape[1]
+    sum_cols = [f"s{d}" for d in range(dim)]
+
+    for _ in range(iters):
+        cref = ray.put(cq) if ray.is_initialized() else cq
+
+        def partial(batch: pa.Table, _cref=cref) -> pa.Table:
+            c = _cref
+            try:
+                if isinstance(c, ray.ObjectRef):
+                    c = ray.get(c)
+            except Exception:
+                pass
+            c = np.asarray(c, dtype=np.int64)
+            xq = _quantize(embeddings_to_matrix(batch, col))
+            assign = _assign_quantized(xq, c)
+            acc = np.zeros((len(c), xq.shape[1]), dtype=np.int64)
+            np.add.at(acc, assign, xq)
+            cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            cols = {"cluster": pa.array(np.arange(len(c), dtype=np.int64))}
+            for d, nm in enumerate(sum_cols):
+                cols[nm] = pa.array(acc[:, d])
+            cols["n"] = pa.array(cnt)
+            return pa.table(cols)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        agg = grouped_aggregate(
+            parts, ["cluster"],
+            {**{nm: (nm, "sum") for nm in sum_cols}, "n": ("n", "sum")}) \
+            .to_pandas().sort_values("cluster")
+        sums = agg[sum_cols].to_numpy(dtype=np.int64)
+        counts = agg["n"].to_numpy(dtype=np.int64)
+        cq = _centroid_update(sums, counts, cq)
+
+    cref = ray.put(cq) if ray.is_initialized() else cq
+    assigned = ds.map_batches(_KMeansAssignStage(cref, id_col, col),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    return assigned, cq

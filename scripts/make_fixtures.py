@@ -162,6 +162,50 @@ def embedding_pairs_reference(*, threshold=0.95, planes=12, seed=5):
     return pairs
 
 
+def kmeans_reference(*, k=10, iters=5, sample_size=2048, seed=17,
+                     scale=1 << 16):
+    """Independent SEQUENTIAL fixed-point k-means (pure Python-int inner
+    loops — not the batch kernels).  Because the engine quantizes to the
+    same int64 grid, every sum/distance is exact integer arithmetic and the
+    distributed combine order cannot change the result, so this sequential
+    replay is an exact oracle for ``kmeans_fit_predict``."""
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    rows = t.column("embedding").to_pylist()
+    xq = [[round(float(v) * scale) for v in row] for row in rows]
+    n = len(xq)
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(min(n, sample_size), size=min(k, n), replace=False)
+    cent = [list(xq[int(i)]) for i in pick]
+
+    def assign_one(vec):
+        best_d, best_c = None, 0
+        for ci, c in enumerate(cent):
+            d = sum((a - b) * (a - b) for a, b in zip(vec, c))
+            if best_d is None or d < best_d:
+                best_d, best_c = d, ci
+        return best_c
+
+    for _ in range(iters):
+        sums = [[0] * len(xq[0]) for _ in range(len(cent))]
+        counts = [0] * len(cent)
+        assigns = []
+        for vec in xq:
+            ci = assign_one(vec)
+            assigns.append(ci)
+            counts[ci] += 1
+            for d, v in enumerate(vec):
+                sums[ci][d] += v
+        for ci in range(len(cent)):
+            if counts[ci]:
+                cent[ci] = [(2 * s + counts[ci]) // (2 * counts[ci])
+                            for s in sums[ci]]
+    final = [assign_one(vec) for vec in xq]
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "cluster": pa.array(final, pa.int64())})
+
+
 def multimodal_ann_reference(ids, texts, *, dim=32, n_queries=2, k=5):
     """Independent reimplementation of the fake-embed + exact-cosine-top-k
     composition (q_multimodal_embed_ann): payload = utf-8 text bytes,
@@ -289,6 +333,13 @@ def main():
     hll = hll_reference()
     pq.write_table(hll, os.path.join(OUT, "hll_distinct_sf001.parquet"))
     print("hll_distinct:", hll.column("approx_distinct").to_pylist())
+
+    km = kmeans_reference()
+    pq.write_table(km, os.path.join(OUT, "kmeans_clusters_sf001.parquet"))
+    import collections
+
+    print("kmeans cluster sizes:",
+          dict(collections.Counter(km.column("cluster").to_pylist())))
 
     ev = expected_event_table(CDC_EVENTS, seed=42)
     pq.write_table(ev, os.path.join(OUT, f"cdc_events_{CDC_EVENTS}.parquet"))

@@ -1,0 +1,72 @@
+"""Deterministic fixed-point k-means: topology-independence (the core
+claim: integer sums are associative, so block splits cannot change the
+result) and structural behavior."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _toy(ray, n=300, seed=4):
+    rng = np.random.default_rng(seed)
+    # 3 well-separated planted clusters in 8-d
+    centers = rng.standard_normal((3, 8)) * 5
+    x = (centers[np.arange(n) % 3]
+         + rng.standard_normal((n, 8)) * 0.2).astype(np.float32)
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(x), pa.list_(pa.float32())),
+    }))
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        kmeans_fit_predict,
+    )
+
+    ds = _toy(ray)
+    assigned, cq = kmeans_fit_predict(ds, k=3, iters=6)
+    df = assigned.to_pandas().sort_values("vec_id")
+    truth = np.arange(len(df)) % 3
+    # every planted cluster maps to exactly one predicted cluster
+    for t in range(3):
+        preds = df["cluster"].to_numpy()[truth == t]
+        assert len(np.unique(preds)) == 1
+    assert cq.shape == (3, 8) and cq.dtype == np.int64
+
+
+def test_kmeans_is_topology_independent(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        kmeans_fit_predict,
+    )
+
+    ds = _toy(ray, n=400, seed=9)
+    a1, c1 = kmeans_fit_predict(ds, k=4, iters=4)
+    a2, c2 = kmeans_fit_predict(ds.repartition(13), k=4, iters=4)
+    assert np.array_equal(c1, c2)
+    d1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    d2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert d1.equals(d2)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        kmeans_fit_predict,
+    )
+
+    # 5 identical points, k=3: two clusters go empty and must keep their
+    # init centroids without crashing
+    x = np.ones((5, 4), dtype=np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+        "embedding": pa.array(list(x), pa.list_(pa.float32())),
+    }))
+    assigned, cq = kmeans_fit_predict(ds, k=3, iters=3)
+    df = assigned.to_pandas()
+    assert len(np.unique(df["cluster"])) == 1
+    assert cq.shape == (3, 4)
