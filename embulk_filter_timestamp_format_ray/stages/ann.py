@@ -250,7 +250,8 @@ class _KMeansAssignStage:
 
 def kmeans_fit_predict(ds, k: int = 10, iters: int = 5,
                        col: str = "embedding", id_col: str = "vec_id",
-                       sample_size: int = 2048, seed: int = 17):
+                       sample_size: int = 2048, seed: int = 17,
+                       combine: str = "driver"):
     """Deterministic distributed k-means over an embedding column.
 
     Lloyd iterations in fixed-point arithmetic (``KMEANS_SCALE`` grid):
@@ -260,10 +261,17 @@ def kmeans_fit_predict(ds, k: int = 10, iters: int = 5,
     the independent fixture oracle (scripts/make_fixtures.py) exact.
 
     Per iteration: centroids (k×dim int64, tiny) broadcast via ``ray.put``;
-    each batch emits ≤k partial rows (cluster, per-dim sums, count); one
-    ``grouped_aggregate`` reduces them to k rows on the driver.  The data
-    never shuffles — only k×dim integers move.  Init is seeded choice from
-    a bounded driver-side sample (same contract as ``ivf_topk``).
+    each batch emits ≤k partial rows (cluster, per-dim sums, count).  The
+    data never shuffles — only k×dim integers move.  Init is seeded choice
+    from a bounded driver-side sample (same contract as ``ivf_topk``).
+
+    ``combine="driver"`` (default) collects the partial rows directly —
+    #blocks × k rows, ONE Ray job per iteration; right whenever
+    blocks × k × dim ints fit driver memory (k-means k is small by
+    nature).  ``combine="distributed"`` folds partials through the sharded
+    aggregate first (k rows reach the driver) — one extra exchange per
+    iteration, for extreme block counts.  Results are bit-identical either
+    way (integer sums commute).
 
     Returns ``(assignments_ds, centroids_int)``: (id, cluster) rows plus
     the final quantized centroid matrix."""
@@ -308,12 +316,21 @@ def kmeans_fit_predict(ds, k: int = 10, iters: int = 5,
 
         parts = ds.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True)
-        agg = grouped_aggregate(
-            parts, ["cluster"],
-            {**{nm: (nm, "sum") for nm in sum_cols}, "n": ("n", "sum")}) \
-            .to_pandas().sort_values("cluster")
-        sums = agg[sum_cols].to_numpy(dtype=np.int64)
-        counts = agg["n"].to_numpy(dtype=np.int64)
+        if combine == "distributed":
+            agg = grouped_aggregate(
+                parts, ["cluster"],
+                {**{nm: (nm, "sum") for nm in sum_cols},
+                 "n": ("n", "sum")}, shards=min(len(cq), 16)) \
+                .to_pandas().sort_values("cluster")
+            sums = agg[sum_cols].to_numpy(dtype=np.int64)
+            counts = agg["n"].to_numpy(dtype=np.int64)
+        else:
+            pdf = parts.to_pandas()  # #blocks × k rows — tiny by contract
+            cl = pdf["cluster"].to_numpy(dtype=np.int64)
+            sums = np.zeros((len(cq), dim), dtype=np.int64)
+            np.add.at(sums, cl, pdf[sum_cols].to_numpy(dtype=np.int64))
+            counts = np.zeros(len(cq), dtype=np.int64)
+            np.add.at(counts, cl, pdf["n"].to_numpy(dtype=np.int64))
         cq = _centroid_update(sums, counts, cq)
 
     cref = ray.put(cq) if ray.is_initialized() else cq

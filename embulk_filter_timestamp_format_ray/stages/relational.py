@@ -101,7 +101,8 @@ def hash_key_columns(batch: pa.Table, keys: "list[str]") -> np.ndarray:
 _COMBINE_SHARDS = 128
 
 
-def grouped_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]"):
+def grouped_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]",
+                      shards: "int | None" = None):
     """ds.groupby(keys) with map-side partial aggregation.
 
     aggs: {output_name: (input_col, fn)} with fn in sum/count/min/max.
@@ -111,8 +112,13 @@ def grouped_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]"):
     runs ONE Arrow C++ hash aggregate over all its groups.  Ray's native
     multi-key sort aggregate measured ~10× slower on 95k partial rows (the
     multi-column sort dominates); this keeps the combine a hash aggregate
-    end-to-end, which is also how it stays cheap at 10^9 groups."""
+    end-to-end, which is also how it stays cheap at 10^9 groups.
+
+    ``shards`` caps the combine fan-out: when the caller KNOWS the group
+    count is tiny (k-means clusters, per-bucket totals), 128 combine tasks
+    are pure overhead — pass ~#groups instead."""
     keys = list(keys)
+    n_shards = int(shards) if shards else _COMBINE_SHARDS
     for out, (_, fn) in aggs.items():
         if fn not in _AGG_FUNCS:
             raise ValueError(f"unsupported agg {fn} for {out}")
@@ -121,7 +127,7 @@ def grouped_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]"):
 
     def add_shard(b: pa.Table) -> pa.Table:
         shard = (hash_key_columns(b, keys)
-                 % np.uint64(_COMBINE_SHARDS)).astype(np.int32)
+                 % np.uint64(n_shards)).astype(np.int32)
         return b.append_column("_shard", pa.array(shard))
 
     # merge fn per output: partial sums/counts re-sum; min/max re-min/max

@@ -70,3 +70,18 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     df = assigned.to_pandas()
     assert len(np.unique(df["cluster"])) == 1
     assert cq.shape == (3, 4)
+
+
+def test_kmeans_combine_modes_identical(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        kmeans_fit_predict,
+    )
+
+    ds = _toy(ray, n=200, seed=21)
+    a1, c1 = kmeans_fit_predict(ds, k=3, iters=3)
+    a2, c2 = kmeans_fit_predict(ds, k=3, iters=3, combine="distributed")
+    assert np.array_equal(c1, c2)
+    assert a1.to_pandas().sort_values("vec_id").reset_index(drop=True) \
+        .equals(a2.to_pandas().sort_values("vec_id").reset_index(drop=True))
