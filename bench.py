@@ -130,7 +130,9 @@ def run_queries(sf_dir: str) -> dict:
              "dedup_exact", "dedup_minhash", "token_count", "ann_topk",
              "join_revenue_by_nation", "corpus_prep", "tumbling_window",
              "sliding_window", "shuffle_join_revenue", "asof_join",
-             "assemble_transcripts", "hll_distinct", "approx_quantiles"]
+             "assemble_transcripts", "hll_distinct", "approx_quantiles",
+             "decontaminate", "repetition_stats", "tfidf_top_terms",
+             "range_join_windows", "pack_sequences", "kmeans_clusters"]
     qs = entry.queries()
     out = {}
     for name in picks:
