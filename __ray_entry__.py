@@ -981,6 +981,61 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_curate_corpus(sf_dir: str):
+    """The end-to-end curation flagship: per-language median length filter
+    (histogram sketch) → eval-suite decontamination (drop ≥20% 5-gram
+    overlap; eval = doc_id % 37 == 0, excluded from train entirely) →
+    exact dedup (min-id per distinct text) → 512-token sequence packing
+    on the distributed prefix sum.  Every stage is SQL-replayable, so the
+    whole composition has one exact DuckDB oracle."""
+    from embulk_filter_timestamp_format_ray.stages.dedup import dedup_exact
+    from embulk_filter_timestamp_format_ray.stages.ngrams import decontaminate
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        broadcast_join,
+        grouped_approx_quantiles,
+        pack_sequences,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "lang", "n_chars"])
+    med = grouped_approx_quantiles(
+        _read(sf_dir, "documents").select_columns(["lang", "n_chars"]),
+        "lang", "n_chars", [0.5], bins=256)
+    med_tbl = pa.table({"lang": med.column("lang"),
+                        "med": med.column("quantile")})
+    joined = broadcast_join(docs, med_tbl, on="lang", how="inner")
+
+    def keep_train(b: pa.Table) -> pa.Table:
+        long_enough = pc.greater_equal(
+            b.column("n_chars").cast(pa.float64()), b.column("med"))
+        not_eval = pc.not_equal(
+            pc.subtract(b.column("doc_id"),
+                        pc.multiply(pc.divide(b.column("doc_id"), 37), 37)),
+            0)
+        return b.filter(pc.and_(long_enough, not_eval)) \
+            .select(["doc_id", "text"])
+
+    train = joined.map_batches(keep_train, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    evals = _read(sf_dir, "documents").select_columns(["doc_id", "text"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(
+                pc.subtract(b.column("doc_id"),
+                            pc.multiply(pc.divide(b.column("doc_id"), 37),
+                                        37)), 0)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    clean = decontaminate(train, evals, k=5, threshold_pct=20, drop=True)
+    uniq = dedup_exact(clean, id_col="doc_id", text_col="text")
+    tok = uniq.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                b.column("text"), pattern=r"\S+"), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    return pack_sequences(tok, "doc_id", "n_tokens", seq_len=512,
+                          bucket_size=100)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Deterministic distributed k-means over the embedding column
     (fixed-point Lloyd iterations — integer sums are associative, so the
@@ -1135,6 +1190,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "range_join_windows": q_range_join_windows,
         "pack_sequences": q_pack_sequences,
         "kmeans_clusters": q_kmeans_clusters,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -1564,6 +1620,54 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from t) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c order by doc_id",
+        # full curation chain: median-length filter (sketch replay) →
+        # decontamination (n-gram replay) → exact dedup → packing (cumsum)
+        "curate_corpus":
+            "with b as (select lang, min(n_chars) as lo, "
+            "(max(n_chars) - min(n_chars)) / 256.0 as w "
+            "from documents group by lang), "
+            "hist as (select d.lang, least(greatest(cast(trunc("
+            "(d.n_chars - b.lo) / b.w) as bigint), 0), 255) as bin, "
+            "count(*) as c from documents d join b using(lang) "
+            "where b.w > 0 group by 1, 2), "
+            "cum as (select lang, bin, "
+            "sum(c) over (partition by lang order by bin) as cum, "
+            "sum(c) over (partition by lang) as total from hist), "
+            "pick as (select lang, min(bin) as bin from cum "
+            "where cum >= 0.5 * total group by lang), "
+            "m as (select p.lang, b.lo + (p.bin + 0.5) * b.w as med "
+            "from pick p join b using(lang) "
+            "union all select lang, cast(lo as double) as med from b "
+            "where w <= 0), "
+            "keepq as (select d.doc_id, d.text from documents d "
+            "join m using(lang) "
+            "where d.n_chars >= m.med and d.doc_id % 37 <> 0), "
+            "dall as (select doc_id, list_filter(string_split_regex("
+            "text, '\\s+'), x -> x <> '') as ws from documents), "
+            "ev as (select distinct gram from (select doc_id, "
+            "unnest(list_transform(generate_series(1, len(ws) - 4), "
+            "i -> array_to_string(ws[i:i+4], ' '))) as gram from dall "
+            "where doc_id % 37 = 0)), "
+            "tr as (select k.doc_id, unnest(list_transform("
+            "generate_series(1, len(w2.ws) - 4), "
+            "i -> array_to_string(w2.ws[i:i+4], ' '))) as gram "
+            "from keepq k join dall w2 using(doc_id)), "
+            "st as (select tr.doc_id, count(*) as n_grams, "
+            "sum(case when ev.gram is not null then 1 else 0 end) "
+            "as n_contaminated from tr left join ev on tr.gram = ev.gram "
+            "group by tr.doc_id), "
+            "clean as (select k.doc_id, k.text from keepq k "
+            "left join st using(doc_id) where coalesce(st.n_grams, 0) = 0 "
+            "or st.n_contaminated * 100 < st.n_grams * 20), "
+            "uniq as (select min(doc_id) as doc_id from clean "
+            "group by text), "
+            "tok as (select u.doc_id, len(w3.ws)::bigint as n_tokens "
+            "from uniq u join dall w3 using(doc_id)), "
+            "c2 as (select doc_id, n_tokens, coalesce(sum(n_tokens) over ("
+            "order by doc_id rows between unbounded preceding and "
+            "1 preceding), 0)::bigint as cum_before from tok) "
+            "select doc_id, n_tokens, cum_before, "
+            "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
         # sequential fixed-point k-means replay (exact: integer arithmetic)
         "kmeans_clusters":
             "select vec_id, cluster "

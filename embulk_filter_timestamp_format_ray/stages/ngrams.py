@@ -187,10 +187,12 @@ class DecontaminateStage:
             np.add.at(n_cont, doc_of_g, hit.astype(np.int64))
         flag = ((ng > 0) &
                 (n_cont * 100 >= ng * self.threshold_pct)).astype(np.int64)
-        return pa.table({self.id_col: batch.column(self.id_col),
-                         "n_grams": pa.array(ng, type=pa.int64()),
-                         "n_contaminated": pa.array(n_cont, type=pa.int64()),
-                         "contaminated": pa.array(flag, type=pa.int64())})
+        # append (don't project) so compositions keep their payload columns
+        return batch \
+            .append_column("n_grams", pa.array(ng, type=pa.int64())) \
+            .append_column("n_contaminated",
+                           pa.array(n_cont, type=pa.int64())) \
+            .append_column("contaminated", pa.array(flag, type=pa.int64()))
 
 
 def decontaminate(train_ds, eval_ds, *, k: int = 5, threshold_pct: int = 20,
@@ -210,10 +212,13 @@ def decontaminate(train_ds, eval_ds, *, k: int = 5, threshold_pct: int = 20,
                            text_col=text_col, id_col=id_col),
         batch_format="pyarrow", zero_copy_batch=True)
     if not drop:
-        return flagged
+        return flagged.map_batches(
+            lambda b: b.select([id_col, "n_grams", "n_contaminated",
+                                "contaminated"]),
+            batch_format="pyarrow", zero_copy_batch=True)
     return flagged.map_batches(
         lambda b: b.filter(pc.equal(b.column("contaminated"), 0))
-        .select([id_col, "n_grams", "n_contaminated"]),
+        .drop_columns(["n_grams", "n_contaminated", "contaminated"]),
         batch_format="pyarrow", zero_copy_batch=True)
 
 

@@ -170,3 +170,18 @@ def test_tfidf_tie_breaks_alphabetically(ray_session):
         "text": pa.array(["zebra apple"])}))
     out = tfidf_top_terms(ds, top_k=1).to_pandas()
     assert out["term"].tolist() == ["apple"]
+
+
+def test_decontaminate_drop_keeps_payload_columns(ray_session):
+    import ray.data
+
+    ev_ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array(["aa bb cc dd ee ff gg"])}))
+    tr_ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["totally different words here now ok fine"]),
+        "extra": pa.array([42], pa.int64())}))
+    kept = decontaminate(tr_ds, ev_ds, k=5, drop=True).to_pandas()
+    assert list(kept.columns) == ["doc_id", "text", "extra"]
+    assert kept["extra"].tolist() == [42]
