@@ -27,14 +27,25 @@ MANIFEST = "corpus_manifest.json"
 
 
 def prepared_corpus(ds, *, min_tokens: int = 10, near_dup: bool = False,
-                    near_dup_threshold: float = 0.85):
-    """documents (doc_id, text) → filtered + deduped corpus Dataset."""
+                    near_dup_threshold: float = 0.85,
+                    redact_pii: bool = False,
+                    max_dup5_x1000: "int | None" = None,
+                    eval_ds=None, decontam_threshold_pct: int = 20):
+    """documents (doc_id, text) → filtered + deduped corpus Dataset.
+
+    Optional curation passes (all deterministic, so resume stays
+    byte-identical): PII redaction (vectorized RE2 scrub), repetition
+    filter (drop docs whose duplicated-5-gram mass exceeds
+    ``max_dup5_x1000`` per-mille — Gopher rule), and eval-suite
+    decontamination against ``eval_ds`` (drop docs with ≥threshold%
+    benchmark 5-gram overlap)."""
     from embulk_filter_timestamp_format_ray.stages.dedup import (
         dedup_exact,
         dedup_near_duplicates,
     )
     from embulk_filter_timestamp_format_ray.stages.text_stats import (
         lang_id_batch,
+        redact_pii_batch,
         token_count_batch,
     )
 
@@ -51,6 +62,30 @@ def prepared_corpus(ds, *, min_tokens: int = 10, near_dup: bool = False,
                                             min_tokens))
         .select(["doc_id", "text"]),
         batch_format="pyarrow", zero_copy_batch=True)
+    if redact_pii:
+        ds = ds.map_batches(
+            lambda b: redact_pii_batch(b).select(["doc_id", "text"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    if max_dup5_x1000 is not None:
+        from embulk_filter_timestamp_format_ray.stages.ngrams import (
+            repetition_stats_batch,
+        )
+
+        def rep_filter(b: pa.Table) -> pa.Table:
+            st = repetition_stats_batch(b)  # row-aligned with b
+            return b.filter(pc.less_equal(st.column("dup5_x1000"),
+                                          max_dup5_x1000))
+
+        ds = ds.map_batches(rep_filter, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    if eval_ds is not None:
+        from embulk_filter_timestamp_format_ray.stages.ngrams import (
+            decontaminate,
+        )
+
+        ds = decontaminate(ds, eval_ds, k=5,
+                           threshold_pct=decontam_threshold_pct,
+                           drop=True)
     ds = dedup_exact(ds)
     if near_dup:
         ds = dedup_near_duplicates(ds, threshold=near_dup_threshold)

@@ -26,6 +26,14 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/phones/SSNs before writing")
+    ap.add_argument("--max-dup5", type=int, default=None, metavar="PERMILLE",
+                    help="drop docs whose duplicated-5-gram mass exceeds "
+                         "this per-mille (Gopher repetition rule)")
+    ap.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
+                    help="parquet of eval docs (doc_id, text); drop train "
+                         "docs with >=20%% 5-gram overlap")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
@@ -46,8 +54,14 @@ def main() -> None:
 
         t0 = time.perf_counter()
         ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+        eval_ds = ray.data.read_parquet(
+            args.decontaminate, columns=["doc_id", "text"]) \
+            if args.decontaminate else None
         corpus = prepared_corpus(ds, min_tokens=args.min_tokens,
-                                 near_dup=args.near_dup)
+                                 near_dup=args.near_dup,
+                                 redact_pii=args.redact_pii,
+                                 max_dup5_x1000=args.max_dup5,
+                                 eval_ds=eval_ds)
         stats = write_corpus(corpus, args.out,
                              num_partitions=args.partitions,
                              resume=args.resume)

@@ -185,3 +185,38 @@ def test_decontaminate_drop_keeps_payload_columns(ray_session):
     kept = decontaminate(tr_ds, ev_ds, k=5, drop=True).to_pandas()
     assert list(kept.columns) == ["doc_id", "text", "extra"]
     assert kept["extra"].tolist() == [42]
+
+
+def test_prepared_corpus_curation_options(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.corpus import (
+        prepared_corpus,
+    )
+
+    docs = [
+        ("the quick brown fox jumps over the lazy dog and then some "
+         "more words to pass the stopword language filter today"),  # clean
+        ("the quick brown fox jumps over the lazy dog and then some "
+         "more words to pass the stopword language filter today"),  # dup
+        ("you can mail me at bob@example.com for all of the details "
+         "about this and that or the other things we discussed"),   # PII
+        ("spam " * 30 + "the of and a to in is it you that"),  # repetitive
+        ("pack my box with five dozen liquor jugs and then have some "
+         "of the people you know read all of it aloud"),  # eval copy
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(docs)}))
+    ev = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([99], pa.int64()),
+        "text": pa.array([docs[4]])}))
+    out = prepared_corpus(ds, min_tokens=5, redact_pii=True,
+                          max_dup5_x1000=500, eval_ds=ev).to_pandas()
+    kept = set(out["doc_id"])
+    assert 0 in kept and 2 in kept
+    assert 1 not in kept          # exact dup removed
+    assert 3 not in kept          # repetition filter
+    assert 4 not in kept          # decontaminated
+    pii_text = out.set_index("doc_id").loc[2, "text"]
+    assert "<EMAIL>" in pii_text and "bob@example.com" not in pii_text
