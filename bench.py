@@ -132,7 +132,8 @@ def run_queries(sf_dir: str) -> dict:
              "sliding_window", "shuffle_join_revenue", "asof_join",
              "assemble_transcripts", "hll_distinct", "approx_quantiles",
              "decontaminate", "repetition_stats", "tfidf_top_terms",
-             "range_join_windows", "pack_sequences", "kmeans_clusters"]
+             "range_join_windows", "pack_sequences", "kmeans_clusters",
+             "curate_corpus"]
     qs = entry.queries()
     out = {}
     for name in picks:
