@@ -1005,6 +1005,11 @@ def range_join(events_ds, intervals: pa.Table, ts_col: str,
         side = np.asarray(group.column("_side"))
         iv = group.filter(pa.array(side == 0))
         ev = group.filter(pa.array(side == 1))
+        # per-granule work is O(intervals × events); a granule holding
+        # thousands of overlapping intervals means granule_us is far below
+        # the typical interval length — surface it before it burns a task
+        warn_large_key_group(iv.num_rows * max(ev.num_rows, 1),
+                             "range_join", "granule")
         if iv.num_rows == 0 or ev.num_rows == 0:
             return pa.table(
                 {c: pa.array([], ev_types.get(c) or pay_types[c])
@@ -1066,6 +1071,7 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
     off_ref = ray.put(off_map) if ray.is_initialized() else off_map
 
     def bucket_cumsum(group: pa.Table) -> pa.Table:
+        warn_large_key_group(group.num_rows, "ordered_prefix_sum", "bucket")
         omap = off_ref
         try:
             if isinstance(omap, ray.ObjectRef):

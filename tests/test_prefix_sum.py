@@ -45,3 +45,20 @@ def test_pack_sequences_chunking(ray_session):
     assert out["seq_id"].tolist() == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
     # every sequence's token mass is ≤ seq_len + max doc (straddle rule)
     assert out.groupby("seq_id")["n_tokens"].sum().max() <= 256 + 100
+
+
+def test_prefix_sum_negative_order_keys(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        ordered_prefix_sum,
+    )
+
+    order = np.array([-250, -100, -1, 0, 99, 300], dtype=np.int64)
+    vals = np.array([5, 7, 11, 13, 17, 19], dtype=np.int64)
+    perm = np.array([3, 0, 5, 1, 4, 2])
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(order[perm]),
+                                       "v": pa.array(vals[perm])}))
+    out = ordered_prefix_sum(ds, "k", "v", bucket_size=100) \
+        .to_pandas().sort_values("k")
+    assert out["cum_before"].tolist() == [0, 5, 12, 23, 36, 53]

@@ -131,3 +131,35 @@ def test_timestamp_typed_columns(ray_session):
                      granule_us=1_000_000).to_pandas()
     assert out["event_id"].tolist() == [1]
     assert out["window_id"].tolist() == [7]
+
+
+def test_interval_exactly_on_granule_boundary(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import range_join
+
+    # interval [100, 200) with granule 100: covers granules 1 only
+    # (end exclusive — granule 2 must NOT see it); events at 100, 199, 200
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts_us": pa.array([100, 199, 200], pa.int64())}))
+    iv = pa.table({"window_id": pa.array([5], pa.int64()),
+                   "start": pa.array([100], pa.int64()),
+                   "end": pa.array([200], pa.int64())})
+    out = range_join(ev, iv, ts_col="ts_us", granule_us=100).to_pandas()
+    assert sorted(out["event_id"]) == [1, 2]
+
+
+def test_zero_length_interval_matches_nothing(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import range_join
+
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts_us": pa.array([50], pa.int64())}))
+    iv = pa.table({"window_id": pa.array([1], pa.int64()),
+                   "start": pa.array([50], pa.int64()),
+                   "end": pa.array([50], pa.int64())})
+    assert range_join(ev, iv, ts_col="ts_us").count() == 0
+    assert range_join(ev, iv, ts_col="ts_us", granule_us=10).count() == 0
