@@ -981,6 +981,43 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_attribution_follow(sf_dir: str):
+    """Temporal band join (attribution): for every click, the purchases by
+    the same user within the following 10 minutes.  One key-shard
+    exchange; per shard the right side sorts once and every left row's
+    match window comes from a batch searchsorted over a (key-rank × time)
+    composite — no per-key callbacks (see
+    stages/relational.py:time_band_join).  Values round to x100 ints
+    per event before summing."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+        time_band_join,
+    )
+
+    ev = _read(sf_dir, "events")
+    clicks = ev.select_columns(["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("event_type"), "click"))
+            .select(["event_id", "user_id", "ts"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    purchases = ev.select_columns(["user_id", "ts", "event_type", "value"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("event_type"), "purchase"))
+            .select(["user_id", "ts", "value"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    pairs = time_band_join(clicks, purchases, key="user_id", ts_col="ts",
+                           band_lo_us=0, band_hi_us=600_000_000,
+                           right_payload=["value"])
+    pairs = pairs.map_batches(
+        lambda b: b.append_column("value_x100", pc.cast(pc.floor(
+            pc.add(pc.multiply(b.column("value_r"), 100.0), 0.5)),
+            pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(pairs, ["event_id"],
+                             {"n_follow": ("value_x100", "count"),
+                              "sum_value_x100": ("value_x100", "sum")})
+
+
 def q_curate_corpus(sf_dir: str):
     """The end-to-end curation flagship: per-language median length filter
     (histogram sketch) → eval-suite decontamination (drop ≥20% 5-gram
@@ -1191,6 +1228,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "pack_sequences": q_pack_sequences,
         "kmeans_clusters": q_kmeans_clusters,
         "curate_corpus": q_curate_corpus,
+        "attribution_follow": q_attribution_follow,
     }
 
 
@@ -1668,6 +1706,17 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # band self-join: purchases within (ts, ts+10min] of a same-user
+        # click; per-event x100 rounding keeps the sum order-independent
+        "attribution_follow":
+            "with j as (select c.event_id, "
+            "floor(p.value * 100 + 0.5)::bigint as v "
+            "from events c join events p on p.user_id = c.user_id "
+            "and p.ts > c.ts and p.ts <= c.ts + interval 10 minute "
+            "where c.event_type = 'click' and p.event_type = 'purchase') "
+            "select event_id, count(*)::bigint as n_follow, "
+            "sum(v)::bigint as sum_value_x100 from j "
+            "group by event_id order by event_id",
         # sequential fixed-point k-means replay (exact: integer arithmetic)
         "kmeans_clusters":
             "select vec_id, cluster "

@@ -1109,3 +1109,145 @@ def pack_sequences(ds, order_col: str, token_col: str,
             "seq_id", pa.array(
                 np.asarray(b.column("cum_before")) // np.int64(seq_len))),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------- time-band join
+
+
+def _rank_encode(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Order-preserving int64 encoding of a key column: ints/timestamps by
+    value, strings by their alphabetical rank within this table."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        alpha = np.asarray(pc.sort_indices(enc.dictionary))
+        rank = np.empty(len(alpha), dtype=np.int64)
+        rank[alpha] = np.arange(len(alpha))
+        return rank[np.asarray(enc.indices.cast(pa.int64()))]
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    return np.asarray(pc.fill_null(col.cast(pa.int64()), 0))
+
+
+def time_band_join(left_ds, right_ds, key: str, ts_col: str,
+                   band_lo_us: int, band_hi_us: int,
+                   right_payload: "list[str]", suffix: str = "_r"):
+    """Temporal band join: each left row matches every right row of the
+    same ``key`` whose timestamp lies in ``(left.ts + band_lo_us,
+    left.ts + band_hi_us]`` — the attribution / follow-up-event shape
+    ("purchases within 10 minutes after a click").  Emits one row per
+    (left, right) match: all left columns plus the right payload columns
+    (suffixed).
+
+    Shape (same as ``asof_join``): tag + union both sides, ONE key-shard
+    shuffle, then per shard a single sort of the right rows by (key, ts)
+    and a batch ``searchsorted`` over a (key-rank × time) composite — the
+    per-left match window is [start, end) in the sorted right array, and
+    pairs materialize with one ``np.repeat`` + range gather.  No per-key
+    callbacks.  When #keys × time-span overflows the int64 composite, the
+    shard processes key-rank chunks (still vectorized per chunk)."""
+    lo, hi = int(band_lo_us), int(band_hi_us)
+    if hi <= lo:
+        raise ValueError("band_hi_us must exceed band_lo_us")
+    left_schema = left_ds.schema()
+    left_names = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right_ds.schema()
+    r_types = dict(zip(right_schema.names, right_schema.types))
+    pay_names = [p + suffix for p in right_payload]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {c: b.column(c) for c in left_names}
+        cols["__side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        for p, pn in zip(right_payload, pay_names):
+            cols[pn] = pa.nulls(b.num_rows, r_types[p])
+        cols["__rts"] = pa.nulls(b.num_rows, pa.int64())
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {}
+        for c in left_names:
+            cols[c] = b.column(c) if c == key else pa.nulls(n, left_types[c])
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        for p, pn in zip(right_payload, pay_names):
+            cols[pn] = b.column(p)
+        cols["__rts"] = pa.array(_ts_to_us(b.column(ts_col)))
+        return pa.table(cols)
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    rt = right_ds.map_batches(tag_right, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    unioned = _with_key_shard(lt.union(rt), [key])
+    out_names = left_names + pay_names
+
+    def match_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        warn_large_key_group(g.num_rows, "time_band_join", "shard")
+        side = np.asarray(g.column("__side"))
+        krank = _rank_encode(g.column(key))
+        l_mask = side == 0
+        r_mask = ~l_mask
+        empty = pa.table({c: pa.array([], left_types.get(
+            c, r_types.get(c.removesuffix(suffix), pa.int64())))
+            for c in out_names})
+        if not l_mask.any() or not r_mask.any():
+            return empty
+        l_idx = np.nonzero(l_mask)[0]
+        r_idx = np.nonzero(r_mask)[0]
+        l_ts = _ts_to_us(g.column(ts_col).take(pa.array(l_idx)))
+        r_ts = np.asarray(g.column("__rts"))[r_idx]
+        lk, rk = krank[l_idx], krank[r_idx]
+        r_order = np.lexsort((r_ts, rk))
+        rk_s, rts_s = rk[r_order], r_ts[r_order]
+        r_idx_s = r_idx[r_order]
+        # dense key ranks over this shard's keys (bounds the composite)
+        uk = np.unique(np.concatenate([lk, rk]))
+        lkd = np.searchsorted(uk, lk)
+        rkd = np.searchsorted(uk, rk_s)
+        min_t = min(int(l_ts.min()), int(rts_s.min()))
+        span = max(int(l_ts.max()), int(rts_s.max())) - min_t
+        M = span + hi + 2
+        l_starts = np.empty(len(l_idx), dtype=np.int64)
+        l_ends = np.empty(len(l_idx), dtype=np.int64)
+        chunk = max(int((1 << 62) // M), 1)
+        for base in range(0, len(uk), chunk):  # ≥2 iters only if
+            # #keys × (span + band) overflows int64 — vectorized within
+            lm = (lkd >= base) & (lkd < base + chunk)
+            rm = (rkd >= base) & (rkd < base + chunk)
+            if not lm.any():
+                continue
+            r_off = int(np.nonzero(rm)[0][0]) if rm.any() else 0
+            comp_r = (rkd[rm] - base) * M + (rts_s[rm] - min_t)
+            dt = l_ts[lm] - min_t
+            lo_v = np.clip(dt + lo + 1, 0, M - 1)
+            # hi clips to -1 (not 0): a window entirely before the shard's
+            # min timestamp must match nothing, and k*M - 1 sorts before
+            # every right row of key k (count clamps to 0 below)
+            hi_v = np.clip(dt + hi, -1, M - 1)
+            kbase = (lkd[lm] - base) * M
+            l_starts[lm] = np.searchsorted(comp_r, kbase + lo_v,
+                                           side="left") + r_off
+            l_ends[lm] = np.searchsorted(comp_r, kbase + hi_v,
+                                         side="right") + r_off
+        counts = np.maximum(l_ends - l_starts, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        rep_l = np.repeat(np.arange(len(l_idx)), counts)
+        offs = np.zeros(len(l_idx), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        rpos = l_starts[rep_l] + (np.arange(total) - offs[rep_l])
+        take_l = pa.array(l_idx[rep_l])
+        take_r = pa.array(r_idx_s[rpos])
+        cols = {c: g.column(c).take(take_l) for c in left_names}
+        for pn in pay_names:
+            cols[pn] = g.column(pn).take(take_r)
+        return pa.table(cols)
+
+    return unioned.groupby("_shard").map_groups(match_shard,
+                                                batch_format="pyarrow")
