@@ -133,7 +133,7 @@ def run_queries(sf_dir: str) -> dict:
              "assemble_transcripts", "hll_distinct", "approx_quantiles",
              "decontaminate", "repetition_stats", "tfidf_top_terms",
              "range_join_windows", "pack_sequences", "kmeans_clusters",
-             "curate_corpus"]
+             "curate_corpus", "attribution_follow"]
     qs = entry.queries()
     out = {}
     for name in picks:
