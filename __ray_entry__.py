@@ -981,6 +981,31 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_cdc_conv_stats(sf_dir: str):
+    """Materialized-view layer: replay the CDC stream, then refresh the
+    incremental per-conversation stats view (turn count + max lsn).  The
+    view caches one aggregate parquet per lake partition keyed by the
+    partition's committed data-file path, so a later micro-batch re-reads
+    only the partitions it touched (pytest-pinned in tests/test_views.py).
+    Oracle: the same argmax-LSN fixture fold, grouped by conv_id."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.views import (
+        IncrementalView,
+    )
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        change_events,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_lake_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(change_events(20_000, seed=42, parallelism=16))
+    view = IncrementalView(lake, os.path.join(
+        tempfile.gettempdir(), f"graft_cdc_view_{run}"))
+    view.refresh()
+    return view.read()
+
+
 def q_attribution_follow(sf_dir: str):
     """Temporal band join (attribution): for every click, the purchases by
     the same user within the following 10 minutes.  One key-shard
@@ -1229,6 +1254,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "kmeans_clusters": q_kmeans_clusters,
         "curate_corpus": q_curate_corpus,
         "attribution_follow": q_attribution_follow,
+        "cdc_conv_stats": q_cdc_conv_stats,
     }
 
 
@@ -1706,6 +1732,16 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # incremental view == argmax-LSN fold grouped by conversation
+        "cdc_conv_stats":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "final as (select conv_id, lsn from ranked "
+            "where rn = 1 and op <> 'delete') "
+            "select conv_id, count(*)::bigint as n_turns, "
+            "max(lsn)::bigint as max_lsn from final "
+            "group by conv_id order by conv_id",
         # band self-join: purchases within (ts, ts+10min] of a same-user
         # click; per-event x100 rounding keeps the sum order-independent
         "attribution_follow":
