@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--resume", action="store_true",
                     help="skip events at/below the committed low-watermark")
+    ap.add_argument("--view", action="store_true",
+                    help="maintain the incremental per-conversation stats "
+                         "view after each micro-batch (<lake>_view)")
     args = ap.parse_args()
 
     import ray
@@ -41,6 +44,15 @@ def main() -> None:
         from embulk_filter_timestamp_format_ray.sources.changegen import change_events
 
         pipe = CDCPipeline(args.lake, num_partitions=args.partitions)
+        view = None
+        view_refreshes = []
+        if args.view:
+            from embulk_filter_timestamp_format_ray.pipelines.views import (
+                IncrementalView,
+            )
+
+            view = IncrementalView(args.lake,
+                                   args.lake.rstrip("/") + "_view")
         start_lsn = pipe.resume_lsn() + 1 if args.resume else 0
         per_batch = max((args.events - start_lsn) // args.micro_batches, 1)
         t0 = time.perf_counter()
@@ -58,13 +70,19 @@ def main() -> None:
                     else f"lsn >= {start_lsn + i * per_batch}")
             )
             total += stats["events_applied"]
+            if view is not None:
+                view_refreshes.append(view.refresh()["recomputed"])
         elapsed = time.perf_counter() - t0
-        print(json.dumps({
+        out = {
             "events": args.events, "applied": total,
             "sec": round(elapsed, 3),
             "events_per_sec": round(args.events / elapsed, 1),
             "lake_version": stats["version"],
-        }))
+        }
+        if view is not None:
+            out["view_rows"] = view.read().count()
+            out["view_recomputed_per_batch"] = view_refreshes
+        print(json.dumps(out))
     finally:
         ray.shutdown()
 
