@@ -981,6 +981,42 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_quartile_by_lang(sf_dir: str):
+    """Ntile assignment: label every document with its per-language length
+    quartile from the grouped histogram sketch — no sort; the edge matrix
+    broadcasts once and assignment is one vectorized comparison pass.
+    Oracle replays the sketch and the Σ(value >= edge) bucket rule."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        quantile_bucket_assign,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"])
+    return quantile_bucket_assign(docs, "lang", "n_chars", n_buckets=4)
+
+
+def q_sample_per_group(sf_dir: str):
+    """Deterministic per-source sampling: keep 5 docs per source, chosen
+    by a Lehmer-style modular permutation of doc_id (exactly replayable in
+    SQL — no process-seeded hashing).  Uses the sharded per-group top-k
+    (ascending) with its map-side combiner."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        top_k_by_group,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    keyed = docs.map_batches(
+        lambda b: b.append_column("h", pc.cast(
+            pc.subtract(
+                pc.multiply(b.column("doc_id"), 48271),
+                pc.multiply(pc.divide(pc.multiply(b.column("doc_id"),
+                                                  48271), 2147483647),
+                            2147483647)), pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return top_k_by_group(keyed, ["source"], "h", 5, descending=False,
+                          tie_col="doc_id")
+
+
 def q_cdc_conv_stats(sf_dir: str):
     """Materialized-view layer: replay the CDC stream, then refresh the
     incremental per-conversation stats view (turn count + max lsn).  The
@@ -1255,6 +1291,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "curate_corpus": q_curate_corpus,
         "attribution_follow": q_attribution_follow,
         "cdc_conv_stats": q_cdc_conv_stats,
+        "quartile_by_lang": q_quartile_by_lang,
+        "sample_per_group": q_sample_per_group,
     }
 
 
@@ -1732,6 +1770,46 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # sketch replay + Σ(value >= edge) bucket rule (edges kept as
+        # exact doubles — both engines compare the identical values)
+        "quartile_by_lang":
+            "with b as (select lang, min(n_chars) as lo, "
+            "(max(n_chars) - min(n_chars)) / 256.0 as w "
+            "from documents group by lang), "
+            "hist as (select d.lang, least(greatest(cast(trunc("
+            "(d.n_chars - b.lo) / b.w) as bigint), 0), 255) as bin, "
+            "count(*) as c from documents d join b using(lang) "
+            "where b.w > 0 group by 1, 2), "
+            "cum as (select lang, bin, "
+            "sum(c) over (partition by lang order by bin) as cum, "
+            "sum(c) over (partition by lang) as total from hist), "
+            "qs as (select unnest([25, 50, 75]) as q_x100), "
+            "pick as (select c.lang, q.q_x100, min(c.bin) as bin "
+            "from qs q, cum c where c.cum >= (q.q_x100 / 100.0) * c.total "
+            "group by 1, 2), "
+            "res as (select p.lang, p.q_x100, "
+            "b.lo + (p.bin + 0.5) * b.w as est from pick p "
+            "join b using(lang) "
+            "union all select b.lang, q.q_x100, cast(b.lo as double) as est "
+            "from b, qs q where b.w <= 0), "
+            "e as (select lang, "
+            "max(case when q_x100 = 25 then est end) as e25, "
+            "max(case when q_x100 = 50 then est end) as e50, "
+            "max(case when q_x100 = 75 then est end) as e75 "
+            "from res group by lang) "
+            "select d.doc_id, d.lang, d.n_chars, "
+            "((d.n_chars >= e.e25)::int + (d.n_chars >= e.e50)::int + "
+            "(d.n_chars >= e.e75)::int)::bigint as bucket "
+            "from documents d join e using(lang) order by d.doc_id",
+        # Lehmer permutation h = doc_id*48271 mod 2147483647 (injective for
+        # doc_id < 2^31) — exact in both engines, no process-seeded hashing
+        "sample_per_group":
+            "with keyed as (select doc_id, source, "
+            "(doc_id * 48271) % 2147483647 as h from documents), "
+            "ranked as (select *, row_number() over (partition by source "
+            "order by h, doc_id) as rank from keyed) "
+            "select doc_id, source, h, rank::bigint as rank from ranked "
+            "where rank <= 5 order by source, rank",
         # incremental view == argmax-LSN fold grouped by conversation
         "cdc_conv_stats":
             "with ranked as (select *, row_number() over "

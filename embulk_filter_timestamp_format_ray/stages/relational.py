@@ -1251,3 +1251,58 @@ def time_band_join(left_ds, right_ds, key: str, ts_col: str,
 
     return unioned.groupby("_shard").map_groups(match_shard,
                                                 batch_format="pyarrow")
+
+
+# ------------------------------------------------------- quantile buckets
+
+
+def quantile_bucket_assign(ds, group_col: str, value_col: str,
+                           n_buckets: int = 4, bins: int = 256,
+                           out_col: str = "bucket"):
+    """Assign every row its within-group quantile bucket (ntile) from the
+    grouped histogram sketch — "label each doc with its per-language
+    length quartile" without any sort.
+
+    Two sketch passes produce the (groups × n_buckets-1) edge matrix
+    (tiny, broadcast via the object store); assignment is then one
+    stateless vectorized pass: ``bucket = Σ_j (value >= edge_j)``.  The
+    edges are the same sketch quantiles ``grouped_approx_quantiles``
+    emits, so the whole operator replays exactly in SQL."""
+    import ray
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = grouped_approx_quantiles(ds, group_col, value_col, qs,
+                                     bins=bins).to_pandas() \
+        .sort_values([group_col, "q"])
+    groups = edges[group_col].drop_duplicates().tolist()
+    emat = edges["quantile"].to_numpy(dtype=np.float64) \
+        .reshape(len(groups), n_buckets - 1)
+    garr = pa.array(groups)
+    payload = (garr, emat)
+    ref = ray.put(payload) if ray.is_initialized() else payload
+
+    class _Assign:
+        def __init__(self):
+            self._p = None
+
+        def _payload(self):
+            if self._p is None:
+                p = ref
+                try:
+                    if isinstance(p, ray.ObjectRef):
+                        p = ray.get(p)
+                except Exception:
+                    pass
+                self._p = p
+            return self._p
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g, e = self._payload()
+            gidx = np.asarray(pc.index_in(batch.column(group_col),
+                                          value_set=g).cast(pa.int64()))
+            v = np.asarray(batch.column(value_col).cast(pa.float64()))
+            bucket = (v[:, None] >= e[gidx]).sum(axis=1).astype(np.int64)
+            return batch.append_column(out_col, pa.array(bucket))
+
+    return ds.map_batches(_Assign, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=4)

@@ -62,3 +62,43 @@ def test_prefix_sum_negative_order_keys(ray_session):
     out = ordered_prefix_sum(ds, "k", "v", bucket_size=100) \
         .to_pandas().sort_values("k")
     assert out["cum_before"].tolist() == [0, 5, 12, 23, 36, 53]
+
+
+def test_quantile_bucket_assign_balanced_and_monotone(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        quantile_bucket_assign,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 2000
+    tbl = pa.table({
+        "g": pa.array(np.where(np.arange(n) % 2 == 0, "a", "b")),
+        "v": pa.array(rng.integers(0, 10_000, n).astype(np.int64)),
+        "id": pa.array(np.arange(n, dtype=np.int64))})
+    out = quantile_bucket_assign(ray.data.from_arrow(tbl), "g", "v",
+                                 n_buckets=4).to_pandas()
+    for g in ("a", "b"):
+        sub = out[out.g == g].sort_values("v")
+        # monotone: bucket never decreases as value grows
+        assert (np.diff(sub["bucket"].to_numpy()) >= 0).all()
+        # roughly balanced quartiles (sketch-approximate)
+        counts = sub.groupby("bucket").size()
+        assert set(counts.index) == {0, 1, 2, 3}
+        assert counts.min() > n / 2 * 0.15
+
+
+def test_quantile_bucket_degenerate_group_all_top(ray_session):
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        quantile_bucket_assign,
+    )
+
+    # constant group: every edge equals the value → bucket n-1 for all
+    tbl = pa.table({"g": pa.array(["c"] * 5),
+                    "v": pa.array([7] * 5, pa.int64())})
+    out = quantile_bucket_assign(ray.data.from_arrow(tbl), "g", "v",
+                                 n_buckets=4).to_pandas()
+    assert out["bucket"].tolist() == [3] * 5
