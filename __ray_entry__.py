@@ -981,6 +981,20 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Count-Min sketch-then-verify heavy hitters: words with total corpus
+    count ≥ 500, found without shuffling the vocabulary (the sketch cells
+    shuffle; candidates verify exactly).  Output equals the naive
+    GROUP BY ... HAVING oracle because CMS never undercounts."""
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        heavy_hitter_words,
+    )
+
+    return heavy_hitter_words(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        threshold=500)
+
+
 def q_quartile_by_lang(sf_dir: str):
     """Ntile assignment: label every document with its per-language length
     quartile from the grouped histogram sketch — no sort; the edge matrix
@@ -1293,6 +1307,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_conv_stats": q_cdc_conv_stats,
         "quartile_by_lang": q_quartile_by_lang,
         "sample_per_group": q_sample_per_group,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -1770,6 +1785,13 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # CMS never undercounts → sketch-then-verify equals the naive
+        # HAVING filter exactly (same split-and-drop-empties tokenization)
+        "heavy_hitters":
+            "select word, count(*)::bigint as n from (select "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')) as word from documents) "
+            "group by word having count(*) >= 500 order by word",
         # sketch replay + Σ(value >= edge) bucket rule (edges kept as
         # exact doubles — both engines compare the identical values)
         "quartile_by_lang":

@@ -356,3 +356,137 @@ def tfidf_top_terms(ds, *, top_k: int = 3, text_col: str = "text",
 
     return ds.map_batches(_Rank, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=4)
+
+
+# ----------------------------------------------------------- heavy hitters
+
+
+def heavy_hitter_words(ds, threshold: int, *, text_col: str = "text",
+                       depth: int = 4, width: int = 1 << 14):
+    """Exact corpus-wide heavy hitters (words with total count ≥
+    ``threshold``) WITHOUT a full-vocabulary group-by — the sketch-then-
+    verify shape for vocabularies too large to shuffle:
+
+    1. **Sketch pass**: each batch folds its token stream into per-(row,
+       bucket) partial counts (``depth`` hash rows × ``width`` buckets);
+       one ``grouped_aggregate`` over ≤ depth×width keys merges them —
+       the shuffle carries sketch cells, never words.
+    2. **Candidate pass**: the merged sketch (a few MB) broadcasts back;
+       each batch keeps only its distinct words whose Count-Min estimate
+       (min over rows) reaches the threshold.  CMS never underestimates,
+       so no true heavy hitter is lost; collisions only add false
+       candidates.
+    3. **Verify pass**: exact counts for the (small) candidate set via a
+       broadcast membership filter + sharded aggregate.
+
+    Output: (word, n) with exact n ≥ threshold — identical to the naive
+    ``GROUP BY word HAVING count(*) ≥ T`` (the SQL oracle)."""
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+    )
+
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        tok_hash, _ = tokenize_column(b.column(text_col))
+        rows, buckets, counts = [], [], []
+        for j in range(depth):
+            hj = splitmix64(tok_hash, 1000 + j) % np.uint64(width)
+            cnt = np.bincount(hj.astype(np.int64), minlength=width)
+            nz = np.nonzero(cnt)[0]
+            rows.append(np.full(len(nz), j, dtype=np.int64))
+            buckets.append(nz)
+            counts.append(cnt[nz])
+        return pa.table({
+            "row": pa.array(np.concatenate(rows) if rows else
+                            np.empty(0, dtype=np.int64)),
+            "bucket": pa.array(np.concatenate(buckets).astype(np.int64)),
+            "cnt": pa.array(np.concatenate(counts).astype(np.int64)),
+        })
+
+    cells = grouped_aggregate(
+        ds.map_batches(sketch_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["row", "bucket"], {"cnt": ("cnt", "sum")}).to_pandas()
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    sketch[cells["row"].to_numpy(), cells["bucket"].to_numpy()] = \
+        cells["cnt"].to_numpy()
+    sref = ray.put(sketch) if ray.is_initialized() else sketch
+
+    class _Candidates:
+        def __init__(self):
+            self._s = None
+
+        def _sketch(self):
+            if self._s is None:
+                s = sref
+                try:
+                    if isinstance(s, ray.ObjectRef):
+                        s = ray.get(s)
+                except Exception:
+                    pass
+                self._s = s
+            return self._s
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            s = self._sketch()
+            rows = doc_term_count_batch(b, text_col=text_col,
+                                        id_col=b.schema.names[0])
+            terms = rows.column("term").combine_chunks()
+            uniq = pc.unique(terms)
+            if len(uniq) == 0:
+                return pa.table({"word": pa.array([], pa.string())})
+            # vocab-sized hash loop (same contract as tokenize_column)
+            from embulk_filter_timestamp_format_ray.stages.dedup import (
+                det_hash_str,
+            )
+
+            uh = np.array([det_hash_str(w) for w in uniq.to_pylist()],
+                          dtype=np.uint64)
+            est = np.full(len(uh), np.iinfo(np.int64).max, dtype=np.int64)
+            for j in range(depth):
+                hj = (splitmix64(uh, 1000 + j)
+                      % np.uint64(width)).astype(np.int64)
+                est = np.minimum(est, s[j][hj])
+            keep = est >= threshold
+            return pa.table({"word": uniq.filter(pa.array(keep))})
+
+    cand = ds.map_batches(_Candidates, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=4)
+    cand_words = pc.unique(pa.concat_tables(
+        [ray.get(r) for r in cand.to_arrow_refs()]).column("word")
+        .combine_chunks())
+
+    wref = ray.put(cand_words) if ray.is_initialized() else cand_words
+
+    class _ExactCount:
+        def __init__(self):
+            self._w = None
+
+        def _words(self):
+            if self._w is None:
+                w = wref
+                try:
+                    if isinstance(w, ray.ObjectRef):
+                        w = ray.get(w)
+                except Exception:
+                    pass
+                self._w = w
+            return self._w
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            words = self._words()
+            rows = doc_term_count_batch(b, text_col=text_col,
+                                        id_col=b.schema.names[0])
+            keep = pc.is_in(rows.column("term"), value_set=words)
+            kept = rows.filter(keep)
+            return pa.table({"word": kept.column("term"),
+                             "cnt": kept.column("cnt")})
+
+    exact = grouped_aggregate(
+        ds.map_batches(_ExactCount, batch_format="pyarrow",
+                       zero_copy_batch=True, concurrency=4),
+        ["word"], {"n": ("cnt", "sum")})
+    return exact.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), threshold)),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -220,3 +220,28 @@ def test_prepared_corpus_curation_options(ray_session):
     assert 4 not in kept          # decontaminated
     pii_text = out.set_index("doc_id").loc[2, "text"]
     assert "<EMAIL>" in pii_text and "bob@example.com" not in pii_text
+
+
+def test_heavy_hitters_exact_even_with_tiny_sketch(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        heavy_hitter_words,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    # zipf-ish: word i appears ~ 400/(i+1) times total across docs
+    stream = []
+    for i, w in enumerate(vocab):
+        stream += [w] * (400 // (i + 1))
+    rng.shuffle(stream)
+    docs = [" ".join(stream[i::20]) for i in range(20)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array(docs)}))
+    # width 16 forces heavy collisions — result must STILL be exact
+    got = heavy_hitter_words(ds, threshold=50, width=16, depth=3) \
+        .to_pandas().sort_values("word").reset_index(drop=True)
+    want = {w: c for w, c in Counter(stream).items() if c >= 50}
+    assert dict(zip(got["word"], got["n"])) == want
