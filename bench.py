@@ -133,7 +133,8 @@ def run_queries(sf_dir: str) -> dict:
              "assemble_transcripts", "hll_distinct", "approx_quantiles",
              "decontaminate", "repetition_stats", "tfidf_top_terms",
              "range_join_windows", "pack_sequences", "kmeans_clusters",
-             "curate_corpus", "attribution_follow"]
+             "curate_corpus", "attribution_follow", "heavy_hitters",
+             "quartile_by_lang", "sample_per_group"]
     qs = entry.queries()
     out = {}
     for name in picks:
