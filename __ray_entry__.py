@@ -981,6 +981,29 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_normalize_text(sf_dir: str):
+    """Corpus text normalization (lowercase → whitespace collapse → trim →
+    Unicode NFC).  The corpus is already clean, so the query first injects
+    deterministic mess — uppercase, tab runs, and a DECOMPOSED ``café``
+    (e + U+0301) — and the oracle mirrors the injection; NFC must compose
+    the accent identically on both sides."""
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        normalize_text_batch,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def mess(b: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(
+            "  ", pc.utf8_upper(pc.fill_null(b.column("text"), "")),
+            "\t\tcafé  ", "")
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    ds = ds.map_batches(mess, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Count-Min sketch-then-verify heavy hitters: words with total corpus
     count ≥ 500, found without shuffling the vocabulary (the sketch cells
@@ -1308,6 +1331,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "quartile_by_lang": q_quartile_by_lang,
         "sample_per_group": q_sample_per_group,
         "heavy_hitters": q_heavy_hitters,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -1785,6 +1809,13 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # same injection (upper + tabs + decomposed e‑acute), then the
+        # normalization chain; nfc_normalize must compose café identically
+        "normalize_text":
+            "select doc_id, nfc_normalize(trim(regexp_replace(lower("
+            "'  ' || upper(coalesce(text, '')) || chr(9) || chr(9) || "
+            "'cafe' || chr(769) || '  '), '\\s+', ' ', 'g'))) as text "
+            "from documents order by doc_id",
         # CMS never undercounts → sketch-then-verify equals the naive
         # HAVING filter exactly (same split-and-drop-empties tokenization)
         "heavy_hitters":

@@ -234,3 +234,44 @@ class FingerprintStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = self.fingerprint_batch(batch.column("text"))
         return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: "str | None" = None) -> pa.Table:
+    """Standard corpus text normalization: lowercase → collapse whitespace
+    runs to single spaces → trim → Unicode NFC.
+
+    The lowercase/collapse/trim steps are Arrow kernels over the whole
+    batch.  NFC has no Arrow kernel; the ASCII fast path skips it entirely
+    (NFC is the identity on ASCII), and only the rows that actually
+    contain non-ASCII bytes route through ``unicodedata.normalize`` —
+    bounded by the non-ASCII row count, not the batch (for a mostly-ASCII
+    web corpus that is a rounding error; a heavily non-Latin corpus should
+    budget for it)."""
+    import unicodedata
+
+    out_col = out_col or text_col
+    col = pc.fill_null(batch.column(text_col), "")
+    t = pc.utf8_lower(col)
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    non_ascii = pc.greater(
+        pc.count_substring_regex(t, pattern=r"[^\x00-\x7F]"), 0)
+    import numpy as np  # noqa: F811 — local alias keeps kernel signature
+
+    mask = np.asarray(non_ascii)
+    if mask.any():
+        idx = np.nonzero(mask)[0]
+        sub = t.take(pa.array(idx)).to_pylist()  # only the non-ASCII rows
+        t = pc.replace_with_mask(
+            t, pa.array(mask),
+            pa.array([unicodedata.normalize("NFC", s) for s in sub],
+                     pa.string()))
+    if out_col in batch.schema.names:
+        batch = batch.set_column(batch.schema.get_field_index(out_col),
+                                 out_col, t)
+    else:
+        batch = batch.append_column(out_col, t)
+    return batch

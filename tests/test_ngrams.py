@@ -245,3 +245,23 @@ def test_heavy_hitters_exact_even_with_tiny_sketch(ray_session):
         .to_pandas().sort_values("word").reset_index(drop=True)
     want = {w: c for w, c in Counter(stream).items() if c >= 50}
     assert dict(zip(got["word"], got["n"])) == want
+
+
+def test_normalize_text_batch_spec():
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        normalize_text_batch,
+    )
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["  Hello\t\tWORLD  ",
+                          "café",       # decomposed → composed
+                          None,               # null → empty
+                          "already clean"])})
+    out = normalize_text_batch(batch).to_pandas()
+    assert out["text"].tolist() == [
+        "hello world", "café", "", "already clean"]
+    # out_col creates a new column without touching the source
+    out2 = normalize_text_batch(batch, out_col="norm").to_pandas()
+    assert out2["text"].tolist()[0] == "  Hello\t\tWORLD  "
+    assert out2["norm"].tolist()[0] == "hello world"
