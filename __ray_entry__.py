@@ -981,6 +981,46 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_pivot_event_counts(sf_dir: str):
+    """Long→wide pivot: per-user count column per event type (fixed
+    category vocabulary) — one-hot indicators per batch, then the
+    map-side-combined grouped aggregate.  Oracle: conditional counts."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        pivot_counts,
+    )
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type",
+                        ["click", "view", "purchase", "signup", "error"])
+
+
+def q_rolling_user_value(sf_dir: str):
+    """Row-based rolling window per key: for every event, the sum of the
+    user's last 3 event values (x100 ints — exact in both engines).  One
+    key-shard exchange; the whole shard's windows come from a cumsum and
+    two gathers (stages/relational.py rolling_sum_per_key)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        rolling_sum_per_key,
+    )
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"])
+    ev = ev.map_batches(
+        lambda b: pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "value_x100": pc.cast(pc.floor(pc.add(
+                pc.multiply(b.column("value"), 100.0), 0.5)), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    out = rolling_sum_per_key(ev, "user_id", "ts", "value_x100",
+                              window_rows=3, out_col="roll_x100",
+                              tie_col="event_id")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "roll_x100"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_normalize_text(sf_dir: str):
     """Corpus text normalization (lowercase → whitespace collapse → trim →
     Unicode NFC).  The corpus is already clean, so the query first injects
@@ -1332,6 +1372,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "sample_per_group": q_sample_per_group,
         "heavy_hitters": q_heavy_hitters,
         "normalize_text": q_normalize_text,
+        "pivot_event_counts": q_pivot_event_counts,
+        "rolling_user_value": q_rolling_user_value,
     }
 
 
@@ -1809,6 +1851,27 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # conditional counts == one-hot sums
+        "pivot_event_counts":
+            "select user_id, "
+            "sum(case when event_type = 'click' then 1 else 0 end)::bigint "
+            "as n_click, "
+            "sum(case when event_type = 'view' then 1 else 0 end)::bigint "
+            "as n_view, "
+            "sum(case when event_type = 'purchase' then 1 else 0 end)"
+            "::bigint as n_purchase, "
+            "sum(case when event_type = 'signup' then 1 else 0 end)::bigint "
+            "as n_signup, "
+            "sum(case when event_type = 'error' then 1 else 0 end)::bigint "
+            "as n_error from events group by user_id order by user_id",
+        # per-event x100 ints before the window sum → order-independent
+        "rolling_user_value":
+            "with v as (select event_id, user_id, ts, "
+            "floor(value * 100 + 0.5)::bigint as value_x100 from events) "
+            "select event_id, user_id, "
+            "sum(value_x100) over (partition by user_id "
+            "order by ts, event_id rows between 2 preceding and "
+            "current row)::bigint as roll_x100 from v order by event_id",
         # same injection (upper + tabs + decomposed e‑acute), then the
         # normalization chain; nfc_normalize must compose café identically
         "normalize_text":

@@ -1306,3 +1306,76 @@ def quantile_bucket_assign(ds, group_col: str, value_col: str,
 
     return ds.map_batches(_Assign, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=4)
+
+
+# ------------------------------------------------------------------ pivot
+
+
+def pivot_counts(ds, key: str, cat_col: str, categories: "list[str]",
+                 prefix: str = "n_"):
+    """Long→wide pivot: one row per key with a count column per category
+    (the fixed-vocabulary pivot — categories must be enumerated up front,
+    which is what keeps the schema static and the shuffle a plain grouped
+    aggregate).  Per batch: vectorized one-hot indicator columns; then the
+    standard map-side-combined aggregate — the exchange carries one partial
+    row per key per block."""
+    cats = list(categories)
+    cat_arr = pa.array(cats)
+
+    def one_hot(b: pa.Table) -> pa.Table:
+        cidx = np.asarray(pc.index_in(b.column(cat_col),
+                                      value_set=cat_arr).cast(pa.int64()))
+        cols = {key: b.column(key)}
+        for j, c in enumerate(cats):
+            cols[f"{prefix}{c}"] = pa.array((cidx == j).astype(np.int64))
+        return pa.table(cols)
+
+    wide = ds.map_batches(one_hot, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return grouped_aggregate(
+        wide, [key],
+        {f"{prefix}{c}": (f"{prefix}{c}", "sum") for c in cats})
+
+
+# -------------------------------------------------------- rolling window
+
+
+def rolling_sum_per_key(ds, key: str, order_col: str, value_col: str,
+                        window_rows: int, out_col: str = "rolling",
+                        tie_col: "str | None" = None):
+    """Row-based rolling sum per key: for each row, the sum of
+    ``value_col`` over the last ``window_rows`` rows (inclusive) of the
+    same key in ``order_col`` order — SQL's ``ROWS BETWEEN w-1 PRECEDING
+    AND CURRENT ROW``.
+
+    Sharded shape (sessionize's): ONE key-shard exchange, one sort per
+    shard, then the whole shard's rolling sums come from a cumsum and two
+    gathers — window starts clamp at each key run's first row via the
+    run-position vector.  Integer values stay exact in any engine."""
+    keys = [key]
+    sort_keys = [(key, "ascending"), (order_col, "ascending")]
+    if tie_col:
+        sort_keys.append((tie_col, "ascending"))
+
+    def roll_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        warn_large_key_group(g.num_rows, "rolling_sum_per_key", "shard")
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        order = pc.sort_indices(g, sort_keys=sort_keys)
+        g = g.take(order)
+        n = g.num_rows
+        v = np.asarray(g.column(value_col).combine_chunks()
+                       .cast(pa.int64()))
+        same = _same_as_prev_row(g, keys)
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(~same, idx, 0))
+        pos = idx - run_start
+        c = np.cumsum(v)
+        start = idx - np.minimum(pos, window_rows - 1)
+        roll = c - c[start] + v[start]
+        return g.append_column(out_col, pa.array(roll))
+
+    ds = _with_key_shard(ds, keys)
+    return ds.groupby("_shard").map_groups(roll_shard,
+                                           batch_format="pyarrow")

@@ -102,3 +102,54 @@ def test_quantile_bucket_degenerate_group_all_top(ray_session):
     out = quantile_bucket_assign(ray.data.from_arrow(tbl), "g", "v",
                                  n_buckets=4).to_pandas()
     assert out["bucket"].tolist() == [3] * 5
+
+
+def test_rolling_sum_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        rolling_sum_per_key,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 17, n).astype(np.int64),
+        "o": rng.permutation(n).astype(np.int64),
+        "v": rng.integers(-50, 50, n).astype(np.int64)})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    for w in (1, 3, 7):
+        got = rolling_sum_per_key(ds, "k", "o", "v", window_rows=w,
+                                  out_col="r") \
+            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+        want = df.sort_values(["k", "o"]).reset_index(drop=True)
+        want["r"] = want.groupby("k")["v"] \
+            .rolling(w, min_periods=1).sum().reset_index(drop=True) \
+            .astype(np.int64)
+        # pandas rolling returns in group order; realign by index
+        want["r"] = want.groupby("k")["v"].transform(
+            lambda s: s.rolling(w, min_periods=1).sum()).astype(np.int64)
+        assert got["r"].tolist() == want["r"].tolist(), f"w={w}"
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    import pandas as pd
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        pivot_counts,
+    )
+
+    rng = np.random.default_rng(3)
+    cats = ["a", "b", "c"]
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, 400).astype(np.int64),
+        "c": rng.choice(cats + ["other"], 400)})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    got = pivot_counts(ds, "k", "c", cats).to_pandas() \
+        .sort_values("k").set_index("k")
+    for k in got.index:
+        sub = df[df.k == k]["c"]
+        for c in cats:
+            assert got.loc[k, f"n_{c}"] == (sub == c).sum()
