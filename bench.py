@@ -134,7 +134,8 @@ def run_queries(sf_dir: str) -> dict:
              "decontaminate", "repetition_stats", "tfidf_top_terms",
              "range_join_windows", "pack_sequences", "kmeans_clusters",
              "curate_corpus", "attribution_follow", "heavy_hitters",
-             "quartile_by_lang", "sample_per_group"]
+             "quartile_by_lang", "sample_per_group", "normalize_text",
+             "pivot_event_counts", "rolling_user_value"]
     qs = entry.queries()
     out = {}
     for name in picks:
