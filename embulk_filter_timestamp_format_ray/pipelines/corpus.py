@@ -93,10 +93,15 @@ def prepared_corpus(ds, *, min_tokens: int = 10, near_dup: bool = False,
 
 
 def write_corpus(ds, out_dir: str, *, num_partitions: int = 16,
-                 resume: bool = False) -> dict:
-    """Write the corpus as one sorted parquet per doc-id hash partition,
+                 resume: bool = False, fmt: str = "parquet") -> dict:
+    """Write the corpus as one sorted file per doc-id hash partition,
     committing a manifest of finished parts; ``resume`` skips partitions
-    the manifest already lists (deterministic pipeline ⇒ identical bytes)."""
+    the manifest already lists (deterministic pipeline ⇒ identical bytes).
+    ``fmt``: "parquet" (zstd) or "jsonl" (newline-delimited records — the
+    layout most training loaders consume; serialization via pandas'
+    vectorized to_json, one file per partition)."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported corpus format {fmt!r}")
     from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
 
     os.makedirs(out_dir, exist_ok=True)
@@ -119,14 +124,21 @@ def write_corpus(ds, out_dir: str, *, num_partitions: int = 16,
         if group.num_rows == 0:
             return pa.table({f.name: pa.array([], f.type) for f in schema})
         pid = int(group.column("_pid")[0].as_py())
-        rel = f"part-{pid:05d}.parquet"
+        ext = "jsonl" if fmt == "jsonl" else "parquet"
+        rel = f"part-{pid:05d}.{ext}"
         if pid in skip:
             return pa.Table.from_pylist(
                 [{"pid": pid, "path": rel, "rows": 0, "skipped": True}],
                 schema=schema)
         g = group.drop_columns(["_pid"])
         g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
-        pq.write_table(g, os.path.join(out_dir, rel), compression="zstd")
+        if fmt == "jsonl":
+            g.to_pandas().to_json(os.path.join(out_dir, rel),
+                                  orient="records", lines=True,
+                                  force_ascii=True)
+        else:
+            pq.write_table(g, os.path.join(out_dir, rel),
+                           compression="zstd")
         return pa.Table.from_pylist(
             [{"pid": pid, "path": rel, "rows": g.num_rows, "skipped": False}],
             schema=schema)

@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
                     help="parquet of eval docs (doc_id, text); drop train "
                          "docs with >=20%% 5-gram overlap")
+    ap.add_argument("--jsonl", action="store_true",
+                    help="write newline-delimited JSON parts instead of "
+                         "parquet")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
@@ -64,7 +67,8 @@ def main() -> None:
                                  eval_ds=eval_ds)
         stats = write_corpus(corpus, args.out,
                              num_partitions=args.partitions,
-                             resume=args.resume)
+                             resume=args.resume,
+                             fmt="jsonl" if args.jsonl else "parquet")
         stats["sec"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(stats))
     finally:

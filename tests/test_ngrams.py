@@ -265,3 +265,32 @@ def test_normalize_text_batch_spec():
     out2 = normalize_text_batch(batch, out_col="norm").to_pandas()
     assert out2["text"].tolist()[0] == "  Hello\t\tWORLD  "
     assert out2["norm"].tolist()[0] == "hello world"
+
+
+def test_write_corpus_jsonl_roundtrip_and_resume(ray_session, tmp_path):
+    import json as _json
+
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.corpus import (
+        write_corpus,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array([f"doc number {i} körper" for i in range(20)])}))
+    out = str(tmp_path / "jl")
+    st = write_corpus(ds, out, num_partitions=3, fmt="jsonl")
+    assert st["rows"] == 20 and st["written"] == 3
+    rows = []
+    import os as _os
+    for f in sorted(_os.listdir(out)):
+        if f.endswith(".jsonl"):
+            with open(_os.path.join(out, f)) as fh:
+                rows += [_json.loads(line) for line in fh]
+    assert len(rows) == 20
+    assert {r["doc_id"] for r in rows} == set(range(20))
+    assert rows[0]["text"].endswith("körper") or "k\\u" not in rows[0]["text"]
+    # resume skips everything
+    st2 = write_corpus(ds, out, num_partitions=3, fmt="jsonl", resume=True)
+    assert st2["written"] == 0 and st2["skipped"] == 3
