@@ -102,7 +102,9 @@ class IncrementalView:
                 fresh_parts[pid] = prev
             else:
                 stale.append({"pid": pid, "src": src})
-        dropped = len(view_m["partitions"]) - len(fresh_parts)
+        # dropped = partitions that left the LAKE, not ones merely rewritten
+        dropped = sum(1 for pid in view_m["partitions"]
+                      if pid not in lake_m["partitions"])
 
         if stale:
             lake_dir, view_dir, agg_fn = \

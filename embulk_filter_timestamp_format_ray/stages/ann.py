@@ -230,15 +230,12 @@ class _KMeansAssignStage:
 
     def _cent(self) -> np.ndarray:
         if self._c is None:
-            c = self.cent_ref
-            try:
-                import ray
+            from embulk_filter_timestamp_format_ray.stages.relational import (
+                resolve_broadcast,
+            )
 
-                if isinstance(c, ray.ObjectRef):
-                    c = ray.get(c)
-            except Exception:
-                pass
-            self._c = np.asarray(c, dtype=np.int64)
+            self._c = np.asarray(resolve_broadcast(self.cent_ref),
+                                 dtype=np.int64)
         return self._c
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -296,13 +293,11 @@ def kmeans_fit_predict(ds, k: int = 10, iters: int = 5,
         cref = ray.put(cq) if ray.is_initialized() else cq
 
         def partial(batch: pa.Table, _cref=cref) -> pa.Table:
-            c = _cref
-            try:
-                if isinstance(c, ray.ObjectRef):
-                    c = ray.get(c)
-            except Exception:
-                pass
-            c = np.asarray(c, dtype=np.int64)
+            from embulk_filter_timestamp_format_ray.stages.relational import (
+                resolve_broadcast,
+            )
+
+            c = np.asarray(resolve_broadcast(_cref), dtype=np.int64)
             xq = _quantize(embeddings_to_matrix(batch, col))
             assign = _assign_quantized(xq, c)
             acc = np.zeros((len(c), xq.shape[1]), dtype=np.int64)

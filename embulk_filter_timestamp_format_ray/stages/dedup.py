@@ -98,17 +98,15 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
 # ------------------------------------------------------------------ minhash
 
 
-def tokenize_column(text: "pa.Array | pa.ChunkedArray"):
-    """Whole-column tokenization with Python ``str.split()`` parity.
+def token_stream(text: "pa.Array | pa.ChunkedArray"):
+    """Shared tokenization preamble with Python ``str.split()`` parity:
+    whitespace-split, empty tokens dropped, nulls → zero tokens.
 
-    ``pc.utf8_split_whitespace`` emits empty tokens at run boundaries
-    (" a b " → ['','a','b','']); we drop them so counts match ``.split()``.
-    Nulls tokenize to zero tokens (scalar spec: ``(text or '').split()``).
-
-    Returns ``(tok_hash, cnt)``: flat uint64 ``det_hash_str`` per token in
-    document order, and per-document token counts.  Token hashing is
-    dictionary-encoded — the Python crc loop runs over the batch VOCABULARY
-    (small), not the token stream."""
+    Returns ``(tok, parent, cnt)``: the flat token StringArray in document
+    order, each token's owning document index, and per-document token
+    counts.  Every operator that counts or hashes tokens builds on THIS
+    (tokenize_column, doc_term_count_batch, the CMS sketch) so their token
+    universes can never drift apart."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     n_docs = len(text)
@@ -121,6 +119,21 @@ def tokenize_column(text: "pa.Array | pa.ChunkedArray"):
     tok = flat.filter(pa.array(nonempty))
     parent = parent[nonempty]
     cnt = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    return tok, parent, cnt
+
+
+def tokenize_column(text: "pa.Array | pa.ChunkedArray"):
+    """Whole-column tokenization with Python ``str.split()`` parity.
+
+    ``pc.utf8_split_whitespace`` emits empty tokens at run boundaries
+    (" a b " → ['','a','b','']); we drop them so counts match ``.split()``.
+    Nulls tokenize to zero tokens (scalar spec: ``(text or '').split()``).
+
+    Returns ``(tok_hash, cnt)``: flat uint64 ``det_hash_str`` per token in
+    document order, and per-document token counts.  Token hashing is
+    dictionary-encoded — the Python crc loop runs over the batch VOCABULARY
+    (small), not the token stream."""
+    tok, parent, cnt = token_stream(text)
     enc = pc.dictionary_encode(tok)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()

@@ -30,7 +30,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
-from embulk_filter_timestamp_format_ray.stages.dedup import tokenize_column
+from embulk_filter_timestamp_format_ray.stages.dedup import (
+    token_stream,
+    tokenize_column,
+)
 
 
 def word_ngram_hashes(text: "pa.Array | pa.ChunkedArray", k: int):
@@ -162,15 +165,12 @@ class DecontaminateStage:
 
     def _eval_arr(self) -> np.ndarray:
         if self._eval is None:
-            arr = self.eval_ref
-            try:
-                import ray
+            from embulk_filter_timestamp_format_ray.stages.relational import (
+                resolve_broadcast,
+            )
 
-                if isinstance(arr, ray.ObjectRef):
-                    arr = ray.get(arr)
-            except Exception:
-                pass
-            self._eval = np.asarray(arr, dtype=np.int64)
+            self._eval = np.asarray(resolve_broadcast(self.eval_ref),
+                                    dtype=np.int64)
         return self._eval
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -232,18 +232,8 @@ def doc_term_count_batch(batch: pa.Table, text_col: str = "text",
     One dictionary-encode + lexsort per batch; terms come back as strings
     via the batch vocabulary (small), never a per-token Python loop."""
     text = batch.column(text_col)
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
     n_docs = batch.num_rows
-    split = pc.utf8_split_whitespace(pc.fill_null(text, ""))
-    parent = np.asarray(pc.list_parent_indices(split))
-    flat = split.flatten()
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    nonempty = np.asarray(pc.not_equal(flat, ""))
-    tok = flat.filter(pa.array(nonempty))
-    parent = parent[nonempty]
-    cnt_per_doc = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    tok, parent, cnt_per_doc = token_stream(text)
     enc = pc.dictionary_encode(tok)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
@@ -303,13 +293,10 @@ def tfidf_top_terms(ds, *, top_k: int = 3, text_col: str = "text",
 
         def _df_tbl(self) -> pa.Table:
             if self._df is None:
-                t = df_map_ref
-                try:
-                    if isinstance(t, ray.ObjectRef):
-                        t = ray.get(t)
-                except Exception:
-                    pass
-                self._df = t
+                from embulk_filter_timestamp_format_ray.stages.relational \
+                    import resolve_broadcast
+
+                self._df = resolve_broadcast(df_map_ref)
             return self._df
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -419,13 +406,10 @@ def heavy_hitter_words(ds, threshold: int, *, text_col: str = "text",
 
         def _sketch(self):
             if self._s is None:
-                s = sref
-                try:
-                    if isinstance(s, ray.ObjectRef):
-                        s = ray.get(s)
-                except Exception:
-                    pass
-                self._s = s
+                from embulk_filter_timestamp_format_ray.stages.relational \
+                    import resolve_broadcast
+
+                self._s = resolve_broadcast(sref)
             return self._s
 
         def __call__(self, b: pa.Table) -> pa.Table:
@@ -465,13 +449,10 @@ def heavy_hitter_words(ds, threshold: int, *, text_col: str = "text",
 
         def _words(self):
             if self._w is None:
-                w = wref
-                try:
-                    if isinstance(w, ray.ObjectRef):
-                        w = ray.get(w)
-                except Exception:
-                    pass
-                self._w = w
+                from embulk_filter_timestamp_format_ray.stages.relational \
+                    import resolve_broadcast
+
+                self._w = resolve_broadcast(wref)
             return self._w
 
         def __call__(self, b: pa.Table) -> pa.Table:

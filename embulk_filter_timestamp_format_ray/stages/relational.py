@@ -214,6 +214,21 @@ def latest_by_key(ds, keys, seq_col: str, delete_expr=None):
     return ds.groupby("_shard").map_groups(shard_winners, batch_format="pyarrow")
 
 
+
+def resolve_broadcast(ref):
+    """Unwrap a ``ray.ObjectRef`` broadcast via ``ray.put`` (passthrough
+    for plain values) — the single lazy-bind step every broadcast-consuming
+    stage shares."""
+    try:
+        import ray
+
+        if isinstance(ref, ray.ObjectRef):
+            return ray.get(ref)
+    except Exception:
+        pass
+    return ref
+
+
 class BroadcastJoinStage:
     """map_batches inner/left join against a SMALL build side broadcast once
     via ``ray.put`` — the scale-correct alternative to a shuffle join when
@@ -231,15 +246,7 @@ class BroadcastJoinStage:
 
     def _table(self) -> pa.Table:
         if self._small is None:
-            t = self.small_ref
-            try:
-                import ray
-
-                if isinstance(t, ray.ObjectRef):
-                    t = ray.get(t)
-            except Exception:
-                pass
-            self._small = t
+            self._small = resolve_broadcast(self.small_ref)
         return self._small
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -934,14 +941,7 @@ def range_join(events_ds, intervals: pa.Table, ts_col: str,
 
             def _tbl(self) -> pa.Table:
                 if self._iv is None:
-                    t = ref
-                    try:
-                        import ray as _r
-
-                        if isinstance(t, _r.ObjectRef):
-                            t = _r.get(t)
-                    except Exception:
-                        pass
+                    t = resolve_broadcast(ref)
                     self._iv = (t, _ts_to_us(t.column(start_col)),
                                 _ts_to_us(t.column(end_col)))
                 return self._iv
@@ -1059,8 +1059,13 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
         return b.append_column("_bucket",
                                pa.array(o // np.int64(bucket_size)))
 
+    # two passes read bds (bucket totals, then the cumsum groupby); without
+    # a checkpoint Ray re-executes the whole upstream lineage for the
+    # second pass — in curate_corpus that would re-run the entire curation
+    # chain.  Callers project to (order, value) before this op, so the
+    # materialized footprint is two narrow columns.
     bds = ds.map_batches(add_bucket, batch_format="pyarrow",
-                         zero_copy_batch=True)
+                         zero_copy_batch=True).materialize()
     totals = grouped_aggregate(bds, ["_bucket"],
                                {"t": (value_col, "sum")}).to_pandas() \
         .sort_values("_bucket")
@@ -1072,12 +1077,7 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
 
     def bucket_cumsum(group: pa.Table) -> pa.Table:
         warn_large_key_group(group.num_rows, "ordered_prefix_sum", "bucket")
-        omap = off_ref
-        try:
-            if isinstance(omap, ray.ObjectRef):
-                omap = ray.get(omap)
-        except Exception:
-            pass
+        omap = resolve_broadcast(off_ref)
         bkt = int(group.column("_bucket")[0].as_py())
         g = group.drop_columns(["_bucket"])
         order = pc.sort_indices(g, sort_keys=[(order_col, "ascending")])
@@ -1200,7 +1200,12 @@ def time_band_join(left_ds, right_ds, key: str, ts_col: str,
         l_idx = np.nonzero(l_mask)[0]
         r_idx = np.nonzero(r_mask)[0]
         l_ts = _ts_to_us(g.column(ts_col).take(pa.array(l_idx)))
-        r_ts = np.asarray(g.column("__rts"))[r_idx]
+        # take the RIGHT rows first: the full __rts column is nullable
+        # (left rows pad it), and np.asarray on a nullable int64 silently
+        # yields float64 — 53-bit precision would corrupt the composite
+        r_ts = np.asarray(g.column("__rts").take(pa.array(r_idx))
+                          .combine_chunks().cast(pa.int64()))
+        assert r_ts.dtype == np.int64
         lk, rk = krank[l_idx], krank[r_idx]
         r_order = np.lexsort((r_ts, rk))
         rk_s, rts_s = rk[r_order], r_ts[r_order]
@@ -1211,7 +1216,12 @@ def time_band_join(left_ds, right_ds, key: str, ts_col: str,
         rkd = np.searchsorted(uk, rk_s)
         min_t = min(int(l_ts.min()), int(rts_s.min()))
         span = max(int(l_ts.max()), int(rts_s.max())) - min_t
-        M = span + hi + 2
+        # needles are clipped to [0, M-1], so M must exceed span by at
+        # least 1 REGARDLESS of the band sign: with a backward band
+        # (hi < 0), span + hi + 2 < span + 1 would overlap adjacent keys'
+        # composite ranges and searchsorted would run over an unsorted
+        # array (reproduced: false cross-key matches)
+        M = span + max(hi, 0) + 2
         l_starts = np.empty(len(l_idx), dtype=np.int64)
         l_ends = np.empty(len(l_idx), dtype=np.int64)
         chunk = max(int((1 << 62) // M), 1)
@@ -1270,6 +1280,8 @@ def quantile_bucket_assign(ds, group_col: str, value_col: str,
     emits, so the whole operator replays exactly in SQL."""
     import ray
 
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2 (1 bucket is a no-op)")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     edges = grouped_approx_quantiles(ds, group_col, value_col, qs,
                                      bins=bins).to_pandas() \
@@ -1287,13 +1299,7 @@ def quantile_bucket_assign(ds, group_col: str, value_col: str,
 
         def _payload(self):
             if self._p is None:
-                p = ref
-                try:
-                    if isinstance(p, ray.ObjectRef):
-                        p = ray.get(p)
-                except Exception:
-                    pass
-                self._p = p
+                self._p = resolve_broadcast(ref)
             return self._p
 
         def __call__(self, batch: pa.Table) -> pa.Table:

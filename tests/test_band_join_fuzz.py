@@ -31,9 +31,9 @@ def _ray(ray_session):
 @settings(max_examples=25, deadline=None)
 @given(
     st.integers(-100, 100), st.integers(1, 150),
-    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 300)),
+    st.lists(st.tuples(st.integers(0, 60), st.integers(0, 300)),
              min_size=1, max_size=40),
-    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 300)),
+    st.lists(st.tuples(st.integers(0, 60), st.integers(0, 300)),
              min_size=1, max_size=40),
     st.booleans(),
 )

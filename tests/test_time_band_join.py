@@ -123,3 +123,34 @@ def test_backward_band_at_shard_min_ts_no_false_match(ray_session):
     right = pd.DataFrame({"k": [3], "ts": [100], "val": [9]})
     got = _run(ray, left, right, -50, -10)
     assert len(got) == 0
+
+
+def test_backward_band_multi_key_shard_no_cross_key_matches(ray_session,
+                                                            monkeypatch):
+    """Regression: with band_hi_us < 0, the composite modulus must still
+    exceed the shard's timestamp span, or adjacent keys' composite ranges
+    overlap and searchsorted runs over an unsorted array — emitting
+    matches from a DIFFERENT key.  Force many keys per shard to hit the
+    multi-key path."""
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages import relational
+
+    monkeypatch.setattr(relational, "_COMBINE_SHARDS", 2)
+    rng = np.random.default_rng(41)
+    nk, nl, nr = 300, 400, 400
+    left = pd.DataFrame({
+        "lid": np.arange(nl, dtype=np.int64),
+        "k": rng.integers(0, nk, nl).astype(np.int64),
+        "ts": rng.integers(0, 5000, nl).astype(np.int64)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, nk, nr).astype(np.int64),
+        "ts": rng.integers(0, 5000, nr).astype(np.int64),
+        "val": np.arange(nr, dtype=np.int64)})
+    got = _run(ray, left, right, -600, -100)
+    want = _naive(left, right, -600, -100)
+    if len(got) == 0:
+        assert len(want) == 0
+    else:
+        pd.testing.assert_frame_equal(
+            got[["lid", "k", "ts", "val_r"]], want, check_dtype=False)
