@@ -981,6 +981,38 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 embedding quantization (per-vector symmetric scale) — the 4×
+    storage compression for the corpus's bulkiest column.  Output is
+    hash-exact: integer q-value aggregates plus the scale as a ppm int;
+    the oracle replays the identical IEEE-double arithmetic with DuckDB
+    list lambdas."""
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        quantize_embeddings_batch,
+    )
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    qds = ds.map_batches(quantize_embeddings_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        q = b.column("q")
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        dim = q.type.list_size
+        m = np.asarray(q.values.cast(pa.int64())).reshape(-1, dim)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "scale_ppm": b.column("scale_ppm"),
+            "q_sum": pa.array(m.sum(axis=1)),
+            "q_min": pa.array(m.min(axis=1)),
+            "q_max": pa.array(m.max(axis=1)),
+        })
+
+    return qds.map_batches(summarize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_pivot_event_counts(sf_dir: str):
     """Long→wide pivot: per-user count column per event type (fixed
     category vocabulary) — one-hot indicators per batch, then the
@@ -1374,6 +1406,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "normalize_text": q_normalize_text,
         "pivot_event_counts": q_pivot_event_counts,
         "rolling_user_value": q_rolling_user_value,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -1851,6 +1884,20 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # identical IEEE-double arithmetic via list lambdas; q aggregates
+        # are pure ints, the scale a ppm int
+        "quantize_embeddings":
+            "with s as (select vec_id, embedding, "
+            "list_max(list_transform(embedding, x -> abs(x::double))) "
+            "as ma from embeddings), "
+            "q as (select vec_id, ma, list_transform(embedding, x -> "
+            "greatest(least(floor(127 * x::double / "
+            "(case when ma = 0 then 1 else ma end) + 0.5), 127), -127)"
+            "::bigint) as qs from s) "
+            "select vec_id, floor(ma * 1000000 + 0.5)::bigint as scale_ppm, "
+            "list_sum(qs)::bigint as q_sum, "
+            "list_min(qs)::bigint as q_min, "
+            "list_max(qs)::bigint as q_max from q order by vec_id",
         # conditional counts == one-hot sums
         "pivot_event_counts":
             "select user_id, "

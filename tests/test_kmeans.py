@@ -85,3 +85,28 @@ def test_kmeans_combine_modes_identical(ray_session):
     assert np.array_equal(c1, c2)
     assert a1.to_pandas().sort_values("vec_id").reset_index(drop=True) \
         .equals(a2.to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+
+def test_quantize_dequantize_roundtrip():
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        dequantize_embeddings_batch,
+        quantize_embeddings_batch,
+    )
+
+    rng = np.random.default_rng(6)
+    x = (rng.standard_normal((50, 16)) * 0.5).astype(np.float32)
+    x[0] = 0.0  # all-zero vector: scale 0, no div-by-zero
+    batch = pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    q = quantize_embeddings_batch(batch)
+    assert q.column("q").type.list_size == 16
+    deq = dequantize_embeddings_batch(q).to_pandas()
+    for i in range(50):
+        rec = np.asarray(deq["embedding"][i], dtype=np.float64)
+        scale = float(np.abs(x[i].astype(np.float64)).max())
+        # max component error = scale/254 (half a quantization step)
+        assert np.abs(rec - x[i].astype(np.float64)).max() \
+            <= scale / 254 + 1e-9
+    # zero vector reconstructs exactly
+    assert np.abs(np.asarray(deq["embedding"][0])).max() == 0.0
