@@ -981,6 +981,30 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_materialize_sequences(sf_dir: str):
+    """Training-batch materialization: pack docs into 512-token sequences
+    (distributed prefix sum) and CONCATENATE each sequence's text in doc
+    order — one key-shard exchange, one binary_join per shard run
+    (stages/relational.py concat_by_key).  The oracle is the window
+    cumsum + string_agg."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        concat_by_key,
+        pack_sequences,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = docs.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": b.column("text"),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                b.column("text"), pattern=r"\S+"), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    packed = pack_sequences(ds, "doc_id", "n_tokens", seq_len=512,
+                            bucket_size=100)
+    return concat_by_key(packed, "seq_id", "doc_id", "text")
+
+
 def q_quantize_embeddings(sf_dir: str):
     """Int8 embedding quantization (per-vector symmetric scale) — the 4×
     storage compression for the corpus's bulkiest column.  Output is
@@ -1407,6 +1431,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "pivot_event_counts": q_pivot_event_counts,
         "rolling_user_value": q_rolling_user_value,
         "quantize_embeddings": q_quantize_embeddings,
+        "materialize_sequences": q_materialize_sequences,
     }
 
 
@@ -1884,6 +1909,18 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # window cumsum packing + ordered string_agg per sequence
+        "materialize_sequences":
+            "with t as (select doc_id, text, len(list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> ''))::bigint "
+            "as n_tokens from documents), "
+            "c as (select doc_id, text, coalesce(sum(n_tokens) over ("
+            "order by doc_id rows between unbounded preceding and "
+            "1 preceding), 0)::bigint as cum from t), "
+            "s as (select doc_id, text, (cum // 512) as seq_id from c) "
+            "select seq_id::bigint as seq_id, count(*)::bigint as n_parts, "
+            "string_agg(coalesce(text, ''), ' ' order by doc_id) as text "
+            "from s group by seq_id order by seq_id",
         # identical IEEE-double arithmetic via list lambdas; q aggregates
         # are pure ints, the scale a ppm int
         "quantize_embeddings":

@@ -1385,3 +1385,47 @@ def rolling_sum_per_key(ds, key: str, order_col: str, value_col: str,
     ds = _with_key_shard(ds, keys)
     return ds.groupby("_shard").map_groups(roll_shard,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- ordered concat
+
+
+def concat_by_key(ds, key: str, order_col: str, text_col: str,
+                  sep: str = " ", out_col: str = "text",
+                  count_col: str = "n_parts"):
+    """One row per key with its texts joined in ``order_col`` order — the
+    generalized transcript-assembly reduce (training-sequence
+    materialization, session logs, doc reconstruction).
+
+    Sharded shape: ONE key-shard exchange; each shard sorts once and joins
+    every key's run with a single ``pc.binary_join`` over run-length list
+    offsets — zero per-key callbacks."""
+
+    def shard_concat(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        warn_large_key_group(g.num_rows, "concat_by_key", "shard")
+        key_type = g.column(key).type
+        if g.num_rows == 0:
+            return pa.table({key: pa.array([], key_type),
+                             count_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.string())})
+        order = pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                              (order_col, "ascending")])
+        g = g.take(order)
+        texts = pc.fill_null(g.column(text_col), "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        starts = np.nonzero(~_same_as_prev_row(g, [key]))[0]
+        offsets = np.append(starts, g.num_rows).astype(np.int64)
+        runs = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), texts.cast(pa.large_string()))
+        joined = pc.binary_join(runs, pa.scalar(sep, pa.large_string()))
+        return pa.table({
+            key: g.column(key).take(pa.array(starts)),
+            count_col: pa.array(np.diff(offsets).astype(np.int64)),
+            out_col: joined.cast(pa.string()),
+        })
+
+    ds = _with_key_shard(ds, [key])
+    return ds.groupby("_shard").map_groups(shard_concat,
+                                           batch_format="pyarrow")

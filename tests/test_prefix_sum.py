@@ -153,3 +153,30 @@ def test_pivot_counts_matches_crosstab(ray_session):
         sub = df[df.k == k]["c"]
         for c in cats:
             assert got.loc[k, f"n_{c}"] == (sub == c).sum()
+
+
+def test_concat_by_key_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        concat_by_key,
+    )
+
+    rng = np.random.default_rng(12)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "o": rng.permutation(n).astype(np.int64),
+        "t": [f"w{i}" for i in range(n)]})
+    df.loc[5, "t"] = None  # null joins as empty
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    got = concat_by_key(ds, "k", "o", "t", sep="|") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    want = df.assign(t=df["t"].fillna("")).sort_values(["k", "o"]) \
+        .groupby("k").agg(n_parts=("t", "size"),
+                          text=("t", lambda s: "|".join(s))) \
+        .reset_index()
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["n_parts"].tolist() == want["n_parts"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
