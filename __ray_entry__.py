@@ -981,6 +981,46 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_corpus_report(sf_dir: str):
+    """Per-source corpus health report: doc/token/char totals, predicted-
+    English share, mean doc length — one pass of vectorized per-batch
+    stats + the map-side-combined aggregate.  All ratios integer-exact."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+    )
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        lang_id_batch,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "source", "n_chars"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        b = lang_id_batch(b)
+        return pa.table({
+            "source": b.column("source"),
+            "tokens": pc.cast(pc.count_substring_regex(
+                b.column("text"), pattern=r"\S+"), pa.int64()),
+            "chars": b.column("n_chars"),
+            "is_en": pc.cast(pc.equal(b.column("lang_pred"), "en"),
+                             pa.int64()),
+        })
+
+    per_doc = docs.map_batches(stats, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = grouped_aggregate(per_doc, ["source"],
+                            {"n_docs": ("tokens", "count"),
+                             "total_tokens": ("tokens", "sum"),
+                             "total_chars": ("chars", "sum"),
+                             "en_docs": ("is_en", "sum")})
+    return agg.map_batches(
+        lambda b: b.append_column(
+            "mean_tokens_x100",
+            pc.cast(pc.divide(pc.multiply(b.column("total_tokens"), 100),
+                              b.column("n_docs")), pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_materialize_sequences(sf_dir: str):
     """Training-batch materialization: pack docs into 512-token sequences
     (distributed prefix sum) and CONCATENATE each sequence's text in doc
@@ -1432,6 +1472,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "rolling_user_value": q_rolling_user_value,
         "quantize_embeddings": q_quantize_embeddings,
         "materialize_sequences": q_materialize_sequences,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -1909,6 +1950,25 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # lang heuristic mirrored from the green lang_id oracle; integer
+        # totals and floor-div mean
+        "corpus_report":
+            "with langd as (select source, n_chars, "
+            f"coalesce(array_length(regexp_extract_all(text, '{_STOP_RE_SQL}')), 0) as st, "
+            r"coalesce(array_length(regexp_extract_all(text, '\S+')), 0) as wd, "
+            "coalesce(array_length(regexp_extract_all(text, "
+            "'[\\x00-\\x7F]')), 0) as asc_, length(text) as ln "
+            "from documents), "
+            "d as (select source, wd as tokens, n_chars as chars, "
+            "case when st > 0.05 * greatest(wd, 1) "
+            "and asc_ > 0.9 * greatest(ln, 1) then 1 else 0 end as is_en "
+            "from langd) "
+            "select source, count(*)::bigint as n_docs, "
+            "sum(tokens)::bigint as total_tokens, "
+            "sum(chars)::bigint as total_chars, "
+            "sum(is_en)::bigint as en_docs, "
+            "((sum(tokens) * 100) // count(*))::bigint as mean_tokens_x100 "
+            "from d group by source order by source",
         # window cumsum packing + ordered string_agg per sequence
         "materialize_sequences":
             "with t as (select doc_id, text, len(list_filter("
