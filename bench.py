@@ -135,7 +135,8 @@ def run_queries(sf_dir: str) -> dict:
              "range_join_windows", "pack_sequences", "kmeans_clusters",
              "curate_corpus", "attribution_follow", "heavy_hitters",
              "quartile_by_lang", "sample_per_group", "normalize_text",
-             "pivot_event_counts", "rolling_user_value"]
+             "pivot_event_counts", "rolling_user_value", "quantize_embeddings",
+             "materialize_sequences", "corpus_report"]
     qs = entry.queries()
     out = {}
     for name in picks:
