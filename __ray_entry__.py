@@ -981,6 +981,18 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: distinct shared word-5-grams per
+    source pair.  Only 8-byte gram hashes shuffle (one hash-shard
+    exchange); pairs emit per gram run bounded by the source count."""
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        source_gram_overlap,
+    )
+
+    return source_gram_overlap(
+        _read(sf_dir, "documents").select_columns(["text", "source"]), k=5)
+
+
 def q_corpus_report(sf_dir: str):
     """Per-source corpus health report: doc/token/char totals, predicted-
     English share, mean doc length — one pass of vectorized per-batch
@@ -1473,6 +1485,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "quantize_embeddings": q_quantize_embeddings,
         "materialize_sequences": q_materialize_sequences,
         "corpus_report": q_corpus_report,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -1950,6 +1963,17 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # distinct-gram self-join per source pair (a < b)
+        "source_overlap":
+            "with d as (select source, list_filter(string_split_regex("
+            "text, '\\s+'), x -> x <> '') as ws from documents), "
+            "g as (select distinct source, unnest(list_transform("
+            "generate_series(1, len(ws) - 4), "
+            "i -> array_to_string(ws[i:i+4], ' '))) as gram from d) "
+            "select a.source as source_a, b.source as source_b, "
+            "count(*)::bigint as shared_grams from g a "
+            "join g b on a.gram = b.gram and a.source < b.source "
+            "group by 1, 2 order by 1, 2",
         # lang heuristic mirrored from the green lang_id oracle; integer
         # totals and floor-div mean
         "corpus_report":

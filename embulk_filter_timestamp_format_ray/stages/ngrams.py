@@ -471,3 +471,98 @@ def heavy_hitter_words(ds, threshold: int, *, text_col: str = "text",
     return exact.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("n"), threshold)),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------- source overlap
+
+
+def source_gram_overlap(ds, *, k: int = 5, text_col: str = "text",
+                        group_col: str = "source"):
+    """Pairwise cross-source overlap matrix: for every source pair, how
+    many DISTINCT word-k-grams they share — the "who copied whom" report
+    that decides which sources need decontamination against each other.
+
+    Shape: per-batch (gram-hash, source) rows dedup locally, ONE gram-hash
+    shard exchange globally dedups and finds each gram's source set (a run
+    after one sort), pairs emit per run via cached upper-triangle indices
+    (runs are bounded by the SOURCE count — tens — so the per-length loop
+    is over run-length classes, not grams), and a final tiny aggregate
+    counts pairs.  Gram text never moves — only 8-byte hashes."""
+    from embulk_filter_timestamp_format_ray.stages.dedup import (
+        N_BUCKET_SHARDS,
+        _triu,
+    )
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+    )
+
+    def gram_source(b: pa.Table) -> pa.Table:
+        gh, _, doc_of_g = word_ngram_hashes(b.column(text_col), k)
+        src = b.column(group_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices.cast(pa.int64()))[doc_of_g]
+        # local distinct (gram, source)
+        order = np.lexsort((codes, gh))
+        g_s, c_s = gh[order], codes[order]
+        keep = np.ones(len(g_s), dtype=bool)
+        keep[1:] = (g_s[1:] != g_s[:-1]) | (c_s[1:] != c_s[:-1])
+        gk, ck = g_s[keep], c_s[keep]
+        shard = (gk % np.uint64(N_BUCKET_SHARDS)).astype(np.int32)
+        return pa.table({
+            "gh": pa.array(gk.astype(np.int64)),
+            group_col: enc.dictionary.take(pa.array(ck)),
+            "_shard": pa.array(shard),
+        })
+
+    rows = ds.map_batches(gram_source, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def pairs_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        empty = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string())})
+        if g.num_rows == 0:
+            return empty
+        src = g.column(group_col).combine_chunks()
+        enc = pc.dictionary_encode(src)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        # alphabetical codes so source_a < source_b lexicographically
+        alpha = np.asarray(pc.sort_indices(enc.dictionary))
+        rank = np.empty(len(alpha), dtype=np.int64)
+        rank[alpha] = np.arange(len(alpha))
+        codes = rank[np.asarray(enc.indices.cast(pa.int64()))]
+        gh = np.asarray(g.column("gh"))
+        order = np.lexsort((codes, gh))
+        g_s, c_s = gh[order], codes[order]
+        keep = np.ones(len(g_s), dtype=bool)  # global distinct
+        keep[1:] = (g_s[1:] != g_s[:-1]) | (c_s[1:] != c_s[:-1])
+        g_s, c_s = g_s[keep], c_s[keep]
+        starts = np.nonzero(np.r_[True, g_s[1:] != g_s[:-1]])[0]
+        lens = np.diff(np.r_[starts, len(g_s)])
+        a_all, b_all = [], []
+        for m in np.unique(lens):  # run-LENGTH classes ≤ #sources
+            if m < 2:
+                continue
+            st = starts[lens == m]
+            ti, tj = _triu(int(m))
+            a_all.append((st[:, None] + ti[None, :]).ravel())
+            b_all.append((st[:, None] + tj[None, :]).ravel())
+        if not a_all:
+            return empty
+        ai = np.concatenate(a_all)
+        bi = np.concatenate(b_all)
+        sorted_dict = enc.dictionary.take(pa.array(alpha))
+        return pa.table({
+            "source_a": sorted_dict.take(pa.array(c_s[ai])),
+            "source_b": sorted_dict.take(pa.array(c_s[bi])),
+        })
+
+    pair_rows = rows.groupby("_shard").map_groups(pairs_shard,
+                                                  batch_format="pyarrow")
+    return grouped_aggregate(pair_rows, ["source_a", "source_b"],
+                             {"shared_grams": ("source_a", "count")})

@@ -294,3 +294,36 @@ def test_write_corpus_jsonl_roundtrip_and_resume(ray_session, tmp_path):
     # resume skips everything
     st2 = write_corpus(ds, out, num_partitions=3, fmt="jsonl", resume=True)
     assert st2["written"] == 0 and st2["skipped"] == 3
+
+
+def test_source_overlap_matches_naive(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        source_gram_overlap,
+    )
+
+    rng = np.random.default_rng(9)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    docs, srcs = [], []
+    for i in range(60):
+        docs.append(" ".join(rng.choice(vocab, size=int(rng.integers(3, 12)))))
+        srcs.append(f"s{int(rng.integers(0, 4))}")
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(docs), "source": pa.array(srcs)}))
+    got = source_gram_overlap(ds, k=3).to_pandas() \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    # naive: distinct (source, gram) then pair intersection counts
+    sets = {}
+    for t, s in zip(docs, srcs):
+        sets.setdefault(s, set()).update(_naive_grams(t, 3))
+    want = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a < b:
+                n = len(sets[a] & sets[b])
+                if n:
+                    want[(a, b)] = n
+    got_d = {(r.source_a, r.source_b): r.shared_grams
+             for r in got.itertuples()}
+    assert got_d == want
