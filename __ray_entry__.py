@@ -981,6 +981,27 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(train, evals, k=5, threshold_pct=20)
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment via the Lehmer
+    modular permutation of doc_id (replayable in SQL, resume-safe, no
+    process-seeded randomness) — the split every training run needs to
+    reproduce exactly.  Stateless vectorized pass."""
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"))
+        h = (ids * 48271) % 2147483647
+        bucket = h % 100
+        split = np.where(bucket < 80, "train",
+                         np.where(bucket < 90, "val", "test"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "split": pa.array(split)})
+
+    return docs.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix: distinct shared word-5-grams per
     source pair.  Only 8-byte gram hashes shuffle (one hash-shard
@@ -1486,6 +1507,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "materialize_sequences": q_materialize_sequences,
         "corpus_report": q_corpus_report,
         "source_overlap": q_source_overlap,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -1963,6 +1985,12 @@ def oracle_sql() -> "dict[str, str]":
             "1 preceding), 0)::bigint as cum_before from tok) "
             "select doc_id, n_tokens, cum_before, "
             "(cum_before // 512)::bigint as seq_id from c2 order by doc_id",
+        # Lehmer permutation split — exact in both engines
+        "dataset_split":
+            "select doc_id, source, case "
+            "when (doc_id * 48271) % 2147483647 % 100 < 80 then 'train' "
+            "when (doc_id * 48271) % 2147483647 % 100 < 90 then 'val' "
+            "else 'test' end as split from documents order by doc_id",
         # distinct-gram self-join per source pair (a < b)
         "source_overlap":
             "with d as (select source, list_filter(string_split_regex("
