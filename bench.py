@@ -136,7 +136,8 @@ def run_queries(sf_dir: str) -> dict:
              "curate_corpus", "attribution_follow", "heavy_hitters",
              "quartile_by_lang", "sample_per_group", "normalize_text",
              "pivot_event_counts", "rolling_user_value", "quantize_embeddings",
-             "materialize_sequences", "corpus_report"]
+             "materialize_sequences", "corpus_report", "source_overlap",
+             "dataset_split"]
     qs = entry.queries()
     out = {}
     for name in picks:
