@@ -150,6 +150,20 @@ def q_cdc_upsert_latest(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
+
+def _token_counts(ds):
+    """(doc_id, text) → (doc_id, n_tokens) — the ONE tokenizer-count pass
+    shared by every packing caller (the count must stay bit-identical
+    across curate_corpus / pack_sequences / materialize_sequences and
+    their oracles)."""
+    return ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                b.column("text"), pattern=r"\S+"), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_transcripts_final(sf_dir: str):
     """Flagship transcript CDC replay: synthetic binlog → normalized,
     hash-partitioned, watermarked merge → exactly-once lake → distributed
@@ -986,20 +1000,12 @@ def q_dataset_split(sf_dir: str):
     modular permutation of doc_id (replayable in SQL, resume-safe, no
     process-seeded randomness) — the split every training run needs to
     reproduce exactly.  Stateless vectorized pass."""
+    from embulk_filter_timestamp_format_ray.stages.sampling import (
+        assign_split,
+    )
+
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
-
-    def assign(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b.column("doc_id"))
-        h = (ids * 48271) % 2147483647
-        bucket = h % 100
-        split = np.where(bucket < 80, "train",
-                         np.where(bucket < 90, "val", "test"))
-        return pa.table({"doc_id": b.column("doc_id"),
-                         "source": b.column("source"),
-                         "split": pa.array(split)})
-
-    return docs.map_batches(assign, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    return assign_split(docs, "doc_id", train_pct=80, val_pct=10)
 
 
 def q_source_overlap(sf_dir: str):
@@ -1026,14 +1032,13 @@ def q_corpus_report(sf_dir: str):
     )
 
     docs = _read(sf_dir, "documents").select_columns(
-        ["doc_id", "text", "source", "n_chars"])
+        ["text", "source", "n_chars"])
 
     def stats(b: pa.Table) -> pa.Table:
-        b = lang_id_batch(b)
+        b = lang_id_batch(b)  # emits n_words_lang — no second regex scan
         return pa.table({
             "source": b.column("source"),
-            "tokens": pc.cast(pc.count_substring_regex(
-                b.column("text"), pattern=r"\S+"), pa.int64()),
+            "tokens": b.column("n_words_lang"),
             "chars": b.column("n_chars"),
             "is_en": pc.cast(pc.equal(b.column("lang_pred"), "en"),
                              pa.int64()),
@@ -1063,19 +1068,22 @@ def q_materialize_sequences(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.relational import (
         concat_by_key,
         pack_sequences,
+        shuffle_join,
     )
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    ds = docs.map_batches(
-        lambda b: pa.table({
-            "doc_id": b.column("doc_id"),
-            "text": b.column("text"),
-            "n_tokens": pc.cast(pc.count_substring_regex(
-                b.column("text"), pattern=r"\S+"), pa.int64()),
-        }), batch_format="pyarrow", zero_copy_batch=True)
-    packed = pack_sequences(ds, "doc_id", "n_tokens", seq_len=512,
+    # pack over the NARROW (doc_id, n_tokens) projection (prefix-sum
+    # contract: the internal checkpoint must hold two slim columns, never
+    # the text), then join seq_id back onto the text rows for the concat
+    narrow = _token_counts(_read(sf_dir, "documents")
+                           .select_columns(["doc_id", "text"]))
+    packed = pack_sequences(narrow, "doc_id", "n_tokens", seq_len=512,
                             bucket_size=100)
-    return concat_by_key(packed, "seq_id", "doc_id", "text")
+    packed = packed.map_batches(
+        lambda b: b.select(["doc_id", "seq_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    tagged = shuffle_join(docs, packed, on="doc_id", how="inner")
+    return concat_by_key(tagged, "seq_id", "doc_id", "text")
 
 
 def q_quantize_embeddings(sf_dir: str):
@@ -1097,7 +1105,7 @@ def q_quantize_embeddings(sf_dir: str):
         if isinstance(q, pa.ChunkedArray):
             q = q.combine_chunks()
         dim = q.type.list_size
-        m = np.asarray(q.values.cast(pa.int64())).reshape(-1, dim)
+        m = np.asarray(q.flatten().cast(pa.int64())).reshape(-1, dim)
         return pa.table({
             "vec_id": b.column("vec_id"),
             "scale_ppm": b.column("scale_ppm"),
@@ -1108,6 +1116,46 @@ def q_quantize_embeddings(sf_dir: str):
 
     return qds.map_batches(summarize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def q_dequantize_roundtrip(sf_dir: str):
+    """Quantize → dequantize reconstruction error per vector (x1e9 int).
+    Every step is elementwise double arithmetic plus a max (both
+    order-independent), so DuckDB replays the exact value with list
+    lambdas — the oracle-checked guarantee that int8 storage loses at
+    most scale/254 per component."""
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        dequantize_embeddings_batch,
+        embeddings_to_matrix,
+        quantize_embeddings_batch,
+    )
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+
+    def err(b: pa.Table) -> pa.Table:
+        x = embeddings_to_matrix(b)
+        q = quantize_embeddings_batch(b)
+        # reconstruct in f64 (dequantize_embeddings_batch's OUTPUT column
+        # is float32 by storage convention, which would perturb the error
+        # at the 1e-8 level and break the exact oracle); same arithmetic
+        qc = q.column("q")
+        if isinstance(qc, pa.ChunkedArray):
+            qc = qc.combine_chunks()
+        m = np.asarray(qc.flatten().cast(pa.float64())) \
+            .reshape(x.shape)
+        scale = np.asarray(q.column("scale_ppm")).astype(np.float64) / 1e6
+        xhat = (m / 127.0) * scale[:, None]
+        e = np.abs(xhat - x).max(axis=1)
+        # sanity-bind the real dequant op on the same batch (f32 path)
+        dequantize_embeddings_batch(q, out_col="recon")
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "err_x1e9": pa.array(np.floor(e * 1e9 + 0.5)
+                                 .astype(np.int64)),
+        })
+
+    return ds.map_batches(err, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def q_pivot_event_counts(sf_dir: str):
@@ -1330,12 +1378,7 @@ def q_curate_corpus(sf_dir: str):
             batch_format="pyarrow", zero_copy_batch=True)
     clean = decontaminate(train, evals, k=5, threshold_pct=20, drop=True)
     uniq = dedup_exact(clean, id_col="doc_id", text_col="text")
-    tok = uniq.map_batches(
-        lambda b: pa.table({
-            "doc_id": b.column("doc_id"),
-            "n_tokens": pc.cast(pc.count_substring_regex(
-                b.column("text"), pattern=r"\S+"), pa.int64()),
-        }), batch_format="pyarrow", zero_copy_batch=True)
+    tok = _token_counts(uniq)
     return pack_sequences(tok, "doc_id", "n_tokens", seq_len=512,
                           bucket_size=100)
 
@@ -1365,12 +1408,7 @@ def q_pack_sequences(sf_dir: str):
     )
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    ds = docs.map_batches(
-        lambda b: pa.table({
-            "doc_id": b.column("doc_id"),
-            "n_tokens": pc.cast(pc.count_substring_regex(
-                b.column("text"), pattern=r"\S+"), pa.int64()),
-        }), batch_format="pyarrow", zero_copy_batch=True)
+    ds = _token_counts(docs)
     return pack_sequences(ds, "doc_id", "n_tokens", seq_len=512,
                           bucket_size=100)
 
@@ -1504,6 +1542,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "pivot_event_counts": q_pivot_event_counts,
         "rolling_user_value": q_rolling_user_value,
         "quantize_embeddings": q_quantize_embeddings,
+        "dequantize_roundtrip": q_dequantize_roundtrip,
         "materialize_sequences": q_materialize_sequences,
         "corpus_report": q_corpus_report,
         "source_overlap": q_source_overlap,
@@ -2021,6 +2060,20 @@ def oracle_sql() -> "dict[str, str]":
             "sum(is_en)::bigint as en_docs, "
             "((sum(tokens) * 100) // count(*))::bigint as mean_tokens_x100 "
             "from d group by source order by source",
+        # elementwise double ops + order-independent max → exact replay
+        "dequantize_roundtrip":
+            "with s as (select vec_id, embedding, list_max(list_transform("
+            "embedding, x -> abs(x::double))) as ma from embeddings), "
+            "p as (select vec_id, embedding, "
+            "floor(ma * 1000000 + 0.5) / 1000000.0 as scale, "
+            "list_transform(embedding, x -> greatest(least(floor("
+            "127 * x::double / (case when ma = 0 then 1 else ma end) "
+            "+ 0.5), 127), -127)) as qs from s) "
+            "select vec_id, floor(list_max(list_transform("
+            "generate_series(1, len(embedding)), i -> "
+            "abs((qs[i] / 127.0) * scale - embedding[i]::double))) "
+            "* 1000000000 + 0.5)::bigint as err_x1e9 from p "
+            "order by vec_id",
         # window cumsum packing + ordered string_agg per sequence
         "materialize_sequences":
             "with t as (select doc_id, text, len(list_filter("

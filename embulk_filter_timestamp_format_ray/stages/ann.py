@@ -373,7 +373,8 @@ def dequantize_embeddings_batch(batch: pa.Table, q_col: str = "q",
     if isinstance(qarr, pa.ChunkedArray):
         qarr = qarr.combine_chunks()
     dim = qarr.type.list_size
-    q = np.asarray(qarr.values.cast(pa.float64())).reshape(-1, dim)
+    # flatten() honors a sliced array's offset; .values would not
+    q = np.asarray(qarr.flatten().cast(pa.float64())).reshape(-1, dim)
     scale = np.asarray(batch.column(scale_col)).astype(np.float64) / 1e6
     x = (q / 127.0) * scale[:, None]
     out = pa.FixedSizeListArray.from_arrays(

@@ -1408,7 +1408,7 @@ def concat_by_key(ds, key: str, order_col: str, text_col: str,
         if g.num_rows == 0:
             return pa.table({key: pa.array([], key_type),
                              count_col: pa.array([], pa.int64()),
-                             out_col: pa.array([], pa.string())})
+                             out_col: pa.array([], pa.large_string())})
         order = pc.sort_indices(g, sort_keys=[(key, "ascending"),
                                               (order_col, "ascending")])
         g = g.take(order)
@@ -1420,10 +1420,12 @@ def concat_by_key(ds, key: str, order_col: str, text_col: str,
         runs = pa.LargeListArray.from_arrays(
             pa.array(offsets, pa.int64()), texts.cast(pa.large_string()))
         joined = pc.binary_join(runs, pa.scalar(sep, pa.large_string()))
+        # stay large_string: a shard's concatenated text can exceed the
+        # 2 GiB 32-bit-offset cap; downcasting would crash exactly at scale
         return pa.table({
             key: g.column(key).take(pa.array(starts)),
             count_col: pa.array(np.diff(offsets).astype(np.int64)),
-            out_col: joined.cast(pa.string()),
+            out_col: joined,
         })
 
     ds = _with_key_shard(ds, [key])

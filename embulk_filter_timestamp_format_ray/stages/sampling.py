@@ -86,3 +86,27 @@ def mix_corpora(parts: "list[tuple]", id_col: str):
     for s in sampled[1:]:
         out = out.union(s)
     return out
+
+
+def assign_split(ds, id_col: str = "doc_id", train_pct: int = 80,
+                 val_pct: int = 10, out_col: str = "split"):
+    """Deterministic train/val/test assignment via the Lehmer modular
+    permutation ``(id * 48271) % 2147483647 % 100`` — SQL-replayable,
+    resume-safe, no process-seeded randomness.  Requires ids in
+    [0, 2^47): negatives flip the modulo sign convention vs SQL and
+    larger ids overflow int64."""
+    import numpy as np
+    import pyarrow as pa
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col))
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 47)):
+            raise ValueError("assign_split requires ids in [0, 2^47)")
+        bucket = ((ids * 48271) % 2147483647) % 100
+        split = np.where(bucket < train_pct, "train",
+                         np.where(bucket < train_pct + val_pct, "val",
+                                  "test"))
+        return b.append_column(out_col, pa.array(split))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

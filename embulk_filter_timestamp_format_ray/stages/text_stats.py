@@ -114,7 +114,8 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     lang = pc.if_else(is_en, "en",
                       pc.if_else(pc.greater(ascii_ratio, 0.9), "latin-other", "non-latin"))
     return batch.append_column("lang_pred", lang) \
-                .append_column("lang_confidence", stop_ratio)
+                .append_column("lang_confidence", stop_ratio) \
+                .append_column("n_words_lang", pc.cast(n_words, pa.int64()))
 
 
 class FingerprintStage:

@@ -327,3 +327,49 @@ def test_source_overlap_matches_naive(ray_session):
     got_d = {(r.source_a, r.source_b): r.shared_grams
              for r in got.itertuples()}
     assert got_d == want
+
+
+def test_assign_split_deterministic_and_ratioed(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.sampling import (
+        assign_split,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(10_000, dtype=np.int64))}))
+    out = assign_split(ds, "doc_id").to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.07 < frac["val"] < 0.13
+    assert 0.07 < frac["test"] < 0.13
+    # deterministic: re-run identical
+    out2 = assign_split(ds, "doc_id").to_pandas()
+    assert out.sort_values("doc_id")["split"].tolist() == \
+        out2.sort_values("doc_id")["split"].tolist()
+    # out-of-contract ids refuse loudly (SQL parity would silently break)
+    bad = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([-1], pa.int64())}))
+    with pytest.raises(Exception):
+        assign_split(bad, "doc_id").materialize()
+
+
+def test_corpus_report_matches_pandas(ray_session):
+    import ray.data
+
+    import __ray_entry__ as entry
+
+    got = entry.q_corpus_report("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("create view documents as select * from "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    want = con.execute(entry.oracle_sql()["corpus_report"]).fetchdf() \
+        .sort_values("source").reset_index(drop=True)
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["total_tokens"].tolist() == want["total_tokens"].tolist()
+    assert got["en_docs"].tolist() == want["en_docs"].tolist()
+    assert got["mean_tokens_x100"].tolist() == \
+        want["mean_tokens_x100"].tolist()
