@@ -137,7 +137,7 @@ def run_queries(sf_dir: str) -> dict:
              "quartile_by_lang", "sample_per_group", "normalize_text",
              "pivot_event_counts", "rolling_user_value", "quantize_embeddings",
              "materialize_sequences", "corpus_report", "source_overlap",
-             "dataset_split"]
+             "dataset_split", "dequantize_roundtrip"]
     qs = entry.queries()
     out = {}
     for name in picks:
