@@ -358,13 +358,14 @@ def heavy_hitter_words(ds, threshold: int, *, text_col: str = "text",
        bucket) partial counts (``depth`` hash rows × ``width`` buckets);
        one ``grouped_aggregate`` over ≤ depth×width keys merges them —
        the shuffle carries sketch cells, never words.
-    2. **Candidate pass**: the merged sketch (a few MB) broadcasts back;
-       each batch keeps only its distinct words whose Count-Min estimate
-       (min over rows) reaches the threshold.  CMS never underestimates,
-       so no true heavy hitter is lost; collisions only add false
-       candidates.
-    3. **Verify pass**: exact counts for the (small) candidate set via a
-       broadcast membership filter + sharded aggregate.
+    2. **Fused nominate+count pass**: the merged sketch (a few MB)
+       broadcasts back; each batch keeps its distinct words whose
+       Count-Min estimate (min over rows) reaches the threshold — the
+       candidate set is identical in every batch because the sketch is
+       global — and emits those words' LOCAL counts in the same pass.
+       One sharded aggregate then yields exact totals.  CMS never
+       underestimates, so no true heavy hitter is lost; collisions only
+       add false candidates that the final exact filter drops.
 
     Output: (word, n) with exact n ≥ threshold — identical to the naive
     ``GROUP BY word HAVING count(*) ≥ T`` (the SQL oracle)."""
@@ -400,7 +401,12 @@ def heavy_hitter_words(ds, threshold: int, *, text_col: str = "text",
         cells["cnt"].to_numpy()
     sref = ray.put(sketch) if ray.is_initialized() else sketch
 
-    class _Candidates:
+    class _CandidateCounts:
+        """Fused nominate + local count: the GLOBAL sketch is broadcast,
+        so every batch derives the identical candidate set independently —
+        no driver-side candidate collection, and the verify counts ride
+        the same pass."""
+
         def __init__(self):
             self._s = None
 
@@ -418,8 +424,10 @@ def heavy_hitter_words(ds, threshold: int, *, text_col: str = "text",
                                         id_col=b.schema.names[0])
             terms = rows.column("term").combine_chunks()
             uniq = pc.unique(terms)
+            empty = pa.table({"word": pa.array([], pa.string()),
+                              "cnt": pa.array([], pa.int64())})
             if len(uniq) == 0:
-                return pa.table({"word": pa.array([], pa.string())})
+                return empty
             # vocab-sized hash loop (same contract as tokenize_column)
             from embulk_filter_timestamp_format_ray.stages.dedup import (
                 det_hash_str,
@@ -432,40 +440,16 @@ def heavy_hitter_words(ds, threshold: int, *, text_col: str = "text",
                 hj = (splitmix64(uh, 1000 + j)
                       % np.uint64(width)).astype(np.int64)
                 est = np.minimum(est, s[j][hj])
-            keep = est >= threshold
-            return pa.table({"word": uniq.filter(pa.array(keep))})
-
-    cand = ds.map_batches(_Candidates, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=4)
-    cand_words = pc.unique(pa.concat_tables(
-        [ray.get(r) for r in cand.to_arrow_refs()]).column("word")
-        .combine_chunks())
-
-    wref = ray.put(cand_words) if ray.is_initialized() else cand_words
-
-    class _ExactCount:
-        def __init__(self):
-            self._w = None
-
-        def _words(self):
-            if self._w is None:
-                from embulk_filter_timestamp_format_ray.stages.relational \
-                    import resolve_broadcast
-
-                self._w = resolve_broadcast(wref)
-            return self._w
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            words = self._words()
-            rows = doc_term_count_batch(b, text_col=text_col,
-                                        id_col=b.schema.names[0])
-            keep = pc.is_in(rows.column("term"), value_set=words)
-            kept = rows.filter(keep)
+            cand = uniq.filter(pa.array(est >= threshold))
+            if len(cand) == 0:
+                return empty
+            kept = rows.filter(pc.is_in(rows.column("term"),
+                                        value_set=cand))
             return pa.table({"word": kept.column("term"),
                              "cnt": kept.column("cnt")})
 
     exact = grouped_aggregate(
-        ds.map_batches(_ExactCount, batch_format="pyarrow",
+        ds.map_batches(_CandidateCounts, batch_format="pyarrow",
                        zero_copy_batch=True, concurrency=4),
         ["word"], {"n": ("cnt", "sum")})
     return exact.map_batches(
