@@ -1118,6 +1118,45 @@ def q_quantize_embeddings(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_multimodal_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing: deterministic fake payloads (text
+    repeated 64× cast to binary — real codecs are absent from the
+    container), every-4th-frame offsets at 1 KiB/frame, summarized to
+    hashable scalars.  The oracle replays the offset arithmetic from the
+    payload byte length."""
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        FrameSampleStage,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def fake_video(b: pa.Table) -> pa.Table:
+        rep = pc.binary_repeat(pc.fill_null(b.column("text"), ""), 64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "video_bytes": rep.cast(pa.binary())})
+
+    ds = docs.map_batches(fake_video, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ds = ds.map_batches(FrameSampleStage(every_n=4),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        fo = b.column("frame_offsets")
+        if isinstance(fo, pa.ChunkedArray):
+            fo = fo.combine_chunks()
+        counts = np.asarray(pc.list_value_length(fo).cast(pa.int64()))
+        flat = np.asarray(fo.flatten().cast(pa.int64()))
+        ends = np.cumsum(counts) - 1
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_sampled": pa.array(counts),
+            "last_offset": pa.array(flat[ends]),
+        })
+
+    return ds.map_batches(summarize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_dequantize_roundtrip(sf_dir: str):
     """Quantize → dequantize reconstruction error per vector (x1e9 int).
     Every step is elementwise double arithmetic plus a max (both
@@ -1543,6 +1582,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "rolling_user_value": q_rolling_user_value,
         "quantize_embeddings": q_quantize_embeddings,
         "dequantize_roundtrip": q_dequantize_roundtrip,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "materialize_sequences": q_materialize_sequences,
         "corpus_report": q_corpus_report,
         "source_overlap": q_source_overlap,
@@ -2060,6 +2100,16 @@ def oracle_sql() -> "dict[str, str]":
             "sum(is_en)::bigint as en_docs, "
             "((sum(tokens) * 100) // count(*))::bigint as mean_tokens_x100 "
             "from d group by source order by source",
+        # frame arithmetic from the payload byte length (1 KiB frames,
+        # every 4th sampled): n = ceil(max(bytes//1024,1)/4)
+        "multimodal_frame_sample":
+            "with p as (select doc_id, octet_length(encode(repeat("
+            "coalesce(text, ''), 64))) as nbytes from documents), "
+            "f as (select doc_id, greatest(nbytes // 1024, 1) as n_frames "
+            "from p) "
+            "select doc_id, ((n_frames + 3) // 4)::bigint as n_sampled, "
+            "(((n_frames + 3) // 4) - 1) * 4 as last_offset from f "
+            "order by doc_id",
         # elementwise double ops + order-independent max → exact replay
         "dequantize_roundtrip":
             "with s as (select vec_id, embedding, list_max(list_transform("
