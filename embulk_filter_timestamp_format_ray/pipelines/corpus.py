@@ -162,3 +162,37 @@ def write_corpus(ds, out_dir: str, *, num_partitions: int = 16,
     return {"partitions": len(parts), "written": written,
             "skipped": len(rows) - written,
             "rows": sum(p["rows"] for p in parts.values())}
+
+
+def packed_sequences(corpus_ds, *, seq_len: int = 512,
+                     bucket_size: int = 100_000):
+    """Curated corpus (doc_id, text) → concatenated training sequences
+    (seq_id, n_parts, text): token counts → distributed prefix-sum packing
+    over the NARROW projection → seq_id joined back → ordered per-sequence
+    concat.  Deterministic end-to-end, so packed output is resume-safe."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        concat_by_key,
+        pack_sequences,
+        shuffle_join,
+    )
+
+    narrow = corpus_ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                b.column("text"), pattern=r"\S+"), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    packed = pack_sequences(narrow, "doc_id", "n_tokens", seq_len=seq_len,
+                            bucket_size=bucket_size)
+    packed = packed.map_batches(
+        lambda b: b.select(["doc_id", "seq_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tagged = shuffle_join(corpus_ds, packed, on="doc_id", how="inner")
+    seqs = concat_by_key(tagged, "seq_id", "doc_id", "text")
+    # downstream writers partition by doc_id — expose seq_id under that
+    # name (it IS the document id of the packed corpus)
+    return seqs.map_batches(
+        lambda b: pa.table({"doc_id": b.column("seq_id"),
+                            "n_parts": b.column("n_parts"),
+                            "text": b.column("text").cast(pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True)

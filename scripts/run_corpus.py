@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
                     help="parquet of eval docs (doc_id, text); drop train "
                          "docs with >=20%% 5-gram overlap")
+    ap.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
+                    help="emit concatenated training sequences of this "
+                         "token budget instead of documents")
     ap.add_argument("--jsonl", action="store_true",
                     help="write newline-delimited JSON parts instead of "
                          "parquet")
@@ -51,6 +54,7 @@ def main() -> None:
         import ray.data
 
         from embulk_filter_timestamp_format_ray.pipelines.corpus import (
+            packed_sequences,
             prepared_corpus,
             write_corpus,
         )
@@ -65,6 +69,8 @@ def main() -> None:
                                  redact_pii=args.redact_pii,
                                  max_dup5_x1000=args.max_dup5,
                                  eval_ds=eval_ds)
+        if args.pack:
+            corpus = packed_sequences(corpus, seq_len=args.pack)
         stats = write_corpus(corpus, args.out,
                              num_partitions=args.partitions,
                              resume=args.resume,

@@ -373,3 +373,25 @@ def test_corpus_report_matches_pandas(ray_session):
     assert got["en_docs"].tolist() == want["en_docs"].tolist()
     assert got["mean_tokens_x100"].tolist() == \
         want["mean_tokens_x100"].tolist()
+
+
+def test_packed_sequences_token_budget(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.corpus import (
+        packed_sequences,
+    )
+
+    docs = [" ".join(f"w{i}t{j}" for j in range(20)) for i in range(30)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array(docs)}))
+    out = packed_sequences(ds, seq_len=100, bucket_size=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # 30 docs x 20 tokens = 600 tokens / 100 per seq = 6 sequences of 5
+    assert out["doc_id"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert out["n_parts"].tolist() == [5] * 6
+    # concatenation preserves doc order within a sequence
+    assert out.loc[0, "text"].startswith("w0t0")
+    assert "w4t19 w5t0" not in out.loc[0, "text"]  # doc 5 is in seq 1
+    assert out.loc[1, "text"].startswith("w5t0")
