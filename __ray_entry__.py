@@ -156,12 +156,11 @@ def _token_counts(ds):
     shared by every packing caller (the count must stay bit-identical
     across curate_corpus / pack_sequences / materialize_sequences and
     their oracles)."""
-    return ds.map_batches(
-        lambda b: pa.table({
-            "doc_id": b.column("doc_id"),
-            "n_tokens": pc.cast(pc.count_substring_regex(
-                b.column("text"), pattern=r"\S+"), pa.int64()),
-        }), batch_format="pyarrow", zero_copy_batch=True)
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        doc_token_counts,
+    )
+
+    return doc_token_counts(ds)
 
 
 def q_cdc_transcripts_final(sf_dir: str):

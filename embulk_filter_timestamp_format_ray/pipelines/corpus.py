@@ -175,13 +175,15 @@ def packed_sequences(corpus_ds, *, seq_len: int = 512,
         pack_sequences,
         shuffle_join,
     )
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        doc_token_counts,
+    )
 
-    narrow = corpus_ds.map_batches(
-        lambda b: pa.table({
-            "doc_id": b.column("doc_id"),
-            "n_tokens": pc.cast(pc.count_substring_regex(
-                b.column("text"), pattern=r"\S+"), pa.int64()),
-        }), batch_format="pyarrow", zero_copy_batch=True)
+    # checkpoint the CURATED corpus once: it feeds both the narrow
+    # token-count pass and the join side — without this, the whole
+    # curation chain (near-dup, decontamination, ...) executes twice
+    corpus_ds = corpus_ds.materialize()
+    narrow = doc_token_counts(corpus_ds)
     packed = pack_sequences(narrow, "doc_id", "n_tokens", seq_len=seq_len,
                             bucket_size=bucket_size)
     packed = packed.map_batches(
@@ -190,9 +192,10 @@ def packed_sequences(corpus_ds, *, seq_len: int = 512,
     tagged = shuffle_join(corpus_ds, packed, on="doc_id", how="inner")
     seqs = concat_by_key(tagged, "seq_id", "doc_id", "text")
     # downstream writers partition by doc_id — expose seq_id under that
-    # name (it IS the document id of the packed corpus)
+    # name (it IS the document id of the packed corpus); text stays
+    # large_string (concat_by_key's 2 GiB-offset rationale)
     return seqs.map_batches(
         lambda b: pa.table({"doc_id": b.column("seq_id"),
                             "n_parts": b.column("n_parts"),
-                            "text": b.column("text").cast(pa.string())}),
+                            "text": b.column("text")}),
         batch_format="pyarrow", zero_copy_batch=True)

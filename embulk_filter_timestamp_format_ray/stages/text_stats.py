@@ -276,3 +276,20 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
     else:
         batch = batch.append_column(out_col, t)
     return batch
+
+
+def doc_token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, text) Dataset → (id, n_tokens) — THE canonical token-count
+    pass for sequence packing.  Every packing caller (pack_sequences /
+    materialize_sequences queries, the corpus CLI's --pack) must route
+    through this one definition so packing boundaries stay bit-identical
+    with the oracles."""
+    def count(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                b.column(text_col), pattern=_WORD_RE), pa.int64()),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -69,7 +69,9 @@ def main() -> None:
                                  redact_pii=args.redact_pii,
                                  max_dup5_x1000=args.max_dup5,
                                  eval_ds=eval_ds)
-        if args.pack:
+        if args.pack is not None:
+            if args.pack < 1:
+                raise SystemExit("--pack requires a positive token budget")
             corpus = packed_sequences(corpus, seq_len=args.pack)
         stats = write_corpus(corpus, args.out,
                              num_partitions=args.partitions,
