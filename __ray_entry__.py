@@ -192,6 +192,34 @@ def q_cdc_transcripts_final(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_time_travel(sf_dir: str):
+    """Time travel (VERSION AS OF): the deterministic 20k-event binlog is
+    applied in two lsn-chunks (lsn < 10_000, then the rest) and the lake is
+    read back AS OF the first commit via the retained manifest snapshot
+    (pipelines/cdc.py read_lake_at / state/manifest.py history).  Oracle:
+    the flagship argmax-LSN fold restricted to the lsn<10_000 prefix of the
+    committed fixture — version 1's state IS that prefix fold."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_tt_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    ev = change_events(20_000, seed=42, parallelism=16)
+    cut = pa.scalar(10_000, pa.int64())
+    pipe.apply(ev.map_batches(
+        lambda b: b.filter(pc.less(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    pipe.apply(ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    asof_v1 = pipe.read_lake_at(1)
+    return asof_v1.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_assemble_transcripts(sf_dir: str):
     """Lake → corpus bridge: replay the CDC stream, then assemble each
     conversation's turns into one ordered transcript document
@@ -1526,6 +1554,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "shuffle_join_revenue": q_shuffle_join_revenue,
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_transcripts_final": q_cdc_transcripts_final,
+        "cdc_time_travel": q_cdc_time_travel,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "asof_join": q_asof_join,
@@ -1663,6 +1692,17 @@ def oracle_sql() -> "dict[str, str]":
             "with ranked as (select *, row_number() over "
             "(partition by conv_id, turn_idx order by lsn desc) as rn "
             f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Time travel: lake VERSION AS OF commit 1 == the same fold over the
+        # lsn<10000 prefix (chunk 1 of the two-chunk apply in the query)
+        "cdc_time_travel":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet') "
+            "where lsn < 10000) "
             "select conv_id, turn_idx, "
             "case role when 'human' then 'user' when 'ai' then 'assistant' "
             "else role end as role, text, tool, lsn "

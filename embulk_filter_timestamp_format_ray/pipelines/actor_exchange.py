@@ -183,7 +183,8 @@ def apply_with_actor_exchange(pipeline, events_ds) -> dict:
         "last_txn": txn_id,
         "schema_columns": ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"],
     }
-    mf.commit_manifest(pipeline.lake_dir, new_manifest)
+    mf.commit_manifest(pipeline.lake_dir, new_manifest,
+                       retain_history=pipeline.time_travel_retain)
     if pipeline.auto_gc:
         mf.gc_orphan_txns(pipeline.lake_dir, keep_txns={txn_id})
     return {"txn": txn_id, "version": new_manifest["version"],

@@ -368,7 +368,8 @@ class CDCPipeline:
                  auto_gc: bool = True, wire_encode: bool = False,
                  partition_mode: str = "turn",
                  salt_keys: "frozenset[str] | None" = None,
-                 salt_factor: int = 8):
+                 salt_factor: int = 8,
+                 time_travel_retain: int = mf.DEFAULT_RETAIN_HISTORY):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.epoch_specs = epoch_specs
@@ -378,9 +379,11 @@ class CDCPipeline:
         # once per task closure — set e.g. (2, 8) to pin a pool
         self.normalize_concurrency = normalize_concurrency
         # bound disk across long micro-batch streams: after each commit,
-        # remove txn files the new manifest no longer references (safe: the
-        # swap already happened; no time travel is promised)
+        # remove txn files neither the new manifest nor any RETAINED history
+        # snapshot references (time travel stays readable within the
+        # time_travel_retain window; see state/manifest.py)
         self.auto_gc = auto_gc
+        self.time_travel_retain = time_travel_retain
         self.wire_encode = wire_encode
         # "turn": pid = hash(conv_id, turn_idx) — skew-free by construction,
         #   but conversation lookups scan all partitions.
@@ -523,7 +526,8 @@ class CDCPipeline:
             "last_txn": txn_id,
             "schema_columns": LAKE_COLUMNS,
         }
-        mf.commit_manifest(self.lake_dir, new_manifest)
+        mf.commit_manifest(self.lake_dir, new_manifest,
+                           retain_history=self.time_travel_retain)
         if self.auto_gc:
             mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
         return {
@@ -599,7 +603,8 @@ class CDCPipeline:
             "last_txn": txn_id,
             "schema_columns": LAKE_COLUMNS,
         }
-        mf.commit_manifest(self.lake_dir, new_manifest)
+        mf.commit_manifest(self.lake_dir, new_manifest,
+                           retain_history=self.time_travel_retain)
         if self.auto_gc:
             mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
         return {"txn": txn_id, "version": new_manifest["version"],
@@ -622,9 +627,23 @@ class CDCPipeline:
 
     def read_lake(self):
         """Committed lake state as a streaming Dataset (manifest-scoped)."""
+        return self._manifest_dataset(mf.read_manifest(self.lake_dir))
+
+    def read_lake_at(self, version: int):
+        """Time travel: the lake as of manifest ``version`` (Delta-style
+        VERSION AS OF).  Readable for the current version and any retained
+        history snapshot (``time_travel_retain`` bounds the window; GC keeps
+        every snapshot-referenced txn file alive — state/manifest.py)."""
+        return self._manifest_dataset(
+            mf.read_manifest_at(self.lake_dir, version))
+
+    def versions(self) -> "list[int]":
+        """Manifest versions currently readable via ``read_lake_at``."""
+        return mf.list_versions(self.lake_dir)
+
+    def _manifest_dataset(self, manifest: "dict"):
         import ray.data
 
-        manifest = mf.read_manifest(self.lake_dir)
         files = [os.path.join(self.lake_dir, p) for p in mf.data_files(manifest)]
         if not files:
             schema = pa.schema([

@@ -15,6 +15,13 @@ lineage list of (txn, events_applied) entries.  A crash before the swap
 leaves orphan txn files that are never referenced — the previous manifest
 stays the authoritative state, so restart simply re-applies from the old
 watermarks (exactly-once at the table level under at-least-once execution).
+
+Time travel: each commit also snapshots the manifest under
+``history/manifest-v{N}.json`` and prunes snapshots older than
+``retain_history`` versions.  ``read_manifest_at`` resolves a historical
+version; ``gc_orphan_txns`` treats every data file referenced by a RETAINED
+snapshot as live, so a snapshot within the retention window is always
+readable (Delta-Lake-style VERSION AS OF, bounded by retention).
 """
 
 from __future__ import annotations
@@ -24,6 +31,8 @@ import os
 from typing import Any
 
 MANIFEST_NAME = "manifest.json"
+HISTORY_DIR = "history"
+DEFAULT_RETAIN_HISTORY = 8
 
 
 def lake_paths(lake_dir: str) -> str:
@@ -39,16 +48,88 @@ def read_manifest(lake_dir: str) -> "dict[str, Any]":
         return json.load(f)
 
 
-def commit_manifest(lake_dir: str, manifest: "dict[str, Any]") -> None:
-    """Atomic swap: write sidecar then os.replace (POSIX atomic rename)."""
-    os.makedirs(lake_dir, exist_ok=True)
-    path = lake_paths(lake_dir)
+def _atomic_write_json(path: str, obj: "dict[str, Any]") -> None:
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+        json.dump(obj, f, indent=1, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+def _history_path(lake_dir: str, version: int) -> str:
+    return os.path.join(lake_dir, HISTORY_DIR, f"manifest-v{version:08d}.json")
+
+
+def commit_manifest(lake_dir: str, manifest: "dict[str, Any]",
+                    retain_history: int = DEFAULT_RETAIN_HISTORY) -> None:
+    """Atomic swap (write sidecar then POSIX os.replace), then snapshot the
+    committed manifest into ``history/`` and prune snapshots older than
+    ``retain_history`` versions.  The snapshot happens AFTER the swap: a
+    crash in between loses only the newest snapshot, and ``read_manifest_at``
+    serves the current version from ``manifest.json`` itself."""
+    os.makedirs(lake_dir, exist_ok=True)
+    _atomic_write_json(lake_paths(lake_dir), manifest)
+    version = int(manifest.get("version", 0))
+    os.makedirs(os.path.join(lake_dir, HISTORY_DIR), exist_ok=True)
+    _atomic_write_json(_history_path(lake_dir, version), manifest)
+    floor = version - max(int(retain_history), 1) + 1
+    for hv in list_versions(lake_dir):
+        if hv < floor:
+            try:
+                os.unlink(_history_path(lake_dir, hv))
+            except OSError:  # pragma: no cover - already gone
+                pass
+
+
+def list_versions(lake_dir: str) -> "list[int]":
+    """Versions readable via ``read_manifest_at`` (retained snapshots plus
+    the current manifest), ascending."""
+    versions = set()
+    hist = os.path.join(lake_dir, HISTORY_DIR)
+    if os.path.isdir(hist):
+        for name in os.listdir(hist):
+            if name.startswith("manifest-v") and name.endswith(".json"):
+                try:
+                    versions.add(int(name[len("manifest-v"):-len(".json")]))
+                except ValueError:
+                    continue
+    current = read_manifest(lake_dir).get("version", 0)
+    if current:
+        versions.add(current)
+    return sorted(versions)
+
+
+def read_manifest_at(lake_dir: str, version: int) -> "dict[str, Any]":
+    """Manifest as of ``version`` (time travel).  The current version reads
+    ``manifest.json`` directly; older ones come from retained snapshots."""
+    current = read_manifest(lake_dir)
+    if int(version) == int(current.get("version", 0)):
+        return current
+    path = _history_path(lake_dir, int(version))
+    if not os.path.exists(path):
+        raise ValueError(
+            f"lake {lake_dir!r} has no retained snapshot for version "
+            f"{version}; available versions: {list_versions(lake_dir)} "
+            f"(older snapshots are pruned by the retain_history policy)")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _history_manifests(lake_dir: str) -> "list[dict[str, Any]]":
+    hist = os.path.join(lake_dir, HISTORY_DIR)
+    out = []
+    if not os.path.isdir(hist):
+        return out
+    for name in sorted(os.listdir(hist)):
+        if not (name.startswith("manifest-v") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(hist, name)) as f:
+                out.append(json.load(f))
+        except (OSError, json.JSONDecodeError):  # pragma: no cover
+            continue
+    return out
 
 
 def partition_watermark(manifest: "dict[str, Any]", pid: int) -> int:
@@ -69,11 +150,15 @@ def data_files(manifest: "dict[str, Any]") -> "list[str]":
 
 
 def gc_orphan_txns(lake_dir: str, keep_txns: "set[str]") -> "list[str]":
-    """Remove txn dirs not referenced by the committed manifest (safe: the
-    manifest is the commit point). Returns removed dir names."""
+    """Remove txn dirs not referenced by the committed manifest OR any
+    retained history snapshot (so time travel within the retention window
+    survives GC). Returns removed dir names."""
     removed = []
     manifest = read_manifest(lake_dir)
     live = {os.path.join(lake_dir, os.path.dirname(p)) for p in data_files(manifest)}
+    for hist in _history_manifests(lake_dir):
+        live |= {os.path.join(lake_dir, os.path.dirname(p))
+                 for p in data_files(hist)}
     live |= {os.path.join(lake_dir, t) for t in keep_txns}
     if not os.path.isdir(lake_dir):
         return removed

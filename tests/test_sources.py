@@ -33,6 +33,8 @@ def test_csv_declared_schema_through_stage(ray_session, tmp_path):
     )
     out = ds.map_batches(TimestampFormatStage(task), batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
+    # block order out of to_pandas() is not deterministic — sort by value
+    out = out.sort_values("s2").reset_index(drop=True)
     assert list(out["s1"]) == ["2015-07-13 00:00:00.000000000",
                                "2015-07-13 00:00:00.123456789"]
     assert list(out["s2"]) == [1436716800000, 1436716800123]
@@ -61,6 +63,7 @@ def test_jsonl_nested_through_stage(ray_session, tmp_path):
     ds = read_jsonl(str(p))
     out = ds.map_batches(TimestampFormatStage(task), batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
+    out = out.sort_values("timestamp").reset_index(drop=True)
     assert list(out["timestamp"]) == [1436713200000, 1436713200100]
     nested = [n["timestamp"] for n in out["nested"]]
     assert nested == ["2015-07-13 00:00:00.000000000",
@@ -116,7 +119,9 @@ def test_auto_gc_bounds_disk(ray_session, tmp_path):
     )
 
     lake = str(tmp_path / "lake")
-    pipe = CDCPipeline(lake, num_partitions=4, auto_gc=True)
+    # retain only the current version so GC reclaims every superseded txn
+    pipe = CDCPipeline(lake, num_partitions=4, auto_gc=True,
+                       time_travel_retain=1)
     full = expected_event_table(900)
     for i in range(3):
         pipe.apply(ray.data.from_arrow(full.slice(i * 300, 300)))
