@@ -352,6 +352,36 @@ def q_agg_q1(sf_dir: str):
     return out.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_rollup_sales(sf_dir: str):
+    """GROUP BY ROLLUP over orders: totals at (status, priority), (status),
+    and grand-total levels in ONE input scan (each coarser level folds the
+    previous level's already-tiny aggregate rows —
+    stages/relational.py rollup_aggregate).  Prices become integer cents
+    BEFORE summation so every level's total is associative and replays
+    bit-for-bit in DuckDB (DESIGN #17/#20)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        rollup_aggregate,
+    )
+
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            b.column("o_totalprice"), 100.0), 0.5)), pa.int64())
+        return pa.table({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": cents,
+        })
+
+    return rollup_aggregate(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderstatus", "o_orderpriority"],
+        aggs={"n_orders": ("cents", "count"),
+              "total_x100": ("cents", "sum")})
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: every event picks up the value of its user's latest
     'snapshot' event (event_id % 97 == 0) at or before its timestamp."""
@@ -1557,6 +1587,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_time_travel": q_cdc_time_travel,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
+        "rollup_sales": q_rollup_sales,
         "asof_join": q_asof_join,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
@@ -1725,6 +1756,21 @@ def oracle_sql() -> "dict[str, str]":
             "floor(sum(l_extendedprice) * 100 + 0.5) / 100 as sum_base_price, "
             "count(*) as count_order "
             "from lineitem group by l_returnflag, l_linestatus",
+        # ROLLUP replay: integer-cents sums are associative, so each level
+        # is an exact UNION ALL; lvl = number of active keys (2/1/0)
+        "rollup_sales":
+            "with base as (select o_orderstatus, o_orderpriority, "
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents "
+            "from orders) "
+            "select o_orderstatus, o_orderpriority, 2::bigint as lvl, "
+            "count(*)::bigint as n_orders, sum(cents)::bigint as total_x100 "
+            "from base group by o_orderstatus, o_orderpriority "
+            "union all "
+            "select o_orderstatus, null, 1::bigint, count(*)::bigint, "
+            "sum(cents)::bigint from base group by o_orderstatus "
+            "union all "
+            "select null, null, 0::bigint, count(*)::bigint, "
+            "sum(cents)::bigint from base",
         "asof_join":
             "select e.event_id, "
             "cast(floor(s.value * 100 + 0.5) as bigint) as value_asof_x100 "

@@ -140,7 +140,20 @@ def run_queries(sf_dir: str) -> dict:
              "dataset_split", "dequantize_roundtrip"]
     qs = entry.queries()
     out = {}
-    for name in picks:
+    # Recycle the Ray session every N queries: a long single session
+    # accumulates worker-heap growth/fragmentation that taxes later rows
+    # 2-7x on page-fault-sensitive hosts (measured: quartile_by_lang 26 s at
+    # sweep position ~27 vs 3.5 s fresh, identical code/host).  Recycling
+    # keeps each row's time about the OPERATOR, not the session's age.
+    recycle_every = int(os.environ.get("GRAFT_BENCH_RECYCLE", "12"))
+    import ray
+
+    for i, name in enumerate(picks):
+        if i and recycle_every and i % recycle_every == 0:
+            ray.shutdown()
+            ray.init(address="local", num_cpus=NUM_CPUS,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume the stream (no driver materialization beyond a count)

@@ -147,6 +147,70 @@ def grouped_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]",
     return ds.groupby("_shard").map_groups(combine, batch_format="pyarrow")
 
 
+def rollup_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]",
+                     lvl_col: str = "lvl", shards: "int | None" = None):
+    """SQL GROUP BY ROLLUP: aggregates at every key prefix level —
+    (k1..kn), (k1..kn-1), …, grand total — in ONE pass over the data.
+
+    The finest level is a distributed ``grouped_aggregate``; each coarser
+    level then folds the PREVIOUS level's already-aggregated rows (group
+    counts, not input rows — associative sum/count→sum/min/max merges), so
+    the input dataset is scanned exactly once regardless of depth.  Rolled-
+    away key columns are NULL (SQL ROLLUP convention) and ``lvl_col`` holds
+    the number of active keys (n .. 0, the GROUPING-function analog), which
+    disambiguates rollup NULLs from genuine NULL key values.
+
+    aggs fns: sum/count/min/max.  avg is deliberately absent — roll up
+    sum+count and divide at the edge (non-associative otherwise)."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup_aggregate needs at least one key")
+    # key dtypes for typed NULL padding at coarser levels (schema() is
+    # metadata for parquet-backed datasets, not an execution)
+    schema = ds.schema()
+    key_types = {k: schema.base_schema.field(k).type
+                 if hasattr(schema, "base_schema") else schema.field(k).type
+                 for k in keys}
+    # how each level's outputs merge into the next-coarser level
+    merge_aggs = {out: (out, "sum" if fn in ("sum", "count") else fn)
+                  for out, (_, fn) in aggs.items()}
+
+    def leveled(level_ds, active: "list[str]", lvl: int):
+        def pad(b: pa.Table) -> pa.Table:
+            cols = {k: (b.column(k) if k in active
+                        else pa.nulls(b.num_rows, key_types[k]))
+                    for k in keys}
+            cols[lvl_col] = pa.array(np.full(b.num_rows, lvl, dtype=np.int64))
+            for out in aggs:
+                cols[out] = b.column(out)
+            return pa.table(cols)
+
+        return level_ds.map_batches(pad, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    finest = grouped_aggregate(ds, keys, aggs, shards=shards)
+    out = leveled(finest, keys, len(keys))
+    prev = finest
+    for i in range(len(keys) - 1, -1, -1):
+        active = keys[:i]
+        if active:
+            prev = grouped_aggregate(prev, active, merge_aggs, shards=shards)
+        else:
+            # grand total: constant-key aggregate, then drop the key
+            def add_all(b: pa.Table) -> pa.Table:
+                return b.append_column("_all", pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64)))
+
+            prev = grouped_aggregate(
+                prev.map_batches(add_all, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                ["_all"], merge_aggs, shards=1,
+            ).map_batches(lambda b: b.drop_columns(["_all"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+        out = out.union(leveled(prev, active, i))
+    return out
+
+
 def _same_as_prev_row(tbl: pa.Table, keys: "list[str]") -> np.ndarray:
     """Boolean mask (len n): row i has the same key tuple as row i-1
     (tbl must already be sorted by keys).  mask[0] is always False."""

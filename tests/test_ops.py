@@ -858,3 +858,68 @@ def test_shuffle_semi_anti_join(ray_session):
     # null left keys: dropped by semi, kept by anti
     anti = shuffle_join(left, right, on="k", how="anti").to_pandas()
     assert anti["k"].isna().sum() == left_tbl.column("k").null_count
+
+
+def test_rollup_aggregate(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        rollup_aggregate,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y", "z"], n)),
+        "b": pa.array(rng.randint(0, 5, n), pa.int64()),
+        "v": pa.array(rng.randint(0, 1000, n), pa.int64()),
+    })
+    out = rollup_aggregate(
+        ray.data.from_arrow(t).repartition(7), ["a", "b"],
+        {"total": ("v", "sum"), "n": ("v", "count"),
+         "vmax": ("v", "max")}).to_pandas()
+    df = t.to_pandas()
+
+    def expect(group_cols):
+        if group_cols:
+            g = df.groupby(group_cols)["v"].agg(["sum", "count", "max"])
+            return g.reset_index()
+        return pd.DataFrame({"sum": [df.v.sum()], "count": [len(df)],
+                             "max": [df.v.max()]})
+
+    # finest level
+    lvl2 = out[out.lvl == 2].sort_values(["a", "b"]).reset_index(drop=True)
+    want2 = expect(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    assert (lvl2.total.values == want2["sum"].values).all()
+    assert (lvl2.n.values == want2["count"].values).all()
+    assert (lvl2.vmax.values == want2["max"].values).all()
+    assert lvl2.b.notna().all() and lvl2.a.notna().all()
+    # middle level: b rolled away → NULL
+    lvl1 = out[out.lvl == 1].sort_values("a").reset_index(drop=True)
+    want1 = expect(["a"]).sort_values("a").reset_index(drop=True)
+    assert lvl1.b.isna().all()
+    assert (lvl1.total.values == want1["sum"].values).all()
+    assert (lvl1.vmax.values == want1["max"].values).all()
+    # grand total
+    lvl0 = out[out.lvl == 0]
+    assert len(lvl0) == 1
+    assert lvl0.a.isna().all() and lvl0.b.isna().all()
+    assert int(lvl0.total.iloc[0]) == int(df.v.sum())
+    assert int(lvl0.n.iloc[0]) == n
+
+
+def test_rollup_single_key_and_errors(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        rollup_aggregate,
+    )
+
+    t = pa.table({"k": ["p", "q", "p"], "v": [1, 2, 4]})
+    out = rollup_aggregate(ray.data.from_arrow(t), ["k"],
+                           {"s": ("v", "sum")}).to_pandas()
+    assert set(out.lvl) == {0, 1}
+    assert int(out[out.lvl == 0].s.iloc[0]) == 7
+    with pytest.raises(ValueError, match="at least one key"):
+        rollup_aggregate(ray.data.from_arrow(t), [], {"s": ("v", "sum")})
