@@ -34,6 +34,30 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "8000000"))
 
 
+
+def _ray_init_kwargs() -> dict:
+    """Shared ray.init kwargs.
+
+    GRAFT_OBJ_STORE_GB (default 20) bounds the plasma store well below
+    Ray's ~30%-of-RAM default.  Measured on the 64M sustained run (same
+    host window, same code, byte-identical events_applied): 20 GB store
+    2.27-2.64M ev/s vs default-store 0.75-1.66M ev/s.  A bounded arena
+    recycles already-faulted pages instead of continuously faulting fresh
+    ones across a 38 GB mapping — on virtualized page-fault-taxed hosts
+    that's a ~1.4-2.8x sustained-throughput swing.  Set it empty
+    (GRAFT_OBJ_STORE_GB=) to fall back to Ray's default sizing.
+    RAY_preallocate_plasma_memory=1 also works WITH the bound (pays the
+    fault tax up front) but times out raylet startup with the unbounded
+    default arena."""
+    kwargs = dict(address="local", num_cpus=NUM_CPUS,
+                  include_dashboard=False, ignore_reinit_error=True,
+                  logging_level="ERROR")
+    obj_gb = os.environ.get("GRAFT_OBJ_STORE_GB", "20")
+    if obj_gb:
+        kwargs["object_store_memory"] = int(float(obj_gb) * 1024**3)
+    return kwargs
+
+
 def _events_parquet(num_events: int, num_cpus: int) -> str:
     """Materialize the synthetic binlog ONCE (untimed input preparation)."""
     path = os.path.join(tempfile.gettempdir(), f"graft_bench_events_{num_events}")
@@ -151,9 +175,7 @@ def run_queries(sf_dir: str) -> dict:
     for i, name in enumerate(picks):
         if i and recycle_every and i % recycle_every == 0:
             ray.shutdown()
-            ray.init(address="local", num_cpus=NUM_CPUS,
-                     include_dashboard=False, ignore_reinit_error=True,
-                     logging_level="ERROR")
+            ray.init(**_ray_init_kwargs())
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume the stream (no driver materialization beyond a count)
@@ -301,8 +323,7 @@ def main() -> None:
 
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+    ray.init(**_ray_init_kwargs())
     try:
         headline = run_headline(NUM_CPUS)
         queries: dict = {"cdc_headline": round(headline["sec"], 3)}

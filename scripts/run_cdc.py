@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--view", action="store_true",
                     help="maintain the incremental per-conversation stats "
                          "view after each micro-batch (<lake>_view)")
+    ap.add_argument("--at-version", type=int, default=None,
+                    help="read-only: report row count + retained versions of "
+                         "the lake AS OF this manifest version, apply nothing")
     args = ap.parse_args()
 
     import ray
@@ -44,6 +47,13 @@ def main() -> None:
         from embulk_filter_timestamp_format_ray.sources.changegen import change_events
 
         pipe = CDCPipeline(args.lake, num_partitions=args.partitions)
+        if args.at_version is not None:
+            snap = pipe.read_lake_at(args.at_version)
+            print(json.dumps({
+                "lake": args.lake, "at_version": args.at_version,
+                "rows": snap.count(), "versions": pipe.versions(),
+            }))
+            return
         view = None
         view_refreshes = []
         if args.view:
