@@ -461,6 +461,21 @@ def q_sliding_window(sf_dir: str):
     return out.map_batches(stabilise, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_top_p_sources(sf_dir: str):
+    """Nucleus-style corpus curation: per source, keep the minimal head of
+    documents (by n_chars desc, doc_id asc) covering 80% of the source's
+    character mass — integer threshold compare, one hash-shard shuffle
+    (stages/sampling.py top_p_by_group)."""
+    from embulk_filter_timestamp_format_ray.stages.sampling import (
+        top_p_by_group,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "source", "n_chars"])
+    return top_p_by_group(ds, group_col="source", weight_col="n_chars",
+                          id_col="doc_id", p_permille=800)
+
+
 def q_sample_mod(sf_dir: str):
     """Deterministic pruning filter (pushdown-style row sampling)."""
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
@@ -1592,6 +1607,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "sample_mod": q_sample_mod,
+        "top_p_sources": q_top_p_sources,
         "stratified_sample": q_stratified_sample,
         "mix_corpora": q_mix_corpora,
         "sessionize": q_sessionize,
@@ -1794,6 +1810,18 @@ def oracle_sql() -> "dict[str, str]":
             "from w where es < ws_sec + 3600 group by user_id, ws_sec",
         "sample_mod":
             "select doc_id, n_chars from documents where doc_id % 8 = 0",
+        # nucleus coverage replay: keep a row iff the cumulative mass BEFORE
+        # it (weight desc, id asc within source) is short of 80% of the
+        # source total — integer compare, no float thresholds
+        "top_p_sources":
+            "with w as (select doc_id, source, n_chars, "
+            "sum(n_chars) over (partition by source "
+            "order by n_chars desc, doc_id asc "
+            "rows between unbounded preceding and current row) - n_chars "
+            "as cum_before, "
+            "sum(n_chars) over (partition by source) as tot from documents) "
+            "select doc_id, source, n_chars from w "
+            "where 1000 * cum_before < 800 * tot",
         "stratified_sample":
             "select doc_id, source from documents where "
             "(source = 'src0') or (source = 'src1' and doc_id % 2 = 0) or "

@@ -110,3 +110,53 @@ def assign_split(ds, id_col: str = "doc_id", train_pct: int = 80,
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def top_p_by_group(ds, group_col: str, weight_col: str, id_col: str,
+                   p_permille: int):
+    """Nucleus-style coverage filter: per group, keep the minimal head of
+    rows — ordered (weight desc, id asc) — whose cumulative weight reaches
+    ``p_permille``/1000 of the group's total.  A row survives iff the
+    cumulative weight BEFORE it is still short of the threshold, so the
+    crossing row is kept.  Integer arithmetic end-to-end
+    (``1000*cum_before < p_permille*total``) — replays bit-for-bit in SQL
+    window functions (DESIGN #20).
+
+    One hash-shard shuffle; each shard sorts once and derives per-group
+    prefix sums and totals with segment vectorization — no per-group
+    callbacks.  The corpus-curation use: keep the documents covering p of
+    each source's character/token mass, dropping the long tail."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        _same_as_prev_row,
+        _with_key_shard,
+        warn_large_key_group,
+    )
+
+    if not 0 < p_permille <= 1000:
+        raise ValueError("p_permille must be in (0, 1000]")
+
+    def filter_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        if g.num_rows == 0:
+            return g
+        warn_large_key_group(g.num_rows, "top_p_by_group", "shard")
+        order = pc.sort_indices(g, sort_keys=[
+            (group_col, "ascending"), (weight_col, "descending"),
+            (id_col, "ascending")])
+        s = g.take(order)
+        w = np.asarray(s.column(weight_col).combine_chunks().cast(pa.int64()))
+        key_start = ~_same_as_prev_row(s, [group_col])
+        key_ids = np.cumsum(key_start) - 1
+        cum = np.cumsum(w)
+        before = cum - w
+        start_idx = np.nonzero(key_start)[0]
+        base = before[start_idx]                       # global cum at group start
+        cum_before = before - base[key_ids]
+        ends = np.r_[start_idx[1:] - 1, len(w) - 1]
+        totals = cum[ends] - base                      # per-group weight total
+        keep = 1000 * cum_before < p_permille * totals[key_ids]
+        return s.filter(pa.array(keep))
+
+    ds = _with_key_shard(ds, [group_col])
+    return ds.groupby("_shard").map_groups(filter_shard,
+                                           batch_format="pyarrow")

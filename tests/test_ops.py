@@ -923,3 +923,39 @@ def test_rollup_single_key_and_errors(ray_session):
     assert int(out[out.lvl == 0].s.iloc[0]) == 7
     with pytest.raises(ValueError, match="at least one key"):
         rollup_aggregate(ray.data.from_arrow(t), [], {"s": ("v", "sum")})
+
+
+def test_top_p_by_group(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.sampling import (
+        top_p_by_group,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "g": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        "w": pa.array(rng.randint(0, 500, n), pa.int64()),
+    })
+    out = top_p_by_group(ray.data.from_arrow(t).repartition(9),
+                         "g", "w", "id", 700).to_pandas()
+    # naive spec: per group, sorted (w desc, id asc), keep while
+    # 1000*cum_before < 700*total
+    df = t.to_pandas()
+    keep_ids = []
+    for g, part in df.groupby("g"):
+        part = part.sort_values(["w", "id"], ascending=[False, True])
+        tot = int(part.w.sum())
+        cum = 0
+        for _, row in part.iterrows():
+            if 1000 * cum < 700 * tot:
+                keep_ids.append(int(row.id))
+            cum += int(row.w)
+    assert sorted(out.id) == sorted(keep_ids)
+    # crossing row is kept: each group's coverage is >= 70%
+    m = out.groupby("g").w.sum() / df.groupby("g").w.sum()
+    assert (m >= 0.7).all()
+    with pytest.raises(ValueError, match="p_permille"):
+        top_p_by_group(ray.data.from_arrow(t), "g", "w", "id", 0)
