@@ -184,7 +184,8 @@ def apply_with_actor_exchange(pipeline, events_ds) -> dict:
         "schema_columns": ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"],
     }
     mf.commit_manifest(pipeline.lake_dir, new_manifest,
-                       retain_history=pipeline.time_travel_retain)
+                       retain_history=pipeline.time_travel_retain,
+                       expected_version=manifest["version"])
     if pipeline.auto_gc:
         mf.gc_orphan_txns(pipeline.lake_dir, keep_txns={txn_id})
     return {"txn": txn_id, "version": new_manifest["version"],

@@ -398,6 +398,8 @@ class CDCPipeline:
         # partition-local while the hot conv's traffic spreads
         self.salt_keys = salt_keys
         self.salt_factor = salt_factor
+        # test seam: called between merge and commit (OCC interleaving tests)
+        self._pre_commit_hook = None
 
     # ---------------------------------------------- partition-layout safety
     #
@@ -444,20 +446,40 @@ class CDCPipeline:
         manifest = mf.read_manifest(self.lake_dir)
         return mf.min_watermark(manifest, self.num_partitions)
 
-    def apply(self, events_ds, exchange: str = "dataset") -> "dict":
+    def apply(self, events_ds, exchange: str = "dataset",
+              max_commit_retries: int = 2) -> "dict":
         """Apply a change-event Dataset; returns commit stats.
 
         exchange="dataset" (default): Ray Data sort-shuffle groupby — spills
         via the object store, safe at any scale.  exchange="actor": raw-actor
         push exchange (pipelines/actor_exchange.py) — measured ~1.6x faster
         at low parallelism on this box, but buffers deltas in actor heaps
-        (no spill), so it suits bounded micro-batches only."""
-        if exchange == "actor":
-            from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
-                apply_with_actor_exchange,
-            )
+        (no spill), so it suits bounded micro-batches only.
 
-            return apply_with_actor_exchange(self, events_ds)
+        Concurrent writers (active-active tailers, failover overlap) are
+        safe: the commit is optimistic (state/manifest.py CommitConflict) —
+        on conflict the WHOLE apply retries against the fresh manifest, and
+        the LSN watermarks prune whatever the winning writer already
+        committed, so redundant applies of the same micro-batch converge to
+        exactly-once (the loser commits a no-op txn)."""
+        for attempt in range(max_commit_retries + 1):
+            try:
+                if exchange == "actor":
+                    from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
+                        apply_with_actor_exchange,
+                    )
+
+                    return apply_with_actor_exchange(self, events_ds)
+                return self._apply_dataset(events_ds)
+            except mf.CommitConflict:
+                if attempt == max_commit_retries:
+                    raise
+                logger.warning(
+                    "concurrent commit beat us on %s; retrying apply "
+                    "(%d/%d) — watermarks dedup the winner's events",
+                    self.lake_dir, attempt + 1, max_commit_retries)
+
+    def _apply_dataset(self, events_ds) -> "dict":
         manifest = mf.read_manifest(self.lake_dir)
         self.check_manifest_compat(manifest)
         low = mf.min_watermark(manifest, self.num_partitions)
@@ -526,8 +548,11 @@ class CDCPipeline:
             "last_txn": txn_id,
             "schema_columns": LAKE_COLUMNS,
         }
+        if self._pre_commit_hook is not None:
+            self._pre_commit_hook()  # test seam: interleave a competing commit
         mf.commit_manifest(self.lake_dir, new_manifest,
-                           retain_history=self.time_travel_retain)
+                           retain_history=self.time_travel_retain,
+                           expected_version=manifest["version"])
         if self.auto_gc:
             mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
         return {
@@ -603,8 +628,11 @@ class CDCPipeline:
             "last_txn": txn_id,
             "schema_columns": LAKE_COLUMNS,
         }
+        # OCC: a writer that committed mid-repartition invalidates the
+        # rewrite (it rewrote the OLD layout's files) — surface the conflict
         mf.commit_manifest(self.lake_dir, new_manifest,
-                           retain_history=self.time_travel_retain)
+                           retain_history=self.time_travel_retain,
+                           expected_version=manifest["version"])
         if self.auto_gc:
             mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
         return {"txn": txn_id, "version": new_manifest["version"],

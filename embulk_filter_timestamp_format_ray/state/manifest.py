@@ -33,6 +33,14 @@ from typing import Any
 MANIFEST_NAME = "manifest.json"
 HISTORY_DIR = "history"
 DEFAULT_RETAIN_HISTORY = 8
+LOCK_NAME = ".commit.lock"
+
+
+class CommitConflict(Exception):
+    """The manifest advanced between this writer's read and its commit —
+    a concurrent writer won the race.  The apply is safe to RETRY whole:
+    LSN watermarks dedup anything the winner already committed, so the
+    retry applies only the remainder (exactly-once is preserved)."""
 
 
 def lake_paths(lake_dir: str) -> str:
@@ -62,24 +70,48 @@ def _history_path(lake_dir: str, version: int) -> str:
 
 
 def commit_manifest(lake_dir: str, manifest: "dict[str, Any]",
-                    retain_history: int = DEFAULT_RETAIN_HISTORY) -> None:
+                    retain_history: int = DEFAULT_RETAIN_HISTORY,
+                    expected_version: "int | None" = None) -> None:
     """Atomic swap (write sidecar then POSIX os.replace), then snapshot the
     committed manifest into ``history/`` and prune snapshots older than
     ``retain_history`` versions.  The snapshot happens AFTER the swap: a
     crash in between loses only the newest snapshot, and ``read_manifest_at``
-    serves the current version from ``manifest.json`` itself."""
+    serves the current version from ``manifest.json`` itself.
+
+    ``expected_version`` enables optimistic concurrency for multiple
+    writers: under an exclusive flock on ``.commit.lock``, the current
+    manifest version is re-read and the commit raises :class:`CommitConflict`
+    if it no longer matches — i.e. a concurrent writer committed first.
+    The read-merge-commit cycle then retries from the fresh manifest
+    (idempotent under LSN watermarks).  ``None`` keeps the single-writer
+    fast path (no version check; the lock still serializes the swap)."""
     os.makedirs(lake_dir, exist_ok=True)
-    _atomic_write_json(lake_paths(lake_dir), manifest)
-    version = int(manifest.get("version", 0))
-    os.makedirs(os.path.join(lake_dir, HISTORY_DIR), exist_ok=True)
-    _atomic_write_json(_history_path(lake_dir, version), manifest)
-    floor = version - max(int(retain_history), 1) + 1
-    for hv in list_versions(lake_dir):
-        if hv < floor:
-            try:
-                os.unlink(_history_path(lake_dir, hv))
-            except OSError:  # pragma: no cover - already gone
-                pass
+    with open(os.path.join(lake_dir, LOCK_NAME), "w") as lock:
+        try:
+            import fcntl
+
+            fcntl.flock(lock, fcntl.LOCK_EX)
+        except ImportError:  # pragma: no cover - non-POSIX fallback
+            pass
+        if expected_version is not None:
+            current = int(read_manifest(lake_dir).get("version", 0))
+            if current != int(expected_version):
+                raise CommitConflict(
+                    f"lake {lake_dir!r} is at version {current}, but this "
+                    f"writer merged against version {expected_version}; a "
+                    f"concurrent writer committed first — retry the apply "
+                    f"(watermarks dedup already-committed events)")
+        _atomic_write_json(lake_paths(lake_dir), manifest)
+        version = int(manifest.get("version", 0))
+        os.makedirs(os.path.join(lake_dir, HISTORY_DIR), exist_ok=True)
+        _atomic_write_json(_history_path(lake_dir, version), manifest)
+        floor = version - max(int(retain_history), 1) + 1
+        for hv in list_versions(lake_dir):
+            if hv < floor:
+                try:
+                    os.unlink(_history_path(lake_dir, hv))
+                except OSError:  # pragma: no cover - already gone
+                    pass
 
 
 def list_versions(lake_dir: str) -> "list[int]":
