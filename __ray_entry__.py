@@ -220,6 +220,30 @@ def q_cdc_time_travel(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_changefeed(sf_dir: str):
+    """Change Data Feed between two lake versions: the two-chunk apply
+    (lsn < 10_000, then the rest) commits versions 1 and 2; lake_changes
+    diffs only the partitions whose data files changed (manifest diff) via
+    one key-shard exchange + a vectorized sorted run-compare — emitting
+    insert/update/delete rows with post-image lsn (pre-image for deletes).
+    Oracle: FULL OUTER JOIN of the lsn-prefix fold against the full fold."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_cf_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    ev = change_events(20_000, seed=42, parallelism=16)
+    cut = pa.scalar(10_000, pa.int64())
+    pipe.apply(ev.map_batches(
+        lambda b: b.filter(pc.less(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    pipe.apply(ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    return pipe.lake_changes(1, 2)
+
+
 def q_assemble_transcripts(sf_dir: str):
     """Lake → corpus bridge: replay the CDC stream, then assemble each
     conversation's turns into one ordered transcript document
@@ -1600,6 +1624,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_changefeed": q_cdc_changefeed,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
@@ -1754,6 +1779,29 @@ def oracle_sql() -> "dict[str, str]":
             "case role when 'human' then 'user' when 'ai' then 'assistant' "
             "else role end as role, text, tool, lsn "
             "from ranked where rn = 1 and op <> 'delete'",
+        # CDF replay: diff of the two prefix folds; a key present in one
+        # fold only is an insert/delete, differing lsn is an update, equal
+        # lsn (rewrite survivor) emits nothing
+        "cdc_changefeed":
+            "with ev as (select * from "
+            f"read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "r1 as (select *, row_number() over (partition by conv_id, "
+            "turn_idx order by lsn desc) as rn from ev where lsn < 10000), "
+            "f1 as (select conv_id, turn_idx, lsn from r1 "
+            "where rn = 1 and op <> 'delete'), "
+            "r2 as (select *, row_number() over (partition by conv_id, "
+            "turn_idx order by lsn desc) as rn from ev), "
+            "f2 as (select conv_id, turn_idx, lsn from r2 "
+            "where rn = 1 and op <> 'delete') "
+            "select coalesce(f2.conv_id, f1.conv_id) as conv_id, "
+            "coalesce(f2.turn_idx, f1.turn_idx) as turn_idx, "
+            "case when f1.lsn is null then 'insert' "
+            "when f2.lsn is null then 'delete' else 'update' end "
+            "as change_type, "
+            "coalesce(f2.lsn, f1.lsn) as lsn "
+            "from f1 full outer join f2 on f1.conv_id = f2.conv_id "
+            "and f1.turn_idx = f2.turn_idx "
+            "where f1.lsn is null or f2.lsn is null or f1.lsn <> f2.lsn",
         "assemble_transcripts":
             "with ranked as (select *, row_number() over "
             "(partition by conv_id, turn_idx order by lsn desc) as rn "

@@ -669,6 +669,105 @@ class CDCPipeline:
         """Manifest versions currently readable via ``read_lake_at``."""
         return mf.list_versions(self.lake_dir)
 
+    def lake_changes(self, v_from: int, v_to: int):
+        """Change Data Feed: one row per key whose state differs between two
+        retained versions — ``change_type`` ∈ insert/update/delete, ``lsn``
+        is the post-image lsn (pre-image for deletes).
+
+        Cost scales with the DELTA, not the lake: the manifest diff finds
+        the partitions whose data-file path changed between the versions
+        (an untouched partition keeps its file, so its keys cannot differ),
+        and only those files are read — from both versions, tagged, one
+        key-shard exchange, then a per-shard sorted run-compare (runs of
+        length 1 are inserts/deletes, length-2 runs with differing lsn are
+        updates; equal-lsn pairs are rewrite survivors and emit nothing)."""
+        import ray.data
+
+        from embulk_filter_timestamp_format_ray.stages.relational import (
+            _same_as_prev_row,
+            _with_key_shard,
+        )
+
+        m_from = mf.read_manifest_at(self.lake_dir, v_from)
+        m_to = mf.read_manifest_at(self.lake_dir, v_to)
+        p_from = {p: m.get("path") for p, m in m_from["partitions"].items()}
+        p_to = {p: m.get("path") for p, m in m_to["partitions"].items()}
+        changed = {p for p in set(p_from) | set(p_to)
+                   if p_from.get(p) != p_to.get(p)}
+        files_from = [os.path.join(self.lake_dir, p_from[p])
+                      for p in changed if p_from.get(p)]
+        files_to = [os.path.join(self.lake_dir, p_to[p])
+                    for p in changed if p_to.get(p)]
+
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "change_type": pa.array([], pa.string()),
+            "lsn": pa.array([], pa.int64()),
+        })
+        if not files_from and not files_to:
+            return ray.data.from_arrow(empty)
+
+        def tag(side: int):
+            def f(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "conv_id": b.column("conv_id"),
+                    "turn_idx": b.column("turn_idx"),
+                    "lsn": b.column("lsn"),
+                    "_side": pa.array(
+                        np.full(b.num_rows, side, dtype=np.int8)),
+                })
+            return f
+
+        def read_side(files, side):
+            cols = ["conv_id", "turn_idx", "lsn"]
+            return ray.data.read_parquet(files, columns=cols).map_batches(
+                tag(side), batch_format="pyarrow", zero_copy_batch=True)
+
+        sides = []
+        if files_from:
+            sides.append(read_side(files_from, 0))
+        if files_to:
+            sides.append(read_side(files_to, 1))
+        ds = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+
+        def diff_shard(group: pa.Table) -> pa.Table:
+            g = group.drop_columns(["_shard"])
+            if g.num_rows == 0:
+                return empty
+            order = pc.sort_indices(g, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending"),
+                ("_side", "ascending")])
+            s = g.take(order)
+            run_start = ~_same_as_prev_row(s, ["conv_id", "turn_idx"])
+            run_id = np.cumsum(run_start) - 1
+            counts = np.bincount(run_id)
+            start_idx = np.nonzero(run_start)[0]
+            side = np.asarray(s.column("_side").cast(pa.int64()))
+            lsn = np.asarray(s.column("lsn").combine_chunks().cast(pa.int64()))
+            # singleton runs: present on one side only
+            solo = start_idx[counts == 1]
+            # pair runs: compare lsn; emit the post-image row when changed
+            pre = start_idx[counts == 2]
+            post = pre + 1
+            upd = post[lsn[post] != lsn[pre]]
+            take = np.concatenate([solo, upd])
+            types = np.concatenate([
+                np.where(side[solo] == 0, "delete", "insert"),
+                np.full(len(upd), "update", dtype=object),
+            ])
+            keep = s.take(pa.array(take))
+            return pa.table({
+                "conv_id": keep.column("conv_id"),
+                "turn_idx": keep.column("turn_idx"),
+                "change_type": pa.array(types, pa.string()),
+                "lsn": keep.column("lsn"),
+            })
+
+        ds = _with_key_shard(ds, ["conv_id", "turn_idx"])
+        return ds.groupby("_shard").map_groups(diff_shard,
+                                               batch_format="pyarrow")
+
     def _manifest_dataset(self, manifest: "dict"):
         import ray.data
 

@@ -86,3 +86,41 @@ def test_time_travel_survives_repartition(ray_session, tmp_path):
     assert pipe.versions() == [1, 2]
     assert _sorted_state(pipe.read_lake_at(1)).equals(v1)
     assert _sorted_state(pipe.read_lake_at(2)).equals(v1)
+
+
+def test_lake_changes_cdf(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lake = str(tmp_path / "lake")
+    pipe = CDCPipeline(lake, num_partitions=4, auto_gc=True)
+    full = expected_event_table(600)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 400)))
+    pipe.apply(ray.data.from_arrow(full.slice(400, 200)))
+
+    changes = pa.Table.from_pandas(
+        pipe.lake_changes(1, 2).to_pandas(), preserve_index=False)
+    # replay oracle: fold prefix vs fold full, diff by key
+    def fold(tbl):
+        import pandas as pd
+
+        df = tbl.to_pandas().sort_values("lsn")
+        latest = df.groupby(["conv_id", "turn_idx"]).last().reset_index()
+        return latest[latest.op != "delete"][
+            ["conv_id", "turn_idx", "lsn"]]
+
+    f1 = fold(full.slice(0, 400)).set_index(["conv_id", "turn_idx"])
+    f2 = fold(full).set_index(["conv_id", "turn_idx"])
+    want = {}
+    for key in f2.index.difference(f1.index):
+        want[key] = ("insert", int(f2.loc[key].lsn))
+    for key in f1.index.difference(f2.index):
+        want[key] = ("delete", int(f1.loc[key].lsn))
+    for key in f1.index.intersection(f2.index):
+        if int(f1.loc[key].lsn) != int(f2.loc[key].lsn):
+            want[key] = ("update", int(f2.loc[key].lsn))
+    got = {(r["conv_id"], r["turn_idx"]): (r["change_type"], r["lsn"])
+           for r in changes.to_pylist()}
+    assert got == want and len(got) > 0
+    # identical versions → empty feed (manifest diff finds no changed files)
+    assert pipe.lake_changes(2, 2).count() == 0
