@@ -161,7 +161,8 @@ def run_queries(sf_dir: str) -> dict:
              "quartile_by_lang", "sample_per_group", "normalize_text",
              "pivot_event_counts", "rolling_user_value", "quantize_embeddings",
              "materialize_sequences", "corpus_report", "source_overlap",
-             "dataset_split", "dequantize_roundtrip"]
+             "dataset_split", "dequantize_roundtrip", "rollup_sales",
+             "top_p_sources"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session

@@ -1495,3 +1495,68 @@ def concat_by_key(ds, key: str, order_col: str, text_col: str,
     ds = _with_key_shard(ds, [key])
     return ds.groupby("_shard").map_groups(shard_concat,
                                            batch_format="pyarrow")
+
+
+def rank_in_group(ds, group_col: str, order_col: str, id_col: str,
+                  descending: bool = True, out_col: str = "rnk"):
+    """Exact per-group row rank (SQL ``row_number() over (partition by g
+    order by v [desc], id)`` — the (order, id) tie-break makes the order
+    total, so position+1 IS the row number) plus the group size
+    ``n_group``: the integer-exact basis for percentile features
+    (rnk/n_group replays without float windows).
+
+    One hash-shard shuffle; per shard one sort + segment arithmetic — the
+    sessionize skeleton, no per-group callbacks."""
+
+    def rank_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.int64())) \
+                    .append_column("n_group", pa.array([], pa.int64()))
+        warn_large_key_group(g.num_rows, "rank_in_group", "shard")
+        order = pc.sort_indices(g, sort_keys=[
+            (group_col, "ascending"),
+            (order_col, "descending" if descending else "ascending"),
+            (id_col, "ascending")])
+        s = g.take(order)
+        key_start = ~_same_as_prev_row(s, [group_col])
+        key_ids = np.cumsum(key_start) - 1
+        pos = np.arange(len(key_ids), dtype=np.int64)
+        start_idx = np.nonzero(key_start)[0]
+        rnk = pos - start_idx[key_ids] + 1
+        sizes = np.bincount(key_ids).astype(np.int64)
+        return s.append_column(out_col, pa.array(rnk)) \
+                .append_column("n_group", pa.array(sizes[key_ids]))
+
+    ds = _with_key_shard(ds, [group_col])
+    return ds.groupby("_shard").map_groups(rank_shard, batch_format="pyarrow")
+
+
+def event_gap_us(ds, key: str, ts_col: str, id_col: str,
+                 out_col: str = "gap_us"):
+    """Per-key lag difference: microseconds since the key's PREVIOUS event
+    in (ts, id) order; a key's first event gets NULL (SQL
+    ``ts - lag(ts) over (partition by key order by ts, id)``).
+
+    One hash-shard shuffle; per shard one sort + a shifted subtraction
+    masked at key boundaries — no per-key callbacks."""
+
+    def gap_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        warn_large_key_group(g.num_rows, "event_gap_us", "shard")
+        order = pc.sort_indices(g, sort_keys=[
+            (key, "ascending"), (ts_col, "ascending"), (id_col, "ascending")])
+        s = g.take(order)
+        us = _ts_to_us(s.column(ts_col))
+        gap = np.empty(len(us), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
+        # NULL at key boundaries (the key's first event has no predecessor)
+        same = _same_as_prev_row(s, [key])
+        return s.append_column(out_col, pc.if_else(
+            pa.array(same), pa.array(gap), pa.scalar(None, pa.int64())))
+
+    ds = _with_key_shard(ds, [key])
+    return ds.groupby("_shard").map_groups(gap_shard, batch_format="pyarrow")
