@@ -500,6 +500,40 @@ def q_top_p_sources(sf_dir: str):
                           id_col="doc_id", p_permille=800)
 
 
+def q_event_rank(sf_dir: str):
+    """Per-user event ranking (row_number by value desc, id asc) + group
+    size — the integer-exact percentile basis.  One key-shard exchange,
+    segment arithmetic per shard (stages/relational.py rank_in_group)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        rank_in_group,
+    )
+
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "value"])
+    out = rank_in_group(ds, group_col="user_id", order_col="value",
+                        id_col="event_id", descending=True)
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "rnk", "n_group"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gaps in microseconds (lag difference in
+    (ts, id) order; first event NULL) — the feature-engineering shape for
+    activity cadence.  One key-shard exchange, shifted subtraction masked
+    at key boundaries (stages/relational.py event_gap_us)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        event_gap_us,
+    )
+
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts"])
+    out = event_gap_us(ds, key="user_id", ts_col="ts", id_col="event_id")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "gap_us"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_sample_mod(sf_dir: str):
     """Deterministic pruning filter (pushdown-style row sampling)."""
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
@@ -1633,6 +1667,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "sliding_window": q_sliding_window,
         "sample_mod": q_sample_mod,
         "top_p_sources": q_top_p_sources,
+        "event_rank": q_event_rank,
+        "event_gaps": q_event_gaps,
         "stratified_sample": q_stratified_sample,
         "mix_corpora": q_mix_corpora,
         "sessionize": q_sessionize,
@@ -1870,6 +1906,18 @@ def oracle_sql() -> "dict[str, str]":
             "sum(n_chars) over (partition by source) as tot from documents) "
             "select doc_id, source, n_chars from w "
             "where 1000 * cum_before < 800 * tot",
+        # total (value desc, id asc) order makes row_number the exact rank
+        "event_rank":
+            "select event_id, user_id, "
+            "row_number() over (partition by user_id "
+            "order by value desc, event_id asc)::bigint as rnk, "
+            "count(*) over (partition by user_id)::bigint as n_group "
+            "from events",
+        "event_gaps":
+            "select event_id, user_id, "
+            "(epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id "
+            "order by ts, event_id))::bigint as gap_us "
+            "from events",
         "stratified_sample":
             "select doc_id, source from documents where "
             "(source = 'src0') or (source = 'src1' and doc_id % 2 = 0) or "

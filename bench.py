@@ -162,7 +162,7 @@ def run_queries(sf_dir: str) -> dict:
              "pivot_event_counts", "rolling_user_value", "quantize_embeddings",
              "materialize_sequences", "corpus_report", "source_overlap",
              "dataset_split", "dequantize_roundtrip", "rollup_sales",
-             "top_p_sources"]
+             "top_p_sources", "event_rank", "event_gaps"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session

@@ -959,3 +959,46 @@ def test_top_p_by_group(ray_session):
     assert (m >= 0.7).all()
     with pytest.raises(ValueError, match="p_permille"):
         top_p_by_group(ray.data.from_arrow(t), "g", "w", "id", 0)
+
+
+def test_rank_in_group_and_event_gaps(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        event_gap_us,
+        rank_in_group,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "u": pa.array(rng.randint(0, 40, n), pa.int64()),
+        "v": pa.array(rng.randint(0, 50, n), pa.int64()),  # many ties
+        "ts": pa.array(rng.randint(0, 10**9, n) * 1000,
+                       pa.timestamp("us")),
+    })
+    out = rank_in_group(ray.data.from_arrow(t).repartition(7),
+                        "u", "v", "id").to_pandas()
+    df = t.to_pandas()
+    df["rnk"] = df.sort_values(["v", "id"], ascending=[False, True]) \
+                  .groupby("u").cumcount() + 1
+    want = df.set_index("id")
+    got = out.set_index("id")
+    assert (got.rnk == want.rnk.reindex(got.index)).all()
+    assert (got.n_group == df.groupby("u").u.transform("size")
+            .reindex(got.index)).all()
+
+    gaps = event_gap_us(ray.data.from_arrow(t).repartition(7),
+                        "u", "ts", "id").to_pandas().set_index("id")
+    df2 = df.sort_values(["u", "ts", "id"])
+    us = df2.ts.astype("int64")
+    lag = us.groupby(df2.u).shift(1)
+    want_gap = (us - lag)
+    # first event per key is NULL
+    assert gaps.gap_us.reindex(df2.id).isna().equals(want_gap.isna()
+                                                     .set_axis(df2.id))
+    both = pd.DataFrame({"got": gaps.gap_us.reindex(df2.id).values,
+                         "want": want_gap.values}).dropna()
+    assert (both.got == both.want).all()
