@@ -1067,6 +1067,36 @@ def q_hll_distinct(sf_dir: str):
     })
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type
+    (stages/relational.py grouped_count_distinct): local distinct →
+    one pair-hash exchange → partial/combine count rollup.  Exactly
+    SQL-expressible, so the oracle is the direct DuckDB aggregate."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_count_distinct,
+    )
+
+    ds = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+    return grouped_count_distinct(ds, "event_type", "user_id",
+                                  out_col="n_users")
+
+
+def q_hll_grouped(sf_dir: str):
+    """Per-group HyperLogLog distinct-event_id estimates per event_type
+    (stages/relational.py grouped_approx_count_distinct) — the sketch tier
+    of distinct_users_by_type.  event_id (not user_id) so per-group
+    register sets and estimates genuinely differ (user_id is exactly 150
+    per type at sf0.01 — degenerate).  Deterministic given the hash
+    primitives; oracle is a fixture parquet from an independent per-group
+    SCALAR HLL (scripts/make_fixtures.py hll_grouped_reference)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_approx_count_distinct,
+    )
+
+    ds = _read(sf_dir, "events").select_columns(["event_type", "event_id"])
+    return grouped_approx_count_distinct(ds, "event_type", "event_id")
+
+
 def q_approx_quantiles(sf_dir: str):
     """Histogram-sketch approximate quantiles of events.value — the
     two-pass, no-sort quantile path.  The sketch math (trunc binning,
@@ -1696,6 +1726,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "multimodal_decode": q_multimodal_decode,
         "multimodal_embed_ann": q_multimodal_embed_ann,
         "hll_distinct": q_hll_distinct,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "hll_grouped": q_hll_grouped,
         "approx_quantiles": q_approx_quantiles,
         "grouped_quantiles": q_grouped_quantiles,
         "redact_pii": q_redact_pii,
@@ -2032,6 +2064,14 @@ def oracle_sql() -> "dict[str, str]":
         "hll_distinct":
             "select column_name, approx_distinct "
             f"from read_parquet('{_FIXTURES}/hll_distinct_sf001.parquet')",
+        "distinct_users_by_type":
+            "select event_type, count(distinct user_id) as n_users "
+            "from events group by event_type",
+        # fixture oracle: independent per-group scalar HLL (same public
+        # algorithm + hash primitives) in scripts/make_fixtures.py
+        "hll_grouped":
+            "select event_type, approx_distinct "
+            f"from read_parquet('{_FIXTURES}/hll_grouped_sf001.parquet')",
         # SQL replay of the histogram sketch: same trunc binning, cumulative
         # search (first bin with cum >= q*total), bin-midpoint estimate
         "approx_quantiles":

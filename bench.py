@@ -162,7 +162,8 @@ def run_queries(sf_dir: str) -> dict:
              "pivot_event_counts", "rolling_user_value", "quantize_embeddings",
              "materialize_sequences", "corpus_report", "source_overlap",
              "dataset_split", "dequantize_roundtrip", "rollup_sales",
-             "top_p_sources", "event_rank", "event_gaps"]
+             "top_p_sources", "event_rank", "event_gaps",
+             "distinct_users_by_type", "hll_grouped"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session

@@ -790,6 +790,51 @@ def grouped_approx_quantiles(ds, group_col: str, value_col: str, qs,
                      "quantile": pa.array(out_v, pa.float64())})
 
 
+def _hll_row_ranks(colv, precision: int):
+    """Per-row HLL (register, rank) arrays for a column: splitmix64 hash
+    (polars-xxhash pre-hash for strings), register = top ``precision``
+    bits, rank = leading zeros of the remaining bits + 1 (cap
+    64-precision+1).  The single vectorized leading-zero kernel shared by
+    the global and grouped sketches."""
+    from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+    from embulk_filter_timestamp_format_ray.stages.partition import (
+        hash_strings_dict,
+    )
+
+    if isinstance(colv, pa.ChunkedArray):
+        colv = colv.combine_chunks()
+    if pa.types.is_string(colv.type) or pa.types.is_large_string(colv.type):
+        h = splitmix64(hash_strings_dict(colv), 5)
+    else:
+        ints = np.asarray(pc.fill_null(colv.cast(pa.int64()), 0))
+        h = splitmix64(ints.astype(np.uint64), 5)
+    reg_idx = (h >> np.uint64(64 - precision)).astype(np.int64)
+    rest = h << np.uint64(precision)
+    lz = np.full(len(h), 64 - precision + 1, dtype=np.int64)
+    nz = rest != 0
+    if nz.any():
+        bits = rest[nz]
+        lz_nz = np.zeros(bits.shape, dtype=np.int64)
+        cur = bits.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+            lz_nz[mask] += shift
+            cur[mask] = cur[mask] << np.uint64(shift)
+        lz[nz] = lz_nz + 1
+    return reg_idx, lz
+
+
+def _hll_estimate(ranks: np.ndarray, m: int) -> float:
+    """HLL estimate from a DENSE m-register rank vector: alpha*m^2 /
+    sum(2^-reg), with linear-counting small-range correction."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -ranks))
+    zeros = int((ranks == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting small-range correction
+    return float(est)
+
+
 def approx_count_distinct(ds, col: str, precision: int = 12) -> float:
     """HyperLogLog distinct-count estimate: one mergeable register-max
     sketch per batch (map_batches partial), reduced with a single Max-per-
@@ -803,33 +848,7 @@ def approx_count_distinct(ds, col: str, precision: int = 12) -> float:
     m = 1 << precision
 
     def sketch(batch: pa.Table) -> pa.Table:
-        from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
-        from embulk_filter_timestamp_format_ray.stages.partition import (
-            hash_strings_dict,
-        )
-
-        colv = batch.column(col)
-        if isinstance(colv, pa.ChunkedArray):
-            colv = colv.combine_chunks()
-        if pa.types.is_string(colv.type) or pa.types.is_large_string(colv.type):
-            h = splitmix64(hash_strings_dict(colv), 5)
-        else:
-            ints = np.asarray(pc.fill_null(colv.cast(pa.int64()), 0))
-            h = splitmix64(ints.astype(np.uint64), 5)
-        reg_idx = (h >> np.uint64(64 - precision)).astype(np.int64)
-        rest = h << np.uint64(precision)
-        # rank = leading zeros of the remaining bits + 1 (cap 64-precision+1)
-        lz = np.full(len(h), 64 - precision + 1, dtype=np.int64)
-        nz = rest != 0
-        if nz.any():
-            bits = rest[nz]
-            lz_nz = np.zeros(bits.shape, dtype=np.int64)
-            cur = bits.copy()
-            for shift in (32, 16, 8, 4, 2, 1):
-                mask = cur < (np.uint64(1) << np.uint64(64 - shift))
-                lz_nz[mask] += shift
-                cur[mask] = cur[mask] << np.uint64(shift)
-            lz[nz] = lz_nz + 1
+        reg_idx, lz = _hll_row_ranks(batch.column(col), precision)
         ranks = np.zeros(m, dtype=np.int64)
         np.maximum.at(ranks, reg_idx, lz)
         # SPARSE emission: only touched registers travel (≤ distinct-per-
@@ -847,12 +866,119 @@ def approx_count_distinct(ds, col: str, precision: int = 12) -> float:
     ranks = np.zeros(m, dtype=np.int64)
     if len(merged):
         ranks[merged["reg"].to_numpy()] = merged["rank"].to_numpy()
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -ranks))
-    zeros = int((ranks == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear counting small-range correction
-    return float(est)
+    return _hll_estimate(ranks, m)
+
+
+def grouped_count_distinct(ds, group_col: str, value_col: str,
+                           out_col: str = "n_distinct"):
+    """Exact ``COUNT(DISTINCT value) GROUP BY group``: project to the two
+    columns, per-block local distinct, ONE (group, value)-hash exchange
+    dedupes the pairs globally (``distinct``), then per-block pair counts
+    roll up through the standard partial/combine aggregate.
+
+    Scale shape: the exchange carries distinct (group, value) PAIRS — the
+    irreducible content of the answer — never raw rows, and the final
+    aggregate moves only #groups × #blocks partial counts.  When even the
+    distinct pairs are too heavy to move (billions of distinct values per
+    group), switch to ``grouped_approx_count_distinct``: its exchange is
+    bounded by #groups × 2^precision sketch rows.  NULL values are not
+    counted (SQL COUNT(DISTINCT) semantics); a NULL group key forms its
+    own group as in SQL GROUP BY."""
+    pairs = distinct(ds, [group_col, value_col])
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        # pairs are globally distinct, so per-block counts sum exactly;
+        # Arrow "count" skips NULL values (SQL COUNT(DISTINCT v) parity)
+        t = b.group_by([group_col]).aggregate([(value_col, "count")])
+        renames = {f"{value_col}_count": out_col}
+        t = t.rename_columns([renames.get(nm, nm) for nm in t.schema.names])
+        return t.select([group_col, out_col])
+
+    counted = pairs.map_batches(local_counts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return grouped_aggregate(counted, [group_col], {out_col: (out_col, "sum")})
+
+
+def grouped_approx_count_distinct(ds, group_col: str, value_col: str,
+                                  precision: int = 12,
+                                  out_col: str = "approx_distinct"):
+    """Per-group HyperLogLog distinct-count estimates, one row per group.
+
+    Shape: each block emits a SPARSE (group, register, rank) sketch —
+    segment max via one argsort + ``maximum.reduceat``, never a callback
+    per group — merged with the standard partial/combine grouped MAX, then
+    a per-group-shard vectorized fold turns registers into estimates.  No
+    driver-side registers at any point; the exchange is bounded by
+    #groups × 2^precision rows per block regardless of value cardinality —
+    the approximate tier next to exact ``grouped_count_distinct``.
+
+    The estimate math is byte-identical to ``approx_count_distinct``
+    (shared ``_hll_row_ranks`` kernel; dense per-group register vectors in
+    the fold so float summation order matches the scalar spec)."""
+    m = 1 << precision
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        gcol = batch.column(group_col)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        if gcol.null_count:
+            raise ValueError(
+                "grouped_approx_count_distinct: NULL group keys are not "
+                "supported — fill or filter them upstream")
+        if batch.num_rows == 0:
+            return pa.table({group_col: gcol,
+                             "reg": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(gcol)
+        gcodes = np.asarray(enc.indices.cast(pa.int64()))
+        reg, rank = _hll_row_ranks(batch.column(value_col), precision)
+        key = gcodes * m + reg
+        order = np.argsort(key, kind="stable")
+        ks, rs = key[order], rank[order]
+        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+        maxes = np.maximum.reduceat(rs, starts)
+        uk = ks[starts]
+        return pa.table({
+            group_col: enc.dictionary.take(pa.array(uk // m, pa.int64())),
+            "reg": pa.array(uk % m),
+            "rank": pa.array(maxes)})
+
+    # batch_size=None → one sparse sketch per BLOCK before the exchange
+    sk = ds.map_batches(sketch, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    merged = grouped_aggregate(sk, [group_col, "reg"],
+                               {"rank": ("rank", "max")})
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        if g.num_rows == 0:
+            return pa.table({group_col: g.column(group_col),
+                             out_col: pa.array([], pa.int64())})
+        order = pc.sort_indices(g, sort_keys=[(group_col, "ascending"),
+                                              ("reg", "ascending")])
+        s = g.take(order)
+        same = _same_as_prev_row(s, [group_col])
+        gid = np.cumsum(~same) - 1
+        firsts = np.nonzero(np.r_[True, gid[1:] != gid[:-1]])[0]
+        regs = np.asarray(s.column("reg").combine_chunks().cast(pa.int64()))
+        rnks = np.asarray(s.column("rank").combine_chunks().cast(pa.int64()))
+        ests = np.empty(len(firsts), dtype=np.int64)
+        bounds = np.r_[firsts, len(gid)]
+        # one dense m-vector per group keeps the float summation order
+        # identical to the global/scalar spec; #groups per shard is the
+        # output cardinality, so this loop is per-GROUP-ROW, not per input
+        # row (same altitude as the driver fold in approx_count_distinct)
+        dense = np.zeros(m, dtype=np.int64)
+        for i in range(len(firsts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            dense[regs[lo:hi]] = rnks[lo:hi]
+            ests[i] = int(np.floor(_hll_estimate(dense, m) + 0.5))
+            dense[regs[lo:hi]] = 0
+        return pa.table({group_col: s.column(group_col).take(pa.array(firsts)),
+                         out_col: pa.array(ests)})
+
+    shard = _with_key_shard(merged, [group_col])
+    return shard.groupby("_shard").map_groups(fold, batch_format="pyarrow")
 
 
 def sliding_window_aggregate(ds, key: str, ts_col: str, window_seconds: int,

@@ -234,6 +234,40 @@ def multimodal_ann_reference(ids, texts, *, dim=32, n_queries=2, k=5):
     })
 
 
+_HLL_MASK = (1 << 64) - 1
+
+
+def _scalar_sm64(x: int, seed: int = 5) -> int:
+    z = (x + (seed * 0x9E3779B97F4A7C15) % (1 << 64)) & _HLL_MASK
+    z = (z + 0x9E3779B97F4A7C15) & _HLL_MASK
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _HLL_MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _HLL_MASK
+    return z ^ (z >> 31)
+
+
+def _scalar_hll_add(regs: list, hv: int, precision: int) -> None:
+    h = _scalar_sm64(int(hv) & _HLL_MASK)
+    j = h >> (64 - precision)
+    rest = (h << precision) & _HLL_MASK
+    rank = (64 - precision + 1) if rest == 0 \
+        else 64 - rest.bit_length() + 1
+    if rank > regs[j]:
+        regs[j] = rank
+
+
+def _scalar_hll_estimate(regs: list, precision: int) -> int:
+    import math
+
+    m = 1 << precision
+    alpha = 0.7213 / (1 + 1.079 / m)
+    ranks = np.array(regs, dtype=np.int64)
+    est = alpha * m * m / np.sum(np.power(2.0, -ranks))
+    zeros = regs.count(0)
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(math.floor(est + 0.5))
+
+
 def hll_reference(precision: int = 12) -> pa.Table:
     """Independent SCALAR HyperLogLog over events.event_type (string hash
     path) and events.user_id (int path): per-value Python-int splitmix64 +
@@ -241,39 +275,16 @@ def hll_reference(precision: int = 12) -> pa.Table:
     leading-zero kernel or the sparse Ray register merge it cross-checks.
     The string pre-hash is the same polars-xxhash primitive the engine
     uses (it's the input under test, not the logic)."""
-    import math
-
     import polars as pl_
 
     t = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
                       columns=["event_type", "user_id"])
-    mask = (1 << 64) - 1
-
-    def sm64(x: int, seed: int) -> int:
-        z = (x + (seed * 0x9E3779B97F4A7C15) % (1 << 64)) & mask
-        z = (z + 0x9E3779B97F4A7C15) & mask
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
-        return z ^ (z >> 31)
 
     def estimate(hashes) -> int:
-        m = 1 << precision
-        regs = [0] * m
+        regs = [0] * (1 << precision)
         for hv in hashes:
-            h = sm64(int(hv) & mask, 5)
-            j = h >> (64 - precision)
-            rest = (h << precision) & mask
-            rank = (64 - precision + 1) if rest == 0 \
-                else 64 - rest.bit_length() + 1
-            if rank > regs[j]:
-                regs[j] = rank
-        alpha = 0.7213 / (1 + 1.079 / m)
-        ranks = np.array(regs, dtype=np.int64)
-        est = alpha * m * m / np.sum(np.power(2.0, -ranks))
-        zeros = regs.count(0)
-        if est <= 2.5 * m and zeros:
-            est = m * np.log(m / zeros)
-        return int(math.floor(est + 0.5))
+            _scalar_hll_add(regs, hv, precision)
+        return _scalar_hll_estimate(regs, precision)
 
     sh = pl_.from_arrow(t.column("event_type").combine_chunks()) \
         .hash(seed=42).to_numpy()
@@ -281,6 +292,28 @@ def hll_reference(precision: int = 12) -> pa.Table:
         "column_name": pa.array(["event_type", "user_id"], pa.string()),
         "approx_distinct": pa.array(
             [estimate(sh), estimate(np.asarray(t.column("user_id")))],
+            pa.int64()),
+    })
+
+
+def hll_grouped_reference(precision: int = 12) -> pa.Table:
+    """Independent per-group SCALAR HLL: events.event_id grouped by
+    event_type via a plain Python dict of dense register lists — NOT the
+    sparse segment-max sketch + shard fold it cross-checks
+    (stages/relational.py grouped_approx_count_distinct).  event_id, not
+    user_id: user_id is exactly 150 per type at sf0.01, which would give
+    five identical register sets."""
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                      columns=["event_type", "event_id"])
+    regs: dict = defaultdict(lambda: [0] * (1 << precision))
+    for g, v in zip(t.column("event_type").to_pylist(),
+                    t.column("event_id").to_pylist()):
+        _scalar_hll_add(regs[g], v, precision)
+    groups = sorted(regs)
+    return pa.table({
+        "event_type": pa.array(groups, pa.string()),
+        "approx_distinct": pa.array(
+            [_scalar_hll_estimate(regs[g], precision) for g in groups],
             pa.int64()),
     })
 
@@ -333,6 +366,10 @@ def main():
     hll = hll_reference()
     pq.write_table(hll, os.path.join(OUT, "hll_distinct_sf001.parquet"))
     print("hll_distinct:", hll.column("approx_distinct").to_pylist())
+
+    hg = hll_grouped_reference()
+    pq.write_table(hg, os.path.join(OUT, "hll_grouped_sf001.parquet"))
+    print("hll_grouped:", hg.column("approx_distinct").to_pylist())
 
     km = kmeans_reference()
     pq.write_table(km, os.path.join(OUT, "kmeans_clusters_sf001.parquet"))

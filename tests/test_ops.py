@@ -167,6 +167,82 @@ def test_approx_count_distinct(ray_session):
     assert abs(est2 - 700) / 700 < 0.05
 
 
+def test_grouped_count_distinct(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_count_distinct,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 20_000
+    groups = rng.integers(0, 7, n)
+    vals = rng.integers(0, 900, n)
+    # sprinkle NULL values: COUNT(DISTINCT v) must ignore them
+    varr = pa.array(vals, pa.int64()).to_pandas()
+    varr[::97] = None
+    tbl = pa.table({"g": pa.array(groups, pa.int64()),
+                    "v": pa.Array.from_pandas(varr, type=pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    got = grouped_count_distinct(ds, "g", "v", out_col="n").to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    import duckdb
+
+    want = duckdb.query_df(tbl.to_pandas(), "t",
+                           "select g, count(distinct v) as n from t "
+                           "group by g order by g").df()
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_grouped_approx_count_distinct(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        approx_count_distinct,
+        grouped_approx_count_distinct,
+    )
+
+    # one group must reproduce the global estimate exactly (same kernel,
+    # same register content, same dense-sum estimate math)
+    vals = np.repeat(np.arange(3000, dtype=np.int64), 3)
+    one = pa.table({"g": pa.array(["only"] * len(vals)),
+                    "v": pa.array(vals)})
+    ds = ray.data.from_arrow(one).repartition(6)
+    got = grouped_approx_count_distinct(ds, "g", "v").to_pandas()
+    glob = approx_count_distinct(
+        ray.data.from_arrow(one.select(["v"])).repartition(6), "v")
+    assert got["approx_distinct"].tolist() == [int(np.floor(glob + 0.5))]
+
+    # multi-group: each estimate within 5% of its group's truth, and
+    # invariant to input partitioning (merge associativity)
+    rng = np.random.default_rng(23)
+    sizes = {"a": 400, "b": 2500, "c": 7000}
+    gs, vs = [], []
+    for g, k in sizes.items():
+        gs += [g] * (2 * k)
+        vs += list(rng.permutation(np.repeat(np.arange(k), 2)))
+    tbl = pa.table({"g": pa.array(gs), "v": pa.array(vs, pa.int64())})
+    for parts in (2, 9):
+        est = grouped_approx_count_distinct(
+            ray.data.from_arrow(tbl).repartition(parts), "g", "v"
+        ).to_pandas().set_index("g")["approx_distinct"]
+        for g, k in sizes.items():
+            assert abs(est[g] - k) / k < 0.05
+        if parts == 2:
+            first = est.sort_index()
+        else:
+            assert est.sort_index().tolist() == first.tolist()
+
+    # NULL group keys are refused, not silently dropped
+    bad = ray.data.from_arrow(pa.table({
+        "g": pa.array(["x", None]), "v": pa.array([1, 2], pa.int64())}))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NULL group keys"):
+        grouped_approx_count_distinct(bad, "g", "v").materialize()
+
+
 def test_top_k_global(ray_session):
     import ray.data
 
