@@ -1067,6 +1067,38 @@ def q_hll_distinct(sf_dir: str):
     })
 
 
+def q_remove_boilerplate(sf_dir: str):
+    """CCNet-style line-level boilerplate removal over documents
+    (stages/text_stats.py remove_boilerplate_lines).  sf documents are
+    single-line, so the query first injects deterministic boilerplate —
+    a universal header, a share-bar line, and a ``Footer v{doc_id % 120}``
+    whose 4-to-5-doc variants straddle min_docs=5, exercising the
+    threshold in both directions.  The oracle mirrors the injection and
+    replays the DF rule with DuckDB list lambdas."""
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        remove_boilerplate_lines,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        variant = pc.cast(pc.subtract(
+            ids.cast(pa.int64()),
+            pc.multiply(pc.divide(ids.cast(pa.int64()), 120),
+                        pa.scalar(120, pa.int64()))), pa.string())
+        footer = pc.binary_join_element_wise("Footer v", variant, "")
+        txt = pc.binary_join_element_wise(
+            "SITE HEADER", pc.fill_null(b.column("text"), ""),
+            "Share on SocialApp", footer, "\n")
+        return pa.table({"doc_id": b.column("doc_id"), "text": txt})
+
+    ds = ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    return remove_boilerplate_lines(ds, min_docs=5)
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event_type
     (stages/relational.py grouped_count_distinct): local distinct →
@@ -1728,6 +1760,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "hll_distinct": q_hll_distinct,
         "distinct_users_by_type": q_distinct_users_by_type,
         "hll_grouped": q_hll_grouped,
+        "remove_boilerplate": q_remove_boilerplate,
         "approx_quantiles": q_approx_quantiles,
         "grouped_quantiles": q_grouped_quantiles,
         "redact_pii": q_redact_pii,
@@ -2067,6 +2100,24 @@ def oracle_sql() -> "dict[str, str]":
         "distinct_users_by_type":
             "select event_type, count(distinct user_id) as n_users "
             "from events group by event_type",
+        # mirrors q_remove_boilerplate's injection term-for-term, then
+        # replays the line-DF rule with list lambdas
+        "remove_boilerplate":
+            "with d as (select doc_id, 'SITE HEADER' || chr(10) || "
+            "coalesce(text, '') || chr(10) || 'Share on SocialApp' || "
+            "chr(10) || 'Footer v' || cast(doc_id % 120 as varchar) as t "
+            "from documents), "
+            "l as (select doc_id, unnest(string_split(t, chr(10))) as line "
+            "from d), "
+            "df as (select line, count(distinct doc_id) as df from l "
+            "group by line), "
+            "b as (select coalesce(list(line), []) as bl from df "
+            "where df >= 5), "
+            "r as (select d.doc_id, list_filter(string_split(d.t, chr(10)), "
+            "x -> not list_contains(b.bl, x)) as kept, "
+            "len(string_split(d.t, chr(10))) as n0 from d, b) "
+            "select doc_id, array_to_string(kept, chr(10)) as text_clean, "
+            "cast(n0 - len(kept) as bigint) as n_lines_removed from r",
         # fixture oracle: independent per-group scalar HLL (same public
         # algorithm + hash primitives) in scripts/make_fixtures.py
         "hll_grouped":

@@ -8,9 +8,13 @@ rolling-hash state that defeats column kernels).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
 
 # deterministic small English stopword set (public knowledge)
 STOPWORDS = (
@@ -276,6 +280,86 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
     else:
         batch = batch.append_column(out_col, t)
     return batch
+
+
+def remove_boilerplate_lines(ds, *, min_docs: int, doc_id_col: str = "doc_id",
+                             text_col: str = "text"):
+    """CCNet-style line-level dedup: drop every line that occurs in at
+    least ``min_docs`` DISTINCT documents (site headers, share buttons,
+    cookie banners — the classic web-corpus boilerplate), preserving the
+    remaining lines' order.  Output: (doc_id, text_clean,
+    n_lines_removed).
+
+    Shape: explode to per-doc-distinct (doc, line) pairs (one vectorized
+    split + Arrow local distinct per batch), count distinct docs per line
+    with ``grouped_count_distinct`` (only distinct pairs shuffle), then
+    broadcast the ≥min_docs line SET once via ``ray.put`` and rebuild each
+    document in one pass: flatten the split lists, one ``is_in`` mask,
+    cumsum re-offsets, ``binary_join``.  No per-document callbacks.
+
+    Scale assumption (logged): the boilerplate set — lines crossing the
+    min_docs threshold — fits in worker memory as a broadcast.  That holds
+    by construction for boilerplate thresholds (the set shrinks as
+    min_docs grows); a pathological corpus would need the semi/anti
+    shuffle-join fallback like dedup's drop set."""
+    import ray
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_count_distinct,
+        resolve_broadcast,
+    )
+
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+
+    def _split(batch: pa.Table):
+        txt = pc.fill_null(batch.column(text_col), "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pc.split_pattern(txt, pattern="\n")
+
+    def explode_lines(batch: pa.Table) -> pa.Table:
+        lines = _split(batch)
+        offs = np.asarray(lines.offsets, dtype=np.int64)
+        ids = batch.column(doc_id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = np.asarray(ids.cast(pa.int64()))
+        pairs = pa.table({doc_id_col: pa.array(np.repeat(ids, np.diff(offs))),
+                          "line": lines.flatten()})
+        # local per-doc distinct cuts the pair volume before the exchange
+        return pairs.group_by([doc_id_col, "line"]).aggregate([])
+
+    pairs = ds.map_batches(explode_lines, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    df = grouped_count_distinct(pairs, "line", doc_id_col, out_col="df")
+    boiler = df.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column("df"), pa.scalar(min_docs, pa.int64()))).select(["line"]),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    logger.info("remove_boilerplate_lines: broadcasting %d boilerplate lines",
+                len(boiler))
+    bset_ref = ray.put(pa.array(sorted(boiler["line"]), pa.string()))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        bl = resolve_broadcast(bset_ref)
+        lines = _split(batch)
+        flat = lines.flatten()
+        keep = np.asarray(pc.invert(pc.is_in(flat, value_set=bl)))
+        offs = np.asarray(lines.offsets, dtype=np.int64)
+        cs = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        kept_counts = cs[offs[1:]] - cs[offs[:-1]]
+        new_offs = np.concatenate([[0], np.cumsum(kept_counts)])
+        cleaned_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), flat.filter(pa.array(keep)))
+        removed = np.diff(offs) - kept_counts
+        return pa.table({
+            doc_id_col: batch.column(doc_id_col),
+            "text_clean": pc.binary_join(cleaned_list, "\n"),
+            "n_lines_removed": pa.array(removed.astype(np.int64)),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def doc_token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):

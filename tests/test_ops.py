@@ -167,6 +167,50 @@ def test_approx_count_distinct(ray_session):
     assert abs(est2 - 700) / 700 < 0.05
 
 
+def test_remove_boilerplate_lines(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        remove_boilerplate_lines,
+    )
+
+    hdr, shr = "HEADER", "share-bar"
+    docs = []
+    for i in range(6):
+        # header in all 6 docs, share-bar in only 2, unique bodies; doc 5
+        # repeats the header INSIDE the body (within-doc dup counts once
+        # for DF but both occurrences are removed)
+        body = [f"body {i} alpha", f"body {i} beta"]
+        lines = [hdr] + body + ([shr] if i < 2 else []) + \
+            ([hdr] if i == 5 else [])
+        docs.append("\n".join(lines))
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                    "text": pa.array(docs)})
+    got = remove_boilerplate_lines(
+        ray.data.from_arrow(tbl).repartition(3), min_docs=3
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # header (df=6) removed everywhere incl. both doc-5 occurrences;
+    # share-bar (df=2 < 3) kept; body order preserved
+    for i in range(6):
+        want = [f"body {i} alpha", f"body {i} beta"] + \
+            (["share-bar"] if i < 2 else [])
+        assert got["text_clean"][i] == "\n".join(want)
+    assert got["n_lines_removed"].tolist() == [1, 1, 1, 1, 1, 2]
+
+    # a doc that is ALL boilerplate collapses to the empty string
+    tbl2 = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": pa.array([hdr, hdr, hdr + "\nkeep me"])})
+    got2 = remove_boilerplate_lines(
+        ray.data.from_arrow(tbl2), min_docs=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got2["text_clean"].tolist() == ["", "", "keep me"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(ray.data.from_arrow(tbl2), min_docs=1)
+
+
 def test_grouped_count_distinct(ray_session):
     import ray.data
 
