@@ -1067,6 +1067,49 @@ def q_hll_distinct(sf_dir: str):
     })
 
 
+def q_bloom_join_revenue(sf_dir: str):
+    """Bloom-pruned large×large join: urgent orders' keys build a
+    distributed Bloom filter (stages/relational.py build_bloom_filter),
+    lineitem prefilters against the broadcast bitmap (~80% of probe rows
+    never reach the exchange), and the exact shuffle join removes the
+    false positives — so the result, and the oracle, is exactly the plain
+    join SQL.  Revenue as per-row integer cents before the join keeps the
+    float math SQL-replayable and the exchange narrow."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        bloom_prefilter,
+        build_bloom_filter,
+        grouped_aggregate,
+        shuffle_join,
+    )
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderpriority"),
+                                    "1-URGENT")).select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bloom = build_bloom_filter(urgent, "o_orderkey")
+
+    def cents(b: pa.Table) -> pa.Table:
+        price = np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+        disc = np.asarray(b.column("l_discount"), dtype=np.float64)
+        rev = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_returnflag": b.column("l_returnflag"),
+                         "rev_cents": pa.array(rev)})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    li = bloom_prefilter(li.map_batches(cents, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         "l_orderkey", bloom)
+    joined = shuffle_join(li, urgent, on="l_orderkey",
+                          right_on="o_orderkey")
+    return grouped_aggregate(joined, keys=["l_returnflag"],
+                             aggs={"revenue_cents": ("rev_cents", "sum"),
+                                   "n_items": ("rev_cents", "count")})
+
+
 def q_remove_boilerplate(sf_dir: str):
     """CCNet-style line-level boilerplate removal over documents
     (stages/text_stats.py remove_boilerplate_lines).  sf documents are
@@ -1761,6 +1804,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "distinct_users_by_type": q_distinct_users_by_type,
         "hll_grouped": q_hll_grouped,
         "remove_boilerplate": q_remove_boilerplate,
+        "bloom_join_revenue": q_bloom_join_revenue,
         "approx_quantiles": q_approx_quantiles,
         "grouped_quantiles": q_grouped_quantiles,
         "redact_pii": q_redact_pii,
@@ -2100,6 +2144,15 @@ def oracle_sql() -> "dict[str, str]":
         "distinct_users_by_type":
             "select event_type, count(distinct user_id) as n_users "
             "from events group by event_type",
+        # bloom prefilter has no false negatives, so the bloom-pruned
+        # pipeline's oracle is the PLAIN join (bloom is pure pruning)
+        "bloom_join_revenue":
+            "select l_returnflag, "
+            "cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) as bigint)) as bigint) as revenue_cents, "
+            "count(*) as n_items "
+            "from lineitem join orders on l_orderkey = o_orderkey "
+            "where o_orderpriority = '1-URGENT' group by l_returnflag",
         # mirrors q_remove_boilerplate's injection term-for-term, then
         # replays the line-DF rule with list lambdas
         "remove_boilerplate":

@@ -163,7 +163,8 @@ def run_queries(sf_dir: str) -> dict:
              "materialize_sequences", "corpus_report", "source_overlap",
              "dataset_split", "dequantize_roundtrip", "rollup_sales",
              "top_p_sources", "event_rank", "event_gaps",
-             "distinct_users_by_type", "hll_grouped", "remove_boilerplate"]
+             "distinct_users_by_type", "hll_grouped", "remove_boilerplate",
+             "bloom_join_revenue"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session

@@ -790,12 +790,10 @@ def grouped_approx_quantiles(ds, group_col: str, value_col: str, qs,
                      "quantile": pa.array(out_v, pa.float64())})
 
 
-def _hll_row_ranks(colv, precision: int):
-    """Per-row HLL (register, rank) arrays for a column: splitmix64 hash
-    (polars-xxhash pre-hash for strings), register = top ``precision``
-    bits, rank = leading zeros of the remaining bits + 1 (cap
-    64-precision+1).  The single vectorized leading-zero kernel shared by
-    the global and grouped sketches."""
+def _column_hash64(colv, seed: int = 5) -> np.ndarray:
+    """Deterministic uint64 splitmix64 hash per row of a string or integer
+    column (polars-xxhash pre-hash for strings) — the shared key-hash
+    primitive for the HLL sketches and the Bloom filter."""
     from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
     from embulk_filter_timestamp_format_ray.stages.partition import (
         hash_strings_dict,
@@ -804,10 +802,18 @@ def _hll_row_ranks(colv, precision: int):
     if isinstance(colv, pa.ChunkedArray):
         colv = colv.combine_chunks()
     if pa.types.is_string(colv.type) or pa.types.is_large_string(colv.type):
-        h = splitmix64(hash_strings_dict(colv), 5)
-    else:
-        ints = np.asarray(pc.fill_null(colv.cast(pa.int64()), 0))
-        h = splitmix64(ints.astype(np.uint64), 5)
+        return splitmix64(hash_strings_dict(colv), seed)
+    ints = np.asarray(pc.fill_null(colv.cast(pa.int64()), 0))
+    return splitmix64(ints.astype(np.uint64), seed)
+
+
+def _hll_row_ranks(colv, precision: int):
+    """Per-row HLL (register, rank) arrays for a column: splitmix64 hash
+    (polars-xxhash pre-hash for strings), register = top ``precision``
+    bits, rank = leading zeros of the remaining bits + 1 (cap
+    64-precision+1).  The single vectorized leading-zero kernel shared by
+    the global and grouped sketches."""
+    h = _column_hash64(colv, 5)
     reg_idx = (h >> np.uint64(64 - precision)).astype(np.int64)
     rest = h << np.uint64(precision)
     lz = np.full(len(h), 64 - precision + 1, dtype=np.int64)
@@ -979,6 +985,107 @@ def grouped_approx_count_distinct(ds, group_col: str, value_col: str,
 
     shard = _with_key_shard(merged, [group_col])
     return shard.groupby("_shard").map_groups(fold, batch_format="pyarrow")
+
+
+_BLOOM_SEED0 = 101
+
+
+class BloomFilter:
+    """Handle for a distributed-built Bloom filter: the dense uint64 word
+    bitmap lives in the object store (one ``ray.put``), probes read it
+    zero-copy inside ``map_batches``."""
+
+    def __init__(self, ref, n_bits: int, k: int):
+        self.ref = ref
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+
+
+def _bloom_bit_idx(h0: np.ndarray, i: int, n_bits: int) -> np.ndarray:
+    """Bit index of hash function i: an independent splitmix64 re-hash per
+    probe (shared by build and probe — they MUST agree)."""
+    from embulk_filter_timestamp_format_ray.sources.changegen import splitmix64
+
+    return splitmix64(h0, _BLOOM_SEED0 + i) % np.uint64(n_bits)
+
+
+def build_bloom_filter(ds, key_col: str, *, n_bits: int = 1 << 23,
+                       k: int = 4) -> BloomFilter:
+    """Build a Bloom filter of ``key_col`` distributively — the shuffle-
+    volume killer for large×large joins where one side is filtered but
+    still too big to broadcast as an exact table: prefilter the probe side
+    with ``bloom_prefilter`` (no false negatives) and let the exact join
+    remove the false positives.
+
+    Build shape: each block emits its SPARSE nonzero (word, bits) rows —
+    one unique + reduceat-OR pass, at most min(keys × k, n_bits/64) rows —
+    a word-hash-sharded reduce ORs them (sort + reduceat per shard, the
+    house segment pattern), and the driver scatters the ≤ n_bits/64 sparse
+    rows into the dense bitmap it broadcasts once via ``ray.put``.  The
+    bitmap itself (n_bits/8 bytes; 1 MiB at the default 2^23) is the only
+    driver-side state, independent of key count."""
+    import ray
+
+    n_words = (n_bits + 63) >> 6
+
+    def block_words(batch: pa.Table) -> pa.Table:
+        h0 = _column_hash64(batch.column(key_col))
+        if not len(h0):
+            return pa.table({"w": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.uint64())})
+        idx = np.unique(np.concatenate(
+            [_bloom_bit_idx(h0, i, n_bits) for i in range(k)]))
+        w = (idx >> np.uint64(6)).astype(np.int64)
+        bits = np.uint64(1) << (idx & np.uint64(63))
+        starts = np.nonzero(np.r_[True, w[1:] != w[:-1]])[0]
+        return pa.table({"w": pa.array(w[starts]),
+                         "v": pa.array(np.bitwise_or.reduceat(bits, starts),
+                                       pa.uint64())})
+
+    words = ds.map_batches(block_words, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+    def or_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        w = np.asarray(g.column("w").combine_chunks())
+        v = np.asarray(g.column("v").combine_chunks()).astype(np.uint64)
+        order = np.argsort(w, kind="stable")
+        w, v = w[order], v[order]
+        starts = np.nonzero(np.r_[True, w[1:] != w[:-1]])[0]
+        return pa.table({"w": pa.array(w[starts]),
+                         "v": pa.array(np.bitwise_or.reduceat(v, starts),
+                                       pa.uint64())})
+
+    sparse = _with_key_shard(words, ["w"]).groupby("_shard") \
+        .map_groups(or_shard, batch_format="pyarrow").to_pandas()
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    if len(sparse):
+        bitmap[sparse["w"].to_numpy()] = sparse["v"].to_numpy().astype(np.uint64)
+    logger.info("build_bloom_filter: %d/%d words nonzero",
+                int(np.count_nonzero(bitmap)), n_words)
+    return BloomFilter(ray.put(bitmap), n_bits, k)
+
+
+def bloom_prefilter(ds, key_col: str, bloom: BloomFilter):
+    """Drop rows whose ``key_col`` is DEFINITELY not in the filter's key
+    set — one vectorized k-probe pass per batch against the broadcast
+    bitmap.  No false negatives: composing with the exact join downstream
+    leaves results unchanged, so any bloom-pruned pipeline's oracle is the
+    plain join SQL; the filter only shrinks what the exchange moves."""
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bm = resolve_broadcast(bloom.ref)
+        h0 = _column_hash64(batch.column(key_col))
+        if not len(h0):
+            return batch
+        keep = np.ones(len(h0), dtype=bool)
+        for i in range(bloom.k):
+            idx = _bloom_bit_idx(h0, i, bloom.n_bits)
+            keep &= (bm[(idx >> np.uint64(6)).astype(np.int64)]
+                     >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sliding_window_aggregate(ds, key: str, ts_col: str, window_seconds: int,

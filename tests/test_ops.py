@@ -167,6 +167,41 @@ def test_approx_count_distinct(ray_session):
     assert abs(est2 - 700) / 700 < 0.05
 
 
+def test_bloom_filter(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        bloom_prefilter,
+        build_bloom_filter,
+    )
+
+    rng = np.random.default_rng(31)
+    build_keys = rng.choice(1_000_000, size=2_000, replace=False)
+    build = ray.data.from_arrow(
+        pa.table({"k": pa.array(build_keys, pa.int64())})).repartition(5)
+    bloom = build_bloom_filter(build, "k", n_bits=1 << 18, k=4)
+
+    probe_keys = np.arange(50_000, dtype=np.int64)
+    probe = ray.data.from_arrow(pa.table({"k": pa.array(probe_keys)}))
+    kept = set(bloom_prefilter(probe, "k", bloom).to_pandas()["k"])
+    members = set(build_keys[build_keys < 50_000])
+    # no false negatives: every true member survives the prefilter
+    assert members <= kept
+    # and it actually prunes: false-positive rate stays near the
+    # theoretical (1 - e^(-kn/m))^k ≈ 0.03% at these parameters
+    fp = len(kept - members) / (len(probe_keys) - len(members))
+    assert fp < 0.01
+
+    # string keys route through the polars pre-hash path
+    sb = ray.data.from_arrow(pa.table({"s": [f"key-{i}" for i in range(500)]}))
+    sbloom = build_bloom_filter(sb, "s", n_bits=1 << 16, k=4)
+    sp = ray.data.from_arrow(
+        pa.table({"s": [f"key-{i}" for i in range(400, 1400)]}))
+    skept = set(bloom_prefilter(sp, "s", sbloom).to_pandas()["s"])
+    assert {f"key-{i}" for i in range(400, 500)} <= skept
+    assert len(skept) < 250
+
+
 def test_remove_boilerplate_lines(ray_session):
     import ray.data
 
