@@ -1067,6 +1067,40 @@ def q_hll_distinct(sf_dir: str):
     })
 
 
+def _priority_pairs(sf_dir: str, priority: str):
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderstatus", "o_orderpriority"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderpriority"), priority))
+        .select(["o_custkey", "o_orderstatus"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_set_intersect(sf_dir: str):
+    """SQL INTERSECT via the sharded tagged-union run-compare
+    (stages/relational.py set_op_rows): (custkey, status) pairs present
+    under BOTH urgent and high order priorities."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        set_op_rows,
+    )
+
+    return set_op_rows(_priority_pairs(sf_dir, "1-URGENT"),
+                       _priority_pairs(sf_dir, "2-HIGH"),
+                       ["o_custkey", "o_orderstatus"], "intersect")
+
+
+def q_set_except(sf_dir: str):
+    """SQL EXCEPT via the same skeleton: urgent-only (custkey, status)
+    pairs (stages/relational.py set_op_rows)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        set_op_rows,
+    )
+
+    return set_op_rows(_priority_pairs(sf_dir, "1-URGENT"),
+                       _priority_pairs(sf_dir, "2-HIGH"),
+                       ["o_custkey", "o_orderstatus"], "except")
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-pruned large×large join: urgent orders' keys build a
     distributed Bloom filter (stages/relational.py build_bloom_filter),
@@ -1805,6 +1839,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "hll_grouped": q_hll_grouped,
         "remove_boilerplate": q_remove_boilerplate,
         "bloom_join_revenue": q_bloom_join_revenue,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
         "approx_quantiles": q_approx_quantiles,
         "grouped_quantiles": q_grouped_quantiles,
         "redact_pii": q_redact_pii,
@@ -2144,6 +2180,18 @@ def oracle_sql() -> "dict[str, str]":
         "distinct_users_by_type":
             "select event_type, count(distinct user_id) as n_users "
             "from events group by event_type",
+        "set_intersect":
+            "select o_custkey, o_orderstatus from orders "
+            "where o_orderpriority = '1-URGENT' "
+            "intersect "
+            "select o_custkey, o_orderstatus from orders "
+            "where o_orderpriority = '2-HIGH'",
+        "set_except":
+            "select o_custkey, o_orderstatus from orders "
+            "where o_orderpriority = '1-URGENT' "
+            "except "
+            "select o_custkey, o_orderstatus from orders "
+            "where o_orderpriority = '2-HIGH'",
         # bloom prefilter has no false negatives, so the bloom-pruned
         # pipeline's oracle is the PLAIN join (bloom is pure pruning)
         "bloom_join_revenue":

@@ -987,6 +987,58 @@ def grouped_approx_count_distinct(ds, group_col: str, value_col: str,
     return shard.groupby("_shard").map_groups(fold, batch_format="pyarrow")
 
 
+def set_op_rows(left, right, cols, op: str):
+    """SQL ``INTERSECT`` / ``EXCEPT`` (set semantics: distinct rows) over
+    ``cols`` — the fifth operator on the tagged-union + segment-run
+    skeleton (semi/anti join, band join, changefeed, as-of).
+
+    Shape: each side projects to ``cols`` and takes a LOCAL Arrow distinct
+    per block (so at most one row per value-tuple per block moves), the
+    tagged union makes ONE key-shard exchange, and each shard dedupes per
+    side then run-compares: a run of identical tuples holding both sides
+    is an intersect hit; a side-0-only run is an except hit.  Key columns
+    must be non-null (the shared run-compare primitive's contract)."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unsupported set op {op!r}")
+    cols = list(cols)
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.select(cols).group_by(cols).aggregate([]).select(cols)
+            return t.append_column("_side", pa.array(
+                np.full(t.num_rows, side, dtype=np.int8)))
+
+        return f
+
+    both = left.map_batches(tag(0), batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .union(right.map_batches(tag(1), batch_format="pyarrow",
+                                 zero_copy_batch=True))
+
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_shard"]).group_by(cols + ["_side"]) \
+            .aggregate([]).select(cols + ["_side"])
+        if t.num_rows == 0:
+            return t.drop_columns(["_side"])
+        order = pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in cols]
+            + [("_side", "ascending")])
+        s = t.take(order)
+        same = _same_as_prev_row(s, cols)
+        rid = np.cumsum(~same) - 1
+        counts = np.bincount(rid)
+        firsts = np.nonzero(~same)[0]
+        sides = np.asarray(s.column("_side").combine_chunks())
+        if op == "intersect":
+            keep = counts == 2
+        else:
+            keep = (counts == 1) & (sides[firsts] == 0)
+        return s.take(pa.array(firsts[keep])).drop_columns(["_side"])
+
+    return _with_key_shard(both, cols).groupby("_shard") \
+        .map_groups(reduce_shard, batch_format="pyarrow")
+
+
 _BLOOM_SEED0 = 101
 
 

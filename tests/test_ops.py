@@ -167,6 +167,40 @@ def test_approx_count_distinct(ray_session):
     assert abs(est2 - 700) / 700 < 0.05
 
 
+def test_set_op_rows(ray_session):
+    import duckdb
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        set_op_rows,
+    )
+
+    rng = np.random.default_rng(41)
+    mk = lambda n: pa.table({  # noqa: E731
+        "a": pa.array(rng.integers(0, 800, n), pa.int64()),
+        "b": pa.array([f"s{v}" for v in rng.integers(0, 4, n)]),
+    })
+    lt, rt = mk(1_500), mk(900)  # partial overlap: both ops non-empty
+    left = ray.data.from_arrow(lt).repartition(6)
+    right = ray.data.from_arrow(rt).repartition(4)
+    con = duckdb.connect()
+    con.register("lt", lt.to_pandas())
+    con.register("rt", rt.to_pandas())
+    for op, sql_kw in (("intersect", "intersect"), ("except", "except")):
+        got = set_op_rows(left, right, ["a", "b"], op).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        want = con.execute(
+            f"select a, b from lt {sql_kw} select a, b from rt "
+            "order by a, b").df()
+        assert got["a"].tolist() == want["a"].tolist()
+        assert got["b"].tolist() == want["b"].tolist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="set op"):
+        set_op_rows(left, right, ["a"], "union")
+
+
 def test_bloom_filter(ray_session):
     import ray.data
 
