@@ -70,21 +70,43 @@ DEFAULT_EPOCH_SPECS: "dict[int, ColumnConfig]" = {
 MERGE_KEY = ("conv_id", "turn_idx")
 VALID_OPS = ("upsert", "delete")
 
+#: reserved partition id for the dead-letter route (never produced by
+#: PartitionStage, whose pids are uint64 % num_partitions ≥ 0)
+DLQ_PID = -1
+
+#: dlq_reason code → string (code 0 = clean → NULL reason)
+_DLQ_REASONS = pa.array([None, "invalid_envelope", "unknown_epoch",
+                         "unparseable_ts"], pa.string())
+
 
 class NormalizeStage:
     """map_batches callable: envelope validation + role-enum unification +
-    per-epoch ts normalization → ``ts: timestamp[ns, UTC]`` column."""
+    per-epoch ts normalization → ``ts: timestamp[ns, UTC]`` column.
+
+    Error policy tiers (the reference's C10 warn-NULL/abort surface,
+    SURVEY.md §2.2, extended one step): ``stop_on_invalid=True`` aborts the
+    batch; default drops invalid envelopes with a warning and NULLs
+    unparseable ts (reference parity); ``dlq=True`` instead TAGS every bad
+    row with a ``dlq_reason`` (invalid_envelope / unknown_epoch /
+    unparseable_ts) so the pipeline can quarantine it — including events
+    from a schema epoch that has no configured spec yet, the operational
+    case that would otherwise abort the whole stream."""
 
     def __init__(self, epoch_specs: "dict[int, ColumnConfig] | None" = None,
                  role_renames: "dict[str, str] | None" = None,
                  low_watermark: int = -1,
-                 stop_on_invalid: bool = False):
+                 stop_on_invalid: bool = False,
+                 dlq: bool = False):
+        if dlq and stop_on_invalid:
+            raise ValueError("dlq and stop_on_invalid are contradictory "
+                             "error policies")
         self.epoch_specs = epoch_specs or DEFAULT_EPOCH_SPECS
         self.role_renames = role_renames if role_renames is not None else {
             v: k for k, v in ROLE_RENAMES_EPOCH2.items()
         }
         self.low_watermark = low_watermark
         self.stop_on_invalid = stop_on_invalid
+        self.dlq = dlq
         self._kernels: "dict[int, ColumnKernel] | None" = None
 
     def _kernel(self, epoch: int) -> ColumnKernel:
@@ -101,9 +123,11 @@ class NormalizeStage:
         return k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # ---- low-watermark prune (early, before the shuffle)
+        # ---- low-watermark prune (early, before the shuffle); in dlq mode a
+        # NULL lsn must survive the prune to be quarantined, not vanish
         if self.low_watermark >= 0:
-            batch = batch.filter(pc.greater(batch.column("lsn"), self.low_watermark))
+            keep = pc.greater(batch.column("lsn"), self.low_watermark)
+            batch = batch.filter(pc.fill_null(keep, self.dlq))
         if batch.num_rows == 0:
             return self._empty_out(batch)
         # ---- envelope validation
@@ -113,11 +137,17 @@ class NormalizeStage:
             pc.greater_equal(batch.column("lsn"), 0),
         )
         n_bad = batch.num_rows - pc.sum(pc.cast(env_valid, pa.int64())).as_py()
+        codes = np.zeros(batch.num_rows, dtype=np.int8)
         if n_bad:
             if self.stop_on_invalid:
                 raise CastError(f"{n_bad} invalid change-event envelopes")
-            logger.warning("dropping %d invalid change-event envelopes", n_bad)
-            batch = batch.filter(env_valid)
+            if self.dlq:
+                codes[~np.asarray(pc.fill_null(env_valid, False))] = 1
+            else:
+                logger.warning("dropping %d invalid change-event envelopes",
+                               n_bad)
+                batch = batch.filter(env_valid)
+                codes = np.zeros(batch.num_rows, dtype=np.int8)
         # ---- role-enum rename (schema evolution)
         role = batch.column("role")
         if self.role_renames:
@@ -134,6 +164,12 @@ class NormalizeStage:
         null_mask = np.zeros(batch.num_rows, dtype=bool)
         for epoch in np.unique(epochs):
             mask = epochs == epoch
+            if self.dlq and int(epoch) not in self.epoch_specs:
+                # unconfigured schema epoch: quarantine instead of abort —
+                # the stream keeps flowing while the spec catches up
+                null_mask |= mask
+                codes[mask & (codes == 0)] = 2
+                continue
             kernel = self._kernel(int(epoch))
             sub, _ = kernel.cast_array(raw.filter(pa.array(mask)))
             sub_ns = np.asarray(pc.fill_null(sub.cast(pa.int64()), 0))
@@ -141,10 +177,12 @@ class NormalizeStage:
             idx = np.nonzero(mask)[0]
             ns[idx] = sub_ns
             null_mask[idx] = sub_null
+        if self.dlq:
+            codes[null_mask & (codes == 0)] = 3
         ts = pa.array(ns).cast(pa.timestamp("ns")).cast(_TS_NS_UTC)
         if null_mask.any():
             ts = pc.if_else(pa.array(~null_mask), ts, pa.scalar(None, _TS_NS_UTC))
-        out = pa.table({
+        cols = {
             "lsn": batch.column("lsn"),
             "op": batch.column("op"),
             "conv_id": batch.column("conv_id"),
@@ -155,18 +193,29 @@ class NormalizeStage:
             if "tool" in batch.schema.names
             else pa.nulls(batch.num_rows, pa.string()),
             "ts": ts,
-        })
-        return out
+        }
+        if self.dlq:
+            code_arr = pa.array(codes)
+            clean = pc.equal(code_arr, 0)
+            # forensic payload: the raw source ts travels with quarantined
+            # rows only (clean rows carry a null ⇒ near-zero exchange cost)
+            cols["ts_raw"] = pc.if_else(clean, pa.scalar(None, pa.string()),
+                                        pc.cast(raw, pa.string()))
+            cols["dlq_reason"] = pc.take(_DLQ_REASONS, code_arr)
+        return pa.table(cols)
 
-    @staticmethod
-    def _empty_out(batch: pa.Table) -> pa.Table:
-        return pa.table({
+    def _empty_out(self, batch: pa.Table) -> pa.Table:
+        cols = {
             "lsn": pa.array([], pa.int64()), "op": pa.array([], pa.string()),
             "conv_id": pa.array([], pa.string()), "turn_idx": pa.array([], pa.int32()),
             "role": pa.array([], pa.string()), "text": pa.array([], pa.string()),
             "tool": pa.array([], pa.string()),
             "ts": pa.array([], _TS_NS_UTC),
-        })
+        }
+        if self.dlq:
+            cols["ts_raw"] = pa.array([], pa.string())
+            cols["dlq_reason"] = pa.array([], pa.string())
+        return pa.table(cols)
 
 
 LAKE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
@@ -236,7 +285,18 @@ class PreMergeCombiner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        out = keep_last_per_key(batch)
+        # dead-letter rows (pid == DLQ_PID, dlq mode only) bypass the
+        # combiner: they may carry NULL merge keys, and quarantine is
+        # append-only — replays must stay visible, not collapse
+        dlq_part = None
+        if "dlq_reason" in batch.schema.names:
+            dlq_mask = pc.equal(batch.column("_pid"), DLQ_PID)
+            if pc.any(dlq_mask).as_py():
+                dlq_part = batch.filter(dlq_mask)
+                batch = batch.filter(pc.invert(dlq_mask))
+        out = keep_last_per_key(batch) if batch.num_rows else batch
+        if dlq_part is not None:
+            out = pa.concat_tables([out, dlq_part])
         if not self.wire_encode:
             return out
         is_del = pc.cast(pc.equal(out.column("op"), "delete"), pa.int8())
@@ -329,6 +389,22 @@ class MergeApplier:
                 "merge group has %d rows; raise num_partitions to bound "
                 "per-partition state rewrites", group.num_rows)
         pid = int(group.column("_pid")[0].as_py())
+        if pid == DLQ_PID:
+            # quarantine partition: append-only forensic parquet, committed
+            # through the SAME two-phase txn as the data partitions (a crash
+            # before the manifest swap orphans it together with them)
+            dlq_tbl = decode_shuffle_encoding(group.drop_columns(["_pid"]))
+            dlq_tbl = dlq_tbl.take(pc.sort_indices(
+                dlq_tbl, sort_keys=[("lsn", "ascending")]))
+            rel = os.path.join(f"txn-{self.txn_id}", "dlq.parquet")
+            full = os.path.join(self.lake_dir, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            pq.write_table(dlq_tbl, full, compression="zstd")
+            return self._result({
+                "pid": DLQ_PID, "path": rel, "rows": dlq_tbl.num_rows,
+                "last_applied_lsn": -1, "events_applied": 0,
+                "events_seen": dlq_tbl.num_rows,
+            })
         meta = self.partition_meta.get(pid, {})
         watermark = meta.get("last_applied_lsn", -1)
         prior = None
@@ -369,11 +445,27 @@ class CDCPipeline:
                  partition_mode: str = "turn",
                  salt_keys: "frozenset[str] | None" = None,
                  salt_factor: int = 8,
-                 time_travel_retain: int = mf.DEFAULT_RETAIN_HISTORY):
+                 time_travel_retain: int = mf.DEFAULT_RETAIN_HISTORY,
+                 dlq: bool = False):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.epoch_specs = epoch_specs
         self.stop_on_invalid = stop_on_invalid
+        # dead-letter queue: quarantine bad events (invalid envelope /
+        # unknown schema epoch / unparseable ts) into an append-only
+        # ``dlq.parquet`` per txn instead of dropping or aborting; the
+        # quarantine rides the SAME single shuffle (reserved pid) and the
+        # same exactly-once commit.  At-least-once per event: quarantined
+        # lsns never advance partition watermarks, so a replayed micro-batch
+        # re-quarantines them until the global low-watermark passes them.
+        if dlq and stop_on_invalid:
+            raise ValueError("dlq and stop_on_invalid are contradictory "
+                             "error policies")
+        if dlq and wire_encode:
+            raise ValueError("dlq keeps the original op string for forensic "
+                             "fidelity; the int8 tombstone wire encoding "
+                             "would destroy it — disable one of the two")
+        self.dlq = dlq
         # actor-pool mode for the stateful parse stage: per-epoch parser
         # kernels compile once per actor (__init__/first batch) instead of
         # once per task closure — set e.g. (2, 8) to pin a pool
@@ -465,6 +557,11 @@ class CDCPipeline:
         for attempt in range(max_commit_retries + 1):
             try:
                 if exchange == "actor":
+                    if self.dlq:
+                        raise ValueError(
+                            "dlq requires the dataset exchange (the actor "
+                            "exchange routes by pid array and has no "
+                            "reserved dead-letter lane)")
                     from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
                         apply_with_actor_exchange,
                     )
@@ -499,13 +596,31 @@ class CDCPipeline:
                 NormalizeStage,
                 fn_constructor_kwargs=dict(
                     epoch_specs=self.epoch_specs, low_watermark=low,
-                    stop_on_invalid=self.stop_on_invalid),
+                    stop_on_invalid=self.stop_on_invalid, dlq=self.dlq),
                 concurrency=self.normalize_concurrency, **norm_kwargs)
         else:
             normalize = NormalizeStage(self.epoch_specs, low_watermark=low,
-                                       stop_on_invalid=self.stop_on_invalid)
+                                       stop_on_invalid=self.stop_on_invalid,
+                                       dlq=self.dlq)
             ds = events_ds.map_batches(normalize, **norm_kwargs)
-        ds = ds.map_batches(partition, batch_format="pyarrow", zero_copy_batch=True)
+        if self.dlq:
+            # quarantined rows (possibly NULL conv_id/turn_idx) must not hit
+            # the key hash — route them to the reserved dead-letter pid and
+            # hash-partition only the clean remainder
+            def partition_or_dlq(batch: pa.Table) -> pa.Table:
+                bad = pc.is_valid(batch.column("dlq_reason"))
+                if not pc.any(bad).as_py():
+                    return partition(batch)
+                good_p = partition(batch.filter(pc.invert(bad)))
+                bad_t = batch.filter(bad)
+                bad_p = bad_t.append_column("_pid", pa.array(
+                    np.full(bad_t.num_rows, DLQ_PID, dtype=np.int32)))
+                return pa.concat_tables([good_p, bad_p])
+
+            ds = ds.map_batches(partition_or_dlq, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        else:
+            ds = ds.map_batches(partition, batch_format="pyarrow", zero_copy_batch=True)
         # map-side combine: shrink the all-to-all exchange to one row per
         # merge key per block before the shuffle
         ds = ds.map_batches(PreMergeCombiner(self.wire_encode),
@@ -519,8 +634,14 @@ class CDCPipeline:
 
         # ---- driver-side atomic commit (write-then-manifest-swap)
         partitions = dict(manifest["partitions"])
-        total_applied = 0
+        dlq_entries = list(manifest.get("dlq", []))
+        total_applied = quarantined = 0
         for r in rows:
+            if int(r["pid"]) == DLQ_PID:
+                quarantined = int(r["rows"])
+                dlq_entries.append({"txn": txn_id, "path": r["path"],
+                                    "rows": quarantined})
+                continue
             pid = str(r["pid"])
             prev = partitions.get(pid, {})
             lineage = list(prev.get("lineage", []))
@@ -548,6 +669,8 @@ class CDCPipeline:
             "last_txn": txn_id,
             "schema_columns": LAKE_COLUMNS,
         }
+        if dlq_entries:
+            new_manifest["dlq"] = dlq_entries
         if self._pre_commit_hook is not None:
             self._pre_commit_hook()  # test seam: interleave a competing commit
         mf.commit_manifest(self.lake_dir, new_manifest,
@@ -557,7 +680,9 @@ class CDCPipeline:
             mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
         return {
             "txn": txn_id, "version": new_manifest["version"],
-            "partitions_touched": len(rows), "events_applied": total_applied,
+            "partitions_touched": len(rows) - (1 if quarantined else 0),
+            "events_applied": total_applied,
+            "events_quarantined": quarantined,
         }
 
     def repartition_lake(self, new_num_partitions: int,
@@ -628,6 +753,10 @@ class CDCPipeline:
             "last_txn": txn_id,
             "schema_columns": LAKE_COLUMNS,
         }
+        if manifest.get("dlq"):
+            # quarantine files are layout-independent (append-only, never
+            # keyed) — carry them across the repartition untouched
+            new_manifest["dlq"] = manifest["dlq"]
         # OCC: a writer that committed mid-repartition invalidates the
         # rewrite (it rewrote the OLD layout's files) — surface the conflict
         mf.commit_manifest(self.lake_dir, new_manifest,
@@ -656,6 +785,19 @@ class CDCPipeline:
     def read_lake(self):
         """Committed lake state as a streaming Dataset (manifest-scoped)."""
         return self._manifest_dataset(mf.read_manifest(self.lake_dir))
+
+    def read_dlq(self):
+        """Quarantined events across all committed txns as one Arrow table
+        (lsn, op, conv_id, turn_idx, role, text, tool, ts, ts_raw,
+        dlq_reason).  Small by construction — the DLQ is the error tail, not
+        the stream; inspect / fix / re-inject with fresh lsns."""
+        manifest = mf.read_manifest(self.lake_dir)
+        entries = manifest.get("dlq", [])
+        if not entries:
+            return NormalizeStage(dlq=True)._empty_out(None)
+        tables = [pq.read_table(os.path.join(self.lake_dir, e["path"]))
+                  for e in entries]
+        return pa.concat_tables(tables, promote_options="permissive")
 
     def read_lake_at(self, version: int):
         """Time travel: the lake as of manifest ``version`` (Delta-style
@@ -771,7 +913,8 @@ class CDCPipeline:
     def _manifest_dataset(self, manifest: "dict"):
         import ray.data
 
-        files = [os.path.join(self.lake_dir, p) for p in mf.data_files(manifest)]
+        files = [os.path.join(self.lake_dir, p)
+                 for p in mf.partition_files(manifest)]
         if not files:
             schema = pa.schema([
                 ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -826,7 +969,7 @@ class CDCPipeline:
             t = pa.concat_tables(tables, promote_options="permissive")
         else:
             tables = [pq.read_table(os.path.join(self.lake_dir, p))
-                      for p in mf.data_files(manifest)]
+                      for p in mf.partition_files(manifest)]
             if not tables:
                 return pa.table({})
             t = pa.concat_tables(tables, promote_options="permissive")

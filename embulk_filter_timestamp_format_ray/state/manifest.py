@@ -177,8 +177,18 @@ def min_watermark(manifest: "dict[str, Any]", num_partitions: int) -> int:
     return min(p["last_applied_lsn"] for p in manifest["partitions"].values())
 
 
-def data_files(manifest: "dict[str, Any]") -> "list[str]":
+def partition_files(manifest: "dict[str, Any]") -> "list[str]":
+    """The lake STATE files only — what a table read should scan."""
     return [p["path"] for p in manifest["partitions"].values() if p.get("path")]
+
+
+def data_files(manifest: "dict[str, Any]") -> "list[str]":
+    """Every data file the manifest references: partition state files plus
+    dead-letter quarantine files (GC liveness treats both as live; table
+    reads must use :func:`partition_files` so quarantined rows never leak
+    into lake state)."""
+    return partition_files(manifest) + [
+        d["path"] for d in manifest.get("dlq", []) if d.get("path")]
 
 
 def gc_orphan_txns(lake_dir: str, keep_txns: "set[str]") -> "list[str]":

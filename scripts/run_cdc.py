@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--at-version", type=int, default=None,
                     help="read-only: report row count + retained versions of "
                          "the lake AS OF this manifest version, apply nothing")
+    ap.add_argument("--dlq", action="store_true",
+                    help="quarantine bad events (invalid envelope / unknown "
+                         "epoch / unparseable ts) into the lake's dead-letter "
+                         "parquet instead of dropping or aborting")
+    ap.add_argument("--poison-permille", type=int, default=0,
+                    help="corrupt ~N per 1000 generated events (op+ts_raw) "
+                         "to exercise the dlq path")
     args = ap.parse_args()
 
     import ray
@@ -46,7 +53,34 @@ def main() -> None:
         from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
         from embulk_filter_timestamp_format_ray.sources.changegen import change_events
 
-        pipe = CDCPipeline(args.lake, num_partitions=args.partitions)
+        pipe = CDCPipeline(args.lake, num_partitions=args.partitions,
+                           dlq=args.dlq)
+
+        def poison(ds):
+            if not args.poison_permille:
+                return ds
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            def corrupt(batch: pa.Table) -> pa.Table:
+                # two disjoint poison bands: invalid envelope (bad op) and
+                # unparseable ts — exercises both quarantine reasons
+                band = pc.cast(pc.bit_wise_and(batch.column("lsn"), 1023),
+                               pa.int64())
+                half = max(args.poison_permille // 2, 1)
+                bad_op = pc.less(band, half)
+                bad_ts = pc.and_(pc.greater_equal(band, half),
+                                 pc.less(band, args.poison_permille))
+                i_op = batch.schema.get_field_index("op")
+                i_ts = batch.schema.get_field_index("ts_raw")
+                batch = batch.set_column(i_op, "op", pc.if_else(
+                    bad_op, pa.scalar("corrupt"), batch.column("op")))
+                return batch.set_column(i_ts, "ts_raw", pc.if_else(
+                    bad_ts, pa.scalar("<garbled>"), batch.column("ts_raw")))
+
+            return ds.map_batches(corrupt, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
         if args.at_version is not None:
             snap = pipe.read_lake_at(args.at_version)
             print(json.dumps({
@@ -67,8 +101,9 @@ def main() -> None:
         per_batch = max((args.events - start_lsn) // args.micro_batches, 1)
         t0 = time.perf_counter()
         total = 0
+        quarantined = 0
         for i in range(args.micro_batches):
-            ds = change_events(args.events, seed=args.seed)
+            ds = poison(change_events(args.events, seed=args.seed))
             # the generator emits the full lsn range; the pipeline's
             # low-watermark prune drops already-committed events, so a resumed
             # run only pays to re-apply the uncommitted suffix
@@ -80,6 +115,7 @@ def main() -> None:
                     else f"lsn >= {start_lsn + i * per_batch}")
             )
             total += stats["events_applied"]
+            quarantined += stats.get("events_quarantined", 0)
             if view is not None:
                 view_refreshes.append(view.refresh()["recomputed"])
         elapsed = time.perf_counter() - t0
@@ -89,6 +125,9 @@ def main() -> None:
             "events_per_sec": round(args.events / elapsed, 1),
             "lake_version": stats["version"],
         }
+        if args.dlq:
+            out["quarantined"] = quarantined
+            out["dlq_rows"] = pipe.read_dlq().num_rows
         if view is not None:
             out["view_rows"] = view.read().count()
             out["view_recomputed_per_batch"] = view_refreshes

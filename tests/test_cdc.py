@@ -684,3 +684,131 @@ def test_assemble_conversations_parity_many(ray_session):
     assert got == expect
     n_turns = dict(zip(out["conv_id"], out["n_turns"]))
     assert all(n_turns[k] == len(v.split("\n")) for k, v in expect.items())
+
+
+# ------------------------------------------------------------------ DLQ
+
+
+def _events_with_bad_rows(n_clean: int = 300) -> "tuple[pa.Table, int]":
+    """Clean stream + 4 poison rows (lsns beyond the clean range)."""
+    clean = expected_event_table(n_clean)
+    bad = pa.Table.from_pylist([
+        {"lsn": n_clean + 0, "op": "bogus", "conv_id": "conv-bad",
+         "turn_idx": 0, "role": "user", "text": "bad op", "tool": None,
+         "ts_raw": "1704067200000", "schema_epoch": 0},
+        {"lsn": n_clean + 1, "op": "upsert", "conv_id": None,
+         "turn_idx": 1, "role": "user", "text": "no conv", "tool": None,
+         "ts_raw": "1704067200000", "schema_epoch": 0},
+        {"lsn": n_clean + 2, "op": "upsert", "conv_id": "conv-epoch9",
+         "turn_idx": 2, "role": "user", "text": "future epoch", "tool": None,
+         "ts_raw": "2024-01-01T00:00:00Z", "schema_epoch": 9},
+        {"lsn": n_clean + 3, "op": "upsert", "conv_id": "conv-unparse",
+         "turn_idx": 3, "role": "user", "text": "bad ts", "tool": None,
+         "ts_raw": "not a timestamp", "schema_epoch": 1},
+    ], schema=clean.schema)
+    return pa.concat_tables([clean, bad]), n_clean
+
+
+def test_dlq_quarantines_and_keeps_lake_clean(ray_session, tmp_path_factory):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_dlq"))
+    events, n_clean = _events_with_bad_rows()
+    pipe = CDCPipeline(lake, num_partitions=4, dlq=True)
+    stats = pipe.apply(ray.data.from_arrow(events))
+    assert stats["events_quarantined"] == 4
+    # applied = post-combine per-key winners (map-side combine collapses
+    # same-key updates within a block); all that matters is: nothing poison
+    assert 0 < stats["events_applied"] <= n_clean
+
+    dlq = pipe.read_dlq()
+    assert dlq.num_rows == 4
+    reasons = dict(zip(dlq.column("lsn").to_pylist(),
+                       dlq.column("dlq_reason").to_pylist()))
+    assert reasons[n_clean + 0] == "invalid_envelope"
+    assert reasons[n_clean + 1] == "invalid_envelope"
+    assert reasons[n_clean + 2] == "unknown_epoch"
+    assert reasons[n_clean + 3] == "unparseable_ts"
+    # forensic raw payload survives
+    raws = dict(zip(dlq.column("lsn").to_pylist(),
+                    dlq.column("ts_raw").to_pylist()))
+    assert raws[n_clean + 3] == "not a timestamp"
+
+    # the lake itself contains ONLY clean-stream state, matching the oracle
+    _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(n_clean))
+    # and no dlq columns leak into the lake schema
+    cols = set(pipe.read_lake().schema().names)
+    assert "dlq_reason" not in cols and "ts_raw" not in cols
+
+
+def test_dlq_replay_requarantines_but_lake_idempotent(ray_session,
+                                                      tmp_path_factory):
+    """At-least-once quarantine: replaying the same micro-batch re-adds the
+    poison rows to the DLQ (their lsns never advance watermarks) while the
+    lake state stays exactly-once."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_dlq_replay"))
+    events, n_clean = _events_with_bad_rows()
+    pipe = CDCPipeline(lake, num_partitions=4, dlq=True)
+    pipe.apply(ray.data.from_arrow(events))
+    stats2 = pipe.apply(ray.data.from_arrow(events))
+    assert stats2["events_applied"] == 0  # watermarks dedup clean replays
+    assert stats2["events_quarantined"] == 4
+    assert pipe.read_dlq().num_rows == 8
+    _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(n_clean))
+
+
+def test_dlq_files_survive_gc_and_repartition(ray_session, tmp_path_factory):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_dlq_gc"))
+    events, n_clean = _events_with_bad_rows(120)
+    pipe = CDCPipeline(lake, num_partitions=4, dlq=True,
+                       time_travel_retain=1)
+    pipe.apply(ray.data.from_arrow(events))
+    dlq_paths = [e["path"] for e in mf.read_manifest(lake)["dlq"]]
+    assert len(dlq_paths) == 1
+    # later clean applies + gc must not collect the quarantine file
+    pipe.apply(ray.data.from_arrow(expected_event_table(200).slice(120)))
+    pipe.gc()
+    for p in dlq_paths:
+        assert os.path.exists(os.path.join(lake, p))
+    # repartition rewrites the layout but carries the quarantine forward
+    pipe.repartition_lake(8)
+    pipe.gc()
+    assert [e["path"] for e in mf.read_manifest(lake)["dlq"]] == dlq_paths
+    for p in dlq_paths:
+        assert os.path.exists(os.path.join(lake, p))
+    assert pipe.read_dlq().num_rows == 4
+
+
+def test_dlq_policy_validation():
+    with pytest.raises(ValueError):
+        NormalizeStage(dlq=True, stop_on_invalid=True)
+    with pytest.raises(ValueError):
+        CDCPipeline("/tmp/x", dlq=True, stop_on_invalid=True)
+    with pytest.raises(ValueError):
+        CDCPipeline("/tmp/x", dlq=True, wire_encode=True)
+
+
+def test_dlq_default_mode_unchanged(ray_session, tmp_path_factory):
+    """Reference-parity default: invalid envelopes drop with a warning and
+    an unparseable ts applies as a NULL-ts row (C10 warn+NULL semantics)."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_nodlq"))
+    events, n_clean = _events_with_bad_rows(100)
+    # default mode has no spec for epoch 9 and would abort — that poison row
+    # is exactly what dlq mode exists for; drop it here
+    import pyarrow.compute as pc
+    events = events.filter(pc.not_equal(events.column("schema_epoch"), 9))
+    pipe = CDCPipeline(lake, num_partitions=4)
+    pipe.apply(ray.data.from_arrow(events))
+    state = _lake_as_dict(pipe)
+    # poison rows with valid envelopes applied (NULL ts for the unparseable
+    # one); invalid envelopes silently dropped
+    assert ("conv-unparse", 3) in state
+    assert state[("conv-unparse", 3)]["ts_ns"] is None
+    assert ("conv-bad", 0) not in state
+    assert (None, 1) not in state
