@@ -244,6 +244,31 @@ def q_cdc_changefeed(sf_dir: str):
     return pipe.lake_changes(1, 2)
 
 
+def q_cdc_dlq(sf_dir: str):
+    """Dead-letter queue: the deterministic 20k-event binlog is poisoned in
+    two disjoint lsn bands (changegen.poison_batch: lsn&1023<10 → corrupt
+    op = invalid envelope; 10–19 → '<garbled>' ts_raw = unparseable in every
+    epoch) and applied with ``CDCPipeline(dlq=True)``; the quarantine table
+    (read_dlq) is returned DISTINCT over (lsn, conv_id, turn_idx,
+    dlq_reason) — replayed copies of a poisoned event are byte-identical,
+    so the at-least-once duplicates collapse.  Oracle: SQL replays the
+    band rule over the committed event fixture."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        change_events,
+        poison_events,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_dlq_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32, dlq=True)
+    pipe.apply(poison_events(
+        change_events(20_000, seed=42, parallelism=16), 20))
+    dlq = pipe.read_dlq().select(["lsn", "conv_id", "turn_idx", "dlq_reason"])
+    return dlq.group_by(
+        ["lsn", "conv_id", "turn_idx", "dlq_reason"]).aggregate([])
+
+
 def q_assemble_transcripts(sf_dir: str):
     """Lake → corpus bridge: replay the CDC stream, then assemble each
     conversation's turns into one ordered transcript document
@@ -1798,6 +1823,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changefeed": q_cdc_changefeed,
+        "cdc_dlq": q_cdc_dlq,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
@@ -1983,6 +2009,15 @@ def oracle_sql() -> "dict[str, str]":
             "from f1 full outer join f2 on f1.conv_id = f2.conv_id "
             "and f1.turn_idx = f2.turn_idx "
             "where f1.lsn is null or f2.lsn is null or f1.lsn <> f2.lsn",
+        # DLQ: replay changegen.poison_batch's pure-function-of-lsn band rule
+        # over the committed fixture; DISTINCT collapses the at-least-once
+        # replay duplicates on both sides
+        "cdc_dlq":
+            "select distinct lsn, conv_id, turn_idx, "
+            "case when (lsn & 1023) < 10 then 'invalid_envelope' "
+            "else 'unparseable_ts' end as dlq_reason "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet') "
+            "where (lsn & 1023) < 20",
         "assemble_transcripts":
             "with ranked as (select *, row_number() over "
             "(partition by conv_id, turn_idx order by lsn desc) as rn "

@@ -208,3 +208,37 @@ def expected_event_table(num_events: int, *, seed: int = 42,
     gen = ChangeEventBatchGenerator(seed, num_events, num_convs,
                                     replay_fraction=0.0, reorder=False)
     return gen(pa.table({"id": ids}))
+
+
+def poison_batch(batch: pa.Table, permille: int) -> pa.Table:
+    """Deterministically corrupt ~``permille``/1024 of a change-event batch
+    in two disjoint lsn bands, exercising both non-parse quarantine reasons
+    of the CDC dead-letter queue (pipelines/cdc.py NormalizeStage):
+
+    * ``lsn & 1023 <  permille//2``       → op = 'corrupt'  (invalid envelope)
+    * ``permille//2 ≤ lsn & 1023 < permille`` → ts_raw = '<garbled>'
+      (unparseable in every schema epoch)
+
+    Pure function of lsn, so replayed copies of a poisoned event are
+    byte-identical (the DLQ's at-least-once duplicates collapse under
+    DISTINCT) and an SQL oracle can replay the rule exactly."""
+    import pyarrow.compute as pc
+
+    band = pc.cast(pc.bit_wise_and(batch.column("lsn"), 1023), pa.int64())
+    half = max(permille // 2, 1)
+    bad_op = pc.less(band, half)
+    bad_ts = pc.and_(pc.greater_equal(band, half), pc.less(band, permille))
+    i_op = batch.schema.get_field_index("op")
+    i_ts = batch.schema.get_field_index("ts_raw")
+    batch = batch.set_column(i_op, "op", pc.if_else(
+        bad_op, pa.scalar("corrupt"), batch.column("op")))
+    return batch.set_column(i_ts, "ts_raw", pc.if_else(
+        bad_ts, pa.scalar("<garbled>"), batch.column("ts_raw")))
+
+
+def poison_events(ds, permille: int):
+    """Dataset wrapper over :func:`poison_batch` (no-op at permille=0)."""
+    if not permille:
+        return ds
+    return ds.map_batches(lambda b: poison_batch(b, permille),
+                          batch_format="pyarrow", zero_copy_batch=True)

@@ -53,33 +53,15 @@ def main() -> None:
         from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
         from embulk_filter_timestamp_format_ray.sources.changegen import change_events
 
+        from embulk_filter_timestamp_format_ray.sources.changegen import (
+            poison_events,
+        )
+
         pipe = CDCPipeline(args.lake, num_partitions=args.partitions,
                            dlq=args.dlq)
 
         def poison(ds):
-            if not args.poison_permille:
-                return ds
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            def corrupt(batch: pa.Table) -> pa.Table:
-                # two disjoint poison bands: invalid envelope (bad op) and
-                # unparseable ts — exercises both quarantine reasons
-                band = pc.cast(pc.bit_wise_and(batch.column("lsn"), 1023),
-                               pa.int64())
-                half = max(args.poison_permille // 2, 1)
-                bad_op = pc.less(band, half)
-                bad_ts = pc.and_(pc.greater_equal(band, half),
-                                 pc.less(band, args.poison_permille))
-                i_op = batch.schema.get_field_index("op")
-                i_ts = batch.schema.get_field_index("ts_raw")
-                batch = batch.set_column(i_op, "op", pc.if_else(
-                    bad_op, pa.scalar("corrupt"), batch.column("op")))
-                return batch.set_column(i_ts, "ts_raw", pc.if_else(
-                    bad_ts, pa.scalar("<garbled>"), batch.column("ts_raw")))
-
-            return ds.map_batches(corrupt, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+            return poison_events(ds, args.poison_permille)
 
         if args.at_version is not None:
             snap = pipe.read_lake_at(args.at_version)
