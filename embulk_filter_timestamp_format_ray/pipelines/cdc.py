@@ -134,7 +134,8 @@ class NormalizeStage:
         op_valid = pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS))
         env_valid = pc.and_(
             pc.and_(op_valid, pc.is_valid(batch.column("conv_id"))),
-            pc.greater_equal(batch.column("lsn"), 0),
+            pc.and_(pc.greater_equal(batch.column("lsn"), 0),
+                    pc.is_valid(batch.column("schema_epoch"))),
         )
         n_bad = batch.num_rows - pc.sum(pc.cast(env_valid, pa.int64())).as_py()
         codes = np.zeros(batch.num_rows, dtype=np.int8)
@@ -156,7 +157,10 @@ class NormalizeStage:
             dictionary = [self.role_renames.get(r, r) for r in enc.dictionary.to_pylist()]
             role = pc.take(pa.array(dictionary, type=pa.string()), enc.indices)
         # ---- ts normalization per epoch (the reference competency)
-        epochs = np.asarray(batch.column("schema_epoch").cast(pa.int64()))
+        # null epoch is an invalid envelope (checked above); -1 sentinel keeps
+        # the numpy path total in dlq mode, where such rows survive the filter
+        epochs = np.asarray(pc.fill_null(
+            batch.column("schema_epoch").cast(pa.int64()), -1))
         raw = batch.column("ts_raw")
         if isinstance(raw, pa.ChunkedArray):
             raw = raw.combine_chunks()
@@ -197,10 +201,15 @@ class NormalizeStage:
         if self.dlq:
             code_arr = pa.array(codes)
             clean = pc.equal(code_arr, 0)
-            # forensic payload: the raw source ts travels with quarantined
-            # rows only (clean rows carry a null ⇒ near-zero exchange cost)
+            # forensic payload: the raw source ts + schema epoch travel with
+            # quarantined rows only (clean rows carry nulls ⇒ near-zero
+            # exchange cost); both are what reprocess_dlq needs to re-run
+            # the event under corrected epoch specs
             cols["ts_raw"] = pc.if_else(clean, pa.scalar(None, pa.string()),
                                         pc.cast(raw, pa.string()))
+            epoch_col = batch.column("schema_epoch").cast(pa.int32())
+            cols["schema_epoch"] = pc.if_else(
+                clean, pa.scalar(None, pa.int32()), epoch_col)
             cols["dlq_reason"] = pc.take(_DLQ_REASONS, code_arr)
         return pa.table(cols)
 
@@ -214,6 +223,7 @@ class NormalizeStage:
         }
         if self.dlq:
             cols["ts_raw"] = pa.array([], pa.string())
+            cols["schema_epoch"] = pa.array([], pa.int32())
             cols["dlq_reason"] = pa.array([], pa.string())
         return pa.table(cols)
 
@@ -324,16 +334,24 @@ def decode_shuffle_encoding(tbl: pa.Table) -> pa.Table:
 
 
 def merge_partition_table(delta: pa.Table, prior: "pa.Table | None",
-                          watermark: int) -> "tuple[pa.Table, int, int]":
+                          watermark: int,
+                          replay_filter: bool = True) -> "tuple[pa.Table, int, int]":
     """Vectorized per-partition merge → (new state, new watermark, applied).
 
     See module docstring for semantics. ``delta`` carries op+lsn; ``prior``
     is the committed lake state (op column absent, rows are live upserts).
-    """
+
+    ``replay_filter=False`` skips the watermark replay-prune and lets the
+    per-key max-LSN winner selection arbitrate alone — for deltas KNOWN to
+    be unapplied despite low lsns (DLQ reprocessing: quarantined events
+    never advanced watermarks, so the prune would wrongly drop them; the
+    merge stays idempotent because re-applying the same row cannot change
+    the winner).  The watermark still only ratchets up."""
     max_in = pc.max(delta.column("lsn")).as_py() if delta.num_rows else None
     new_watermark = max(watermark, max_in if max_in is not None else -1)
     # replay dedup: only events beyond the watermark apply
-    fresh = delta.filter(pc.greater(delta.column("lsn"), watermark))
+    fresh = delta if not replay_filter else delta.filter(
+        pc.greater(delta.column("lsn"), watermark))
     applied = fresh.num_rows
     parts = []
     if prior is not None and prior.num_rows:
@@ -372,10 +390,13 @@ class MergeApplier:
     """
 
     def __init__(self, lake_dir: str, txn_id: str,
-                 partition_meta: "dict[int, dict]"):
+                 partition_meta: "dict[int, dict]",
+                 replay_filter: bool = True):
         self.lake_dir = lake_dir
         self.txn_id = txn_id
         self.partition_meta = partition_meta  # pid -> {path, last_applied_lsn}
+        # False only for DLQ reprocessing (see merge_partition_table)
+        self.replay_filter = replay_filter
 
     #: soft cap: a merge group beyond this is a sign num_partitions is too
     #: small for the data volume (state file rewrite cost grows linearly)
@@ -412,7 +433,8 @@ class MergeApplier:
         if prior_path:
             prior = pq.read_table(os.path.join(self.lake_dir, prior_path))
         delta = decode_shuffle_encoding(group.drop_columns(["_pid"]))
-        state, new_watermark, applied = merge_partition_table(delta, prior, watermark)
+        state, new_watermark, applied = merge_partition_table(
+            delta, prior, watermark, replay_filter=self.replay_filter)
         rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
         full = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
@@ -576,10 +598,11 @@ class CDCPipeline:
                     "(%d/%d) — watermarks dedup the winner's events",
                     self.lake_dir, attempt + 1, max_commit_retries)
 
-    def _apply_dataset(self, events_ds) -> "dict":
+    def _apply_dataset(self, events_ds, _reprocess: bool = False) -> "dict":
         manifest = mf.read_manifest(self.lake_dir)
         self.check_manifest_compat(manifest)
-        low = mf.min_watermark(manifest, self.num_partitions)
+        low = -1 if _reprocess else mf.min_watermark(manifest,
+                                                     self.num_partitions)
         partition = PartitionStage(self.num_partitions,
                                    by_turn=(self.partition_mode == "turn"),
                                    salt_keys=self.salt_keys,
@@ -588,7 +611,8 @@ class CDCPipeline:
         partition_meta = {
             int(pid): meta for pid, meta in manifest["partitions"].items()
         }
-        applier = MergeApplier(self.lake_dir, txn_id, partition_meta)
+        applier = MergeApplier(self.lake_dir, txn_id, partition_meta,
+                               replay_filter=not _reprocess)
 
         norm_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
         if self.normalize_concurrency is not None:
@@ -634,7 +658,9 @@ class CDCPipeline:
 
         # ---- driver-side atomic commit (write-then-manifest-swap)
         partitions = dict(manifest["partitions"])
-        dlq_entries = list(manifest.get("dlq", []))
+        # reprocessing REPLACES the quarantine (the new txn's dlq file holds
+        # exactly the still-bad remainder); normal applies append to it
+        dlq_entries = [] if _reprocess else list(manifest.get("dlq", []))
         total_applied = quarantined = 0
         for r in rows:
             if int(r["pid"]) == DLQ_PID:
@@ -798,6 +824,54 @@ class CDCPipeline:
         tables = [pq.read_table(os.path.join(self.lake_dir, e["path"]))
                   for e in entries]
         return pa.concat_tables(tables, promote_options="permissive")
+
+    def reprocess_dlq(self, epoch_specs: "dict[int, ColumnConfig] | None" = None,
+                      max_commit_retries: int = 2) -> "dict":
+        """Close the quarantine loop: re-run every dead-lettered event
+        through normalization (optionally under corrected ``epoch_specs`` —
+        the usual fix for ``unknown_epoch``/``unparseable_ts`` rows) and
+        apply the ones that now parse; the still-bad remainder REPLACES the
+        old quarantine in the same exactly-once commit.
+
+        Ordering semantics: recovered events keep their ORIGINAL lsns and
+        the per-key max-LSN merge arbitrates against current lake state —
+        an old quarantined update never overwrites a newer applied one, and
+        a quarantined event newer than the applied state wins, exactly as
+        if it had never been quarantined.  The watermark replay-prune is
+        bypassed for this apply (quarantined lsns were never applied, so
+        the prune would wrongly drop them); idempotent because re-merging
+        an identical row cannot change the winner.  Exact duplicate dlq
+        rows (at-least-once quarantine copies) collapse before the apply."""
+        import ray.data
+
+        if not self.dlq:
+            raise ValueError("reprocess_dlq requires a dlq=True pipeline "
+                             "(recovered rows re-route through the "
+                             "dead-letter lane)")
+        if epoch_specs is not None:
+            self.epoch_specs = epoch_specs
+        ident = ["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool",
+                 "ts_raw", "schema_epoch"]
+        for attempt in range(max_commit_retries + 1):
+            dlq = self.read_dlq()
+            if dlq.num_rows == 0:
+                return {"events_seen": 0, "events_applied": 0,
+                        "events_quarantined": 0}
+            events = dlq.select(ident).group_by(ident).aggregate([])
+            # quarantined rows always carry their source epoch; recovered
+            # parsing needs the ORIGINAL raw string back in ts_raw's seat
+            try:
+                stats = self._apply_dataset(
+                    ray.data.from_arrow(events), _reprocess=True)
+                stats["events_seen"] = events.num_rows
+                return stats
+            except mf.CommitConflict:
+                if attempt == max_commit_retries:
+                    raise
+                logger.warning(
+                    "concurrent commit during dlq reprocess on %s; "
+                    "retrying against the fresh quarantine (%d/%d)",
+                    self.lake_dir, attempt + 1, max_commit_retries)
 
     def read_lake_at(self, version: int):
         """Time travel: the lake as of manifest ``version`` (Delta-style

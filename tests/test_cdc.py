@@ -812,3 +812,105 @@ def test_dlq_default_mode_unchanged(ray_session, tmp_path_factory):
     assert state[("conv-unparse", 3)]["ts_ns"] is None
     assert ("conv-bad", 0) not in state
     assert (None, 1) not in state
+
+
+def test_dlq_reprocess_recovers_fixed_epoch(ray_session, tmp_path_factory):
+    """The operational loop: an unknown-epoch event is quarantined, the
+    spec catches up, reprocess_dlq applies it and shrinks the quarantine to
+    the still-bad remainder (REPLACE, not append)."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.config import ColumnConfig
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+        DEFAULT_EPOCH_SPECS,
+    )
+
+    lake = str(tmp_path_factory.mktemp("lake_dlq_rp"))
+    events, n_clean = _events_with_bad_rows()
+    pipe = CDCPipeline(lake, num_partitions=4, dlq=True)
+    pipe.apply(ray.data.from_arrow(events))
+    assert pipe.read_dlq().num_rows == 4
+
+    specs = dict(DEFAULT_EPOCH_SPECS)
+    specs[9] = ColumnConfig("ts_raw", "timestamp",
+                            from_format=("%Y-%m-%dT%H:%M:%SZ",),
+                            from_timezone="UTC")
+    stats = pipe.reprocess_dlq(epoch_specs=specs)
+    assert stats["events_seen"] == 4
+    assert stats["events_quarantined"] == 3  # 2 invalid env + 1 unparseable
+    dlq = pipe.read_dlq()
+    assert dlq.num_rows == 3
+    assert "unknown_epoch" not in dlq.column("dlq_reason").to_pylist()
+    state = _lake_as_dict(pipe)
+    assert state[("conv-epoch9", 2)]["text"] == "future epoch"
+    assert state[("conv-epoch9", 2)]["ts_ns"] == 1704067200 * 10**9
+    # clean-stream state untouched by the reprocess
+    oracle = sequential_oracle(300)
+    for key in oracle:
+        assert state[key]["text"] == oracle[key]["text"]
+    # idempotent: a second reprocess (no new specs) changes nothing
+    stats2 = pipe.reprocess_dlq()
+    assert stats2["events_quarantined"] == 3
+    assert pipe.read_dlq().num_rows == 3
+    assert _lake_as_dict(pipe) == state
+
+
+def test_dlq_reprocess_lww_arbitration(ray_session, tmp_path_factory):
+    """Recovered events keep their ORIGINAL lsns: an old quarantined update
+    never overwrites a newer applied one, and a newer quarantined one wins."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.config import ColumnConfig
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+        DEFAULT_EPOCH_SPECS,
+    )
+
+    lake = str(tmp_path_factory.mktemp("lake_dlq_lww"))
+    schema = expected_event_table(1).schema
+
+    def ev(lsn, conv, text, epoch=0, ts="1704067200000"):
+        return {"lsn": lsn, "op": "upsert", "conv_id": conv, "turn_idx": 0,
+                "role": "user", "text": text, "tool": None, "ts_raw": ts,
+                "schema_epoch": epoch}
+
+    batch1 = pa.Table.from_pylist([
+        ev(50, "old-loses", "quarantined-old", epoch=9,
+           ts="2024-01-01T00:00:00Z"),
+        ev(70, "new-wins", "quarantined-new", epoch=9,
+           ts="2024-01-01T00:00:00Z"),
+    ], schema=schema)
+    batch2 = pa.Table.from_pylist([
+        ev(60, "old-loses", "applied"),
+        ev(60, "new-wins", "applied"),
+    ], schema=schema)
+    pipe = CDCPipeline(lake, num_partitions=4, dlq=True)
+    pipe.apply(ray.data.from_arrow(batch1))  # both quarantined
+    pipe.apply(ray.data.from_arrow(batch2))  # both applied
+    assert pipe.read_dlq().num_rows == 2
+
+    specs = dict(DEFAULT_EPOCH_SPECS)
+    specs[9] = ColumnConfig("ts_raw", "timestamp",
+                            from_format=("%Y-%m-%dT%H:%M:%SZ",),
+                            from_timezone="UTC")
+    pipe.reprocess_dlq(epoch_specs=specs)
+    assert pipe.read_dlq().num_rows == 0
+    state = _lake_as_dict(pipe)
+    assert state[("old-loses", 0)]["text"] == "applied"         # lsn 60 > 50
+    assert state[("new-wins", 0)]["text"] == "quarantined-new"  # lsn 70 > 60
+
+
+def test_dlq_null_epoch_is_invalid_envelope(ray_session, tmp_path_factory):
+    import ray.data
+
+    schema = expected_event_table(1).schema
+    bad = pa.Table.from_pylist([
+        {"lsn": 5, "op": "upsert", "conv_id": "c", "turn_idx": 0,
+         "role": "user", "text": "x", "tool": None,
+         "ts_raw": "1704067200000", "schema_epoch": None},
+    ], schema=schema)
+    lake = str(tmp_path_factory.mktemp("lake_dlq_nullep"))
+    pipe = CDCPipeline(lake, num_partitions=2, dlq=True)
+    stats = pipe.apply(ray.data.from_arrow(bad))
+    assert stats["events_quarantined"] == 1
+    assert pipe.read_dlq().column("dlq_reason").to_pylist() == [
+        "invalid_envelope"]
