@@ -30,6 +30,7 @@ write-then-manifest-swap commit (state/manifest.py).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import uuid
@@ -824,6 +825,56 @@ class CDCPipeline:
         tables = [pq.read_table(os.path.join(self.lake_dir, e["path"]))
                   for e in entries]
         return pa.concat_tables(tables, promote_options="permissive")
+
+    def suggest_dlq_specs(self, sample_per_epoch: int = 64,
+                          default_timezone: str = "UTC") -> "dict[int, ColumnConfig]":
+        """Guess a ts layout for every schema epoch stuck in the quarantine
+        (unknown_epoch / unparseable_ts rows) and return the current specs
+        extended with the guesses — ready to hand to :meth:`reprocess_dlq`.
+
+        The guess runs the repo's candidate-format ranking
+        (functions/guess.py) over ≤``sample_per_epoch`` raw values per
+        epoch; epochs whose sample fits no candidate at the confidence bar
+        are left out (their rows stay quarantined rather than parse
+        wrong).  Driver-side by design: the DLQ is the error tail."""
+        from embulk_filter_timestamp_format_ray.functions.guess import guess_format
+
+        dlq = self.read_dlq()
+        specs = dict(self.epoch_specs or DEFAULT_EPOCH_SPECS)
+        if dlq.num_rows == 0:
+            return specs
+        fixable = dlq.filter(pc.is_in(
+            dlq.column("dlq_reason"),
+            value_set=pa.array(["unknown_epoch", "unparseable_ts"])))
+        epochs = fixable.column("schema_epoch").cast(pa.int64())
+        for epoch in pc.unique(epochs).to_pylist():
+            if epoch is None:
+                continue
+            sub = fixable.filter(pc.equal(epochs, epoch))
+            sample = [v for v in
+                      sub.column("ts_raw").slice(0, sample_per_epoch).to_pylist()
+                      if v is not None]
+            fmt = guess_format(sample, default_timezone)
+            if fmt is None:
+                logger.warning(
+                    "no candidate format fits epoch %d's quarantined ts "
+                    "values (sample of %d); leaving it dead-lettered",
+                    epoch, len(sample))
+                continue
+            prior = specs.get(int(epoch))
+            if prior is not None and prior.from_format:
+                # a known epoch whose format WIDENED: extend the reference's
+                # multi-format fallback chain (C3) instead of replacing the
+                # spec — rows in the old layout keep parsing
+                if fmt in prior.from_format:
+                    continue
+                specs[int(epoch)] = dataclasses.replace(
+                    prior, from_format=(*prior.from_format, fmt))
+            else:
+                specs[int(epoch)] = ColumnConfig(
+                    "ts_raw", "timestamp", from_format=(fmt,),
+                    from_timezone=default_timezone)
+        return specs
 
     def reprocess_dlq(self, epoch_specs: "dict[int, ColumnConfig] | None" = None,
                       max_commit_retries: int = 2) -> "dict":

@@ -210,7 +210,8 @@ def expected_event_table(num_events: int, *, seed: int = 42,
     return gen(pa.table({"id": ids}))
 
 
-def poison_batch(batch: pa.Table, permille: int) -> pa.Table:
+def poison_batch(batch: pa.Table, permille: int,
+                 unknown_epoch_band: bool = False) -> pa.Table:
     """Deterministically corrupt ~``permille``/1024 of a change-event batch
     in two disjoint lsn bands, exercising both non-parse quarantine reasons
     of the CDC dead-letter queue (pipelines/cdc.py NormalizeStage):
@@ -218,6 +219,11 @@ def poison_batch(batch: pa.Table, permille: int) -> pa.Table:
     * ``lsn & 1023 <  permille//2``       → op = 'corrupt'  (invalid envelope)
     * ``permille//2 ≤ lsn & 1023 < permille`` → ts_raw = '<garbled>'
       (unparseable in every schema epoch)
+
+    ``unknown_epoch_band=True`` adds a third band
+    (``permille ≤ lsn & 1023 < 3*permille//2``): schema_epoch 7 with a
+    valid-but-unconfigured ISO-Z layout — HEALABLE poison for the
+    suggest_dlq_specs → reprocess_dlq loop.
 
     Pure function of lsn, so replayed copies of a poisoned event are
     byte-identical (the DLQ's at-least-once duplicates collapse under
@@ -232,13 +238,34 @@ def poison_batch(batch: pa.Table, permille: int) -> pa.Table:
     i_ts = batch.schema.get_field_index("ts_raw")
     batch = batch.set_column(i_op, "op", pc.if_else(
         bad_op, pa.scalar("corrupt"), batch.column("op")))
-    return batch.set_column(i_ts, "ts_raw", pc.if_else(
+    batch = batch.set_column(i_ts, "ts_raw", pc.if_else(
         bad_ts, pa.scalar("<garbled>"), batch.column("ts_raw")))
+    if unknown_epoch_band:
+        bnp = np.asarray(band)
+        new_mask = (bnp >= permille) & (bnp < permille + half)
+        if new_mask.any():
+            lsn = np.asarray(batch.column("lsn"), dtype=np.int64)
+            base = np.datetime64("2024-01-01T00:00:00")
+            iso = np.datetime_as_string(
+                base + (lsn % 86_400).astype("timedelta64[s]"), unit="s")
+            iso = np.char.add(iso, "Z")
+            mask_arr = pa.array(new_mask)
+            batch = batch.set_column(
+                batch.schema.get_field_index("ts_raw"), "ts_raw",
+                pc.if_else(mask_arr, pa.array(iso.tolist(), pa.string()),
+                           batch.column("ts_raw")))
+            epoch_t = batch.column("schema_epoch").type
+            batch = batch.set_column(
+                batch.schema.get_field_index("schema_epoch"), "schema_epoch",
+                pc.if_else(mask_arr, pa.scalar(7).cast(epoch_t),
+                           batch.column("schema_epoch")))
+    return batch
 
 
-def poison_events(ds, permille: int):
+def poison_events(ds, permille: int, unknown_epoch_band: bool = False):
     """Dataset wrapper over :func:`poison_batch` (no-op at permille=0)."""
     if not permille:
         return ds
-    return ds.map_batches(lambda b: poison_batch(b, permille),
-                          batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        lambda b: poison_batch(b, permille, unknown_epoch_band),
+        batch_format="pyarrow", zero_copy_batch=True)

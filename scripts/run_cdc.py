@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--poison-permille", type=int, default=0,
                     help="corrupt ~N per 1000 generated events (op+ts_raw) "
                          "to exercise the dlq path")
+    ap.add_argument("--heal-dlq", action="store_true",
+                    help="after the applies, guess formats for quarantined "
+                         "epochs (suggest_dlq_specs) and reprocess the DLQ")
     args = ap.parse_args()
 
     import ray
@@ -61,7 +64,10 @@ def main() -> None:
                            dlq=args.dlq)
 
         def poison(ds):
-            return poison_events(ds, args.poison_permille)
+            # with --heal-dlq, a third poison band carries a valid-but-
+            # unconfigured layout so the healing loop has rows to recover
+            return poison_events(ds, args.poison_permille,
+                                 unknown_epoch_band=args.heal_dlq)
 
         if args.at_version is not None:
             snap = pipe.read_lake_at(args.at_version)
@@ -109,6 +115,10 @@ def main() -> None:
         }
         if args.dlq:
             out["quarantined"] = quarantined
+            if args.heal_dlq:
+                heal = pipe.reprocess_dlq(epoch_specs=pipe.suggest_dlq_specs())
+                out["healed"] = int(heal.get("events_seen", 0)
+                                    - heal.get("events_quarantined", 0))
             out["dlq_rows"] = pipe.read_dlq().num_rows
         if view is not None:
             out["view_rows"] = view.read().count()
