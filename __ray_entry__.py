@@ -269,6 +269,39 @@ def q_cdc_dlq(sf_dir: str):
         ["lsn", "conv_id", "turn_idx", "dlq_reason"]).aggregate([])
 
 
+def q_cdc_heal(sf_dir: str):
+    """Self-healing DLQ loop, end to end: the 20k-event binlog is poisoned
+    in THREE bands (changegen.poison_batch, permille=20 + unknown-epoch
+    band: lsn&1023<10 corrupt op; 10–19 garbled ts; 20–29 valid ISO-Z under
+    unconfigured epoch 7), applied with dlq=True, then
+    suggest_dlq_specs → reprocess_dlq recovers the epoch-7 band with NO
+    human-written spec.  Result: final lake state = the flagship argmax-LSN
+    fold over every event OUTSIDE the two unhealable bands — which is
+    exactly what the SQL oracle computes."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        change_events,
+        poison_events,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_heal_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32, dlq=True)
+    pipe.apply(poison_events(
+        change_events(20_000, seed=42, parallelism=16), 20,
+        unknown_epoch_band=True))
+    pipe.reprocess_dlq(epoch_specs=pipe.suggest_dlq_specs())
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_cdc_heal_s_{run}")
+    pipe.write_sorted(out_dir)
+    final = ray.data.read_parquet(out_dir)
+    return final.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_assemble_transcripts(sf_dir: str):
     """Lake → corpus bridge: replay the CDC stream, then assemble each
     conversation's turns into one ordered transcript document
@@ -1824,6 +1857,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_dlq": q_cdc_dlq,
+        "cdc_heal": q_cdc_heal,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
@@ -2018,6 +2052,18 @@ def oracle_sql() -> "dict[str, str]":
             "else 'unparseable_ts' end as dlq_reason "
             f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet') "
             "where (lsn & 1023) < 20",
+        # Self-heal: the two unhealable poison bands (lsn&1023 < 20) stay
+        # quarantined; everything else — including the healed epoch-7 band
+        # (20–29) — lands in the lake, so the fold simply excludes band<20
+        "cdc_heal":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet') "
+            "where (lsn & 1023) >= 20) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
         "assemble_transcripts":
             "with ranked as (select *, row_number() over "
             "(partition by conv_id, turn_idx order by lsn desc) as rn "
