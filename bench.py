@@ -75,7 +75,7 @@ def _events_parquet(num_events: int, num_cpus: int) -> str:
     return path
 
 
-def run_headline(num_cpus: int) -> dict:
+def run_headline(num_cpus: int, dlq: bool = False) -> dict:
     import ray
     import ray.data
 
@@ -86,7 +86,7 @@ def run_headline(num_cpus: int) -> dict:
     ds = ray.data.read_parquet(events_path, override_num_blocks=num_cpus * 2)
     t0 = time.perf_counter()
     # fixed partition count: identical workload at every parallelism level
-    pipe = CDCPipeline(lake, num_partitions=128)
+    pipe = CDCPipeline(lake, num_partitions=128, dlq=dlq)
     stats = pipe.apply(ds)
     elapsed = time.perf_counter() - t0
     if os.environ.get("GRAFT_BENCH_STATS"):
@@ -331,6 +331,11 @@ def main() -> None:
         headline = run_headline(NUM_CPUS)
         queries: dict = {"cdc_headline": round(headline["sec"], 3)}
         if not args.headline_only:
+            # dlq-mode A/B on the same clean stream: quantifies the
+            # quarantine machinery's tagging overhead (should be ~noise —
+            # two null columns + one validity scan per batch)
+            queries["cdc_headline_dlq"] = round(
+                run_headline(NUM_CPUS, dlq=True)["sec"], 3)
             micro = run_parse_microbench()
             queries["parse_1m"] = round(micro["parse_sec"] + micro["format_sec"], 3)
             queries.update(run_queries(SF_DIR))

@@ -1035,6 +1035,51 @@ class CDCPipeline:
         return ds.groupby("_shard").map_groups(diff_shard,
                                                batch_format="pyarrow")
 
+    def table_stats(self) -> "dict":
+        """Operational health snapshot from the manifest alone (no data
+        read — O(partitions) driver work even on a 100-TB lake):
+
+        * rows / bytes totals and per-partition skew (max/mean row ratio —
+          >2 suggests hot keys; pair with detect_hot_keys + salting or
+          repartition_lake)
+        * watermark spread (min/max last_applied_lsn): large spread means
+          some partitions lag the stream — resume_lsn() is pinned to the
+          minimum, so spread bounds the replay a restart re-reads
+        * dlq backlog and retained time-travel versions
+        """
+        manifest = mf.read_manifest(self.lake_dir)
+        parts = manifest.get("partitions", {})
+        rows = [int(p.get("rows", 0)) for p in parts.values()]
+        watermarks = [int(p.get("last_applied_lsn", -1)) for p in parts.values()]
+        sizes = []
+        for p in parts.values():
+            path = p.get("path")
+            if path:
+                try:
+                    sizes.append(os.path.getsize(
+                        os.path.join(self.lake_dir, path)))
+                except OSError:
+                    pass
+        total_rows = sum(rows)
+        n = len(parts)
+        mean_rows = (total_rows / n) if n else 0.0
+        return {
+            "version": manifest.get("version", 0),
+            "partitions": n,
+            "rows": total_rows,
+            "bytes": sum(sizes),
+            "max_partition_rows": max(rows, default=0),
+            "row_skew": round(max(rows, default=0) / mean_rows, 3)
+            if mean_rows else 0.0,
+            "watermark_min": min(watermarks, default=-1),
+            "watermark_max": max(watermarks, default=-1),
+            "watermark_spread": (max(watermarks, default=-1)
+                                 - min(watermarks, default=-1)) if n else 0,
+            "dlq_rows": sum(int(d.get("rows", 0))
+                            for d in manifest.get("dlq", [])),
+            "retained_versions": len(mf.list_versions(self.lake_dir)),
+        }
+
     def _manifest_dataset(self, manifest: "dict"):
         import ray.data
 

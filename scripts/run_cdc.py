@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--heal-dlq", action="store_true",
                     help="after the applies, guess formats for quarantined "
                          "epochs (suggest_dlq_specs) and reprocess the DLQ")
+    ap.add_argument("--stats", action="store_true",
+                    help="read-only: print the lake health snapshot "
+                         "(rows/bytes/skew/watermark spread/dlq backlog) "
+                         "and exit")
     args = ap.parse_args()
 
     import ray
@@ -69,6 +73,9 @@ def main() -> None:
             return poison_events(ds, args.poison_permille,
                                  unknown_epoch_band=args.heal_dlq)
 
+        if args.stats:
+            print(json.dumps({"lake": args.lake, **pipe.table_stats()}))
+            return
         if args.at_version is not None:
             snap = pipe.read_lake_at(args.at_version)
             print(json.dumps({

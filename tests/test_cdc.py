@@ -914,3 +914,26 @@ def test_dlq_null_epoch_is_invalid_envelope(ray_session, tmp_path_factory):
     assert stats["events_quarantined"] == 1
     assert pipe.read_dlq().column("dlq_reason").to_pylist() == [
         "invalid_envelope"]
+
+
+def test_table_stats_health_snapshot(ray_session, tmp_path_factory):
+    """Manifest-only health surface: totals, skew, watermark spread, dlq
+    backlog — no data files are read."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_stats"))
+    pipe = CDCPipeline(lake, num_partitions=8, dlq=True)
+    assert pipe.table_stats()["rows"] == 0  # empty lake is well-defined
+    events, n_clean = _events_with_bad_rows(400)
+    pipe.apply(ray.data.from_arrow(events))
+    s = pipe.table_stats()
+    final = pipe.final_state_sorted()
+    assert s["rows"] == final.num_rows
+    assert s["partitions"] == 8
+    assert s["bytes"] > 0
+    assert s["dlq_rows"] == 4
+    assert s["version"] == 1 and s["retained_versions"] == 1
+    assert s["watermark_min"] <= s["watermark_max"]
+    assert s["watermark_spread"] == s["watermark_max"] - s["watermark_min"]
+    assert s["max_partition_rows"] >= s["rows"] / 8
+    assert s["row_skew"] >= 1.0
