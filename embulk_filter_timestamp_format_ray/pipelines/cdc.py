@@ -795,6 +795,105 @@ class CDCPipeline:
                 "num_partitions": new_num_partitions,
                 "rows": sum(int(r["rows"]) for r in rows)}
 
+    def bootstrap(self, snapshot_ds, snapshot_lsn: int) -> "dict":
+        """Initial load → stream handoff (the Debezium snapshot pattern):
+        seed an EMPTY lake from a consistent full-table snapshot taken at
+        binlog position ``snapshot_lsn``, then tail the stream from
+        ``resume_lsn() + 1 == snapshot_lsn + 1``.
+
+        ``snapshot_ds`` carries the lake schema minus lsn (conv_id,
+        turn_idx, role, text, tool, ts — ts already typed; snapshots come
+        from a table read, not a binlog, so there is nothing to normalize);
+        every row is stamped ``lsn = snapshot_lsn``.  Fully distributed:
+        one PartitionStage pass + one groupby shuffle, per-partition sorted
+        parquet written on workers, driver commits ≤P manifest rows — the
+        same shape as repartition_lake.  Every partition's watermark starts
+        at ``snapshot_lsn``, so stream events at or below it (the overlap a
+        cautious tailer re-reads around the snapshot point) dedup away."""
+        manifest = mf.read_manifest(self.lake_dir)
+        if manifest.get("version", 0) != 0:
+            raise ValueError(
+                f"lake {self.lake_dir!r} is at version "
+                f"{manifest['version']}; bootstrap seeds an EMPTY lake — "
+                f"apply the stream instead, or choose a fresh directory")
+        if snapshot_lsn < 0:
+            raise ValueError("snapshot_lsn must be ≥ 0 (binlog position "
+                             "the snapshot is consistent with)")
+        txn_id = uuid.uuid4().hex[:12]
+        stage = PartitionStage(self.num_partitions,
+                               by_turn=(self.partition_mode == "turn"),
+                               salt_keys=self.salt_keys,
+                               salt_factor=self.salt_factor)
+        lake_dir = self.lake_dir
+
+        def stamp(batch: pa.Table) -> pa.Table:
+            cols = {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx").cast(pa.int32()),
+                "role": batch.column("role"),
+                "text": batch.column("text"),
+                "tool": batch.column("tool")
+                if "tool" in batch.schema.names
+                else pa.nulls(batch.num_rows, pa.string()),
+                "ts": batch.column("ts").cast(_TS_NS_UTC)
+                if "ts" in batch.schema.names
+                else pa.nulls(batch.num_rows, _TS_NS_UTC),
+                "lsn": pa.array(np.full(batch.num_rows, int(snapshot_lsn),
+                                        dtype=np.int64)),
+            }
+            return pa.table(cols)
+
+        def write_partition(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return MergeApplier._result(None)
+            pid = int(group.column("_pid")[0].as_py())
+            state = group.drop_columns(["_pid"]).select(LAKE_COLUMNS)
+            state = state.take(pc.sort_indices(
+                state, sort_keys=[("conv_id", "ascending"),
+                                  ("turn_idx", "ascending")]))
+            rel = os.path.join(f"txn-{txn_id}", f"part-{pid:05d}.parquet")
+            full = os.path.join(lake_dir, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            pq.write_table(state, full, compression="zstd")
+            return MergeApplier._result({
+                "pid": pid, "path": rel, "rows": state.num_rows,
+                "last_applied_lsn": int(snapshot_lsn), "events_applied": 0,
+                "events_seen": group.num_rows,
+            })
+
+        ds = snapshot_ds.map_batches(stamp, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        ds = ds.map_batches(stage, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        rows = ds.groupby("_pid").map_groups(
+            write_partition, batch_format="pyarrow").take_all()
+
+        partitions = {
+            str(pid): {"path": None, "rows": 0,
+                       "last_applied_lsn": int(snapshot_lsn),
+                       "lineage": [{"txn": txn_id, "events_applied": 0}]}
+            for pid in range(self.num_partitions)
+        }
+        for r in rows:
+            partitions[str(r["pid"])].update(path=r["path"],
+                                             rows=int(r["rows"]))
+        new_manifest = {
+            "version": 1,
+            "partitions": partitions,
+            "num_partitions": self.num_partitions,
+            "partition_config": self.partition_config(),
+            "last_txn": txn_id,
+            "schema_columns": LAKE_COLUMNS,
+        }
+        mf.commit_manifest(self.lake_dir, new_manifest,
+                           retain_history=self.time_travel_retain,
+                           expected_version=0)
+        if self.auto_gc:
+            mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
+        return {"txn": txn_id, "version": 1,
+                "rows": sum(int(r["rows"]) for r in rows),
+                "resume_lsn": int(snapshot_lsn)}
+
     def gc(self) -> "list[str]":
         """Remove txn dirs no longer referenced by the committed manifest
         (safe under the single-writer protocol; the manifest IS the commit

@@ -48,6 +48,14 @@ def main() -> None:
                     help="read-only: print the lake health snapshot "
                          "(rows/bytes/skew/watermark spread/dlq backlog) "
                          "and exit")
+    ap.add_argument("--bootstrap-from", default=None, metavar="PARQUET",
+                    help="seed the EMPTY lake from a full-table snapshot "
+                         "(parquet path/dir with the lake schema minus lsn) "
+                         "before applying any events")
+    ap.add_argument("--snapshot-lsn", type=int, default=None,
+                    help="binlog position the snapshot is consistent with "
+                         "(required with --bootstrap-from); the stream then "
+                         "resumes from this position + 1")
     args = ap.parse_args()
 
     import ray
@@ -76,6 +84,16 @@ def main() -> None:
         if args.stats:
             print(json.dumps({"lake": args.lake, **pipe.table_stats()}))
             return
+        if args.bootstrap_from is not None:
+            if args.snapshot_lsn is None:
+                ap.error("--bootstrap-from requires --snapshot-lsn")
+            import ray.data
+
+            boot = pipe.bootstrap(ray.data.read_parquet(args.bootstrap_from),
+                                  snapshot_lsn=args.snapshot_lsn)
+            print(json.dumps({"bootstrap": boot}))
+            if args.events == 0:
+                return
         if args.at_version is not None:
             snap = pipe.read_lake_at(args.at_version)
             print(json.dumps({

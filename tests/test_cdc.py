@@ -34,8 +34,10 @@ from embulk_filter_timestamp_format_ray.state import manifest as mf
 N_EVENTS = 4000
 
 
-def sequential_oracle(num_events: int, seed: int = 42) -> "dict[tuple, dict]":
-    """Apply the pure (replay-free) event stream one-by-one in lsn order."""
+def sequential_oracle(num_events: int, seed: int = 42,
+                      lsn_below: "int | None" = None) -> "dict[tuple, dict]":
+    """Apply the pure (replay-free) event stream one-by-one in lsn order;
+    ``lsn_below`` folds only the stream prefix (same generator params)."""
     tbl = expected_event_table(num_events, seed=seed)
     renames = {v: k for k, v in ROLE_RENAMES_EPOCH2.items()}
     parsers = {
@@ -45,6 +47,8 @@ def sequential_oracle(num_events: int, seed: int = 42) -> "dict[tuple, dict]":
     }
     state: dict[tuple, dict] = {}
     for row in tbl.to_pylist():
+        if lsn_below is not None and row["lsn"] >= lsn_below:
+            continue
         key = (row["conv_id"], row["turn_idx"])
         if row["op"] == "delete":
             state.pop(key, None)
@@ -937,3 +941,62 @@ def test_table_stats_health_snapshot(ray_session, tmp_path_factory):
     assert s["watermark_spread"] == s["watermark_max"] - s["watermark_min"]
     assert s["max_partition_rows"] >= s["rows"] / 8
     assert s["row_skew"] >= 1.0
+
+
+# ------------------------------------------------------------ bootstrap
+
+
+def test_bootstrap_snapshot_then_stream(ray_session, tmp_path_factory):
+    """Debezium-style initial load: seed the lake from a snapshot taken at
+    binlog position L, then tail the stream from L+1 — overlap replays at
+    or below L dedup away, post-snapshot events apply normally."""
+    import ray.data
+
+    # snapshot = the oracle fold of the STREAM's first 2000 events (the
+    # generator's fields depend on (num_events, num_convs), so the prefix
+    # must come from the same 4000-event parameterization)
+    snap_state = sequential_oracle(N_EVENTS, lsn_below=2000)
+    snap_tbl = pa.table({
+        "conv_id": pa.array([k[0] for k in snap_state]),
+        "turn_idx": pa.array([k[1] for k in snap_state], pa.int32()),
+        "role": pa.array([v["role"] for v in snap_state.values()]),
+        "text": pa.array([v["text"] for v in snap_state.values()]),
+        "tool": pa.array([v["tool"] for v in snap_state.values()]),
+        "ts": pa.array([v["ts_ns"] for v in snap_state.values()],
+                       pa.int64()).cast(pa.timestamp("ns")).cast(
+                           pa.timestamp("ns", tz="UTC")),
+    })
+    lake = str(tmp_path_factory.mktemp("lake_boot"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    stats = pipe.bootstrap(ray.data.from_arrow(snap_tbl), snapshot_lsn=1999)
+    assert stats["rows"] == len(snap_state)
+    assert pipe.resume_lsn() == 1999
+    # a cautious tailer re-reads from lsn 1500: the overlap is a no-op,
+    # the suffix applies
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.filter(
+        pa.compute.greater_equal(full.column("lsn"), 1500))))
+    lake_state = _lake_as_dict(pipe)
+    oracle = sequential_oracle(N_EVENTS)
+    # snapshot rows keep lsn=1999 where never updated after the snapshot,
+    # so compare text/role/tool only for those; updated keys match fully
+    assert set(lake_state) == set(oracle)
+    for key, exp in oracle.items():
+        got = lake_state[key]
+        assert got["text"] == exp["text"], key
+        assert got["role"] == exp["role"], key
+        assert got["tool"] == exp["tool"], key
+
+
+def test_bootstrap_refuses_nonempty_lake(ray_session, tmp_path_factory):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_boot_ne"))
+    pipe = CDCPipeline(lake, num_partitions=4)
+    pipe.apply(ray.data.from_arrow(expected_event_table(100)))
+    snap = pa.table({
+        "conv_id": ["x"], "turn_idx": pa.array([0], pa.int32()),
+        "role": ["user"], "text": ["t"], "tool": pa.array([None], pa.string()),
+    })
+    with pytest.raises(ValueError, match="EMPTY lake"):
+        pipe.bootstrap(ray.data.from_arrow(snap), snapshot_lsn=0)
