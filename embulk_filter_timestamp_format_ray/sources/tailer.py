@@ -1,0 +1,127 @@
+"""Binlog-file directory tailer: the operational front door of the CDC
+engine (SURVEY.md §2.8 "tails a binlog-style change stream").
+
+A binlog shipper drops change-event parquet files into a directory; the
+tailer applies every file not yet ingested, in ascending min(lsn) order,
+``files_per_batch`` files per exactly-once micro-batch commit.
+
+Recovery bookkeeping is two-tier and BOUNDED:
+
+* coarse tier — the lake's own per-partition LSN watermarks: a file whose
+  ``max(lsn) ≤ resume_lsn()`` is provably committed in every partition and
+  is skipped from parquet FOOTER STATISTICS alone (no row reads).  A
+  crashed tailer restarted on a 10^5-file directory pays footers only.
+* fine tier — a sidecar checkpoint (``_ingest_tail.json`` in the lake dir)
+  naming the already-applied files the coarse tier can't yet prove
+  committed (the global min watermark lags file boundaries: a partition
+  receiving no rows from a file keeps its old watermark).  The sidecar is
+  pruned at every write to files still above ``resume_lsn`` — it holds the
+  ambiguous TAIL, typically a handful of entries, never the directory.
+
+The sidecar is written AFTER the exactly-once lake commit; a crash
+between the two re-applies that file batch on restart, which the
+watermark/max-LSN merge makes a no-op (at-least-once ingest, exactly-once
+table effect).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import pyarrow.parquet as pq
+
+logger = logging.getLogger(__name__)
+
+SIDECAR_NAME = "_ingest_tail.json"
+
+
+def file_lsn_range(path: str, lsn_col: str = "lsn") -> "tuple[int, int]":
+    """(min, max) of ``lsn_col`` from parquet row-group statistics — O(footer),
+    no row reads.  Falls back to a single-column scan only when the writer
+    omitted statistics (pyarrow writes them by default)."""
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index(lsn_col)
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = None
+            break
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is not None:
+        return int(lo), int(hi)
+    import pyarrow.compute as pc
+
+    col = f.read(columns=[lsn_col]).column(lsn_col)
+    return (int(pc.min(col).as_py()), int(pc.max(col).as_py()))
+
+
+def _sidecar_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, SIDECAR_NAME)
+
+
+def _read_sidecar(lake_dir: str) -> "dict[str, int]":
+    try:
+        with open(_sidecar_path(lake_dir)) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _write_sidecar(lake_dir: str, entries: "dict[str, int]",
+                   resume_lsn: int) -> None:
+    os.makedirs(lake_dir, exist_ok=True)
+    kept = {k: v for k, v in entries.items() if v > resume_lsn}
+    tmp = _sidecar_path(lake_dir) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(kept, f, sort_keys=True)
+    os.replace(tmp, _sidecar_path(lake_dir))
+
+
+def pending_files(directory: str, resume_lsn: int,
+                  ingested: "dict[str, int] | None" = None,
+                  suffix: str = ".parquet") -> "list[str]":
+    """Files with events beyond ``resume_lsn`` and not in the sidecar,
+    ascending by min(lsn) — footer-only work per file."""
+    ingested = ingested or {}
+    ranged = []
+    for name in sorted(os.listdir(directory)):
+        if not name.endswith(suffix) or name.startswith("_"):
+            continue
+        if name in ingested:
+            continue
+        lo, hi = file_lsn_range(os.path.join(directory, name))
+        if hi <= resume_lsn:
+            continue  # provably committed everywhere — metadata-level skip
+        ranged.append((lo, name))
+    ranged.sort()
+    return [name for _, name in ranged]
+
+
+def tail_directory(pipe, directory: str, files_per_batch: int = 16,
+                   suffix: str = ".parquet") -> "list[dict]":
+    """Apply every pending file in ``directory`` to ``pipe``
+    (:class:`~embulk_filter_timestamp_format_ray.pipelines.cdc.CDCPipeline`),
+    in lsn order.  Returns per-commit stats.  Idempotent: rerunning on an
+    unchanged directory applies nothing (and reads only footers)."""
+    import ray.data
+
+    stats = []
+    resume = pipe.resume_lsn()
+    ingested = _read_sidecar(pipe.lake_dir)
+    todo = pending_files(directory, resume, ingested, suffix=suffix)
+    if not todo:
+        return stats
+    logger.info("tailing %d pending file(s) from %s", len(todo), directory)
+    for i in range(0, len(todo), files_per_batch):
+        batch = todo[i:i + files_per_batch]
+        paths = [os.path.join(directory, n) for n in batch]
+        stats.append(pipe.apply(ray.data.read_parquet(paths)))
+        for name, path in zip(batch, paths):
+            ingested[name] = file_lsn_range(path)[1]
+        resume = pipe.resume_lsn()
+        _write_sidecar(pipe.lake_dir, ingested, resume)
+    return stats

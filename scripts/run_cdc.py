@@ -18,6 +18,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def mf_version(pipe) -> int:
+    from embulk_filter_timestamp_format_ray.state import manifest as mf
+
+    return int(mf.read_manifest(pipe.lake_dir).get("version", 0))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=1_000_000)
@@ -56,6 +62,12 @@ def main() -> None:
                     help="binlog position the snapshot is consistent with "
                          "(required with --bootstrap-from); the stream then "
                          "resumes from this position + 1")
+    ap.add_argument("--tail-dir", default=None, metavar="DIR",
+                    help="apply pending change-event parquet files from DIR "
+                         "(footer-stats + sidecar pruning; idempotent) "
+                         "instead of generating events")
+    ap.add_argument("--files-per-batch", type=int, default=16,
+                    help="files per exactly-once commit when tailing")
     args = ap.parse_args()
 
     import ray
@@ -110,6 +122,25 @@ def main() -> None:
 
             view = IncrementalView(args.lake,
                                    args.lake.rstrip("/") + "_view")
+        if args.tail_dir is not None:
+            from embulk_filter_timestamp_format_ray.sources.tailer import (
+                tail_directory,
+            )
+
+            t0 = time.perf_counter()
+            commits = tail_directory(pipe, args.tail_dir,
+                                     files_per_batch=args.files_per_batch)
+            print(json.dumps({
+                "tail_dir": args.tail_dir,
+                "commits": len(commits),
+                "applied": sum(c["events_applied"] for c in commits),
+                "quarantined": sum(c.get("events_quarantined", 0)
+                                   for c in commits),
+                "sec": round(time.perf_counter() - t0, 3),
+                "lake_version": commits[-1]["version"] if commits
+                else mf_version(pipe),
+            }))
+            return
         start_lsn = pipe.resume_lsn() + 1 if args.resume else 0
         per_batch = max((args.events - start_lsn) // args.micro_batches, 1)
         t0 = time.perf_counter()

@@ -1,0 +1,90 @@
+"""Directory tailer: footer-stats pruning + bounded sidecar checkpoint
+(sources/tailer.py) feeding the exactly-once CDC apply."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+from embulk_filter_timestamp_format_ray.sources.changegen import (
+    expected_event_table,
+)
+from embulk_filter_timestamp_format_ray.sources.tailer import (
+    SIDECAR_NAME,
+    file_lsn_range,
+    pending_files,
+    tail_directory,
+)
+
+N = 3000
+
+
+@pytest.fixture()
+def binlog_dir(tmp_path_factory):
+    """The 3000-event stream shipped as 6 lsn-chunked files."""
+    d = str(tmp_path_factory.mktemp("binlog"))
+    full = expected_event_table(N)
+    step = N // 6
+    for i in range(6):
+        chunk = full.slice(i * step, step)
+        pq.write_table(chunk, os.path.join(d, f"events-{i:04d}.parquet"))
+    return d
+
+
+def test_file_lsn_range_footer_only(binlog_dir):
+    lo, hi = file_lsn_range(os.path.join(binlog_dir, "events-0000.parquet"))
+    assert (lo, hi) == (0, N // 6 - 1)
+
+
+def test_tail_applies_all_then_noop(ray_session, binlog_dir, tmp_path_factory):
+    from tests.test_cdc import _assert_matches_oracle, _lake_as_dict, \
+        sequential_oracle
+
+    lake = str(tmp_path_factory.mktemp("lake_tail"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    stats = tail_directory(pipe, binlog_dir, files_per_batch=2)
+    assert len(stats) == 3  # 6 files / 2 per commit
+    _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N))
+    # rerun on an unchanged directory: nothing pending, nothing applied
+    assert tail_directory(pipe, binlog_dir) == []
+    # sidecar holds only the ambiguous tail (bounded), never all 6 files
+    side = json.load(open(os.path.join(lake, SIDECAR_NAME)))
+    assert len(side) <= 6
+    resume = pipe.resume_lsn()
+    assert all(hi > resume for hi in side.values())
+
+
+def test_tail_picks_up_new_files_and_crash_resume(ray_session, binlog_dir,
+                                                  tmp_path_factory):
+    from tests.test_cdc import _assert_matches_oracle, _lake_as_dict, \
+        sequential_oracle
+
+    lake = str(tmp_path_factory.mktemp("lake_tail2"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    tail_directory(pipe, binlog_dir)
+    # shipper drops a 7th file extending the stream
+    extra = expected_event_table(N + 600).filter(
+        pa.compute.greater_equal(
+            expected_event_table(N + 600).column("lsn"), N))
+    pq.write_table(extra, os.path.join(binlog_dir, "events-0006.parquet"))
+    stats = tail_directory(pipe, binlog_dir)
+    assert len(stats) == 1 and stats[0]["events_applied"] > 0
+    # crash simulation: lose the sidecar entirely → restart re-applies at
+    # most the ambiguous tail, and the table state is unchanged
+    os.unlink(os.path.join(lake, SIDECAR_NAME))
+    before = _lake_as_dict(pipe)
+    tail_directory(pipe, binlog_dir)
+    assert _lake_as_dict(pipe) == before
+
+
+def test_pending_files_prunes_by_footer(binlog_dir):
+    # resume past files 0-2 (lsn < 1500): only 3 remain pending
+    pending = pending_files(binlog_dir, resume_lsn=1499)
+    assert pending == [f"events-{i:04d}.parquet" for i in (3, 4, 5)]
+    # sidecar-named files drop out regardless of lsn
+    pending = pending_files(binlog_dir, resume_lsn=1499,
+                            ingested={"events-0004.parquet": 2499})
+    assert pending == ["events-0003.parquet", "events-0005.parquet"]
