@@ -302,6 +302,75 @@ def q_cdc_heal(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_tail(sf_dir: str):
+    """Binlog-file ingest front door: the committed 20k-event fixture is
+    shipped as four lsn-chunked parquet files into a drop directory and
+    applied via the tailer (sources/tailer.py — parquet footer-stats +
+    sidecar pruning, two files per exactly-once commit).  The resulting
+    lake must equal the flagship argmax-LSN fold — the tailer is a
+    delivery mechanism, not a semantics change."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.tailer import tail_directory
+
+    run = uuid.uuid4().hex[:8]
+    drop = os.path.join(tempfile.gettempdir(), f"graft_cdc_drop_{run}")
+    os.makedirs(drop)
+    events = pq.read_table(os.path.join(_FIXTURES, "cdc_events_20000.parquet"))
+    step = events.num_rows // 4
+    for i in range(4):
+        chunk = events.slice(i * step, step if i < 3 else events.num_rows - 3 * step)
+        pq.write_table(chunk, os.path.join(drop, f"events-{i:03d}.parquet"))
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_tail_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    tail_directory(pipe, drop, files_per_batch=2)
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_cdc_tail_s_{run}")
+    pipe.write_sorted(out_dir)
+    return ray.data.read_parquet(out_dir).map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cdc_bootstrap(sf_dir: str):
+    """Snapshot bootstrap → stream handoff: a throwaway lake folds the
+    lsn<10_000 prefix; its state (minus lsn) seeds a SECOND lake via
+    ``bootstrap(snapshot_lsn=9_999)``; the suffix stream then applies.
+    Final state must equal the full-stream fold — ``lsn`` is excluded from
+    the comparison because snapshot rows legitimately carry the snapshot
+    position instead of their original lsn."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    ev = change_events(20_000, seed=42, parallelism=16)
+    cut = pa.scalar(10_000, pa.int64())
+    lake1 = os.path.join(tempfile.gettempdir(), f"graft_cdc_bs1_{run}")
+    pipe1 = CDCPipeline(lake1, num_partitions=32)
+    pipe1.apply(ev.map_batches(
+        lambda b: b.filter(pc.less(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    snapshot = pipe1.read_lake().map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    lake2 = os.path.join(tempfile.gettempdir(), f"graft_cdc_bs2_{run}")
+    pipe2 = CDCPipeline(lake2, num_partitions=32)
+    pipe2.bootstrap(snapshot, snapshot_lsn=9_999)
+    pipe2.apply(ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_cdc_bs_s_{run}")
+    pipe2.write_sorted(out_dir)
+    return ray.data.read_parquet(out_dir).map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_assemble_transcripts(sf_dir: str):
     """Lake → corpus bridge: replay the CDC stream, then assemble each
     conversation's turns into one ordered transcript document
@@ -1858,6 +1927,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_dlq": q_cdc_dlq,
         "cdc_heal": q_cdc_heal,
+        "cdc_tail": q_cdc_tail,
+        "cdc_bootstrap": q_cdc_bootstrap,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
@@ -2063,6 +2134,25 @@ def oracle_sql() -> "dict[str, str]":
             "select conv_id, turn_idx, "
             "case role when 'human' then 'user' when 'ai' then 'assistant' "
             "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Tailer delivery ≡ direct apply: same flagship fold
+        "cdc_tail":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Bootstrap+suffix ≡ full fold, minus lsn (snapshot rows carry the
+        # snapshot position, legitimately differing from their source lsn)
+        "cdc_bootstrap":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool "
             "from ranked where rn = 1 and op <> 'delete'",
         "assemble_transcripts":
             "with ranked as (select *, row_number() over "
