@@ -533,6 +533,36 @@ def q_rollup_sales(sf_dir: str):
               "total_x100": ("cents", "sum")})
 
 
+def q_cube_sales(sf_dir: str):
+    """GROUP BY CUBE over orders: totals at (status, priority), (status),
+    (priority), and grand-total in ONE input scan — every subset folds
+    from the pinned finest aggregate (stages/relational.py
+    cube_aggregate).  ``grouping_id`` is the standard GROUPING bitmask, so
+    DuckDB's GROUPING(status, priority) replays it exactly; cents before
+    summation keeps every level associative."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        cube_aggregate,
+    )
+
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            b.column("o_totalprice"), 100.0), 0.5)), pa.int64())
+        return pa.table({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": cents,
+        })
+
+    return cube_aggregate(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderstatus", "o_orderpriority"],
+        aggs={"n_orders": ("cents", "count"),
+              "total_x100": ("cents", "sum")})
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: every event picks up the value of its user's latest
     'snapshot' event (event_id % 97 == 0) at or before its timestamp."""
@@ -1932,6 +1962,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
+        "cube_sales": q_cube_sales,
         "asof_join": q_asof_join,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
@@ -2187,6 +2218,17 @@ def oracle_sql() -> "dict[str, str]":
             "union all "
             "select null, null, 0::bigint, count(*)::bigint, "
             "sum(cents)::bigint from base",
+        # CUBE replay: native GROUP BY CUBE with the standard GROUPING
+        # bitmask (keys[0] = most significant bit) — same convention as
+        # cube_aggregate's grouping_id
+        "cube_sales":
+            "with base as (select o_orderstatus, o_orderpriority, "
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents "
+            "from orders) "
+            "select o_orderstatus, o_orderpriority, "
+            "grouping(o_orderstatus, o_orderpriority)::bigint as grouping_id, "
+            "count(*)::bigint as n_orders, sum(cents)::bigint as total_x100 "
+            "from base group by cube (o_orderstatus, o_orderpriority)",
         "asof_join":
             "select e.event_id, "
             "cast(floor(s.value * 100 + 0.5) as bigint) as value_asof_x100 "

@@ -217,6 +217,98 @@ def rollup_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]",
     return out
 
 
+def grouping_sets_aggregate(ds, keys, sets,
+                            aggs: "dict[str, tuple[str, str]]",
+                            id_col: str = "grouping_id",
+                            shards: "int | None" = None):
+    """SQL GROUP BY GROUPING SETS: one aggregate per key subset in ONE
+    input scan.  The finest aggregate (over the union of all keys) runs
+    distributed once and is pinned (DESIGN #31); every requested subset
+    then folds from those group-count-sized rows — sum/count re-sum,
+    min/max re-min/max, all associative.
+
+    ``id_col`` carries the standard GROUPING_ID bitmask (bit for keys[i]
+    set when keys[i] is rolled away; keys[0] is the most significant bit,
+    matching DuckDB/Postgres ``GROUPING(k1, …, kn)``), which disambiguates
+    subset NULL padding from genuine NULL key values.
+
+    aggs fns: sum/count/min/max (avg is non-associative — roll up
+    sum+count and divide at the edge)."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("grouping_sets_aggregate needs at least one key")
+    norm_sets = []
+    for s in sets:
+        s = list(s)
+        if any(k not in keys for k in s):
+            raise ValueError(f"grouping set {s} has keys outside {keys}")
+        if len(set(s)) != len(s):
+            raise ValueError(f"grouping set {s} repeats a key")
+        norm_sets.append(s)
+    if not norm_sets:
+        raise ValueError("need at least one grouping set")
+    schema = ds.schema()
+    key_types = {k: schema.base_schema.field(k).type
+                 if hasattr(schema, "base_schema") else schema.field(k).type
+                 for k in keys}
+    merge_aggs = {out: (out, "sum" if fn in ("sum", "count") else fn)
+                  for out, (_, fn) in aggs.items()}
+    n = len(keys)
+
+    def padded(level_ds, active: "list[str]"):
+        gid = sum(1 << (n - 1 - i) for i, k in enumerate(keys)
+                  if k not in active)
+
+        def pad(b: pa.Table) -> pa.Table:
+            cols = {k: (b.column(k) if k in active
+                        else pa.nulls(b.num_rows, key_types[k]))
+                    for k in keys}
+            cols[id_col] = pa.array(np.full(b.num_rows, gid, dtype=np.int64))
+            for out in aggs:
+                cols[out] = b.column(out)
+            return pa.table(cols)
+
+        return level_ds.map_batches(pad, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    finest = grouped_aggregate(ds, keys, aggs, shards=shards).materialize()
+    out = None
+    for s in norm_sets:
+        if set(s) == set(keys):
+            level = finest
+        elif s:
+            level = grouped_aggregate(finest, s, merge_aggs, shards=shards)
+        else:
+            def add_all(b: pa.Table) -> pa.Table:
+                return b.append_column("_all", pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64)))
+
+            level = grouped_aggregate(
+                finest.map_batches(add_all, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                ["_all"], merge_aggs, shards=1,
+            ).map_batches(lambda b: b.drop_columns(["_all"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+        lv = padded(level, s)
+        out = lv if out is None else out.union(lv)
+    return out
+
+
+def cube_aggregate(ds, keys, aggs: "dict[str, tuple[str, str]]",
+                   id_col: str = "grouping_id",
+                   shards: "int | None" = None):
+    """SQL GROUP BY CUBE: every subset of ``keys`` (2^n grouping sets) —
+    the lattice folds entirely from one pinned finest aggregate, so input
+    is scanned once regardless of n."""
+    from itertools import combinations
+
+    keys = list(keys)
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, sets, aggs, id_col=id_col,
+                                   shards=shards)
+
+
 def _same_as_prev_row(tbl: pa.Table, keys: "list[str]") -> np.ndarray:
     """Boolean mask (len n): row i has the same key tuple as row i-1
     (tbl must already be sorted by keys).  mask[0] is always False."""

@@ -1191,3 +1191,43 @@ def test_rank_in_group_and_event_gaps(ray_session):
     both = pd.DataFrame({"got": gaps.gap_us.reindex(df2.id).values,
                          "want": want_gap.values}).dropna()
     assert (both.got == both.want).all()
+
+
+def test_grouping_sets_and_cube(ray_session):
+    """GROUPING SETS folds each subset from one pinned finest aggregate;
+    grouping_id carries the standard GROUPING bitmask (keys[0] = MSB)."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        cube_aggregate,
+        grouping_sets_aggregate,
+    )
+
+    t = pa.table({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["p", "q", "p", "p", None],
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = grouping_sets_aggregate(
+        ds, ["a", "b"], sets=[["a", "b"], ["b"], []],
+        aggs={"n": ("v", "count"), "s": ("v", "sum")}).to_pandas()
+    # grouping_id: (a,b)=0, (b only → a rolled)=2, ()=3
+    assert sorted(out["grouping_id"].unique()) == [0, 2, 3]
+    grand = out[out["grouping_id"] == 3]
+    assert len(grand) == 1 and grand["s"].iloc[0] == 15 and grand["n"].iloc[0] == 5
+    b_only = out[out["grouping_id"] == 2].set_index("b")
+    # genuine NULL b value survives as its own group, distinct from padding
+    assert b_only.loc["p", "s"] == 8 and b_only["a"].isna().all()
+    assert int(b_only[b_only.index.isna()]["s"].iloc[0]) == 5
+
+    cube = cube_aggregate(ds, ["a", "b"],
+                          aggs={"s": ("v", "sum")}).to_pandas()
+    assert sorted(cube["grouping_id"].unique()) == [0, 1, 2, 3]
+    a_only = cube[cube["grouping_id"] == 1].set_index("a")
+    assert a_only.loc["x", "s"] == 3 and a_only.loc["y", "s"] == 12
+
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(ds, ["a"], sets=[["zzz"]], aggs={"s": ("v", "sum")})
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(ds, ["a"], sets=[], aggs={"s": ("v", "sum")})
