@@ -371,6 +371,34 @@ def q_cdc_bootstrap(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_merge_on_read(sf_dir: str):
+    """Merge-on-read: the lsn<10_000 prefix of the 20k-event fixture is
+    COMMITTED; the suffix is overlaid as an uncommitted pending stream via
+    ``CDCPipeline.read_merged`` — the serve-fresh-reads half of the
+    write/read-amplification tradeoff (hot micro-batches skip the parquet
+    rewrite, compaction happens on the tailer's own cadence).  The view
+    must equal the full-stream argmax-LSN fold bit-for-bit, because it
+    reuses the commit path's own normalize/partition/merge operators."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES, "cdc_events_20000.parquet"))
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_mor_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(
+        events.filter(pc.less(events.column("lsn"), cut))))
+    pending = ray.data.from_arrow(
+        events.filter(pc.greater_equal(events.column("lsn"), cut)))
+    return pipe.read_merged(pending).map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_assemble_transcripts(sf_dir: str):
     """Lake → corpus bridge: replay the CDC stream, then assemble each
     conversation's turns into one ordered transcript document
@@ -1959,6 +1987,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_heal": q_cdc_heal,
         "cdc_tail": q_cdc_tail,
         "cdc_bootstrap": q_cdc_bootstrap,
+        "cdc_merge_on_read": q_cdc_merge_on_read,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
@@ -2168,6 +2197,16 @@ def oracle_sql() -> "dict[str, str]":
             "from ranked where rn = 1 and op <> 'delete'",
         # Tailer delivery ≡ direct apply: same flagship fold
         "cdc_tail":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Committed prefix + uncommitted overlay ≡ full fold (the view
+        # reuses the commit path's own merge operators)
+        "cdc_merge_on_read":
             "with ranked as (select *, row_number() over "
             "(partition by conv_id, turn_idx order by lsn desc) as rn "
             f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "

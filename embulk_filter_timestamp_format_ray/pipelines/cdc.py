@@ -912,6 +912,71 @@ class CDCPipeline:
         """Committed lake state as a streaming Dataset (manifest-scoped)."""
         return self._manifest_dataset(mf.read_manifest(self.lake_dir))
 
+    def read_merged(self, pending_ds):
+        """Merge-on-read view: committed base + an UNCOMMITTED pending
+        change stream overlaid at read time — the state ``apply(pending_ds)``
+        WOULD produce, computed without writing a byte to the lake.
+
+        This is the low-read-latency half of the write/read tradeoff: a
+        tailer can keep hot micro-batches out of the commit path (no parquet
+        rewrite per micro-batch) and serve fresh reads by overlaying them,
+        compacting on its own cadence.  Semantics are guaranteed identical
+        to a commit because the view reuses the commit's own operators:
+
+        * pending events run the SAME ``NormalizeStage`` (per-epoch ts
+          re-parse, role renames, global low-watermark prune) →
+          ``PartitionStage`` → ``PreMergeCombiner`` chain as ``apply``;
+        * base rows re-derive their ``_pid`` through the same deterministic
+          ``PartitionStage`` (cheaper than carrying file→pid provenance
+          through ``read_parquet``) and are tagged as live upserts;
+        * ONE ``groupby("_pid")`` merges base+delta per partition with the
+          commit's ``keep_last_per_key`` + delete-wins filter.  Replayed
+          events below a partition watermark are arbitrated by max-LSN
+          winner selection alone (the same idempotence argument as DLQ
+          reprocessing, DESIGN #32): an already-applied upsert ties or
+          loses against the base row it produced, an already-applied
+          delete re-deletes an already-absent key.
+
+        In dlq mode, rows the normalizer would quarantine are DROPPED from
+        the view (a read overlay must not commit quarantine state); the
+        eventual ``apply`` of the same batch quarantines them durably.
+        """
+        manifest = mf.read_manifest(self.lake_dir)
+        self.check_manifest_compat(manifest)
+        low = mf.min_watermark(manifest, self.num_partitions)
+        partition = PartitionStage(self.num_partitions,
+                                   by_turn=(self.partition_mode == "turn"),
+                                   salt_keys=self.salt_keys,
+                                   salt_factor=self.salt_factor)
+        view_cols = ["op", *LAKE_COLUMNS]
+        normalize = NormalizeStage(self.epoch_specs, low_watermark=low,
+                                   stop_on_invalid=self.stop_on_invalid,
+                                   dlq=self.dlq)
+
+        def delta_side(batch: pa.Table) -> pa.Table:
+            out = normalize(batch)
+            if "dlq_reason" in out.schema.names:
+                out = out.filter(pc.is_null(out.column("dlq_reason")))
+            return partition(out.select(view_cols))
+
+        def base_side(batch: pa.Table) -> pa.Table:
+            tagged = batch.append_column(
+                "op", pa.array(np.full(batch.num_rows, "upsert")))
+            return partition(tagged.select(view_cols))
+
+        kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+        delta = (pending_ds.map_batches(delta_side, **kwargs)
+                 .map_batches(PreMergeCombiner(wire_encode=False), **kwargs))
+        base = self._manifest_dataset(manifest).map_batches(base_side, **kwargs)
+
+        def merge_view(group: pa.Table) -> pa.Table:
+            winners = keep_last_per_key(group)
+            live = winners.filter(pc.equal(winners.column("op"), "upsert"))
+            return live.select(LAKE_COLUMNS)
+
+        return base.union(delta).groupby("_pid").map_groups(
+            merge_view, batch_format="pyarrow")
+
     def read_dlq(self):
         """Quarantined events across all committed txns as one Arrow table
         (lsn, op, conv_id, turn_idx, role, text, tool, ts, ts_raw,

@@ -1000,3 +1000,63 @@ def test_bootstrap_refuses_nonempty_lake(ray_session, tmp_path_factory):
     })
     with pytest.raises(ValueError, match="EMPTY lake"):
         pipe.bootstrap(ray.data.from_arrow(snap), snapshot_lsn=0)
+
+def _view_as_dict(view_ds) -> "dict[tuple, dict]":
+    out = {}
+    for row in view_ds.take_all():
+        key = (row["conv_id"], row["turn_idx"])
+        assert key not in out, f"duplicate merge key {key} in view"
+        ts = row["ts"]
+        out[key] = {
+            "role": row["role"], "text": row["text"], "tool": row["tool"],
+            "ts_ns": int(ts.timestamp() * 1e9) if ts else None,
+            "lsn": row["lsn"],
+        }
+    return out
+
+
+def test_read_merged_view_equals_commit(ray_session, tmp_path_factory, oracle):
+    """Merge-on-read: committed prefix + uncommitted pending suffix overlay
+    must equal the state apply(pending) would commit — and must not commit
+    anything (manifest version unchanged)."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_mor"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2500)))
+    version_before = mf.read_manifest(lake)["version"]
+    view = pipe.read_merged(ray.data.from_arrow(full.slice(2500)))
+    _assert_matches_oracle(_view_as_dict(view), oracle)
+    assert mf.read_manifest(lake)["version"] == version_before
+    # the view did not change what a subsequent commit produces
+    pipe.apply(ray.data.from_arrow(full.slice(2500)))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_read_merged_overlapping_pending(ray_session, tmp_path_factory, oracle):
+    """Replayed pending events at or below the committed watermark are
+    no-ops in the view (same idempotence as a committed re-apply)."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_mor_ovl"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2500)))
+    # pending re-delivers [1000, N): the [1000, 2500) replays must not
+    # resurrect deleted keys or regress any winner
+    view = pipe.read_merged(ray.data.from_arrow(full.slice(1000)))
+    _assert_matches_oracle(_view_as_dict(view), oracle)
+
+
+def test_read_merged_empty_pending_is_lake(ray_session, tmp_path_factory):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_mor_empty"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(500)
+    pipe.apply(ray.data.from_arrow(full))
+    empty = ray.data.from_arrow(full.slice(0, 0))
+    view = _view_as_dict(pipe.read_merged(empty))
+    lake_state = _lake_as_dict(pipe)
+    assert view == lake_state
