@@ -399,6 +399,39 @@ def q_cdc_merge_on_read(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_delta_commits(sf_dir: str):
+    """Durable merge-on-read DELTA commits: the lsn<8_000 prefix is a base
+    commit; [8_000, 14_000) lands as a delta commit (append-only per-key
+    winners, base parquet untouched — write cost ∝ micro-batch, not ∝
+    state); ``compact_deltas`` folds that backlog into base; the tail
+    lands as a second delta commit and stays PENDING — so the verification
+    read exercises the per-partition base+delta fold (`_fold_dataset`, the
+    Hudi-style MOR scan: no shuffle, the manifest names each partition's
+    file set).  Final state must equal the full-stream argmax-LSN fold
+    because DeltaWriter/compaction/fold all reuse keep_last_per_key."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES, "cdc_events_20000.parquet"))
+    lsn = events.column("lsn")
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_delta_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    c1, c2 = pa.scalar(8_000, pa.int64()), pa.scalar(14_000, pa.int64())
+    pipe.apply(ray.data.from_arrow(events.filter(pc.less(lsn, c1))))
+    pipe.apply_delta(ray.data.from_arrow(events.filter(pc.and_(
+        pc.greater_equal(lsn, c1), pc.less(lsn, c2)))))
+    pipe.compact_deltas()
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(lsn, c2))))
+    return pipe.read_lake().map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_assemble_transcripts(sf_dir: str):
     """Lake → corpus bridge: replay the CDC stream, then assemble each
     conversation's turns into one ordered transcript document
@@ -1988,6 +2021,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_tail": q_cdc_tail,
         "cdc_bootstrap": q_cdc_bootstrap,
         "cdc_merge_on_read": q_cdc_merge_on_read,
+        "cdc_delta_commits": q_cdc_delta_commits,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
@@ -2207,6 +2241,16 @@ def oracle_sql() -> "dict[str, str]":
         # Committed prefix + uncommitted overlay ≡ full fold (the view
         # reuses the commit path's own merge operators)
         "cdc_merge_on_read":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Delta commits + compaction + pending fold ≡ full fold (DeltaWriter,
+        # compact_deltas and the MOR read all reuse keep_last_per_key)
+        "cdc_delta_commits":
             "with ranked as (select *, row_number() over "
             "(partition by conv_id, turn_idx order by lsn desc) as rn "
             f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "

@@ -231,6 +231,45 @@ class NormalizeStage:
 
 LAKE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
 
+_LAKE_FIELD_TYPES = {
+    "conv_id": pa.string(), "turn_idx": pa.int32(), "role": pa.string(),
+    "text": pa.string(), "tool": pa.string(), "ts": _TS_NS_UTC,
+    "lsn": pa.int64(),
+}
+
+
+def _empty_lake_table(columns=None) -> pa.Table:
+    cols = list(columns) if columns is not None else LAKE_COLUMNS
+    return pa.table({c: pa.array([], _LAKE_FIELD_TYPES[c]) for c in cols})
+
+
+def fold_partition_state(base: "pa.Table | None", deltas: "list[pa.Table]",
+                         columns=None) -> pa.Table:
+    """Fold one partition's committed BASE state with its pending DELTA
+    files into live state (the merge-on-read counterpart of a base merge):
+    base rows are live upserts; delta rows carry op+lsn; max-LSN winner per
+    key + delete-wins — the commit's own core (keep_last_per_key), so a
+    fold and a compaction produce identical state by construction.
+
+    ``columns`` prunes the fold to a subset of LAKE_COLUMNS (must include
+    the merge key + lsn); callers like the change-data-feed fold only
+    (conv_id, turn_idx, lsn)."""
+    cols = list(columns) if columns is not None else LAKE_COLUMNS
+    parts = []
+    if base is not None and base.num_rows:
+        b = base.select(cols).append_column(
+            "op", pa.array(np.full(base.num_rows, "upsert")))
+        parts.append(b.select(["op", *cols]))
+    for d in deltas:
+        if d.num_rows:
+            parts.append(d.select(["op", *cols]))
+    if not parts:
+        return _empty_lake_table(cols)
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    winners = keep_last_per_key(merged)
+    live = winners.filter(pc.equal(winners.column("op"), "upsert"))
+    return live.select(cols)
+
 
 def keep_last_per_key(tbl: pa.Table) -> pa.Table:
     """Max-LSN winner per (conv_id, turn_idx) — the associative merge core.
@@ -412,27 +451,22 @@ class MergeApplier:
                 "per-partition state rewrites", group.num_rows)
         pid = int(group.column("_pid")[0].as_py())
         if pid == DLQ_PID:
-            # quarantine partition: append-only forensic parquet, committed
-            # through the SAME two-phase txn as the data partitions (a crash
-            # before the manifest swap orphans it together with them)
-            dlq_tbl = decode_shuffle_encoding(group.drop_columns(["_pid"]))
-            dlq_tbl = dlq_tbl.take(pc.sort_indices(
-                dlq_tbl, sort_keys=[("lsn", "ascending")]))
-            rel = os.path.join(f"txn-{self.txn_id}", "dlq.parquet")
-            full = os.path.join(self.lake_dir, rel)
-            os.makedirs(os.path.dirname(full), exist_ok=True)
-            pq.write_table(dlq_tbl, full, compression="zstd")
-            return self._result({
-                "pid": DLQ_PID, "path": rel, "rows": dlq_tbl.num_rows,
-                "last_applied_lsn": -1, "events_applied": 0,
-                "events_seen": dlq_tbl.num_rows,
-            })
+            return self._result(
+                _write_dlq_group(self.lake_dir, self.txn_id, group))
         meta = self.partition_meta.get(pid, {})
         watermark = meta.get("last_applied_lsn", -1)
         prior = None
         prior_path = meta.get("path")
         if prior_path:
             prior = pq.read_table(os.path.join(self.lake_dir, prior_path))
+        if meta.get("deltas"):
+            # pending merge-on-read delta files (apply_delta commits): fold
+            # them into the prior state here — this base merge then both
+            # applies the new events AND compacts the backlog (the commit
+            # clears the partition's delta list)
+            pend = [pq.read_table(os.path.join(self.lake_dir, d["path"]))
+                    for d in meta["deltas"]]
+            prior = fold_partition_state(prior, pend)
         delta = decode_shuffle_encoding(group.drop_columns(["_pid"]))
         state, new_watermark, applied = merge_partition_table(
             delta, prior, watermark, replay_filter=self.replay_filter)
@@ -455,6 +489,77 @@ class MergeApplier:
         ])
         rows = [row] if row else []
         return pa.Table.from_pylist(rows, schema=schema)
+
+
+def _write_dlq_group(lake_dir: str, txn_id: str, group: pa.Table) -> "dict":
+    """Quarantine partition: append-only forensic parquet, committed through
+    the SAME two-phase txn as the data partitions (a crash before the
+    manifest swap orphans it together with them)."""
+    dlq_tbl = decode_shuffle_encoding(group.drop_columns(["_pid"]))
+    dlq_tbl = dlq_tbl.take(pc.sort_indices(
+        dlq_tbl, sort_keys=[("lsn", "ascending")]))
+    rel = os.path.join(f"txn-{txn_id}", "dlq.parquet")
+    full = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    pq.write_table(dlq_tbl, full, compression="zstd")
+    return {
+        "pid": DLQ_PID, "path": rel, "rows": dlq_tbl.num_rows,
+        "last_applied_lsn": -1, "events_applied": 0,
+        "events_seen": dlq_tbl.num_rows,
+    }
+
+
+class DeltaWriter:
+    """Per-partition DELTA-commit writer (``apply_delta``): instead of
+    reading and rewriting the partition's base parquet per micro-batch
+    (write amplification ∝ state size, the base-merge cost model), write
+    only the micro-batch's per-key winners — op column preserved, so
+    tombstones persist — as an append-only delta file.  Reads fold
+    base+deltas (:func:`fold_partition_state`); ``compact_deltas`` or any
+    later base-merge apply re-bounds read amplification.
+
+    Replay semantics are IDENTICAL to the base merge: events at/below the
+    partition watermark are pruned here (they are already represented in
+    base or an earlier committed delta), and the fold's max-LSN winner
+    selection arbitrates everything else — so delta commits compose with
+    base commits in any order."""
+
+    def __init__(self, lake_dir: str, txn_id: str,
+                 partition_meta: "dict[int, dict]"):
+        self.lake_dir = lake_dir
+        self.txn_id = txn_id
+        self.partition_meta = partition_meta
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return MergeApplier._result(None)
+        pid = int(group.column("_pid")[0].as_py())
+        if pid == DLQ_PID:
+            return MergeApplier._result(
+                _write_dlq_group(self.lake_dir, self.txn_id, group))
+        meta = self.partition_meta.get(pid, {})
+        watermark = meta.get("last_applied_lsn", -1)
+        delta = decode_shuffle_encoding(group.drop_columns(["_pid"]))
+        max_in = pc.max(delta.column("lsn")).as_py() if delta.num_rows else None
+        new_watermark = max(watermark, max_in if max_in is not None else -1)
+        fresh = delta.filter(pc.greater(delta.column("lsn"), watermark))
+        applied = fresh.num_rows
+        if applied == 0:
+            # pure replay micro-batch: no file, no watermark change
+            return MergeApplier._result(None)
+        winners = keep_last_per_key(fresh).select(["op", *LAKE_COLUMNS])
+        winners = winners.take(pc.sort_indices(
+            winners, sort_keys=[("conv_id", "ascending"),
+                                ("turn_idx", "ascending")]))
+        rel = os.path.join(f"txn-{self.txn_id}", f"delta-{pid:05d}.parquet")
+        full = os.path.join(self.lake_dir, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(winners, full, compression="zstd")
+        return MergeApplier._result({
+            "pid": pid, "path": rel, "rows": winners.num_rows,
+            "last_applied_lsn": new_watermark, "events_applied": applied,
+            "events_seen": delta.num_rows,
+        })
 
 
 class CDCPipeline:
@@ -515,6 +620,28 @@ class CDCPipeline:
         self.salt_factor = salt_factor
         # test seam: called between merge and commit (OCC interleaving tests)
         self._pre_commit_hook = None
+
+    @classmethod
+    def from_lake(cls, lake_dir: str, **kwargs) -> "CDCPipeline":
+        """Open an EXISTING lake adopting its committed partition layout
+        (num_partitions / partition_mode / salting) so maintenance jobs —
+        compaction, stats, tailing, healing — never have to restate the
+        layout flags the lake was created with (and can never get them
+        wrong; a mismatch would trip check_manifest_compat anyway).
+        ``kwargs`` pass through for the non-layout knobs (dlq, auto_gc,
+        time_travel_retain, ...)."""
+        committed = mf.read_manifest(lake_dir).get("partition_config")
+        if not committed:
+            raise ValueError(
+                f"lake {lake_dir!r} has no committed manifest to adopt a "
+                "partition layout from; construct CDCPipeline directly")
+        salt = committed.get("salt_keys") or None
+        return cls(lake_dir,
+                   num_partitions=int(committed["num_partitions"]),
+                   partition_mode=committed.get("partition_mode", "turn"),
+                   salt_keys=frozenset(salt) if salt else None,
+                   salt_factor=int(committed.get("salt_factor", 8)),
+                   **kwargs)
 
     # ---------------------------------------------- partition-layout safety
     #
@@ -599,7 +726,34 @@ class CDCPipeline:
                     "(%d/%d) — watermarks dedup the winner's events",
                     self.lake_dir, attempt + 1, max_commit_retries)
 
-    def _apply_dataset(self, events_ds, _reprocess: bool = False) -> "dict":
+    def apply_delta(self, events_ds, max_commit_retries: int = 2) -> "dict":
+        """Apply a change-event micro-batch as a DELTA commit (merge-on-read
+        write path): per partition, only the micro-batch's per-key winners
+        are written as an append-only delta file — the committed base
+        parquet is NOT read or rewritten, so a micro-batch's write cost is
+        ∝ the micro-batch, not ∝ lake state (the write-amplification
+        tradeoff ``read_merged`` documents, made durable).
+
+        Reads (``read_lake`` and everything built on it) transparently fold
+        base+deltas per partition; ``compact_deltas()`` — or any later
+        base-merge ``apply`` — folds the backlog back into base files.
+        Exactly-once, watermark ratcheting, DLQ routing and optimistic
+        concurrency are identical to ``apply`` (same normalize → partition
+        → combine → single shuffle; only the per-partition writer differs).
+        """
+        for attempt in range(max_commit_retries + 1):
+            try:
+                return self._apply_dataset(events_ds, _delta=True)
+            except mf.CommitConflict:
+                if attempt == max_commit_retries:
+                    raise
+                logger.warning(
+                    "concurrent commit beat us on %s; retrying delta apply "
+                    "(%d/%d) — watermarks dedup the winner's events",
+                    self.lake_dir, attempt + 1, max_commit_retries)
+
+    def _apply_dataset(self, events_ds, _reprocess: bool = False,
+                       _delta: bool = False) -> "dict":
         manifest = mf.read_manifest(self.lake_dir)
         self.check_manifest_compat(manifest)
         low = -1 if _reprocess else mf.min_watermark(manifest,
@@ -612,8 +766,11 @@ class CDCPipeline:
         partition_meta = {
             int(pid): meta for pid, meta in manifest["partitions"].items()
         }
-        applier = MergeApplier(self.lake_dir, txn_id, partition_meta,
-                               replay_filter=not _reprocess)
+        if _delta:
+            applier = DeltaWriter(self.lake_dir, txn_id, partition_meta)
+        else:
+            applier = MergeApplier(self.lake_dir, txn_id, partition_meta,
+                                   replay_filter=not _reprocess)
 
         norm_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
         if self.normalize_concurrency is not None:
@@ -673,11 +830,27 @@ class CDCPipeline:
             prev = partitions.get(pid, {})
             lineage = list(prev.get("lineage", []))
             lineage.append({"txn": txn_id, "events_applied": int(r["events_applied"])})
-            partitions[pid] = {
-                "path": r["path"], "rows": int(r["rows"]),
-                "last_applied_lsn": int(r["last_applied_lsn"]),
-                "lineage": lineage[-16:],  # bounded lineage history
-            }
+            if _delta:
+                # merge-on-read commit: base untouched, delta file appended,
+                # watermark ratchets (pure-replay groups return no row at
+                # all, so prev state simply persists for them)
+                deltas = list(prev.get("deltas", []))
+                deltas.append({"txn": txn_id, "path": r["path"],
+                               "rows": int(r["rows"])})
+                partitions[pid] = {
+                    "path": prev.get("path"), "rows": int(prev.get("rows", 0)),
+                    "last_applied_lsn": int(r["last_applied_lsn"]),
+                    "lineage": lineage[-16:],
+                    "deltas": deltas,
+                }
+            else:
+                # base merge: deltas (if any) were folded into the new base
+                # by MergeApplier, so the partition's delta list clears here
+                partitions[pid] = {
+                    "path": r["path"], "rows": int(r["rows"]),
+                    "last_applied_lsn": int(r["last_applied_lsn"]),
+                    "lineage": lineage[-16:],  # bounded lineage history
+                }
             total_applied += int(r["events_applied"])
         oversized = [(p, m["rows"]) for p, m in partitions.items()
                      if m.get("rows", 0) > MergeApplier.GROUP_ROWS_WARN]
@@ -794,6 +967,101 @@ class CDCPipeline:
         return {"txn": txn_id, "version": new_manifest["version"],
                 "num_partitions": new_num_partitions,
                 "rows": sum(int(r["rows"]) for r in rows)}
+
+    def compact_deltas(self, max_commit_retries: int = 2) -> "dict":
+        """Fold every partition's pending delta files back into its base
+        parquet (the compaction half of the merge-on-read contract): one
+        distributed fold+rewrite task per backlogged partition — untouched
+        partitions keep their files — then one atomic manifest commit that
+        clears the folded delta lists.  Watermarks are unchanged (the
+        deltas were already committed state).  Idempotent and exactly-once
+        like every other commit; concurrent writers surface as
+        ``CommitConflict`` and the compaction retries against the fresh
+        manifest."""
+        import ray.data
+
+        for attempt in range(max_commit_retries + 1):
+            manifest = mf.read_manifest(self.lake_dir)
+            self.check_manifest_compat(manifest)
+            todo = {pid: p for pid, p in manifest["partitions"].items()
+                    if p.get("deltas")}
+            if not todo:
+                return {"version": manifest.get("version", 0),
+                        "partitions_compacted": 0, "delta_files_folded": 0}
+            txn_id = uuid.uuid4().hex[:12]
+            lake_dir = self.lake_dir
+            items = [{"pid": int(pid), "base": p.get("path") or "",
+                      "deltas": [d["path"] for d in p["deltas"]]}
+                     for pid, p in todo.items()]
+
+            def compact_part(batch: pa.Table) -> pa.Table:
+                outs = []
+                for row in batch.to_pylist():  # metadata-tier loop (≤P rows)
+                    base = pq.read_table(
+                        os.path.join(lake_dir, row["base"])) \
+                        if row["base"] else None
+                    deltas = [pq.read_table(os.path.join(lake_dir, d))
+                              for d in row["deltas"]]
+                    state = fold_partition_state(base, deltas)
+                    rel = ""
+                    if state.num_rows:
+                        state = state.take(pc.sort_indices(
+                            state, sort_keys=[("conv_id", "ascending"),
+                                              ("turn_idx", "ascending")]))
+                        rel = os.path.join(f"txn-{txn_id}",
+                                           f"part-{row['pid']:05d}.parquet")
+                        full = os.path.join(lake_dir, rel)
+                        os.makedirs(os.path.dirname(full), exist_ok=True)
+                        pq.write_table(state, full, compression="zstd")
+                    outs.append({"pid": row["pid"], "path": rel,
+                                 "rows": state.num_rows})
+                return pa.Table.from_pylist(outs, schema=pa.schema([
+                    ("pid", pa.int64()), ("path", pa.string()),
+                    ("rows", pa.int64())]))
+
+            rows = ray.data.from_items(
+                items, override_num_blocks=len(items)).map_batches(
+                    compact_part, batch_format="pyarrow").take_all()
+            partitions = dict(manifest["partitions"])
+            folded_files = sum(len(p["deltas"]) for p in todo.values())
+            for r in rows:
+                pid = str(r["pid"])
+                prev = partitions[pid]
+                lineage = list(prev.get("lineage", []))
+                lineage.append({"txn": txn_id, "events_applied": 0,
+                                "compaction": True})
+                partitions[pid] = {
+                    "path": r["path"] or None, "rows": int(r["rows"]),
+                    "last_applied_lsn": int(prev.get("last_applied_lsn", -1)),
+                    "lineage": lineage[-16:],
+                }
+            new_manifest = {
+                "version": manifest["version"] + 1,
+                "partitions": partitions,
+                "num_partitions": self.num_partitions,
+                "partition_config": self.partition_config(),
+                "last_txn": txn_id,
+                "schema_columns": LAKE_COLUMNS,
+            }
+            if manifest.get("dlq"):
+                new_manifest["dlq"] = manifest["dlq"]
+            try:
+                mf.commit_manifest(self.lake_dir, new_manifest,
+                                   retain_history=self.time_travel_retain,
+                                   expected_version=manifest["version"])
+            except mf.CommitConflict:
+                if attempt == max_commit_retries:
+                    raise
+                logger.warning(
+                    "concurrent commit during compaction on %s; retrying "
+                    "against the fresh manifest (%d/%d)",
+                    self.lake_dir, attempt + 1, max_commit_retries)
+                continue
+            if self.auto_gc:
+                mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
+            return {"txn": txn_id, "version": new_manifest["version"],
+                    "partitions_compacted": len(rows),
+                    "delta_files_folded": folded_files}
 
     def bootstrap(self, snapshot_ds, snapshot_lsn: int) -> "dict":
         """Initial load → stream handoff (the Debezium snapshot pattern):
@@ -1121,14 +1389,30 @@ class CDCPipeline:
 
         m_from = mf.read_manifest_at(self.lake_dir, v_from)
         m_to = mf.read_manifest_at(self.lake_dir, v_to)
-        p_from = {p: m.get("path") for p, m in m_from["partitions"].items()}
-        p_to = {p: m.get("path") for p, m in m_to["partitions"].items()}
+
+        def signature(m: "dict") -> "dict[str, tuple]":
+            # partition state identity = base path + ordered delta paths
+            # (a delta commit changes state without touching the base path)
+            return {p: (meta.get("path"),
+                        tuple(d["path"] for d in meta.get("deltas", [])))
+                    for p, meta in m["partitions"].items()}
+
+        p_from, p_to = signature(m_from), signature(m_to)
         changed = {p for p in set(p_from) | set(p_to)
                    if p_from.get(p) != p_to.get(p)}
-        files_from = [os.path.join(self.lake_dir, p_from[p])
-                      for p in changed if p_from.get(p)]
-        files_to = [os.path.join(self.lake_dir, p_to[p])
-                    for p in changed if p_to.get(p)]
+        diff_cols = ["conv_id", "turn_idx", "lsn"]
+
+        def side_source(m: "dict", sig: "dict[str, tuple]"):
+            """Changed partitions' live state at this version, pruned to the
+            diff columns: plain file reads when no pending deltas, the
+            per-partition fold otherwise."""
+            if any(sig.get(p, (None, ()))[1] for p in changed):
+                return self._fold_dataset(m, columns=diff_cols, pids=changed)
+            files = [os.path.join(self.lake_dir, sig[p][0])
+                     for p in changed if sig.get(p, (None,))[0]]
+            if not files:
+                return None
+            return ray.data.read_parquet(files, columns=diff_cols)
 
         empty = pa.table({
             "conv_id": pa.array([], pa.string()),
@@ -1136,7 +1420,9 @@ class CDCPipeline:
             "change_type": pa.array([], pa.string()),
             "lsn": pa.array([], pa.int64()),
         })
-        if not files_from and not files_to:
+        src_from = side_source(m_from, p_from)
+        src_to = side_source(m_to, p_to)
+        if src_from is None and src_to is None:
             return ray.data.from_arrow(empty)
 
         def tag(side: int):
@@ -1150,16 +1436,10 @@ class CDCPipeline:
                 })
             return f
 
-        def read_side(files, side):
-            cols = ["conv_id", "turn_idx", "lsn"]
-            return ray.data.read_parquet(files, columns=cols).map_batches(
-                tag(side), batch_format="pyarrow", zero_copy_batch=True)
-
-        sides = []
-        if files_from:
-            sides.append(read_side(files_from, 0))
-        if files_to:
-            sides.append(read_side(files_to, 1))
+        sides = [src.map_batches(tag(i), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                 for i, src in enumerate((src_from, src_to))
+                 if src is not None]
         ds = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
 
         def diff_shard(group: pa.Table) -> pa.Table:
@@ -1215,15 +1495,21 @@ class CDCPipeline:
         parts = manifest.get("partitions", {})
         rows = [int(p.get("rows", 0)) for p in parts.values()]
         watermarks = [int(p.get("last_applied_lsn", -1)) for p in parts.values()]
+        delta_files = delta_rows = 0
         sizes = []
         for p in parts.values():
-            path = p.get("path")
-            if path:
+            for entry in [{"path": p.get("path")}, *p.get("deltas", [])]:
+                path = entry.get("path")
+                if not path:
+                    continue
                 try:
                     sizes.append(os.path.getsize(
                         os.path.join(self.lake_dir, path)))
                 except OSError:
                     pass
+            delta_files += len(p.get("deltas", []))
+            delta_rows += sum(int(d.get("rows", 0))
+                              for d in p.get("deltas", []))
         total_rows = sum(rows)
         n = len(parts)
         mean_rows = (total_rows / n) if n else 0.0
@@ -1241,22 +1527,70 @@ class CDCPipeline:
                                  - min(watermarks, default=-1)) if n else 0,
             "dlq_rows": sum(int(d.get("rows", 0))
                             for d in manifest.get("dlq", [])),
+            # merge-on-read backlog: pending delta files awaiting
+            # compact_deltas (read amplification grows with this count)
+            "delta_files": delta_files,
+            "delta_rows": delta_rows,
             "retained_versions": len(mf.list_versions(self.lake_dir)),
         }
 
     def _manifest_dataset(self, manifest: "dict"):
         import ray.data
 
+        if mf.has_deltas(manifest):
+            # pending delta commits: every read folds base+deltas per
+            # partition (merge-on-read) — no shuffle, the manifest already
+            # names each partition's file set
+            return self._fold_dataset(manifest)
         files = [os.path.join(self.lake_dir, p)
                  for p in mf.partition_files(manifest)]
         if not files:
-            schema = pa.schema([
-                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-                ("role", pa.string()), ("text", pa.string()),
-                ("tool", pa.string()), ("ts", _TS_NS_UTC), ("lsn", pa.int64()),
-            ])
-            return ray.data.from_arrow(pa.table({f.name: pa.array([], f.type) for f in schema}))
+            return ray.data.from_arrow(_empty_lake_table())
         return ray.data.read_parquet(files)
+
+    def _fold_dataset(self, manifest: "dict", columns=None, pids=None):
+        """Streaming merge-on-read scan: one fold task per partition reads
+        that partition's base + delta files and emits its live state — the
+        file→partition mapping comes from the manifest, so NO shuffle is
+        needed (cf. the Hudi MOR read model: per-file-group merge).
+
+        ``columns`` prunes the fold (must include the merge key + lsn);
+        ``pids`` restricts to a partition subset (change-data-feed)."""
+        import ray.data
+
+        cols = list(columns) if columns is not None else list(LAKE_COLUMNS)
+        lake_dir = self.lake_dir
+        items = []
+        for pid, p in manifest["partitions"].items():
+            if pids is not None and pid not in pids:
+                continue
+            if not p.get("path") and not p.get("deltas"):
+                continue
+            items.append({"pid": int(pid), "base": p.get("path") or "",
+                          "deltas": [d["path"] for d in p.get("deltas", [])]})
+        if not items:
+            return ray.data.from_arrow(_empty_lake_table(cols))
+
+        def fold_files(batch: pa.Table) -> pa.Table:
+            outs = []
+            # metadata-tier loop: ≤ num_partitions rows total, data-tier
+            # work stays vectorized inside fold_partition_state
+            for row in batch.to_pylist():
+                base = pq.read_table(os.path.join(lake_dir, row["base"]),
+                                     columns=cols) if row["base"] else None
+                deltas = [pq.read_table(os.path.join(lake_dir, d),
+                                        columns=["op", *cols])
+                          for d in row["deltas"]]
+                folded = fold_partition_state(base, deltas, columns=cols)
+                if folded.num_rows:
+                    outs.append(folded)
+            if not outs:
+                return _empty_lake_table(cols)
+            return pa.concat_tables(outs, promote_options="permissive")
+
+        return ray.data.from_items(
+            items, override_num_blocks=len(items)).map_batches(
+                fold_files, batch_format="pyarrow")
 
     def export_formatted(self, out_dir: str, to_format: str = "%Y-%m-%d %H:%M:%S.%6N %z",
                          to_timezone: str = "UTC") -> None:
@@ -1289,24 +1623,28 @@ class CDCPipeline:
 
         manifest = mf.read_manifest(self.lake_dir)
         self.check_manifest_compat(manifest)
+
+        def load(meta: "dict") -> "pa.Table | None":
+            # point-lookup tier: read base + pending deltas and fold (the
+            # merge-on-read contract holds for every read path)
+            base = pq.read_table(os.path.join(self.lake_dir, meta["path"])) \
+                if meta.get("path") else None
+            if meta.get("deltas"):
+                pend = [pq.read_table(os.path.join(self.lake_dir, d["path"]))
+                        for d in meta["deltas"]]
+                return fold_partition_state(base, pend)
+            return base
+
         if self.partition_mode == "conv":
             pids = candidate_pids_for_conv(conv_id, self.num_partitions,
                                            self.salt_keys, self.salt_factor)
-            tables = []
-            for pid in pids:
-                meta = manifest["partitions"].get(str(pid))
-                if meta and meta.get("path"):
-                    tables.append(pq.read_table(
-                        os.path.join(self.lake_dir, meta["path"])))
-            if not tables:
-                return pa.table({})
-            t = pa.concat_tables(tables, promote_options="permissive")
+            metas = [manifest["partitions"].get(str(pid)) for pid in pids]
         else:
-            tables = [pq.read_table(os.path.join(self.lake_dir, p))
-                      for p in mf.partition_files(manifest)]
-            if not tables:
-                return pa.table({})
-            t = pa.concat_tables(tables, promote_options="permissive")
+            metas = list(manifest["partitions"].values())
+        tables = [t for t in (load(m) for m in metas if m) if t is not None]
+        if not tables:
+            return pa.table({})
+        t = pa.concat_tables(tables, promote_options="permissive")
         t = t.filter(pc.equal(t.column("conv_id"), conv_id))
         return t.take(pc.sort_indices(t, sort_keys=[("turn_idx", "ascending")]))
 

@@ -92,16 +92,23 @@ class IncrementalView:
         os.makedirs(self.view_dir, exist_ok=True)
         stale, fresh_parts = [], {}
         for pid, part in lake_m["partitions"].items():
-            src = part.get("path")
-            if not src:
+            base = part.get("path") or ""
+            deltas = [d["path"] for d in part.get("deltas", [])]
+            if not base and not deltas:
                 continue
+            # partition version = base path + ordered pending delta paths:
+            # a delta commit (apply_delta) changes live state WITHOUT
+            # touching the base path, so the base path alone under-detects
+            # staleness on a merge-on-read lake
+            src = "|".join([base, *deltas])
             prev = view_m["partitions"].get(pid)
             if prev and prev["src_path"] == src \
                     and os.path.exists(os.path.join(self.view_dir,
                                                     prev["view_path"])):
                 fresh_parts[pid] = prev
             else:
-                stale.append({"pid": pid, "src": src})
+                stale.append({"pid": pid, "src": src,
+                              "base": base, "deltas": deltas})
         # dropped = partitions that left the LAKE, not ones merely rewritten
         dropped = sum(1 for pid in view_m["partitions"]
                       if pid not in lake_m["partitions"])
@@ -111,11 +118,22 @@ class IncrementalView:
                 self.lake_dir, self.view_dir, self.agg_fn
 
             def recompute(batch: pa.Table) -> pa.Table:
+                from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+                    fold_partition_state,
+                )
+
                 rows = []
-                for i in range(batch.num_rows):
-                    pid = batch.column("pid")[i].as_py()
-                    src = batch.column("src")[i].as_py()
-                    part = pq.read_table(os.path.join(lake_dir, src))
+                for item in batch.to_pylist():  # metadata-tier (≤P rows)
+                    pid, src = item["pid"], item["src"]
+                    base = pq.read_table(
+                        os.path.join(lake_dir, item["base"])) \
+                        if item["base"] else None
+                    if item["deltas"]:
+                        pend = [pq.read_table(os.path.join(lake_dir, d))
+                                for d in item["deltas"]]
+                        part = fold_partition_state(base, pend)
+                    else:
+                        part = base
                     view = agg_fn(part)
                     import zlib  # deterministic name (repo rule: no hash())
 

@@ -178,16 +178,32 @@ def min_watermark(manifest: "dict[str, Any]", num_partitions: int) -> int:
 
 
 def partition_files(manifest: "dict[str, Any]") -> "list[str]":
-    """The lake STATE files only — what a table read should scan."""
+    """The lake BASE state files only — what a plain table read should scan
+    when no partition carries pending delta files (see
+    :func:`partition_delta_files`)."""
     return [p["path"] for p in manifest["partitions"].values() if p.get("path")]
 
 
+def partition_delta_files(manifest: "dict[str, Any]") -> "list[str]":
+    """Pending merge-on-read delta files across all partitions (appended by
+    ``CDCPipeline.apply_delta``; folded into base by ``compact_deltas`` or
+    any later base-merge apply)."""
+    out = []
+    for p in manifest["partitions"].values():
+        out.extend(d["path"] for d in p.get("deltas", []) if d.get("path"))
+    return out
+
+
+def has_deltas(manifest: "dict[str, Any]") -> bool:
+    return any(p.get("deltas") for p in manifest["partitions"].values())
+
+
 def data_files(manifest: "dict[str, Any]") -> "list[str]":
-    """Every data file the manifest references: partition state files plus
-    dead-letter quarantine files (GC liveness treats both as live; table
-    reads must use :func:`partition_files` so quarantined rows never leak
-    into lake state)."""
-    return partition_files(manifest) + [
+    """Every data file the manifest references: partition base files,
+    pending delta files, and dead-letter quarantine files (GC liveness
+    treats all as live; table reads must fold base+deltas and must exclude
+    quarantine files so quarantined rows never leak into lake state)."""
+    return partition_files(manifest) + partition_delta_files(manifest) + [
         d["path"] for d in manifest.get("dlq", []) if d.get("path")]
 
 

@@ -28,7 +28,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--lake", required=True)
-    ap.add_argument("--partitions", type=int, default=128)
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="partition count when CREATING a lake (default "
+                         "128); omitted on an existing lake, its committed "
+                         "layout is adopted; given and mismatching, the run "
+                         "is refused (repartition via repartition_lake)")
     ap.add_argument("--micro-batches", type=int, default=1)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -68,6 +72,15 @@ def main() -> None:
                          "instead of generating events")
     ap.add_argument("--files-per-batch", type=int, default=16,
                     help="files per exactly-once commit when tailing")
+    ap.add_argument("--delta", action="store_true",
+                    help="commit micro-batches as merge-on-read DELTA files "
+                         "(append-only per-key winners; base parquet "
+                         "untouched — write cost ∝ micro-batch, reads fold "
+                         "base+deltas until compaction)")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold pending delta files back into base parquet "
+                         "(after the applies, or standalone with "
+                         "--events 0)")
     args = ap.parse_args()
 
     import ray
@@ -84,8 +97,22 @@ def main() -> None:
             poison_events,
         )
 
-        pipe = CDCPipeline(args.lake, num_partitions=args.partitions,
-                           dlq=args.dlq)
+        try:
+            # an existing lake's committed layout is adopted; an EXPLICIT
+            # mismatching --partitions is refused (the frozen-layout rule —
+            # merging under a different layout silently duplicates keys)
+            pipe = CDCPipeline.from_lake(args.lake, dlq=args.dlq)
+            if args.partitions is not None \
+                    and args.partitions != pipe.num_partitions:
+                raise SystemExit(
+                    f"lake {args.lake!r} was committed with "
+                    f"num_partitions={pipe.num_partitions} but --partitions="
+                    f"{args.partitions} was given; omit the flag to adopt "
+                    "the committed layout, or repartition_lake to change it")
+        except ValueError:
+            pipe = CDCPipeline(args.lake,
+                               num_partitions=args.partitions or 128,
+                               dlq=args.dlq)
 
         def poison(ds):
             # with --heal-dlq, a third poison band carries a valid-but-
@@ -141,6 +168,10 @@ def main() -> None:
                 else mf_version(pipe),
             }))
             return
+        if args.compact and args.events == 0:
+            res = pipe.compact_deltas()
+            print(json.dumps({"lake": args.lake, "compact": res}))
+            return
         start_lsn = pipe.resume_lsn() + 1 if args.resume else 0
         per_batch = max((args.events - start_lsn) // args.micro_batches, 1)
         t0 = time.perf_counter()
@@ -151,7 +182,8 @@ def main() -> None:
             # the generator emits the full lsn range; the pipeline's
             # low-watermark prune drops already-committed events, so a resumed
             # run only pays to re-apply the uncommitted suffix
-            stats = pipe.apply(ds) if args.micro_batches == 1 else pipe.apply(
+            apply = pipe.apply_delta if args.delta else pipe.apply
+            stats = apply(ds) if args.micro_batches == 1 else apply(
                 ds.filter(
                     expr=f"lsn >= {start_lsn + i * per_batch} and "
                          f"lsn < {start_lsn + (i + 1) * per_batch}"
@@ -169,6 +201,12 @@ def main() -> None:
             "events_per_sec": round(args.events / elapsed, 1),
             "lake_version": stats["version"],
         }
+        if args.delta:
+            st = pipe.table_stats()
+            out["delta_files"] = st["delta_files"]
+            out["delta_rows"] = st["delta_rows"]
+        if args.compact:
+            out["compact"] = pipe.compact_deltas()
         if args.dlq:
             out["quarantined"] = quarantined
             if args.heal_dlq:

@@ -1,0 +1,259 @@
+"""Merge-on-read DELTA commits (CDCPipeline.apply_delta / compact_deltas).
+
+Contract under test (DESIGN: delta tier):
+
+* delta commits are durable, exactly-once, watermark-ratcheting — replays
+  prune exactly like base merges — but write only the micro-batch's per-key
+  winners (cost ∝ micro-batch, not ∝ lake state)
+* every read path folds base+deltas transparently (read_lake,
+  final_state_sorted, read_conversation, views, lake_changes, time travel)
+* compact_deltas folds the backlog into base files without changing state
+  or watermarks; a later base-merge apply() does the same implicitly
+* delta and base commits compose in any order and always converge to the
+  sequential oracle
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+from embulk_filter_timestamp_format_ray.sources.changegen import (
+    expected_event_table,
+)
+from embulk_filter_timestamp_format_ray.state import manifest as mf
+from tests.test_cdc import (
+    N_EVENTS,
+    _assert_matches_oracle,
+    _lake_as_dict,
+    sequential_oracle,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return sequential_oracle(N_EVENTS)
+
+
+def _delta_backlog(manifest) -> "tuple[int, int]":
+    files = sum(len(p.get("deltas", [])) for p in manifest["partitions"].values())
+    rows = sum(int(d.get("rows", 0)) for p in manifest["partitions"].values()
+               for d in p.get("deltas", []))
+    return files, rows
+
+
+def test_delta_commits_match_oracle(ray_session, tmp_path_factory, oracle):
+    """base apply → three delta micro-batches: reads fold to oracle state,
+    base files untouched, backlog visible in the manifest."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_delta"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2000)))
+    base_paths = {p: m["path"]
+                  for p, m in mf.read_manifest(lake)["partitions"].items()}
+    for lo, n in ((2000, 800), (2800, 700), (3500, None)):
+        chunk = full.slice(lo, n) if n else full.slice(lo)
+        stats = pipe.apply_delta(ray.data.from_arrow(chunk))
+        assert stats["events_applied"] > 0
+    m = mf.read_manifest(lake)
+    # delta commits never rewrite base files
+    for p, meta in m["partitions"].items():
+        assert meta.get("path") == base_paths.get(p)
+    files, rows = _delta_backlog(m)
+    assert files > 0 and rows > 0
+    assert mf.has_deltas(m)
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_delta_replay_idempotent(ray_session, tmp_path_factory, oracle):
+    """crash-restart onto the delta path: an overlapping re-delivery prunes
+    at the watermark (pure-replay groups commit no file at all)."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_replay"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2500)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(2500)))
+    files_after_first, _ = _delta_backlog(mf.read_manifest(lake))
+    # full re-delivery: every event is at/below some partition watermark
+    stats = pipe.apply_delta(ray.data.from_arrow(full))
+    assert stats["events_applied"] == 0
+    files_after_replay, _ = _delta_backlog(mf.read_manifest(lake))
+    assert files_after_replay == files_after_first
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_compact_deltas_preserves_state(ray_session, tmp_path_factory, oracle):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_compact"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2000)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(2000, 1000)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(3000)))
+    m_before = mf.read_manifest(lake)
+    marks_before = {p: meta["last_applied_lsn"]
+                    for p, meta in m_before["partitions"].items()}
+    res = pipe.compact_deltas()
+    assert res["partitions_compacted"] > 0
+    assert res["delta_files_folded"] >= res["partitions_compacted"]
+    m_after = mf.read_manifest(lake)
+    assert not mf.has_deltas(m_after)
+    assert m_after["version"] == m_before["version"] + 1
+    # compaction moves no watermarks (deltas were already committed state)
+    assert {p: meta["last_applied_lsn"]
+            for p, meta in m_after["partitions"].items()} == marks_before
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+    # idempotent: nothing left to fold
+    res2 = pipe.compact_deltas()
+    assert res2["partitions_compacted"] == 0
+    # GC keeps every live file
+    for p in mf.data_files(mf.read_manifest(lake)):
+        assert os.path.exists(os.path.join(lake, p))
+
+
+def test_base_merge_folds_pending_deltas(ray_session, tmp_path_factory, oracle):
+    """a base-merge apply() on a backlogged lake folds the pending deltas
+    into the new base and clears the delta lists — no separate compaction
+    needed on an actively-written partition."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_then_base"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1500)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(1500, 1500)))
+    assert mf.has_deltas(mf.read_manifest(lake))
+    pipe.apply(ray.data.from_arrow(full.slice(3000)))
+    m = mf.read_manifest(lake)
+    # every partition the base merge touched cleared its backlog; the
+    # sf-sized stream touches all 16 partitions in a 1000-event chunk
+    assert not mf.has_deltas(m)
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_delta_point_lookup_folds(ray_session, tmp_path_factory, oracle):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_point"))
+    pipe = CDCPipeline(lake, num_partitions=8, partition_mode="conv")
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2000)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(2000)))
+    conv_ids = sorted({k[0] for k in oracle})[:5]
+    for cid in conv_ids:
+        got = pipe.read_conversation(cid)
+        exp = sorted((k[1], v) for k, v in oracle.items() if k[0] == cid)
+        assert got.num_rows == len(exp)
+        assert got.column("turn_idx").to_pylist() == [t for t, _ in exp]
+        assert got.column("text").to_pylist() == [v["text"] for _, v in exp]
+
+
+def test_table_stats_reports_delta_backlog(ray_session, tmp_path_factory):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_stats"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(1500)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1000)))
+    s0 = pipe.table_stats()
+    assert s0["delta_files"] == 0 and s0["delta_rows"] == 0
+    pipe.apply_delta(ray.data.from_arrow(full.slice(1000)))
+    s1 = pipe.table_stats()
+    assert s1["delta_files"] > 0 and s1["delta_rows"] > 0
+    pipe.compact_deltas()
+    s2 = pipe.table_stats()
+    assert s2["delta_files"] == 0 and s2["delta_rows"] == 0
+
+
+def test_lake_changes_sees_delta_commit(ray_session, tmp_path_factory):
+    """change-data-feed across a delta commit: the diff folds each side's
+    base+deltas, so a delta-only version step still yields its changes."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_cdf"))
+    pipe = CDCPipeline(lake, num_partitions=8, time_travel_retain=8)
+    full = expected_event_table(2000)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1200)))      # v1
+    pipe.apply_delta(ray.data.from_arrow(full.slice(1200)))   # v2 (delta)
+    changes = pa.concat_tables(
+        [b for b in pipe.lake_changes(1, 2).iter_batches(batch_format="pyarrow")],
+        promote_options="permissive")
+    assert changes.num_rows > 0
+    kinds = set(changes.column("change_type").to_pylist())
+    assert kinds <= {"insert", "update", "delete"}
+    assert "insert" in kinds
+    # diff keys must be exactly the keys whose live state changed v1→v2
+    ds1 = pipe.read_lake_at(1)
+    ds2 = pipe.read_lake_at(2)
+
+    def state(ds):
+        t = pa.concat_tables(
+            [b for b in ds.iter_batches(batch_format="pyarrow")],
+            promote_options="permissive")
+        return {(r["conv_id"], r["turn_idx"]): r["lsn"] for r in
+                t.select(["conv_id", "turn_idx", "lsn"]).to_pylist()}
+
+    s1, s2 = state(ds1), state(ds2)
+    expected_changed = {k for k in set(s1) | set(s2) if s1.get(k) != s2.get(k)}
+    got_changed = {(r["conv_id"], r["turn_idx"])
+                   for r in changes.to_pylist()}
+    assert got_changed == expected_changed
+
+
+def test_from_lake_adopts_committed_layout(ray_session, tmp_path_factory):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_from"))
+    pipe = CDCPipeline(lake, num_partitions=4, partition_mode="conv",
+                       salt_keys=frozenset({"conv-0001"}), salt_factor=3)
+    pipe.apply(ray.data.from_arrow(expected_event_table(500)))
+    opened = CDCPipeline.from_lake(lake)
+    assert opened.num_partitions == 4
+    assert opened.partition_mode == "conv"
+    assert opened.salt_keys == frozenset({"conv-0001"})
+    assert opened.salt_factor == 3
+    opened.check_manifest_compat(mf.read_manifest(lake))  # no raise
+    with pytest.raises(ValueError):
+        CDCPipeline.from_lake(str(tmp_path_factory.mktemp("lake_absent")))
+
+
+def test_view_refresh_sees_delta_commit(ray_session, tmp_path_factory):
+    """IncrementalView staleness keys on base+delta signature: a delta-only
+    commit must re-aggregate the touched partitions and fold their deltas."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.views import (
+        IncrementalView,
+    )
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_view"))
+    view_dir = str(tmp_path_factory.mktemp("view_delta"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(2000)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1200)))
+    view = IncrementalView(lake, view_dir)
+    view.refresh()
+    pipe.apply_delta(ray.data.from_arrow(full.slice(1200)))
+    r = view.refresh()
+    assert r["recomputed"] > 0  # delta commit marked partitions stale
+    got = pa.concat_tables(
+        [b for b in view.read().iter_batches(batch_format="pyarrow")],
+        promote_options="permissive")
+    # oracle: fold the live lake directly
+    live = pipe.final_state_sorted()
+    agg = live.select(["conv_id", "lsn"]).group_by(["conv_id"]).aggregate(
+        [("lsn", "count"), ("lsn", "max")]).rename_columns(
+        ["conv_id", "n_turns", "max_lsn"])
+    exp = {r["conv_id"]: (r["n_turns"], r["max_lsn"])
+           for r in agg.to_pylist()}
+    assert {r["conv_id"]: (r["n_turns"], r["max_lsn"])
+            for r in got.to_pylist()} == exp
+    # second refresh with no new commits: everything cached
+    r2 = view.refresh()
+    assert r2["recomputed"] == 0
