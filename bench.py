@@ -278,6 +278,66 @@ def run_multimodal_bench() -> dict:
             "multimodal_embed_docs_per_sec": round(n / sec)}
 
 
+def run_delta_bench() -> dict:
+    """Write/read-amplification A/B for merge-on-read delta commits: the
+    SAME 200k-event micro-batch is applied to a 4M-event lake as (a) a base
+    merge — every touched partition reads and rewrites its full state — vs
+    (b) a delta commit — only the micro-batch's per-key winners are written.
+    Also times the folding read with the backlog pending, the plain read
+    after compaction, and the compaction itself.  At 100-TB state the base
+    merge's cost grows with the LAKE while the delta commit's stays ∝ the
+    MICRO-BATCH; this A/B shows the gap already at 4M."""
+    import pyarrow as pa
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    # insert-heavy stream (num_convs = events/2 → ~90% unique keys): live
+    # state ≫ micro-batch is the regime the delta path exists for.  The
+    # update-heavy headline shape keeps live state ~= key count, which
+    # hides the rewrite term.  (16M-state one-off, same box: base merge
+    # 19.8 s vs delta 1.33 s — 14.9x; see BASELINE.md.)
+    base_n, micro_n, nc = 4_000_000, 200_000, 2_000_000
+    micro_tbl = pa.concat_tables(
+        change_events(base_n + micro_n, seed=42, num_convs=nc,
+                      parallelism=NUM_CPUS)
+        .filter(expr=f"lsn >= {base_n}")
+        .iter_batches(batch_format="pyarrow", batch_size=None),
+        promote_options="permissive")
+    out: dict = {}
+    lakes = []
+    try:
+        for mode in ("base", "delta"):
+            lake = os.path.join(
+                tempfile.gettempdir(),
+                f"graft_bench_dl_{mode}_{uuid.uuid4().hex[:8]}")
+            lakes.append(lake)
+            pipe = CDCPipeline(lake, num_partitions=128)
+            pipe.apply(change_events(base_n, seed=42, num_convs=nc,
+                                     parallelism=NUM_CPUS * 2))
+            t0 = time.perf_counter()
+            (pipe.apply if mode == "base" else pipe.apply_delta)(
+                ray.data.from_arrow(micro_tbl))
+            out[f"{mode}_apply_200k_on_4m"] = \
+                round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            pipe.read_lake().count()
+            if mode == "delta":
+                out["mor_backlog_read_4m"] = \
+                    round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                pipe.compact_deltas()
+                out["compact_deltas_4m"] = \
+                    round(time.perf_counter() - t0, 3)
+            else:
+                out["base_read_4m"] = round(time.perf_counter() - t0, 3)
+    finally:
+        for lake in lakes:
+            shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -344,6 +404,7 @@ def main() -> None:
             queries["minhash_kernel_50k_docs"] = dd["minhash_kernel_sec_50k_docs"]
             mm = run_multimodal_bench()
             queries["multimodal_embed_500k"] = mm["multimodal_embed_500k_sec"]
+            queries.update(run_delta_bench())
         print(json.dumps({
             "metric": f"cdc-upsert-{N_EVENTS // 1_000_000}M-events-wall",
             "value": round(headline["sec"], 3),

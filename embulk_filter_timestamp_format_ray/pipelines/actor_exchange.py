@@ -62,6 +62,18 @@ class PartitionBufferActor:
             prior = None
             if meta.get("path"):
                 prior = pq.read_table(os.path.join(self.lake_dir, meta["path"]))
+            if meta.get("deltas"):
+                # fold pending merge-on-read delta files into the prior
+                # state first — this base merge clears the partition's
+                # delta list at commit, so dropping them here would lose
+                # committed rows
+                from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+                    fold_partition_state,
+                )
+
+                pend = [pq.read_table(os.path.join(self.lake_dir, d["path"]))
+                        for d in meta["deltas"]]
+                prior = fold_partition_state(prior, pend)
             state, new_wm, applied = merge_partition_table(delta, prior, watermark)
             rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(self.lake_dir, rel)

@@ -206,6 +206,44 @@ def test_lake_changes_sees_delta_commit(ray_session, tmp_path_factory):
     assert got_changed == expected_changed
 
 
+def test_actor_exchange_folds_pending_deltas(ray_session, tmp_path_factory,
+                                             oracle):
+    """the actor-exchange base merge must fold a partition's pending delta
+    files before rewriting its state (its commit clears the delta list, so
+    skipping the fold would silently drop committed rows)."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_actorx"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1500)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(1500, 1500)))
+    assert mf.has_deltas(mf.read_manifest(lake))
+    pipe.apply(ray.data.from_arrow(full.slice(3000)), exchange="actor")
+    assert not mf.has_deltas(mf.read_manifest(lake))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_repartition_folds_pending_deltas(ray_session, tmp_path_factory,
+                                          oracle):
+    """repartition_lake reads through the folding scan, so a backlogged
+    lake re-shards to the same live state (and the new manifest's
+    partitions legitimately carry no delta lists)."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_repart"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2500)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(2500)))
+    assert mf.has_deltas(mf.read_manifest(lake))
+    pipe.repartition_lake(32)
+    m = mf.read_manifest(lake)
+    assert not mf.has_deltas(m)
+    assert m["num_partitions"] == 32
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
 def test_from_lake_adopts_committed_layout(ray_session, tmp_path_factory):
     import ray.data
 
