@@ -102,11 +102,20 @@ def pending_files(directory: str, resume_lsn: int,
 
 
 def tail_directory(pipe, directory: str, files_per_batch: int = 16,
-                   suffix: str = ".parquet") -> "list[dict]":
+                   suffix: str = ".parquet", delta: bool = False,
+                   compact_every: int = 8) -> "list[dict]":
     """Apply every pending file in ``directory`` to ``pipe``
     (:class:`~embulk_filter_timestamp_format_ray.pipelines.cdc.CDCPipeline`),
     in lsn order.  Returns per-commit stats.  Idempotent: rerunning on an
-    unchanged directory applies nothing (and reads only footers)."""
+    unchanged directory applies nothing (and reads only footers).
+
+    ``delta=True`` is the steady-state mode for small frequent
+    micro-batches: each commit is a merge-on-read DELTA (write cost ∝ the
+    micro-batch, not ∝ lake state — measured 4.9–14.9× per commit, see
+    BASELINE.md) and every ``compact_every`` commits the accumulated
+    backlog is folded back into base files, bounding read amplification.
+    A trailing partial backlog stays pending — any read folds it, and the
+    next tail (or ``compact_deltas``) picks it up."""
     import ray.data
 
     stats = []
@@ -116,12 +125,15 @@ def tail_directory(pipe, directory: str, files_per_batch: int = 16,
     if not todo:
         return stats
     logger.info("tailing %d pending file(s) from %s", len(todo), directory)
+    apply = pipe.apply_delta if delta else pipe.apply
     for i in range(0, len(todo), files_per_batch):
         batch = todo[i:i + files_per_batch]
         paths = [os.path.join(directory, n) for n in batch]
-        stats.append(pipe.apply(ray.data.read_parquet(paths)))
+        stats.append(apply(ray.data.read_parquet(paths)))
         for name, path in zip(batch, paths):
             ingested[name] = file_lsn_range(path)[1]
         resume = pipe.resume_lsn()
         _write_sidecar(pipe.lake_dir, ingested, resume)
+        if delta and compact_every and len(stats) % compact_every == 0:
+            pipe.compact_deltas()
     return stats

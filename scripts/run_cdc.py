@@ -76,7 +76,12 @@ def main() -> None:
                     help="commit micro-batches as merge-on-read DELTA files "
                          "(append-only per-key winners; base parquet "
                          "untouched — write cost ∝ micro-batch, reads fold "
-                         "base+deltas until compaction)")
+                         "base+deltas until compaction); with --tail-dir, "
+                         "the tailer's steady-state mode")
+    ap.add_argument("--compact-every", type=int, default=8,
+                    help="with --tail-dir --delta: fold the delta backlog "
+                         "into base files every N commits (bounds read "
+                         "amplification)")
     ap.add_argument("--compact", action="store_true",
                     help="fold pending delta files back into base parquet "
                          "(after the applies, or standalone with "
@@ -156,8 +161,10 @@ def main() -> None:
 
             t0 = time.perf_counter()
             commits = tail_directory(pipe, args.tail_dir,
-                                     files_per_batch=args.files_per_batch)
-            print(json.dumps({
+                                     files_per_batch=args.files_per_batch,
+                                     delta=args.delta,
+                                     compact_every=args.compact_every)
+            out = {
                 "tail_dir": args.tail_dir,
                 "commits": len(commits),
                 "applied": sum(c["events_applied"] for c in commits),
@@ -166,7 +173,14 @@ def main() -> None:
                 "sec": round(time.perf_counter() - t0, 3),
                 "lake_version": commits[-1]["version"] if commits
                 else mf_version(pipe),
-            }))
+            }
+            if args.delta:
+                st = pipe.table_stats()
+                out["delta_files"] = st["delta_files"]
+                out["delta_rows"] = st["delta_rows"]
+            if args.compact:
+                out["compact"] = pipe.compact_deltas()
+            print(json.dumps(out))
             return
         if args.compact and args.events == 0:
             res = pipe.compact_deltas()

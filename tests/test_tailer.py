@@ -88,3 +88,32 @@ def test_pending_files_prunes_by_footer(binlog_dir):
     pending = pending_files(binlog_dir, resume_lsn=1499,
                             ingested={"events-0004.parquet": 2499})
     assert pending == ["events-0003.parquet", "events-0005.parquet"]
+
+
+def test_tail_delta_mode_with_compaction_cadence(ray_session, binlog_dir,
+                                                 tmp_path_factory):
+    """steady-state delta tailing: every commit is a merge-on-read delta,
+    the backlog folds every compact_every commits, the trailing partial
+    backlog stays pending, and the final state matches the oracle."""
+    from embulk_filter_timestamp_format_ray.state import manifest as mf
+    from tests.test_cdc import _assert_matches_oracle, _lake_as_dict, \
+        sequential_oracle
+
+    lake = str(tmp_path_factory.mktemp("lake_tail_delta"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    stats = tail_directory(pipe, binlog_dir, files_per_batch=1,
+                           delta=True, compact_every=4)
+    assert len(stats) == 6  # 6 files, 1 per commit
+    m = mf.read_manifest(lake)
+    # 6 delta commits + 1 compaction after the 4th → commits 5-6 pending
+    assert mf.has_deltas(m)
+    backlog = sum(len(p.get("deltas", [])) for p in m["partitions"].values())
+    assert backlog <= 2 * pipe.num_partitions  # only the post-compaction tail
+    _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N))
+    # idempotent rerun: footer-pruned, no new commits, backlog unchanged
+    assert tail_directory(pipe, binlog_dir, delta=True) == []
+    assert sum(len(p.get("deltas", []))
+               for p in mf.read_manifest(lake)["partitions"].values()) \
+        == backlog
+    pipe.compact_deltas()
+    _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N))
