@@ -452,7 +452,9 @@ def q_assemble_transcripts(sf_dir: str):
     lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_lake_a{run}")
     pipe = CDCPipeline(lake, num_partitions=32)
     pipe.apply(change_events(20_000, seed=42, parallelism=16))
-    return assemble_conversations(pipe.read_lake())
+    # column-pruned lake scan: the assembly needs 4 of the 7 lake columns
+    return assemble_conversations(
+        pipe.read_lake(columns=["conv_id", "turn_idx", "role", "text"]))
 
 
 def q_ts_unit_us_to_ns(sf_dir: str):

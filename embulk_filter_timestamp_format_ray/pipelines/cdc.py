@@ -1176,9 +1176,15 @@ class CDCPipeline:
 
     # -------------------------------------------------------------- reads
 
-    def read_lake(self):
-        """Committed lake state as a streaming Dataset (manifest-scoped)."""
-        return self._manifest_dataset(mf.read_manifest(self.lake_dir))
+    def read_lake(self, columns: "list[str] | None" = None):
+        """Committed lake state as a streaming Dataset (manifest-scoped).
+
+        ``columns`` prunes the scan at the parquet reader (and the
+        merge-on-read fold) — at lake scale a 2-column analytics read must
+        not ship all 7 columns out of storage.  The fold internally keeps
+        the merge key + lsn and drops them again before returning."""
+        return self._manifest_dataset(mf.read_manifest(self.lake_dir),
+                                      columns=columns)
 
     def read_merged(self, pending_ds):
         """Merge-on-read view: committed base + an UNCOMMITTED pending
@@ -1356,13 +1362,15 @@ class CDCPipeline:
                     "retrying against the fresh quarantine (%d/%d)",
                     self.lake_dir, attempt + 1, max_commit_retries)
 
-    def read_lake_at(self, version: int):
+    def read_lake_at(self, version: int,
+                     columns: "list[str] | None" = None):
         """Time travel: the lake as of manifest ``version`` (Delta-style
         VERSION AS OF).  Readable for the current version and any retained
         history snapshot (``time_travel_retain`` bounds the window; GC keeps
-        every snapshot-referenced txn file alive — state/manifest.py)."""
+        every snapshot-referenced txn file alive — state/manifest.py).
+        ``columns`` prunes like :meth:`read_lake`."""
         return self._manifest_dataset(
-            mf.read_manifest_at(self.lake_dir, version))
+            mf.read_manifest_at(self.lake_dir, version), columns=columns)
 
     def versions(self) -> "list[int]":
         """Manifest versions currently readable via ``read_lake_at``."""
@@ -1534,19 +1542,36 @@ class CDCPipeline:
             "retained_versions": len(mf.list_versions(self.lake_dir)),
         }
 
-    def _manifest_dataset(self, manifest: "dict"):
+    def _manifest_dataset(self, manifest: "dict", columns=None):
         import ray.data
 
+        if columns is not None:
+            bad = [c for c in columns if c not in _LAKE_FIELD_TYPES]
+            if bad:
+                raise ValueError(f"unknown lake column(s) {bad}; "
+                                 f"lake schema is {LAKE_COLUMNS}")
+            columns = list(columns)
         if mf.has_deltas(manifest):
             # pending delta commits: every read folds base+deltas per
             # partition (merge-on-read) — no shuffle, the manifest already
             # names each partition's file set
-            return self._fold_dataset(manifest)
+            if columns is None:
+                return self._fold_dataset(manifest)
+            # the fold needs the merge key + lsn; read those, drop after
+            need = list(dict.fromkeys(
+                [*columns, "conv_id", "turn_idx", "lsn"]))
+            ds = self._fold_dataset(manifest, columns=need)
+            if need == columns:
+                return ds
+            sel = list(columns)
+            return ds.map_batches(lambda b: b.select(sel),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
         files = [os.path.join(self.lake_dir, p)
                  for p in mf.partition_files(manifest)]
         if not files:
-            return ray.data.from_arrow(_empty_lake_table())
-        return ray.data.read_parquet(files)
+            return ray.data.from_arrow(_empty_lake_table(columns))
+        return ray.data.read_parquet(files, columns=columns)
 
     def _fold_dataset(self, manifest: "dict", columns=None, pids=None):
         """Streaming merge-on-read scan: one fold task per partition reads

@@ -295,3 +295,38 @@ def test_view_refresh_sees_delta_commit(ray_session, tmp_path_factory):
     # second refresh with no new commits: everything cached
     r2 = view.refresh()
     assert r2["recomputed"] == 0
+
+
+def test_read_lake_column_pruning(ray_session, tmp_path_factory):
+    """read_lake(columns=...) returns exactly the requested columns on both
+    the plain-file path and the merge-on-read fold path (where the fold
+    internally needs the merge key + lsn and must drop them again)."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_prune"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(1200)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 800)))
+
+    def cols_and_rows(ds):
+        t = pa.concat_tables(
+            [b for b in ds.iter_batches(batch_format="pyarrow")],
+            promote_options="permissive")
+        return t.column_names, t.num_rows
+
+    all_cols, n_all = cols_and_rows(pipe.read_lake())
+    names, n = cols_and_rows(pipe.read_lake(columns=["conv_id", "text"]))
+    assert names == ["conv_id", "text"] and n == n_all
+    # fold path: pending deltas force the per-partition fold
+    pipe.apply_delta(ray.data.from_arrow(full.slice(800)))
+    names, n2 = cols_and_rows(pipe.read_lake(columns=["conv_id", "text"]))
+    assert names == ["conv_id", "text"]
+    full_names, n_full = cols_and_rows(pipe.read_lake())
+    assert n2 == n_full and full_names == list(
+        pipe.read_lake().schema().names)
+    # requesting the key columns themselves round-trips unchanged
+    names, _ = cols_and_rows(
+        pipe.read_lake(columns=["conv_id", "turn_idx", "lsn"]))
+    assert names == ["conv_id", "turn_idx", "lsn"]
+    with pytest.raises(ValueError):
+        pipe.read_lake(columns=["nope"])
