@@ -574,7 +574,8 @@ class CDCPipeline:
                  salt_keys: "frozenset[str] | None" = None,
                  salt_factor: int = 8,
                  time_travel_retain: int = mf.DEFAULT_RETAIN_HISTORY,
-                 dlq: bool = False):
+                 dlq: bool = False,
+                 auto_compact_deltas: "int | None" = None):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.epoch_specs = epoch_specs
@@ -618,6 +619,13 @@ class CDCPipeline:
         # partition-local while the hot conv's traffic spreads
         self.salt_keys = salt_keys
         self.salt_factor = salt_factor
+        # merge-on-read backlog bound: after a delta commit leaves any
+        # partition with ≥ this many pending delta files, fold the whole
+        # backlog (compact_deltas) before returning — read amplification
+        # stays bounded without an external compaction cadence
+        if auto_compact_deltas is not None and auto_compact_deltas < 1:
+            raise ValueError("auto_compact_deltas must be ≥ 1")
+        self.auto_compact_deltas = auto_compact_deltas
         # test seam: called between merge and commit (OCC interleaving tests)
         self._pre_commit_hook = None
 
@@ -743,7 +751,8 @@ class CDCPipeline:
         """
         for attempt in range(max_commit_retries + 1):
             try:
-                return self._apply_dataset(events_ds, _delta=True)
+                res = self._apply_dataset(events_ds, _delta=True)
+                break
             except mf.CommitConflict:
                 if attempt == max_commit_retries:
                     raise
@@ -751,6 +760,14 @@ class CDCPipeline:
                     "concurrent commit beat us on %s; retrying delta apply "
                     "(%d/%d) — watermarks dedup the winner's events",
                     self.lake_dir, attempt + 1, max_commit_retries)
+        if self.auto_compact_deltas is not None:
+            m = mf.read_manifest(self.lake_dir)
+            worst = max((len(p.get("deltas", []))
+                         for p in m["partitions"].values()), default=0)
+            if worst >= self.auto_compact_deltas:
+                res["auto_compacted"] = self.compact_deltas(
+                    max_commit_retries=max_commit_retries)
+        return res
 
     def _apply_dataset(self, events_ds, _reprocess: bool = False,
                        _delta: bool = False) -> "dict":
@@ -1045,6 +1062,8 @@ class CDCPipeline:
             }
             if manifest.get("dlq"):
                 new_manifest["dlq"] = manifest["dlq"]
+            if self._pre_commit_hook is not None:
+                self._pre_commit_hook()  # test seam: interleave a commit
             try:
                 mf.commit_manifest(self.lake_dir, new_manifest,
                                    retain_history=self.time_travel_retain,

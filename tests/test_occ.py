@@ -88,3 +88,71 @@ def test_conflict_exhausts_retries(ray_session, tmp_path):
     with pytest.raises(mf.CommitConflict):
         a.apply(ray.data.from_arrow(events), max_commit_retries=1)
     assert calls["n"] == 2  # initial attempt + one retry, both beaten
+
+
+def test_delta_commit_loses_to_compaction_and_retries(ray_session, tmp_path):
+    """a compaction lands between a delta commit's merge and its manifest
+    swap: the delta commit retries against the compacted manifest and the
+    lake converges to the clean sequential state."""
+    lake = str(tmp_path / "lake")
+    full = expected_event_table(1200)
+    a = CDCPipeline(lake, num_partitions=4)
+    a.apply(ray.data.from_arrow(full.slice(0, 600)))
+    a.apply_delta(ray.data.from_arrow(full.slice(600, 300)))
+    b = CDCPipeline(lake, num_partitions=4)
+
+    def compact_between():
+        a._pre_commit_hook = None  # one-shot
+        b.compact_deltas()
+
+    a._pre_commit_hook = compact_between
+    stats = a.apply_delta(ray.data.from_arrow(full.slice(900)))
+    assert stats["events_applied"] > 0
+    solo = CDCPipeline(str(tmp_path / "solo"), num_partitions=4)
+    solo.apply(ray.data.from_arrow(full))
+    a.compact_deltas()
+    assert _state(a).equals(_state(solo))
+
+
+def test_compaction_loses_to_delta_commit_and_retries(ray_session, tmp_path):
+    """a delta commit lands between a compaction's manifest read and its
+    swap: the compaction retries against the fresh manifest and must fold
+    the NEW delta too (dropping it would lose committed rows)."""
+    lake = str(tmp_path / "lake")
+    full = expected_event_table(1200)
+    a = CDCPipeline(lake, num_partitions=4)
+    a.apply(ray.data.from_arrow(full.slice(0, 600)))
+    a.apply_delta(ray.data.from_arrow(full.slice(600, 300)))
+    b = CDCPipeline(lake, num_partitions=4)
+
+    def delta_between():
+        a._pre_commit_hook = None  # one-shot
+        b.apply_delta(ray.data.from_arrow(full.slice(900)))
+
+    a._pre_commit_hook = delta_between
+    res = a.compact_deltas()
+    assert res["partitions_compacted"] > 0
+    assert not mf.has_deltas(mf.read_manifest(lake))
+    solo = CDCPipeline(str(tmp_path / "solo"), num_partitions=4)
+    solo.apply(ray.data.from_arrow(full))
+    assert _state(a).equals(_state(solo))
+
+
+def test_auto_compact_threshold(ray_session, tmp_path):
+    """auto_compact_deltas=N folds the backlog as soon as any partition
+    accumulates N pending delta files — read amplification stays bounded
+    without an external cadence."""
+    lake = str(tmp_path / "lake")
+    full = expected_event_table(1600)
+    pipe = CDCPipeline(lake, num_partitions=4, auto_compact_deltas=3)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 400)))
+    s1 = pipe.apply_delta(ray.data.from_arrow(full.slice(400, 400)))
+    s2 = pipe.apply_delta(ray.data.from_arrow(full.slice(800, 400)))
+    assert "auto_compacted" not in s1 and "auto_compacted" not in s2
+    assert mf.has_deltas(mf.read_manifest(lake))  # backlog of 2, under N
+    s3 = pipe.apply_delta(ray.data.from_arrow(full.slice(1200)))
+    assert s3["auto_compacted"]["partitions_compacted"] > 0
+    assert not mf.has_deltas(mf.read_manifest(lake))
+    solo = CDCPipeline(str(tmp_path / "solo"), num_partitions=4)
+    solo.apply(ray.data.from_arrow(full))
+    assert _state(pipe).equals(_state(solo))
