@@ -330,3 +330,40 @@ def test_read_lake_column_pruning(ray_session, tmp_path_factory):
     assert names == ["conv_id", "turn_idx", "lsn"]
     with pytest.raises(ValueError):
         pipe.read_lake(columns=["nope"])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_op_schedule_converges(ray_session, tmp_path_factory, oracle,
+                                      seed):
+    """composition fuzz: a seeded random schedule of base applies, delta
+    commits, compactions, view-of-state reads and a repartition over random
+    chunk boundaries (with overlapping re-deliveries) must converge to the
+    sequential oracle — the delta tier's 'composes in any order' claim."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    lake = str(tmp_path_factory.mktemp(f"lake_fuzz_{seed}"))
+    pipe = CDCPipeline(lake, num_partitions=8,
+                       auto_compact_deltas=(4 if seed % 2 else None))
+    full = expected_event_table(N_EVENTS)
+    # random chunk boundaries covering [0, N); some chunks re-deliver an
+    # overlapping prefix (at-least-once shipper)
+    cuts = sorted(rng.choice(np.arange(200, N_EVENTS - 200), size=5,
+                             replace=False).tolist())
+    bounds = [0, *cuts, N_EVENTS]
+    chunks = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        overlap = int(rng.integers(0, lo // 2 + 1))
+        chunks.append(full.slice(lo - overlap, hi - (lo - overlap)))
+    for i, chunk in enumerate(chunks):
+        op = rng.choice(["base", "delta", "delta"])  # delta-leaning tail
+        if op == "base":
+            pipe.apply(ray.data.from_arrow(chunk))
+        else:
+            pipe.apply_delta(ray.data.from_arrow(chunk))
+        if rng.random() < 0.3:
+            pipe.compact_deltas()
+        if i == len(chunks) // 2 and seed % 2 == 0:
+            pipe.repartition_lake(16 if seed == 0 else 4)
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
