@@ -399,6 +399,34 @@ def q_cdc_merge_on_read(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_sync(sf_dir: str):
+    """Incremental downstream sync: first sync of an empty consumer dir
+    ships a full snapshot; after the second commit, the next sync ships
+    ONLY the change feed since the consumer's cursor, with post-image
+    payload (pre-image text for deletes) — the lake→serving bridge
+    (`pipelines/cdc.py sync_changes`, `run_cdc --sync-to`).  Returned:
+    the second sync's shipped rows.  Oracle: CDF between the two prefix
+    folds of the committed fixture, text added CDF-style."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES, "cdc_events_20000.parquet"))
+    lsn = events.column("lsn")
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_sync_{run}")
+    out = os.path.join(tempfile.gettempdir(), f"graft_cdc_syncout_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(events.filter(pc.less(lsn, cut))))
+    pipe.sync_changes(out)                       # snapshot sync (cursor=v1)
+    pipe.apply(ray.data.from_arrow(events.filter(pc.greater_equal(lsn, cut))))
+    s = pipe.sync_changes(out, columns=("text",))
+    assert s["mode"] == "changes"
+    return ray.data.read_parquet(s["path"])
+
+
 def q_cdc_delta_commits(sf_dir: str):
     """Durable merge-on-read DELTA commits: the lsn<8_000 prefix is a base
     commit; [8_000, 14_000) lands as a delta commit (append-only per-key
@@ -2024,6 +2052,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_bootstrap": q_cdc_bootstrap,
         "cdc_merge_on_read": q_cdc_merge_on_read,
         "cdc_delta_commits": q_cdc_delta_commits,
+        "cdc_sync": q_cdc_sync,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
@@ -2250,6 +2279,30 @@ def oracle_sql() -> "dict[str, str]":
             "case role when 'human' then 'user' when 'ai' then 'assistant' "
             "else role end as role, text, tool, lsn "
             "from ranked where rn = 1 and op <> 'delete'",
+        # Downstream sync: the shipped change set ≡ CDF between the two
+        # prefix folds, text carried CDF-style (post-image; pre-image on
+        # deletes)
+        "cdc_sync":
+            "with ev as (select * from "
+            f"read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "r1 as (select *, row_number() over (partition by conv_id, "
+            "turn_idx order by lsn desc) as rn from ev where lsn < 10000), "
+            "f1 as (select conv_id, turn_idx, lsn, text from r1 "
+            "where rn = 1 and op <> 'delete'), "
+            "r2 as (select *, row_number() over (partition by conv_id, "
+            "turn_idx order by lsn desc) as rn from ev), "
+            "f2 as (select conv_id, turn_idx, lsn, text from r2 "
+            "where rn = 1 and op <> 'delete') "
+            "select coalesce(f2.conv_id, f1.conv_id) as conv_id, "
+            "coalesce(f2.turn_idx, f1.turn_idx) as turn_idx, "
+            "case when f1.lsn is null then 'insert' "
+            "when f2.lsn is null then 'delete' else 'update' end "
+            "as change_type, "
+            "coalesce(f2.lsn, f1.lsn) as lsn, "
+            "case when f2.lsn is null then f1.text else f2.text end as text "
+            "from f1 full outer join f2 on f1.conv_id = f2.conv_id "
+            "and f1.turn_idx = f2.turn_idx "
+            "where f1.lsn is null or f2.lsn is null or f1.lsn <> f2.lsn",
         # Delta commits + compaction + pending fold ≡ full fold (DeltaWriter,
         # compact_deltas and the MOR read all reuse keep_last_per_key)
         "cdc_delta_commits":

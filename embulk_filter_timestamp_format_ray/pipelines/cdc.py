@@ -31,6 +31,7 @@ write-then-manifest-swap commit (state/manifest.py).
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 import os
 import uuid
@@ -1395,10 +1396,15 @@ class CDCPipeline:
         """Manifest versions currently readable via ``read_lake_at``."""
         return mf.list_versions(self.lake_dir)
 
-    def lake_changes(self, v_from: int, v_to: int):
+    def lake_changes(self, v_from: int, v_to: int, columns=None):
         """Change Data Feed: one row per key whose state differs between two
         retained versions — ``change_type`` ∈ insert/update/delete, ``lsn``
         is the post-image lsn (pre-image for deletes).
+
+        ``columns`` adds payload columns (e.g. role/text/tool/ts) carrying
+        the POST-image for inserts/updates and the PRE-image for deletes —
+        the Delta-CDF convention a downstream consumer needs to mirror the
+        table (see :meth:`sync_changes`).
 
         Cost scales with the DELTA, not the lake: the manifest diff finds
         the partitions whose data-file path changed between the versions
@@ -1414,6 +1420,13 @@ class CDCPipeline:
             _with_key_shard,
         )
 
+        payload = [c for c in (columns or [])
+                   if c not in ("conv_id", "turn_idx", "lsn")]
+        bad = [c for c in payload if c not in _LAKE_FIELD_TYPES]
+        if bad:
+            raise ValueError(f"unknown lake column(s) {bad}; "
+                             f"lake schema is {LAKE_COLUMNS}")
+
         m_from = mf.read_manifest_at(self.lake_dir, v_from)
         m_to = mf.read_manifest_at(self.lake_dir, v_to)
 
@@ -1427,7 +1440,7 @@ class CDCPipeline:
         p_from, p_to = signature(m_from), signature(m_to)
         changed = {p for p in set(p_from) | set(p_to)
                    if p_from.get(p) != p_to.get(p)}
-        diff_cols = ["conv_id", "turn_idx", "lsn"]
+        diff_cols = ["conv_id", "turn_idx", "lsn", *payload]
 
         def side_source(m: "dict", sig: "dict[str, tuple]"):
             """Changed partitions' live state at this version, pruned to the
@@ -1446,6 +1459,7 @@ class CDCPipeline:
             "turn_idx": pa.array([], pa.int32()),
             "change_type": pa.array([], pa.string()),
             "lsn": pa.array([], pa.int64()),
+            **{c: pa.array([], _LAKE_FIELD_TYPES[c]) for c in payload},
         })
         src_from = side_source(m_from, p_from)
         src_to = side_source(m_to, p_to)
@@ -1458,6 +1472,7 @@ class CDCPipeline:
                     "conv_id": b.column("conv_id"),
                     "turn_idx": b.column("turn_idx"),
                     "lsn": b.column("lsn"),
+                    **{c: b.column(c) for c in payload},
                     "_side": pa.array(
                         np.full(b.num_rows, side, dtype=np.int8)),
                 })
@@ -1500,11 +1515,84 @@ class CDCPipeline:
                 "turn_idx": keep.column("turn_idx"),
                 "change_type": pa.array(types, pa.string()),
                 "lsn": keep.column("lsn"),
+                # insert/update keep the side-1 (post-image) run row;
+                # delete keeps the side-0 pre-image — CDF convention
+                **{c: keep.column(c) for c in payload},
             })
 
         ds = _with_key_shard(ds, ["conv_id", "turn_idx"])
         return ds.groupby("_shard").map_groups(diff_shard,
                                                batch_format="pyarrow")
+
+    SYNC_CURSOR = "_sync_cursor.json"
+
+    def sync_changes(self, out_dir: str,
+                     columns=("role", "text", "tool", "ts")) -> "dict":
+        """Incremental downstream sync: ship everything that changed since
+        the LAST sync of ``out_dir`` as partitioned parquet, then advance
+        the consumer-side cursor — the lake→serving bridge a downstream
+        table mirrors itself from.
+
+        * first sync (no cursor): a full ``snapshot-v{V}`` directory, every
+          live row as ``change_type='insert'``;
+        * subsequent syncs: a ``changes-v{from}-v{to}`` directory from the
+          change feed (:meth:`lake_changes`) with post-image payload
+          (pre-image for deletes);
+        * cursor older than the retained history window: a fresh full
+          snapshot (the downstream re-bootstraps — same contract as any
+          log-compacted source);
+        * crash-safe: data directories are written BEFORE the cursor
+          advances, and a re-run of an interrupted sync rewrites the same
+          directory name from scratch — the consumer never sees a torn
+          sync, it just applies directories in name order.
+        """
+        import shutil as _shutil
+
+        import ray.data
+
+        os.makedirs(out_dir, exist_ok=True)
+        cur_path = os.path.join(out_dir, self.SYNC_CURSOR)
+        cursor = None
+        try:
+            with open(cur_path) as f:
+                cursor = int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            cursor = None
+        manifest = mf.read_manifest(self.lake_dir)
+        v_to = int(manifest.get("version", 0))
+        if cursor is not None and cursor == v_to:
+            return {"mode": "noop", "v_from": cursor, "v_to": v_to,
+                    "rows": 0, "path": None}
+        retained = set(mf.list_versions(self.lake_dir))
+        payload = [c for c in columns
+                   if c not in ("conv_id", "turn_idx", "lsn")]
+        if cursor is None or cursor not in retained:
+            mode = "snapshot"
+            name = f"sync-{v_to:08d}-snapshot"
+            cols = ["conv_id", "turn_idx", "lsn", *payload]
+            sel = ["conv_id", "turn_idx", "change_type", "lsn", *payload]
+            ds = self.read_lake(columns=cols).map_batches(
+                lambda b: b.append_column(
+                    "change_type",
+                    pa.array(np.full(b.num_rows, "insert"))).select(sel),
+                batch_format="pyarrow", zero_copy_batch=True)
+        else:
+            mode = "changes"
+            name = f"sync-{v_to:08d}-changes-from-v{cursor:08d}"
+            ds = self.lake_changes(cursor, v_to, columns=payload)
+        target = os.path.join(out_dir, name)
+        if os.path.isdir(target):
+            _shutil.rmtree(target)  # interrupted prior attempt: rewrite
+        ds.write_parquet(target)
+        rows = ray.data.read_parquet(target).count()
+        tmp = cur_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": v_to}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, cur_path)
+        return {"mode": mode, "v_from": cursor, "v_to": v_to,
+                "rows": rows, "path": target}
 
     def table_stats(self) -> "dict":
         """Operational health snapshot from the manifest alone (no data

@@ -78,6 +78,12 @@ def main() -> None:
                          "untouched — write cost ∝ micro-batch, reads fold "
                          "base+deltas until compaction); with --tail-dir, "
                          "the tailer's steady-state mode")
+    ap.add_argument("--sync-to", default=None, metavar="DIR",
+                    help="after the applies (or standalone with --events "
+                         "0), ship everything that changed since DIR's "
+                         "last sync as partitioned parquet and advance its "
+                         "cursor (first sync = full snapshot; stale cursor "
+                         "= automatic re-snapshot)")
     ap.add_argument("--compact-every", type=int, default=8,
                     help="with --tail-dir --delta: fold the delta backlog "
                          "into base files every N commits (bounds read "
@@ -180,11 +186,17 @@ def main() -> None:
                 out["delta_rows"] = st["delta_rows"]
             if args.compact:
                 out["compact"] = pipe.compact_deltas()
+            if args.sync_to:
+                out["sync"] = pipe.sync_changes(args.sync_to)
             print(json.dumps(out))
             return
-        if args.compact and args.events == 0:
-            res = pipe.compact_deltas()
-            print(json.dumps({"lake": args.lake, "compact": res}))
+        if (args.compact or args.sync_to) and args.events == 0:
+            res = {"lake": args.lake}
+            if args.compact:
+                res["compact"] = pipe.compact_deltas()
+            if args.sync_to:
+                res["sync"] = pipe.sync_changes(args.sync_to)
+            print(json.dumps(res))
             return
         start_lsn = pipe.resume_lsn() + 1 if args.resume else 0
         per_batch = max((args.events - start_lsn) // args.micro_batches, 1)
@@ -231,6 +243,8 @@ def main() -> None:
         if view is not None:
             out["view_rows"] = view.read().count()
             out["view_recomputed_per_batch"] = view_refreshes
+        if args.sync_to:
+            out["sync"] = pipe.sync_changes(args.sync_to)
         print(json.dumps(out))
     finally:
         ray.shutdown()

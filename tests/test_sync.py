@@ -1,0 +1,126 @@
+"""Incremental downstream sync (CDCPipeline.sync_changes): cursor-advanced
+change shipping a downstream table mirrors itself from.
+
+Contract: applying the sync directories in name order (a snapshot dir
+resets the mirror; change rows upsert/delete by key) reproduces the lake's
+live state exactly, at every point in the sync history; crash between data
+write and cursor advance re-ships the same directory idempotently; a
+cursor older than the retention window degrades to a fresh snapshot."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+from embulk_filter_timestamp_format_ray.sources.changegen import (
+    expected_event_table,
+)
+
+N = 3000
+
+
+def _mirror(out_dir: str) -> "dict[tuple, tuple]":
+    """Replay the sync directories in name order into a key→row mirror."""
+    mirror: dict = {}
+    for d in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, d)
+        if not d.startswith("sync-") or not os.path.isdir(full):
+            continue
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(full, f)) for f in os.listdir(full)],
+            promote_options="permissive")
+        if d.endswith("snapshot"):
+            mirror.clear()
+        for r in t.to_pylist():
+            k = (r["conv_id"], r["turn_idx"])
+            if r["change_type"] == "delete":
+                mirror.pop(k, None)
+            else:
+                mirror[k] = (r["text"], r["role"], r["lsn"])
+    return mirror
+
+
+def _live(pipe) -> "dict[tuple, tuple]":
+    t = pipe.final_state_sorted()
+    return {(r["conv_id"], r["turn_idx"]): (r["text"], r["role"], r["lsn"])
+            for r in t.to_pylist()}
+
+
+def test_sync_snapshot_then_changes_mirrors_lake(ray_session,
+                                                 tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("lake_sync"))
+    out = str(tmp_path_factory.mktemp("sync_out"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(N)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1200)))
+    s1 = pipe.sync_changes(out)
+    assert s1["mode"] == "snapshot" and s1["rows"] > 0
+    assert _mirror(out) == _live(pipe)
+    # two more commits — one base, one delta (the CDF folds both sides)
+    pipe.apply(ray.data.from_arrow(full.slice(1200, 900)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(2100)))
+    s2 = pipe.sync_changes(out)
+    assert s2["mode"] == "changes" and s2["v_from"] == s1["v_to"]
+    assert s2["rows"] > 0
+    assert _mirror(out) == _live(pipe)
+    # deletes ship with pre-image payload (CDF convention)
+    chg = pa.concat_tables(
+        [pq.read_table(os.path.join(s2["path"], f))
+         for f in os.listdir(s2["path"])], promote_options="permissive")
+    dels = chg.filter(pa.compute.equal(chg.column("change_type"), "delete"))
+    if dels.num_rows:
+        assert dels.column("text").null_count == 0
+    # nothing new: noop, no directory written
+    dirs_before = sorted(os.listdir(out))
+    s3 = pipe.sync_changes(out)
+    assert s3["mode"] == "noop" and s3["rows"] == 0
+    assert sorted(os.listdir(out)) == dirs_before
+
+
+def test_sync_crash_between_write_and_cursor_is_idempotent(
+        ray_session, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("lake_sync_crash"))
+    out = str(tmp_path_factory.mktemp("sync_out_crash"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(1500)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1000)))
+    pipe.sync_changes(out)
+    pipe.apply(ray.data.from_arrow(full.slice(1000)))
+    s2 = pipe.sync_changes(out)
+    # crash simulation: the data directory landed but the cursor did not
+    os.unlink(os.path.join(out, CDCPipeline.SYNC_CURSOR))
+    # ...and the consumer also only saw half the files
+    victim = os.listdir(s2["path"])[0]
+    os.unlink(os.path.join(s2["path"], victim))
+    s_retry = pipe.sync_changes(out)
+    # the retry re-ships from scratch (here: cursor lost → fresh snapshot)
+    assert s_retry["mode"] == "snapshot"
+    assert _mirror(out) == _live(pipe)
+
+
+def test_sync_cursor_past_retention_resnapshots(ray_session,
+                                                tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("lake_sync_old"))
+    out = str(tmp_path_factory.mktemp("sync_out_old"))
+    pipe = CDCPipeline(lake, num_partitions=4, time_travel_retain=2)
+    full = expected_event_table(2400)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 400)))
+    pipe.sync_changes(out)
+    # six more commits blow past the 2-version retention window
+    for i in range(6):
+        pipe.apply(ray.data.from_arrow(full.slice(400 + i * 300, 300)))
+    s = pipe.sync_changes(out)
+    assert s["mode"] == "snapshot"  # cursor v1 no longer retained
+    assert _mirror(out) == _live(pipe)
+
+
+def test_sync_rejects_unknown_payload_column(ray_session, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("lake_sync_cols"))
+    pipe = CDCPipeline(lake, num_partitions=4)
+    pipe.apply(ray.data.from_arrow(expected_event_table(300)))
+    with pytest.raises(ValueError):
+        pipe.lake_changes(1, 1, columns=["nope"])
