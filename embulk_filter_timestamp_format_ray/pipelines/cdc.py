@@ -1584,7 +1584,11 @@ class CDCPipeline:
         if os.path.isdir(target):
             _shutil.rmtree(target)  # interrupted prior attempt: rewrite
         ds.write_parquet(target)
-        rows = ray.data.read_parquet(target).count()
+        # row count from parquet FOOTERS only — a snapshot sync must not
+        # re-read the whole shipped set just to report its size
+        rows = sum(
+            pq.ParquetFile(os.path.join(target, f)).metadata.num_rows
+            for f in os.listdir(target) if f.endswith(".parquet"))
         tmp = cur_path + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump({"version": v_to}, f)
