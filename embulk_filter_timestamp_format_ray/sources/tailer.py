@@ -129,7 +129,16 @@ def tail_directory(pipe, directory: str, files_per_batch: int = 16,
     for i in range(0, len(todo), files_per_batch):
         batch = todo[i:i + files_per_batch]
         paths = [os.path.join(directory, n) for n in batch]
-        stats.append(apply(ray.data.read_parquet(paths)))
+        # explicit block sizing from footer row counts: Ray's default
+        # parallelism heuristic on a single small binlog file yields a
+        # degenerate block layout that serializes the pre-shuffle stages —
+        # measured 8.1 s vs 0.54 s for the same 100k-event commit.  ~16k
+        # rows per block keeps every core busy without per-block overhead
+        # dominating.
+        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        nb = max(2, min(64, rows // 16_000 + 1))
+        stats.append(apply(
+            ray.data.read_parquet(paths, override_num_blocks=nb)))
         for name, path in zip(batch, paths):
             ingested[name] = file_lsn_range(path)[1]
         resume = pipe.resume_lsn()
