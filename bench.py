@@ -388,6 +388,14 @@ def main() -> None:
 
     ray.init(**_ray_init_kwargs())
     try:
+        micro = None
+        if not args.headline_only:
+            # single-core parse microbench FIRST: it is the one direct
+            # reference-number comparison (java fast path 1.3 s / 1M) and
+            # running it after two 8M headline sweeps measures page-cache /
+            # cpu contention, not the kernel (observed 1.58 s polluted vs
+            # 1.09-1.29 s standalone on the same box)
+            micro = run_parse_microbench()
         headline = run_headline(NUM_CPUS)
         queries: dict = {"cdc_headline": round(headline["sec"], 3)}
         if not args.headline_only:
@@ -396,7 +404,6 @@ def main() -> None:
             # two null columns + one validity scan per batch)
             queries["cdc_headline_dlq"] = round(
                 run_headline(NUM_CPUS, dlq=True)["sec"], 3)
-            micro = run_parse_microbench()
             queries["parse_1m"] = round(micro["parse_sec"] + micro["format_sec"], 3)
             queries.update(run_queries(SF_DIR))
             dd = run_dedup_bench()

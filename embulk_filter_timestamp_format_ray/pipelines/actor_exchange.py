@@ -40,10 +40,12 @@ class PartitionBufferActor:
     """Owns a contiguous range of partition ids; buffers pushed deltas and
     merges+writes on finalize."""
 
-    def __init__(self, lake_dir: str, txn_id: str, partition_meta: dict):
+    def __init__(self, lake_dir: str, txn_id: str, partition_meta: dict,
+                 delta_mode: bool = False):
         self.lake_dir = lake_dir
         self.txn_id = txn_id
         self.partition_meta = partition_meta
+        self.delta_mode = delta_mode
         self.buffers: dict[int, list[pa.Table]] = {}
 
     def add(self, pid: int, table: pa.Table) -> None:
@@ -54,6 +56,24 @@ class PartitionBufferActor:
             self.buffers.setdefault(pid, []).append(table)
 
     def finalize(self) -> "list[dict]":
+        if self.delta_mode:
+            # merge-on-read DELTA commit: never read or rewrite base state —
+            # write only the micro-batch's per-key winners (the same core
+            # as the dataset exchange's DeltaWriter)
+            from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+                write_delta_file,
+            )
+
+            rows = []
+            for pid, parts in sorted(self.buffers.items()):
+                delta = pa.concat_tables(parts, promote_options="permissive")
+                meta = self.partition_meta.get(pid, {})
+                r = write_delta_file(self.lake_dir, self.txn_id, pid,
+                                     meta.get("last_applied_lsn", -1), delta)
+                if r is not None:
+                    rows.append(r)
+            self.buffers.clear()
+            return rows
         rows = []
         for pid, parts in sorted(self.buffers.items()):
             delta = pa.concat_tables(parts, promote_options="permissive")
@@ -93,14 +113,15 @@ class ActorExchange:
     sub-tables to owner actors, finalize after the upstream drains."""
 
     def __init__(self, lake_dir: str, txn_id: str, partition_meta: dict,
-                 num_partitions: int, num_actors: int = 8):
+                 num_partitions: int, num_actors: int = 8,
+                 delta_mode: bool = False):
         self.num_partitions = num_partitions
         self.num_actors = min(num_actors, num_partitions)
         self.actors = [
             PartitionBufferActor.remote(lake_dir, txn_id, {
                 pid: m for pid, m in partition_meta.items()
                 if pid % self.num_actors == a
-            })
+            }, delta_mode=delta_mode)
             for a in range(self.num_actors)
         ]
 
@@ -137,8 +158,10 @@ class ActorExchange:
         return out
 
 
-def apply_with_actor_exchange(pipeline, events_ds) -> dict:
-    """CDCPipeline.apply variant using the actor exchange (experimental)."""
+def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False) -> dict:
+    """CDCPipeline.apply variant using the actor exchange (experimental).
+    ``delta=True`` commits merge-on-read delta files instead of base merges
+    (CDCPipeline.apply_delta's cost model, minus the sort shuffle)."""
     import uuid
 
     from embulk_filter_timestamp_format_ray.pipelines.cdc import (
@@ -154,7 +177,7 @@ def apply_with_actor_exchange(pipeline, events_ds) -> dict:
     txn_id = uuid.uuid4().hex[:12]
     partition_meta = {int(p): m for p, m in manifest["partitions"].items()}
     exchange = ActorExchange(pipeline.lake_dir, txn_id, partition_meta,
-                             pipeline.num_partitions)
+                             pipeline.num_partitions, delta_mode=delta)
 
     ds = events_ds.map_batches(
         NormalizeStage(pipeline.epoch_specs, low_watermark=low,
@@ -181,11 +204,24 @@ def apply_with_actor_exchange(pipeline, events_ds) -> dict:
         prev = partitions.get(pid, {})
         lineage = list(prev.get("lineage", []))
         lineage.append({"txn": txn_id, "events_applied": int(r["events_applied"])})
-        partitions[pid] = {
-            "path": r["path"], "rows": int(r["rows"]),
-            "last_applied_lsn": int(r["last_applied_lsn"]),
-            "lineage": lineage[-16:],
-        }
+        if delta:
+            # merge-on-read commit: base untouched, delta file appended
+            # (same bookkeeping as CDCPipeline._apply_dataset's delta branch)
+            deltas = list(prev.get("deltas", []))
+            deltas.append({"txn": txn_id, "path": r["path"],
+                           "rows": int(r["rows"])})
+            partitions[pid] = {
+                "path": prev.get("path"), "rows": int(prev.get("rows", 0)),
+                "last_applied_lsn": int(r["last_applied_lsn"]),
+                "lineage": lineage[-16:],
+                "deltas": deltas,
+            }
+        else:
+            partitions[pid] = {
+                "path": r["path"], "rows": int(r["rows"]),
+                "last_applied_lsn": int(r["last_applied_lsn"]),
+                "lineage": lineage[-16:],
+            }
         total_applied += int(r["events_applied"])
     new_manifest = {
         "version": manifest["version"] + 1,

@@ -510,6 +510,34 @@ def _write_dlq_group(lake_dir: str, txn_id: str, group: pa.Table) -> "dict":
     }
 
 
+def write_delta_file(lake_dir: str, txn_id: str, pid: int, watermark: int,
+                     delta: pa.Table) -> "dict | None":
+    """One partition's DELTA-commit core, shared by the dataset exchange
+    (:class:`DeltaWriter`) and the actor exchange: prune replays at the
+    watermark, keep per-key winners (op preserved → tombstones persist),
+    write the append-only delta parquet.  ``None`` = pure replay (no file,
+    no watermark change)."""
+    max_in = pc.max(delta.column("lsn")).as_py() if delta.num_rows else None
+    new_watermark = max(watermark, max_in if max_in is not None else -1)
+    fresh = delta.filter(pc.greater(delta.column("lsn"), watermark))
+    applied = fresh.num_rows
+    if applied == 0:
+        return None
+    winners = keep_last_per_key(fresh).select(["op", *LAKE_COLUMNS])
+    winners = winners.take(pc.sort_indices(
+        winners, sort_keys=[("conv_id", "ascending"),
+                            ("turn_idx", "ascending")]))
+    rel = os.path.join(f"txn-{txn_id}", f"delta-{pid:05d}.parquet")
+    full = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    pq.write_table(winners, full, compression="zstd")
+    return {
+        "pid": pid, "path": rel, "rows": winners.num_rows,
+        "last_applied_lsn": new_watermark, "events_applied": applied,
+        "events_seen": delta.num_rows,
+    }
+
+
 class DeltaWriter:
     """Per-partition DELTA-commit writer (``apply_delta``): instead of
     reading and rewriting the partition's base parquet per micro-batch
@@ -541,26 +569,9 @@ class DeltaWriter:
         meta = self.partition_meta.get(pid, {})
         watermark = meta.get("last_applied_lsn", -1)
         delta = decode_shuffle_encoding(group.drop_columns(["_pid"]))
-        max_in = pc.max(delta.column("lsn")).as_py() if delta.num_rows else None
-        new_watermark = max(watermark, max_in if max_in is not None else -1)
-        fresh = delta.filter(pc.greater(delta.column("lsn"), watermark))
-        applied = fresh.num_rows
-        if applied == 0:
-            # pure replay micro-batch: no file, no watermark change
-            return MergeApplier._result(None)
-        winners = keep_last_per_key(fresh).select(["op", *LAKE_COLUMNS])
-        winners = winners.take(pc.sort_indices(
-            winners, sort_keys=[("conv_id", "ascending"),
-                                ("turn_idx", "ascending")]))
-        rel = os.path.join(f"txn-{self.txn_id}", f"delta-{pid:05d}.parquet")
-        full = os.path.join(self.lake_dir, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(winners, full, compression="zstd")
-        return MergeApplier._result({
-            "pid": pid, "path": rel, "rows": winners.num_rows,
-            "last_applied_lsn": new_watermark, "events_applied": applied,
-            "events_seen": delta.num_rows,
-        })
+        # None = pure replay micro-batch: no file, no watermark change
+        return MergeApplier._result(write_delta_file(
+            self.lake_dir, self.txn_id, pid, watermark, delta))
 
 
 class CDCPipeline:
@@ -735,7 +746,8 @@ class CDCPipeline:
                     "(%d/%d) — watermarks dedup the winner's events",
                     self.lake_dir, attempt + 1, max_commit_retries)
 
-    def apply_delta(self, events_ds, max_commit_retries: int = 2) -> "dict":
+    def apply_delta(self, events_ds, exchange: str = "dataset",
+                    max_commit_retries: int = 2) -> "dict":
         """Apply a change-event micro-batch as a DELTA commit (merge-on-read
         write path): per partition, only the micro-batch's per-key winners
         are written as an append-only delta file — the committed base
@@ -749,10 +761,30 @@ class CDCPipeline:
         Exactly-once, watermark ratcheting, DLQ routing and optimistic
         concurrency are identical to ``apply`` (same normalize → partition
         → combine → single shuffle; only the per-partition writer differs).
+        ``exchange="actor"`` pairs the delta writer with the raw-actor push
+        exchange, same caveats as ``apply(exchange="actor")``.  Measured
+        (BASELINE.md): the DATASET exchange is the faster delta path on
+        this box (0.34–0.46 s warm per 100k-event commit vs 1.1–2.1 s) —
+        the actor path pays per-commit actor spawn, which only a
+        persistent exchange reused across commits would amortize; it is
+        kept for parity and as that refactor's seam.
         """
         for attempt in range(max_commit_retries + 1):
             try:
-                res = self._apply_dataset(events_ds, _delta=True)
+                if exchange == "actor":
+                    if self.dlq:
+                        raise ValueError(
+                            "dlq requires the dataset exchange (the actor "
+                            "exchange routes by pid array and has no "
+                            "reserved dead-letter lane)")
+                    from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
+                        apply_with_actor_exchange,
+                    )
+
+                    res = apply_with_actor_exchange(self, events_ds,
+                                                    delta=True)
+                else:
+                    res = self._apply_dataset(events_ds, _delta=True)
                 break
             except mf.CommitConflict:
                 if attempt == max_commit_retries:

@@ -367,3 +367,30 @@ def test_random_op_schedule_converges(ray_session, tmp_path_factory, oracle,
         if i == len(chunks) // 2 and seed % 2 == 0:
             pipe.repartition_lake(16 if seed == 0 else 4)
     _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_actor_exchange_delta_commits(ray_session, tmp_path_factory, oracle):
+    """apply_delta(exchange="actor"): delta files land through the raw-actor
+    push exchange (no sort shuffle, no base rewrite) with the same manifest
+    bookkeeping — state converges to the oracle, replays prune, compaction
+    folds."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_actor_delta"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1500)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(1500, 1500)),
+                     exchange="actor")
+    m = mf.read_manifest(lake)
+    assert mf.has_deltas(m)
+    # replay via the actor path is a no-op (watermark prune in the actor)
+    stats = pipe.apply_delta(ray.data.from_arrow(full.slice(0, 3000)),
+                             exchange="actor")
+    assert stats["events_applied"] == 0
+    # mixed-exchange tail: dataset-exchange delta on top
+    pipe.apply_delta(ray.data.from_arrow(full.slice(3000)))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+    pipe.compact_deltas()
+    assert not mf.has_deltas(mf.read_manifest(lake))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
