@@ -231,6 +231,11 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False) -> dict:
         "last_txn": txn_id,
         "schema_columns": ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"],
     }
+    if manifest.get("dlq"):
+        # the quarantine belongs to the lake, not the exchange: dropping it
+        # here would orphan the dlq parquet files for GC once the retained
+        # history rotates (every other manifest writer preserves it)
+        new_manifest["dlq"] = manifest["dlq"]
     mf.commit_manifest(pipeline.lake_dir, new_manifest,
                        retain_history=pipeline.time_travel_retain,
                        expected_version=manifest["version"])

@@ -1071,7 +1071,8 @@ class CDCPipeline:
 
             rows = ray.data.from_items(
                 items, override_num_blocks=len(items)).map_batches(
-                    compact_part, batch_format="pyarrow").take_all()
+                    compact_part, batch_format="pyarrow",
+                    zero_copy_batch=True).take_all()
             partitions = dict(manifest["partitions"])
             folded_files = sum(len(p["deltas"]) for p in todo.values())
             for r in rows:
@@ -1574,9 +1575,11 @@ class CDCPipeline:
           snapshot (the downstream re-bootstraps — same contract as any
           log-compacted source);
         * crash-safe: data directories are written BEFORE the cursor
-          advances, and a re-run of an interrupted sync rewrites the same
-          directory name from scratch — the consumer never sees a torn
-          sync, it just applies directories in name order.
+          advances, and a retry first REMOVES every sync directory the
+          cursor never confirmed (embedded v_to > cursor) — including a
+          torn attempt whose range no longer matches because commits
+          landed in between — so the consumer's name-order replay never
+          sees phantom rows from an abandoned range.
         """
         import shutil as _shutil
 
@@ -1612,15 +1615,33 @@ class CDCPipeline:
             mode = "changes"
             name = f"sync-{v_to:08d}-changes-from-v{cursor:08d}"
             ds = self.lake_changes(cursor, v_to, columns=payload)
+        # remove EVERY unconfirmed prior attempt (embedded v_to > cursor),
+        # not just one with today's name: a crash between data write and
+        # cursor advance followed by more lake commits retries under a
+        # DIFFERENT name, and the stale torn range would otherwise replay
+        # as phantom rows (keys inserted then deleted inside the abandoned
+        # window appear in no later diff)
+        confirmed = -1 if cursor is None else cursor
+        for d in os.listdir(out_dir):
+            if not d.startswith("sync-"):
+                continue
+            try:
+                d_v_to = int(d.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if d_v_to > confirmed and os.path.isdir(os.path.join(out_dir, d)):
+                _shutil.rmtree(os.path.join(out_dir, d))
         target = os.path.join(out_dir, name)
-        if os.path.isdir(target):
-            _shutil.rmtree(target)  # interrupted prior attempt: rewrite
         ds.write_parquet(target)
         # row count from parquet FOOTERS only — a snapshot sync must not
-        # re-read the whole shipped set just to report its size
+        # re-read the whole shipped set just to report its size.  A
+        # zero-row change set may produce no directory at all
+        # (write_parquet writes nothing): the cursor still advances — the
+        # consumer has nothing to apply for this window.
         rows = sum(
             pq.ParquetFile(os.path.join(target, f)).metadata.num_rows
-            for f in os.listdir(target) if f.endswith(".parquet"))
+            for f in os.listdir(target)
+            if f.endswith(".parquet")) if os.path.isdir(target) else 0
         tmp = cur_path + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump({"version": v_to}, f)
@@ -1628,7 +1649,8 @@ class CDCPipeline:
             os.fsync(f.fileno())
         os.replace(tmp, cur_path)
         return {"mode": mode, "v_from": cursor, "v_to": v_to,
-                "rows": rows, "path": target}
+                "rows": rows,
+                "path": target if os.path.isdir(target) else None}
 
     def table_stats(self) -> "dict":
         """Operational health snapshot from the manifest alone (no data
@@ -1758,7 +1780,8 @@ class CDCPipeline:
 
         return ray.data.from_items(
             items, override_num_blocks=len(items)).map_batches(
-                fold_files, batch_format="pyarrow")
+                fold_files, batch_format="pyarrow",
+                zero_copy_batch=True)
 
     def export_formatted(self, out_dir: str, to_format: str = "%Y-%m-%d %H:%M:%S.%6N %z",
                          to_timezone: str = "UTC") -> None:

@@ -37,11 +37,12 @@ logger = logging.getLogger(__name__)
 SIDECAR_NAME = "_ingest_tail.json"
 
 
-def file_lsn_range(path: str, lsn_col: str = "lsn") -> "tuple[int, int]":
-    """(min, max) of ``lsn_col`` from parquet row-group statistics — O(footer),
-    no row reads.  Falls back to a single-column scan only when the writer
-    omitted statistics (pyarrow writes them by default)."""
+def _file_footer_meta(path: str, lsn_col: str = "lsn") -> "tuple[int, int, int]":
+    """(min_lsn, max_lsn, num_rows) from ONE parquet footer read — no row
+    reads.  Falls back to a single-column scan only when the writer omitted
+    statistics (pyarrow writes them by default)."""
     f = pq.ParquetFile(path)
+    rows = f.metadata.num_rows
     idx = f.schema_arrow.get_field_index(lsn_col)
     lo, hi = None, None
     for rg in range(f.metadata.num_row_groups):
@@ -52,11 +53,18 @@ def file_lsn_range(path: str, lsn_col: str = "lsn") -> "tuple[int, int]":
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
     if lo is not None:
-        return int(lo), int(hi)
+        return int(lo), int(hi), rows
     import pyarrow.compute as pc
 
     col = f.read(columns=[lsn_col]).column(lsn_col)
-    return (int(pc.min(col).as_py()), int(pc.max(col).as_py()))
+    return int(pc.min(col).as_py()), int(pc.max(col).as_py()), rows
+
+
+def file_lsn_range(path: str, lsn_col: str = "lsn") -> "tuple[int, int]":
+    """(min, max) of ``lsn_col`` from parquet row-group statistics — see
+    :func:`_file_footer_meta`."""
+    lo, hi, _ = _file_footer_meta(path, lsn_col)
+    return lo, hi
 
 
 def _sidecar_path(lake_dir: str) -> str:
@@ -83,9 +91,12 @@ def _write_sidecar(lake_dir: str, entries: "dict[str, int]",
 
 def pending_files(directory: str, resume_lsn: int,
                   ingested: "dict[str, int] | None" = None,
-                  suffix: str = ".parquet") -> "list[str]":
+                  suffix: str = ".parquet",
+                  with_meta: bool = False):
     """Files with events beyond ``resume_lsn`` and not in the sidecar,
-    ascending by min(lsn) — footer-only work per file."""
+    ascending by min(lsn) — ONE footer read per file.  ``with_meta=True``
+    returns ``[(name, max_lsn, num_rows)]`` so callers never re-open the
+    footers this scan already paid for."""
     ingested = ingested or {}
     ranged = []
     for name in sorted(os.listdir(directory)):
@@ -93,12 +104,14 @@ def pending_files(directory: str, resume_lsn: int,
             continue
         if name in ingested:
             continue
-        lo, hi = file_lsn_range(os.path.join(directory, name))
+        lo, hi, rows = _file_footer_meta(os.path.join(directory, name))
         if hi <= resume_lsn:
             continue  # provably committed everywhere — metadata-level skip
-        ranged.append((lo, name))
+        ranged.append((lo, name, hi, rows))
     ranged.sort()
-    return [name for _, name in ranged]
+    if with_meta:
+        return [(name, hi, rows) for _, name, hi, rows in ranged]
+    return [name for _, name, _, _ in ranged]
 
 
 def tail_directory(pipe, directory: str, files_per_batch: int = 16,
@@ -121,26 +134,27 @@ def tail_directory(pipe, directory: str, files_per_batch: int = 16,
     stats = []
     resume = pipe.resume_lsn()
     ingested = _read_sidecar(pipe.lake_dir)
-    todo = pending_files(directory, resume, ingested, suffix=suffix)
+    todo = pending_files(directory, resume, ingested, suffix=suffix,
+                         with_meta=True)
     if not todo:
         return stats
     logger.info("tailing %d pending file(s) from %s", len(todo), directory)
     apply = pipe.apply_delta if delta else pipe.apply
     for i in range(0, len(todo), files_per_batch):
         batch = todo[i:i + files_per_batch]
-        paths = [os.path.join(directory, n) for n in batch]
-        # explicit block sizing from footer row counts: Ray's default
-        # parallelism heuristic on a single small binlog file yields a
-        # degenerate block layout that serializes the pre-shuffle stages —
-        # measured 8.1 s vs 0.54 s for the same 100k-event commit.  ~16k
-        # rows per block keeps every core busy without per-block overhead
-        # dominating.
-        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        paths = [os.path.join(directory, name) for name, _, _ in batch]
+        # explicit block sizing from the footer row counts pending_files
+        # already read: Ray's default parallelism heuristic on a single
+        # small binlog file yields a degenerate block layout that
+        # serializes the pre-shuffle stages — measured 8.1 s vs 0.54 s for
+        # the same 100k-event commit.  ~16k rows per block keeps every
+        # core busy without per-block overhead dominating.
+        rows = sum(r for _, _, r in batch)
         nb = max(2, min(64, rows // 16_000 + 1))
         stats.append(apply(
             ray.data.read_parquet(paths, override_num_blocks=nb)))
-        for name, path in zip(batch, paths):
-            ingested[name] = file_lsn_range(path)[1]
+        for name, hi, _ in batch:
+            ingested[name] = hi
         resume = pipe.resume_lsn()
         _write_sidecar(pipe.lake_dir, ingested, resume)
         if delta and compact_every and len(stats) % compact_every == 0:

@@ -177,8 +177,6 @@ def main() -> None:
                 "quarantined": sum(c.get("events_quarantined", 0)
                                    for c in commits),
                 "sec": round(time.perf_counter() - t0, 3),
-                "lake_version": commits[-1]["version"] if commits
-                else mf_version(pipe),
             }
             if args.delta:
                 st = pipe.table_stats()
@@ -188,6 +186,9 @@ def main() -> None:
                 out["compact"] = pipe.compact_deltas()
             if args.sync_to:
                 out["sync"] = pipe.sync_changes(args.sync_to)
+            # read AFTER the inline compactions / --compact / --sync-to so
+            # the reported version is the manifest's actual head
+            out["lake_version"] = mf_version(pipe)
             print(json.dumps(out))
             return
         if (args.compact or args.sync_to) and args.events == 0:
@@ -225,7 +226,6 @@ def main() -> None:
             "events": args.events, "applied": total,
             "sec": round(elapsed, 3),
             "events_per_sec": round(args.events / elapsed, 1),
-            "lake_version": stats["version"],
         }
         if args.delta:
             st = pipe.table_stats()
@@ -245,6 +245,9 @@ def main() -> None:
             out["view_recomputed_per_batch"] = view_refreshes
         if args.sync_to:
             out["sync"] = pipe.sync_changes(args.sync_to)
+        # read AFTER auto-compaction / --compact / --heal-dlq / --sync-to so
+        # the reported version is the manifest's actual head
+        out["lake_version"] = mf_version(pipe)
         print(json.dumps(out))
     finally:
         ray.shutdown()

@@ -124,3 +124,51 @@ def test_sync_rejects_unknown_payload_column(ray_session, tmp_path_factory):
     pipe.apply(ray.data.from_arrow(expected_event_table(300)))
     with pytest.raises(ValueError):
         pipe.lake_changes(1, 1, columns=["nope"])
+
+
+def test_sync_empty_change_window_advances_cursor(ray_session,
+                                                  tmp_path_factory):
+    """a version bump with no state change (compaction) must not crash the
+    sync: zero-row window → no directory, cursor still advances."""
+    lake = str(tmp_path_factory.mktemp("lake_sync_empty"))
+    out = str(tmp_path_factory.mktemp("sync_out_empty"))
+    pipe = CDCPipeline(lake, num_partitions=4)
+    full = expected_event_table(1000)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 600)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(600)))
+    pipe.sync_changes(out)
+    pipe.compact_deltas()  # version bump, identical live state
+    s = pipe.sync_changes(out)
+    assert s["mode"] == "changes" and s["rows"] == 0 and s["path"] is None
+    assert _mirror(out) == _live(pipe)
+    assert pipe.sync_changes(out)["mode"] == "noop"  # cursor advanced
+
+
+def test_sync_torn_attempt_with_intervening_commits(ray_session,
+                                                    tmp_path_factory):
+    """crash between data write and cursor advance, then MORE commits land
+    (including deletes of keys born in the abandoned window): the retry
+    must remove the stale torn directory or its rows replay as phantoms."""
+    import shutil
+
+    lake = str(tmp_path_factory.mktemp("lake_sync_torn"))
+    out = str(tmp_path_factory.mktemp("sync_out_torn"))
+    pipe = CDCPipeline(lake, num_partitions=4)
+    full = expected_event_table(3000)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1000)))
+    pipe.sync_changes(out)                                   # cursor = v1
+    pipe.apply(ray.data.from_arrow(full.slice(1000, 1000)))  # v2
+    s2 = pipe.sync_changes(out)
+    # crash: the v1→v2 data landed but the cursor never advanced
+    with open(os.path.join(out, CDCPipeline.SYNC_CURSOR)) as f:
+        json.load(f)  # sanity: cursor exists
+    torn_dir = s2["path"]
+    with open(os.path.join(out, CDCPipeline.SYNC_CURSOR), "w") as f:
+        json.dump({"version": 1}, f)
+    # more commits land before the retry (deletes among them)
+    pipe.apply(ray.data.from_arrow(full.slice(2000)))        # v3
+    s_retry = pipe.sync_changes(out)
+    assert s_retry["v_from"] == 1 and s_retry["v_to"] == 3
+    # the stale torn directory is gone and the mirror matches live state
+    assert not os.path.isdir(torn_dir)
+    assert _mirror(out) == _live(pipe)
