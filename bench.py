@@ -164,7 +164,8 @@ def run_queries(sf_dir: str) -> dict:
              "dataset_split", "dequantize_roundtrip", "rollup_sales",
              "top_p_sources", "event_rank", "event_gaps",
              "distinct_users_by_type", "hll_grouped", "remove_boilerplate",
-             "bloom_join_revenue", "set_intersect", "set_except"]
+             "bloom_join_revenue", "set_intersect", "set_except",
+             "cdc_delta_commits", "cdc_sync"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session
