@@ -427,6 +427,33 @@ def q_cdc_sync(sf_dir: str):
     return ray.data.read_parquet(s["path"])
 
 
+def q_cdc_sync_mirror(sf_dir: str):
+    """Consumer-side fold of a sync directory: after a snapshot sync and a
+    change sync, `read_sync_mirror` (distributed: per-key latest-directory
+    winner, deletes drop) must reproduce the lake's live state — i.e. the
+    flagship argmax-LSN fold."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES, "cdc_events_20000.parquet"))
+    lsn = events.column("lsn")
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_smr_{run}")
+    out = os.path.join(tempfile.gettempdir(), f"graft_cdc_smrout_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(events.filter(pc.less(lsn, cut))))
+    pipe.sync_changes(out)
+    pipe.apply(ray.data.from_arrow(events.filter(pc.greater_equal(lsn, cut))))
+    pipe.sync_changes(out)
+    return CDCPipeline.read_sync_mirror(out).map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_delta_commits(sf_dir: str):
     """Durable merge-on-read DELTA commits: the lsn<8_000 prefix is a base
     commit; [8_000, 14_000) lands as a delta commit (append-only per-key
@@ -2053,6 +2080,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_merge_on_read": q_cdc_merge_on_read,
         "cdc_delta_commits": q_cdc_delta_commits,
         "cdc_sync": q_cdc_sync,
+        "cdc_sync_mirror": q_cdc_sync_mirror,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
@@ -2303,6 +2331,15 @@ def oracle_sql() -> "dict[str, str]":
             "from f1 full outer join f2 on f1.conv_id = f2.conv_id "
             "and f1.turn_idx = f2.turn_idx "
             "where f1.lsn is null or f2.lsn is null or f1.lsn <> f2.lsn",
+        # Consumer fold of the sync dirs ≡ live state ≡ flagship fold
+        "cdc_sync_mirror":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
         # Delta commits + compaction + pending fold ≡ full fold (DeltaWriter,
         # compact_deltas and the MOR read all reuse keep_last_per_key)
         "cdc_delta_commits":

@@ -1652,6 +1652,74 @@ class CDCPipeline:
                 "rows": rows,
                 "path": target if os.path.isdir(target) else None}
 
+    @staticmethod
+    def read_sync_mirror(out_dir: str):
+        """CONSUMER side of :meth:`sync_changes`: fold a sync directory
+        back into the live table it mirrors, as a streaming Dataset.
+
+        Distributed equivalent of "apply directories in name order": every
+        row is tagged with its directory's ordinal, one key-shard exchange,
+        per key the row from the LATEST directory wins (directory order —
+        NOT lsn — is the arbiter: a delete row carries the PRE-image lsn,
+        which can be lower than the row it kills), deletes drop out.
+        Directories older than the latest snapshot are pruned at the file
+        list (a snapshot resets the mirror, so nothing before it can
+        matter)."""
+        import ray.data
+
+        from embulk_filter_timestamp_format_ray.stages.relational import (
+            _same_as_prev_row,
+            _with_key_shard,
+        )
+
+        dirs = sorted(
+            d for d in os.listdir(out_dir)
+            if d.startswith("sync-")
+            and os.path.isdir(os.path.join(out_dir, d)))
+        snaps = [i for i, d in enumerate(dirs) if d.endswith("snapshot")]
+        if snaps:
+            dirs = dirs[snaps[-1]:]
+        if not dirs:
+            return ray.data.from_arrow(pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "turn_idx": pa.array([], pa.int32())}))
+
+        def tag(seq: int):
+            def f(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "_seq", pa.array(np.full(b.num_rows, seq,
+                                             dtype=np.int32)))
+            return f
+
+        parts = [
+            ray.data.read_parquet(os.path.join(out_dir, d)).map_batches(
+                tag(i), batch_format="pyarrow", zero_copy_batch=True)
+            for i, d in enumerate(dirs)
+        ]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+
+        def fold_shard(group: pa.Table) -> pa.Table:
+            g = group.drop_columns(["_shard"])
+            if g.num_rows == 0:
+                return g.drop_columns(["_seq", "change_type"])
+            order = pc.sort_indices(g, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending"),
+                ("_seq", "ascending")])
+            s = g.take(order)
+            # last row of each (conv_id, turn_idx) run = latest directory
+            starts = ~_same_as_prev_row(s, ["conv_id", "turn_idx"])
+            last = np.append(np.asarray(starts)[1:], True)
+            winners = s.filter(pa.array(last))
+            live = winners.filter(pc.not_equal(
+                winners.column("change_type"), "delete"))
+            return live.drop_columns(["_seq", "change_type"])
+
+        ds = _with_key_shard(ds, ["conv_id", "turn_idx"])
+        return ds.groupby("_shard").map_groups(fold_shard,
+                                               batch_format="pyarrow")
+
     def table_stats(self) -> "dict":
         """Operational health snapshot from the manifest alone (no data
         read — O(partitions) driver work even on a 100-TB lake):

@@ -172,3 +172,31 @@ def test_sync_torn_attempt_with_intervening_commits(ray_session,
     # the stale torn directory is gone and the mirror matches live state
     assert not os.path.isdir(torn_dir)
     assert _mirror(out) == _live(pipe)
+
+
+def test_read_sync_mirror_distributed(ray_session, tmp_path_factory):
+    """the distributed consumer fold (read_sync_mirror) equals both the
+    driver-side name-order replay and the producer lake's live state —
+    including after a re-snapshot that obsoletes earlier directories."""
+    lake = str(tmp_path_factory.mktemp("lake_sync_reader"))
+    out = str(tmp_path_factory.mktemp("sync_out_reader"))
+    pipe = CDCPipeline(lake, num_partitions=8, time_travel_retain=2)
+    full = expected_event_table(N)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1000)))
+    pipe.sync_changes(out)
+    pipe.apply(ray.data.from_arrow(full.slice(1000, 1000)))
+    pipe.sync_changes(out)
+    # blow past retention so the next sync is a mid-history re-snapshot
+    for i in range(4):
+        pipe.apply(ray.data.from_arrow(full.slice(2000 + i * 250, 250)))
+    pipe.sync_changes(out)
+    pipe.apply(ray.data.from_arrow(full.slice(N - 200)))
+    pipe.sync_changes(out)
+
+    folded = pa.concat_tables(
+        [b for b in CDCPipeline.read_sync_mirror(out)
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="permissive")
+    got = {(r["conv_id"], r["turn_idx"]): (r["text"], r["role"], r["lsn"])
+           for r in folded.to_pylist()}
+    assert got == _mirror(out) == _live(pipe)
