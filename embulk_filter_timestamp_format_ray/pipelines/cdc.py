@@ -1653,6 +1653,24 @@ class CDCPipeline:
                 "path": target if os.path.isdir(target) else None}
 
     @staticmethod
+    def prune_sync_dirs(out_dir: str) -> "list[str]":
+        """Consumer-side GC: remove sync directories older than the latest
+        snapshot — a snapshot resets the mirror, so nothing before it can
+        ever affect a fold (``read_sync_mirror`` already ignores them).
+        Returns the removed directory names."""
+        import shutil as _shutil
+
+        dirs = sorted(
+            d for d in os.listdir(out_dir)
+            if d.startswith("sync-")
+            and os.path.isdir(os.path.join(out_dir, d)))
+        snaps = [i for i, d in enumerate(dirs) if d.endswith("snapshot")]
+        dead = dirs[:snaps[-1]] if snaps else []
+        for d in dead:
+            _shutil.rmtree(os.path.join(out_dir, d))
+        return dead
+
+    @staticmethod
     def read_sync_mirror(out_dir: str):
         """CONSUMER side of :meth:`sync_changes`: fold a sync directory
         back into the live table it mirrors, as a streaming Dataset.

@@ -200,3 +200,24 @@ def test_read_sync_mirror_distributed(ray_session, tmp_path_factory):
     got = {(r["conv_id"], r["turn_idx"]): (r["text"], r["role"], r["lsn"])
            for r in folded.to_pylist()}
     assert got == _mirror(out) == _live(pipe)
+
+
+def test_prune_sync_dirs_keeps_mirror_intact(ray_session, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("lake_sync_gc"))
+    out = str(tmp_path_factory.mktemp("sync_out_gc"))
+    pipe = CDCPipeline(lake, num_partitions=4, time_travel_retain=2)
+    full = expected_event_table(2000)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 600)))
+    pipe.sync_changes(out)                                  # snapshot 1
+    pipe.apply(ray.data.from_arrow(full.slice(600, 400)))
+    pipe.sync_changes(out)                                  # changes
+    for i in range(4):  # blow retention → next sync re-snapshots
+        pipe.apply(ray.data.from_arrow(full.slice(1000 + i * 200, 200)))
+    pipe.sync_changes(out)                                  # snapshot 2
+    pipe.apply(ray.data.from_arrow(full.slice(1800)))
+    pipe.sync_changes(out)                                  # changes
+    before = _mirror(out)
+    dead = CDCPipeline.prune_sync_dirs(out)
+    assert len(dead) == 2  # snapshot 1 + its change dir
+    assert _mirror(out) == before == _live(pipe)
+    assert CDCPipeline.prune_sync_dirs(out) == []  # idempotent
