@@ -394,3 +394,95 @@ def test_actor_exchange_delta_commits(ray_session, tmp_path_factory, oracle):
     pipe.compact_deltas()
     assert not mf.has_deltas(mf.read_manifest(lake))
     _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+
+
+def test_fold_algebra_random_streams():
+    """Property: fold(base-merge(prefix), delta-files(rest chunks)) equals
+    the single-shot merge for random streams with replays and deletes —
+    the algebra every merge-on-read read path rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+        fold_partition_state,
+        keep_last_per_key,
+        merge_partition_table,
+    )
+
+    ts0 = pa.array([0], pa.timestamp("ns", tz="UTC"))
+
+    def mk(events):
+        n = len(events)
+        return pa.table({
+            "lsn": pa.array([e[0] for e in events], pa.int64()),
+            "op": pa.array([e[1] for e in events]),
+            "conv_id": pa.array([e[2] for e in events]),
+            "turn_idx": pa.array([e[3] for e in events], pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([f"t{e[0]}" for e in events]),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.concat_arrays([ts0] * n) if n else ts0.slice(0, 0),
+        })
+
+    LAKE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+
+    event = st.tuples(
+        st.integers(min_value=0, max_value=40),           # lsn
+        st.sampled_from(["upsert", "delete"]),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=2),
+    )
+
+    @given(events=st.lists(event, min_size=1, max_size=24),
+           cut1=st.integers(min_value=0, max_value=24),
+           cut2=st.integers(min_value=0, max_value=24))
+    @settings(max_examples=80, deadline=None)
+    def check(events, cut1, cut2):
+        seen = {}
+        for e in events:
+            seen.setdefault(e[0], e)
+        events = [seen[k] for k in sorted(seen)]
+        cut1, cut2 = sorted((min(cut1, len(events)), min(cut2, len(events))))
+        one_shot, _, _ = merge_partition_table(mk(events), None, -1)
+        # base merge of the prefix, then two DELTA files (per-key winners
+        # with op preserved — exactly what write_delta_file persists)
+        base, wm, _ = merge_partition_table(mk(events[:cut1]), None, -1)
+        deltas = []
+        lo = cut1
+        for hi in (cut2, len(events)):
+            chunk = mk(events[lo:hi])
+            fresh = chunk.filter(pa.compute.greater(chunk.column("lsn"), wm))
+            if fresh.num_rows:
+                deltas.append(
+                    keep_last_per_key(fresh).select(["op", *LAKE_COLS]))
+                wm = max(wm, pa.compute.max(chunk.column("lsn")).as_py())
+            lo = hi
+        folded = fold_partition_state(base if base.num_rows else None, deltas)
+        key = lambda t: sorted(  # noqa: E731
+            (r["conv_id"], r["turn_idx"], r["lsn"], r["text"])
+            for r in t.to_pylist())
+        assert key(one_shot) == key(folded)
+
+    check()
+
+
+def test_delta_point_lookup_salted_conv_mode(ray_session, tmp_path_factory,
+                                             oracle):
+    """salted conv-mode + pending deltas: candidate-pid point lookups fold
+    base+delta across every salt sub-partition."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_salt"))
+    hot = sorted({k[0] for k in oracle})[0]
+    pipe = CDCPipeline(lake, num_partitions=8, partition_mode="conv",
+                       salt_keys=frozenset({hot}), salt_factor=4)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2000)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(2000)))
+    assert mf.has_deltas(mf.read_manifest(lake))
+    for cid in (hot, sorted({k[0] for k in oracle})[3]):
+        got = pipe.read_conversation(cid)
+        exp = sorted((k[1], v) for k, v in oracle.items() if k[0] == cid)
+        assert got.num_rows == len(exp)
+        assert got.column("turn_idx").to_pylist() == [t for t, _ in exp]
+        assert got.column("lsn").to_pylist() == [v["lsn"] for _, v in exp]
