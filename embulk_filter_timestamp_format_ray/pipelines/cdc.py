@@ -1632,6 +1632,12 @@ class CDCPipeline:
             if d_v_to > confirmed and os.path.isdir(os.path.join(out_dir, d)):
                 _shutil.rmtree(os.path.join(out_dir, d))
         target = os.path.join(out_dir, name)
+        if os.path.isdir(target):
+            # a CONFIRMED dir can collide with today's name when the lake
+            # was restored to an older version (v_to regressed below the
+            # cursor): write_parquet APPENDS uniquely-named files, so a
+            # stale generation must never share the directory
+            _shutil.rmtree(target)
         ds.write_parquet(target)
         # row count from parquet FOOTERS only — a snapshot sync must not
         # re-read the whole shipped set just to report its size.  A
@@ -1653,17 +1659,42 @@ class CDCPipeline:
                 "path": target if os.path.isdir(target) else None}
 
     @staticmethod
+    def _confirmed_sync_dirs(out_dir: str) -> "list[str]":
+        """Sync directories the consumer cursor has CONFIRMED (embedded
+        version ≤ cursor), ascending by name.  Directories above the cursor
+        are speculative — a torn producer attempt (DESIGN #35) — and are
+        invisible to every consumer-side operation until the producer's
+        next sync confirms or removes them."""
+        cur_path = os.path.join(out_dir, CDCPipeline.SYNC_CURSOR)
+        try:
+            with open(cur_path) as f:
+                cursor = int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            cursor = -1
+        out = []
+        for d in sorted(os.listdir(out_dir)):
+            if not d.startswith("sync-") \
+                    or not os.path.isdir(os.path.join(out_dir, d)):
+                continue
+            try:
+                v_to = int(d.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if v_to <= cursor:
+                out.append(d)
+        return out
+
+    @staticmethod
     def prune_sync_dirs(out_dir: str) -> "list[str]":
-        """Consumer-side GC: remove sync directories older than the latest
-        snapshot — a snapshot resets the mirror, so nothing before it can
-        ever affect a fold (``read_sync_mirror`` already ignores them).
-        Returns the removed directory names."""
+        """Consumer-side GC: remove CONFIRMED sync directories older than
+        the latest CONFIRMED snapshot — a snapshot resets the mirror, so
+        nothing before it can ever affect a fold (``read_sync_mirror``
+        already ignores them).  Unconfirmed (torn) directories are left
+        alone — they belong to the producer's retry path.  Returns the
+        removed directory names."""
         import shutil as _shutil
 
-        dirs = sorted(
-            d for d in os.listdir(out_dir)
-            if d.startswith("sync-")
-            and os.path.isdir(os.path.join(out_dir, d)))
+        dirs = CDCPipeline._confirmed_sync_dirs(out_dir)
         snaps = [i for i, d in enumerate(dirs) if d.endswith("snapshot")]
         dead = dirs[:snaps[-1]] if snaps else []
         for d in dead:
@@ -1676,31 +1707,28 @@ class CDCPipeline:
         back into the live table it mirrors, as a streaming Dataset.
 
         Distributed equivalent of "apply directories in name order": every
-        row is tagged with its directory's ordinal, one key-shard exchange,
-        per key the row from the LATEST directory wins (directory order —
-        NOT lsn — is the arbiter: a delete row carries the PRE-image lsn,
-        which can be lower than the row it kills), deletes drop out.
-        Directories older than the latest snapshot are pruned at the file
-        list (a snapshot resets the mirror, so nothing before it can
-        matter)."""
+        row is tagged with its directory's ordinal, then folded by the
+        engine's own last-write-wins operator (``latest_by_key`` — map-side
+        combined, one key-shard exchange).  Directory order — NOT lsn — is
+        the arbiter: a delete row carries the PRE-image lsn, which can be
+        lower than the row it kills.  Only cursor-CONFIRMED directories
+        participate (a torn producer attempt must not leak phantom rows),
+        and directories older than the latest confirmed snapshot are
+        pruned at the file list."""
         import ray.data
 
         from embulk_filter_timestamp_format_ray.stages.relational import (
-            _same_as_prev_row,
-            _with_key_shard,
+            latest_by_key,
         )
 
-        dirs = sorted(
-            d for d in os.listdir(out_dir)
-            if d.startswith("sync-")
-            and os.path.isdir(os.path.join(out_dir, d)))
+        dirs = CDCPipeline._confirmed_sync_dirs(out_dir)
         snaps = [i for i, d in enumerate(dirs) if d.endswith("snapshot")]
         if snaps:
             dirs = dirs[snaps[-1]:]
         if not dirs:
-            return ray.data.from_arrow(pa.table(
-                {"conv_id": pa.array([], pa.string()),
-                 "turn_idx": pa.array([], pa.int32())}))
+            # empty mirror with the default sync schema (key + lsn + the
+            # default payload), so downstream column selects still resolve
+            return ray.data.from_arrow(_empty_lake_table())
 
         def tag(seq: int):
             def f(b: pa.Table) -> pa.Table:
@@ -1717,26 +1745,13 @@ class CDCPipeline:
         ds = parts[0]
         for p in parts[1:]:
             ds = ds.union(p)
-
-        def fold_shard(group: pa.Table) -> pa.Table:
-            g = group.drop_columns(["_shard"])
-            if g.num_rows == 0:
-                return g.drop_columns(["_seq", "change_type"])
-            order = pc.sort_indices(g, sort_keys=[
-                ("conv_id", "ascending"), ("turn_idx", "ascending"),
-                ("_seq", "ascending")])
-            s = g.take(order)
-            # last row of each (conv_id, turn_idx) run = latest directory
-            starts = ~_same_as_prev_row(s, ["conv_id", "turn_idx"])
-            last = np.append(np.asarray(starts)[1:], True)
-            winners = s.filter(pa.array(last))
-            live = winners.filter(pc.not_equal(
-                winners.column("change_type"), "delete"))
-            return live.drop_columns(["_seq", "change_type"])
-
-        ds = _with_key_shard(ds, ["conv_id", "turn_idx"])
-        return ds.groupby("_shard").map_groups(fold_shard,
-                                               batch_format="pyarrow")
+        ds = latest_by_key(
+            ds, keys=["conv_id", "turn_idx"], seq_col="_seq",
+            delete_expr=lambda t: pc.equal(t.column("change_type"),
+                                           "delete"))
+        return ds.map_batches(
+            lambda b: b.drop_columns(["_seq", "change_type"]),
+            batch_format="pyarrow", zero_copy_batch=True)
 
     def table_stats(self) -> "dict":
         """Operational health snapshot from the manifest alone (no data

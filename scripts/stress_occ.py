@@ -51,7 +51,8 @@ try:
     step = n_events // 4
     for i in range(4):
         lo = max(0, i * step - wid * (step // 3))
-        chunk = full.slice(lo, min(n_events, (i + 1) * step) - lo)
+        hi = n_events if i == 3 else (i + 1) * step  # last chunk takes the
+        chunk = full.slice(lo, hi - lo)              # n_events % 4 remainder
         mode = (wid + i) % 3  # rotate base / delta / delta+compact
         for attempt in range(64):
             try:

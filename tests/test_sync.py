@@ -221,3 +221,74 @@ def test_prune_sync_dirs_keeps_mirror_intact(ray_session, tmp_path_factory):
     assert len(dead) == 2  # snapshot 1 + its change dir
     assert _mirror(out) == before == _live(pipe)
     assert CDCPipeline.prune_sync_dirs(out) == []  # idempotent
+
+
+def test_consumer_ignores_torn_unconfirmed_dirs(ray_session,
+                                                tmp_path_factory):
+    """a torn producer attempt (dir on disk, cursor never advanced) must be
+    invisible to the consumer: read_sync_mirror excludes it and
+    prune_sync_dirs neither deletes confirmed history because of it nor
+    touches the torn dir itself."""
+    lake = str(tmp_path_factory.mktemp("lake_sync_torn2"))
+    out = str(tmp_path_factory.mktemp("sync_out_torn2"))
+    pipe = CDCPipeline(lake, num_partitions=4)
+    full = expected_event_table(2000)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1000)))
+    pipe.sync_changes(out)
+    pipe.apply(ray.data.from_arrow(full.slice(1000, 500)))
+    pipe.sync_changes(out)
+    confirmed_state = _mirror(out)
+    # torn FUTURE attempt: a partial snapshot dir lands, cursor stays put
+    torn = os.path.join(out, "sync-00000009-snapshot")
+    os.makedirs(torn)
+    t = pa.table({
+        "conv_id": pa.array(["phantom"]), "turn_idx": pa.array([0], pa.int32()),
+        "change_type": pa.array(["insert"]), "lsn": pa.array([1], pa.int64()),
+        "role": pa.array(["user"]), "text": pa.array(["boo"]),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([0], pa.timestamp("ns", tz="UTC")),
+    })
+    pq.write_table(t, os.path.join(torn, "part.parquet"))
+    folded = pa.concat_tables(
+        [b for b in CDCPipeline.read_sync_mirror(out)
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="permissive")
+    got = {(r["conv_id"], r["turn_idx"]): (r["text"], r["role"], r["lsn"])
+           for r in folded.to_pylist()}
+    assert ("phantom", 0) not in got
+    assert got == confirmed_state == _live(pipe)
+    # prune must not treat the torn snapshot as a reset point
+    dead = CDCPipeline.prune_sync_dirs(out)
+    assert dead == []  # no confirmed snapshot after the first → nothing dies
+    assert os.path.isdir(torn)  # the producer's retry owns this dir
+    assert _mirror_confirmed(out) == confirmed_state
+
+
+def _mirror_confirmed(out_dir):
+    """driver replay over cursor-confirmed dirs only (mirror of the
+    consumer contract for assertions)."""
+    mirror = {}
+    for d in CDCPipeline._confirmed_sync_dirs(out_dir):
+        full = os.path.join(out_dir, d)
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(full, f)) for f in os.listdir(full)],
+            promote_options="permissive")
+        if d.endswith("snapshot"):
+            mirror.clear()
+        for r in t.to_pylist():
+            k = (r["conv_id"], r["turn_idx"])
+            if r["change_type"] == "delete":
+                mirror.pop(k, None)
+            else:
+                mirror[k] = (r["text"], r["role"], r["lsn"])
+    return mirror
+
+
+def test_empty_mirror_keeps_default_schema(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sync_out_schema"))
+    with open(os.path.join(out, CDCPipeline.SYNC_CURSOR), "w") as f:
+        json.dump({"version": 3}, f)
+    ds = CDCPipeline.read_sync_mirror(out)
+    sel = ds.map_batches(lambda b: b.select(["conv_id", "text", "lsn"]),
+                         batch_format="pyarrow")
+    assert sel.count() == 0  # column select resolves on the empty mirror
