@@ -486,3 +486,29 @@ def test_delta_point_lookup_salted_conv_mode(ray_session, tmp_path_factory,
         assert got.num_rows == len(exp)
         assert got.column("turn_idx").to_pylist() == [t for t, _ in exp]
         assert got.column("lsn").to_pylist() == [v["lsn"] for _, v in exp]
+
+
+def test_delta_commits_with_dlq_quarantine(ray_session, tmp_path_factory):
+    """delta commits quarantine bad events exactly like base merges: the
+    DLQ rides the same shuffle (reserved pid), the lake folds clean, and a
+    later reprocess under corrected specs recovers nothing it shouldn't."""
+    import ray.data
+
+    from tests.test_cdc import _events_with_bad_rows
+
+    lake = str(tmp_path_factory.mktemp("lake_delta_dlq"))
+    events, n_clean = _events_with_bad_rows()
+    pipe = CDCPipeline(lake, num_partitions=4, dlq=True)
+    # base-commit the first half, delta-commit the rest (incl. all poison)
+    pipe.apply(ray.data.from_arrow(events.slice(0, n_clean // 2)))
+    stats = pipe.apply_delta(ray.data.from_arrow(events.slice(n_clean // 2)))
+    assert stats["events_quarantined"] == 4
+    assert mf.has_deltas(mf.read_manifest(lake))
+    assert pipe.read_dlq().num_rows == 4
+    _assert_matches_oracle(_lake_as_dict(pipe),
+                           sequential_oracle(n_clean))
+    # compaction folds the clean backlog and leaves the quarantine intact
+    pipe.compact_deltas()
+    assert pipe.read_dlq().num_rows == 4
+    _assert_matches_oracle(_lake_as_dict(pipe),
+                           sequential_oracle(n_clean))
