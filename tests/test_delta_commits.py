@@ -512,3 +512,46 @@ def test_delta_commits_with_dlq_quarantine(ray_session, tmp_path_factory):
     assert pipe.read_dlq().num_rows == 4
     _assert_matches_oracle(_lake_as_dict(pipe),
                            sequential_oracle(n_clean))
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_random_schedule_with_sync_mirror(ray_session, tmp_path_factory,
+                                          oracle, seed):
+    """composition fuzz incl. the sync consumer: random base/delta/compact
+    schedule with a sync after every step — at the end BOTH the lake fold
+    and the distributed sync-mirror fold equal the sequential oracle."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    lake = str(tmp_path_factory.mktemp(f"lake_fuzz_sync_{seed}"))
+    out = str(tmp_path_factory.mktemp(f"sync_fuzz_{seed}"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(N_EVENTS)
+    cuts = sorted(rng.choice(np.arange(200, N_EVENTS - 200), size=4,
+                             replace=False).tolist())
+    bounds = [0, *cuts, N_EVENTS]
+    for lo, hi in zip(bounds, bounds[1:]):
+        overlap = int(rng.integers(0, lo // 2 + 1))
+        chunk = full.slice(lo - overlap, hi - (lo - overlap))
+        if rng.random() < 0.4:
+            pipe.apply(ray.data.from_arrow(chunk))
+        else:
+            pipe.apply_delta(ray.data.from_arrow(chunk))
+        if rng.random() < 0.3:
+            pipe.compact_deltas()
+        pipe.sync_changes(out)
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+    folded = pa.concat_tables(
+        [b for b in CDCPipeline.read_sync_mirror(out)
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="permissive")
+    got = {}
+    for r in folded.to_pylist():
+        key = (r["conv_id"], r["turn_idx"])
+        assert key not in got
+        ts = r["ts"]
+        got[key] = {"role": r["role"], "text": r["text"], "tool": r["tool"],
+                    "ts_ns": int(ts.timestamp() * 1e9) if ts else None,
+                    "lsn": r["lsn"]}
+    _assert_matches_oracle(got, oracle)
