@@ -1915,14 +1915,21 @@ class CDCPipeline:
 
         manifest = mf.read_manifest(self.lake_dir)
         self.check_manifest_compat(manifest)
+        # parquet predicate pushdown: every lake file (base AND delta) is
+        # written sorted by (conv_id, turn_idx), so conv_id row-group
+        # statistics prune to ~one row group per file — the equality filter
+        # selects whole merge-key groups, so it commutes with the fold
+        flt = [("conv_id", "==", conv_id)]
 
         def load(meta: "dict") -> "pa.Table | None":
             # point-lookup tier: read base + pending deltas and fold (the
             # merge-on-read contract holds for every read path)
-            base = pq.read_table(os.path.join(self.lake_dir, meta["path"])) \
+            base = pq.read_table(os.path.join(self.lake_dir, meta["path"]),
+                                 filters=flt) \
                 if meta.get("path") else None
             if meta.get("deltas"):
-                pend = [pq.read_table(os.path.join(self.lake_dir, d["path"]))
+                pend = [pq.read_table(os.path.join(self.lake_dir, d["path"]),
+                                      filters=flt)
                         for d in meta["deltas"]]
                 return fold_partition_state(base, pend)
             return base
