@@ -30,6 +30,7 @@ import pyarrow.parquet as pq
 import ray
 
 from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+    LAKE_ROW_GROUP_ROWS,
     MergeApplier,
     merge_partition_table,
 )
@@ -98,7 +99,8 @@ class PartitionBufferActor:
             rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)
-            pq.write_table(state, full, compression="zstd")
+            pq.write_table(state, full, compression="zstd",
+                           row_group_size=LAKE_ROW_GROUP_ROWS)
             rows.append({
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": new_wm, "events_applied": applied,

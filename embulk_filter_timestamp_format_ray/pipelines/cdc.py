@@ -232,6 +232,14 @@ class NormalizeStage:
 
 LAKE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
 
+# row-group size for every lake state/delta write: files are sorted by
+# (conv_id, turn_idx), so bounded row groups keep the conv_id row-group
+# statistics selective — read_conversation's predicate pushdown prunes to
+# ~one group per file regardless of how large a partition grows (pyarrow's
+# default 1Mi-row groups would make a 50M-row partition file prune 50x
+# worse)
+LAKE_ROW_GROUP_ROWS = 131_072
+
 _LAKE_FIELD_TYPES = {
     "conv_id": pa.string(), "turn_idx": pa.int32(), "role": pa.string(),
     "text": pa.string(), "tool": pa.string(), "ts": _TS_NS_UTC,
@@ -474,7 +482,8 @@ class MergeApplier:
         rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
         full = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(state, full, compression="zstd")
+        pq.write_table(state, full, compression="zstd",
+                           row_group_size=LAKE_ROW_GROUP_ROWS)
         return self._result({
             "pid": pid, "path": rel, "rows": state.num_rows,
             "last_applied_lsn": new_watermark, "events_applied": applied,
@@ -502,7 +511,8 @@ def _write_dlq_group(lake_dir: str, txn_id: str, group: pa.Table) -> "dict":
     rel = os.path.join(f"txn-{txn_id}", "dlq.parquet")
     full = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(full), exist_ok=True)
-    pq.write_table(dlq_tbl, full, compression="zstd")
+    pq.write_table(dlq_tbl, full, compression="zstd",
+                   row_group_size=LAKE_ROW_GROUP_ROWS)
     return {
         "pid": DLQ_PID, "path": rel, "rows": dlq_tbl.num_rows,
         "last_applied_lsn": -1, "events_applied": 0,
@@ -530,7 +540,8 @@ def write_delta_file(lake_dir: str, txn_id: str, pid: int, watermark: int,
     rel = os.path.join(f"txn-{txn_id}", f"delta-{pid:05d}.parquet")
     full = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(full), exist_ok=True)
-    pq.write_table(winners, full, compression="zstd")
+    pq.write_table(winners, full, compression="zstd",
+                   row_group_size=LAKE_ROW_GROUP_ROWS)
     return {
         "pid": pid, "path": rel, "rows": winners.num_rows,
         "last_applied_lsn": new_watermark, "events_applied": applied,
@@ -971,7 +982,8 @@ class CDCPipeline:
             rel = os.path.join(f"txn-{txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(lake_dir, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)
-            pq.write_table(state, full, compression="zstd")
+            pq.write_table(state, full, compression="zstd",
+                           row_group_size=LAKE_ROW_GROUP_ROWS)
             return MergeApplier._result({
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": low, "events_applied": 0,
@@ -1062,7 +1074,8 @@ class CDCPipeline:
                                            f"part-{row['pid']:05d}.parquet")
                         full = os.path.join(lake_dir, rel)
                         os.makedirs(os.path.dirname(full), exist_ok=True)
-                        pq.write_table(state, full, compression="zstd")
+                        pq.write_table(state, full, compression="zstd",
+                           row_group_size=LAKE_ROW_GROUP_ROWS)
                     outs.append({"pid": row["pid"], "path": rel,
                                  "rows": state.num_rows})
                 return pa.Table.from_pylist(outs, schema=pa.schema([
@@ -1175,7 +1188,8 @@ class CDCPipeline:
             rel = os.path.join(f"txn-{txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(lake_dir, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)
-            pq.write_table(state, full, compression="zstd")
+            pq.write_table(state, full, compression="zstd",
+                           row_group_size=LAKE_ROW_GROUP_ROWS)
             return MergeApplier._result({
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": int(snapshot_lsn), "events_applied": 0,
