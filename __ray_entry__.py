@@ -427,6 +427,37 @@ def q_cdc_sync(sf_dir: str):
     return ray.data.read_parquet(s["path"])
 
 
+def q_cdc_incremental_view(sf_dir: str):
+    """Incrementally-maintained materialized view: refresh after a base
+    commit, then after a DELTA commit (staleness keys on the base+delta
+    signature, so the second refresh re-aggregates only touched
+    partitions and folds their pending deltas); read() folds the stored
+    per-partition PARTIALS with the associative merge spec.  Oracle: the
+    flagship fold grouped per conversation (count + max lsn)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.views import (
+        IncrementalView,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES, "cdc_events_20000.parquet"))
+    lsn = events.column("lsn")
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_ivw_{run}")
+    view_dir = os.path.join(tempfile.gettempdir(), f"graft_cdc_ivwv_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(events.filter(pc.less(lsn, cut))))
+    view = IncrementalView(lake, view_dir)
+    view.refresh()
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(lsn, cut))))
+    view.refresh()
+    return view.read()
+
+
 def q_cdc_sync_mirror(sf_dir: str):
     """Consumer-side fold of a sync directory: after a snapshot sync and a
     change sync, `read_sync_mirror` (distributed: per-key latest-directory
@@ -2081,6 +2112,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_delta_commits": q_cdc_delta_commits,
         "cdc_sync": q_cdc_sync,
         "cdc_sync_mirror": q_cdc_sync_mirror,
+        "cdc_incremental_view": q_cdc_incremental_view,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
@@ -2331,6 +2363,16 @@ def oracle_sql() -> "dict[str, str]":
             "from f1 full outer join f2 on f1.conv_id = f2.conv_id "
             "and f1.turn_idx = f2.turn_idx "
             "where f1.lsn is null or f2.lsn is null or f1.lsn <> f2.lsn",
+        # Incremental view partials fold to per-conversation stats of the
+        # flagship fold (n_turns = surviving turn count, max_lsn)
+        "cdc_incremental_view":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "final as (select conv_id, lsn from ranked "
+            "where rn = 1 and op <> 'delete') "
+            "select conv_id, count(*)::bigint as n_turns, "
+            "max(lsn) as max_lsn from final group by conv_id",
         # Consumer fold of the sync dirs ≡ live state ≡ flagship fold
         "cdc_sync_mirror":
             "with ranked as (select *, row_number() over "
