@@ -427,6 +427,33 @@ def q_cdc_sync(sf_dir: str):
     return ray.data.read_parquet(s["path"])
 
 
+def q_cdc_repartition(sf_dir: str):
+    """Lake re-shard: commit the fixture under 16 partitions (half as a
+    pending delta backlog), repartition to 48 — a distributed read-fold →
+    re-shard → rewrite that must preserve live state exactly and clear
+    the backlog (`pipelines/cdc.py repartition_lake`).  Oracle: the
+    flagship argmax-LSN fold."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES, "cdc_events_20000.parquet"))
+    lsn = events.column("lsn")
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_rep_{run}")
+    pipe = CDCPipeline(lake, num_partitions=16)
+    pipe.apply(ray.data.from_arrow(events.filter(pc.less(lsn, cut))))
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(lsn, cut))))
+    pipe.repartition_lake(48)
+    return pipe.read_lake().map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_incremental_view(sf_dir: str):
     """Incrementally-maintained materialized view: refresh after a base
     commit, then after a DELTA commit (staleness keys on the base+delta
@@ -2113,6 +2140,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_sync": q_cdc_sync,
         "cdc_sync_mirror": q_cdc_sync_mirror,
         "cdc_incremental_view": q_cdc_incremental_view,
+        "cdc_repartition": q_cdc_repartition,
         "assemble_transcripts": q_assemble_transcripts,
         "agg_q1": q_agg_q1,
         "rollup_sales": q_rollup_sales,
@@ -2363,6 +2391,16 @@ def oracle_sql() -> "dict[str, str]":
             "from f1 full outer join f2 on f1.conv_id = f2.conv_id "
             "and f1.turn_idx = f2.turn_idx "
             "where f1.lsn is null or f2.lsn is null or f1.lsn <> f2.lsn",
+        # Re-sharding (with a pending delta backlog folded in) preserves
+        # live state exactly ≡ flagship fold
+        "cdc_repartition":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
         # Incremental view partials fold to per-conversation stats of the
         # flagship fold (n_turns = surviving turn count, max_lsn)
         "cdc_incremental_view":
