@@ -96,6 +96,12 @@ class PartitionBufferActor:
                         for d in meta["deltas"]]
                 prior = fold_partition_state(prior, pend)
             state, new_wm, applied = merge_partition_table(delta, prior, watermark)
+            # lexicographic key order on disk, same as every other writer
+            import pyarrow.compute as pc
+
+            state = state.take(pc.sort_indices(
+                state, sort_keys=[("conv_id", "ascending"),
+                                  ("turn_idx", "ascending")]))
             rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)

@@ -479,6 +479,13 @@ class MergeApplier:
         delta = decode_shuffle_encoding(group.drop_columns(["_pid"]))
         state, new_watermark, applied = merge_partition_table(
             delta, prior, watermark, replay_filter=self.replay_filter)
+        # lexicographic key order on disk (keep_last_per_key leaves
+        # dictionary-index order): keeps conv_id row-group statistics
+        # selective for the point-lookup predicate pushdown, and makes
+        # every lake writer's file ordering identical (fsck checks it)
+        state = state.take(pc.sort_indices(
+            state, sort_keys=[("conv_id", "ascending"),
+                              ("turn_idx", "ascending")]))
         rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
         full = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
@@ -1766,6 +1773,118 @@ class CDCPipeline:
         return ds.map_batches(
             lambda b: b.drop_columns(["_seq", "change_type"]),
             batch_format="pyarrow", zero_copy_batch=True)
+
+    def fsck(self) -> "dict":
+        """Distributed lake invariant check (table doctor): one task per
+        partition reads its base+delta files and verifies the invariants
+        every other operator silently relies on —
+
+        * **routing**: every row's recomputed partition id (same
+          PartitionStage + salt config as writes) equals the partition it
+          lives in — catches cross-layout corruption the frozen-config
+          guard can't see once files are already misplaced;
+        * **uniqueness**: no duplicate (conv_id, turn_idx) after the fold
+          (a broken merge would double keys);
+        * **watermark**: max(lsn) in the partition ≤ its committed
+          last_applied_lsn (rows from the future mean a torn commit);
+        * **ordering** (WARNING tier, not a violation): base and delta
+          files sorted by the merge key — reads stay correct without it,
+          but point-lookup row-group pruning loses selectivity; lakes
+          written before the uniform-ordering change surface here.
+
+        Returns ``{"partitions_checked": n, "rows_checked": n,
+        "violations": [...], "warnings": [...]}`` — an empty violations
+        list is a correct lake.  Cost: one streaming pass, no shuffle."""
+        import ray.data
+
+        manifest = mf.read_manifest(self.lake_dir)
+        self.check_manifest_compat(manifest)
+        lake_dir = self.lake_dir
+        stage = PartitionStage(self.num_partitions,
+                               by_turn=(self.partition_mode == "turn"),
+                               salt_keys=self.salt_keys,
+                               salt_factor=self.salt_factor)
+        items = []
+        for pid, p in manifest["partitions"].items():
+            if not p.get("path") and not p.get("deltas"):
+                continue
+            items.append({"pid": int(pid), "base": p.get("path") or "",
+                          "deltas": [d["path"] for d in p.get("deltas", [])],
+                          "watermark": int(p.get("last_applied_lsn", -1))})
+        if not items:
+            return {"partitions_checked": 0, "rows_checked": 0,
+                    "violations": []}
+
+        def check_part(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():  # metadata-tier loop (≤P rows)
+                pid = row["pid"]
+                probs = []
+                warns = []
+                rows_seen = 0
+
+                def sortedness(t: pa.Table, what: str):
+                    order = pc.sort_indices(t, sort_keys=[
+                        ("conv_id", "ascending"), ("turn_idx", "ascending")])
+                    if not np.array_equal(np.asarray(order),
+                                          np.arange(t.num_rows)):
+                        warns.append(f"{what} not sorted by merge key")
+
+                base = None
+                if row["base"]:
+                    base = pq.read_table(os.path.join(lake_dir, row["base"]))
+                    rows_seen += base.num_rows
+                    sortedness(base, "base file")
+                deltas = []
+                for d in row["deltas"]:
+                    t = pq.read_table(os.path.join(lake_dir, d))
+                    rows_seen += t.num_rows
+                    sortedness(t, f"delta file {os.path.basename(d)}")
+                    deltas.append(t)
+                live = fold_partition_state(base, deltas)
+                if live.num_rows:
+                    # uniqueness post-fold
+                    uniq = pa.table({
+                        "c": live.column("conv_id"),
+                        "t": live.column("turn_idx")})
+                    n_distinct = uniq.group_by(["c", "t"]).aggregate(
+                        []).num_rows
+                    if n_distinct != live.num_rows:
+                        probs.append(
+                            f"{live.num_rows - n_distinct} duplicate "
+                            "merge key(s) after fold")
+                    # routing: recomputed pid must equal the owning pid
+                    routed = stage(live)
+                    wrong = pc.sum(pc.cast(pc.not_equal(
+                        routed.column("_pid"),
+                        pa.scalar(pid, pa.int32())), pa.int64())).as_py()
+                    if wrong:
+                        probs.append(f"{wrong} row(s) routed to another "
+                                     "partition under the committed layout")
+                    # watermark: no row from the future
+                    mx = pc.max(live.column("lsn")).as_py()
+                    if mx is not None and mx > row["watermark"]:
+                        probs.append(
+                            f"max lsn {mx} exceeds committed watermark "
+                            f"{row['watermark']}")
+                out.append({"pid": pid, "rows": rows_seen,
+                            "violations": "; ".join(probs),
+                            "warnings": "; ".join(warns)})
+            return pa.Table.from_pylist(out, schema=pa.schema([
+                ("pid", pa.int64()), ("rows", pa.int64()),
+                ("violations", pa.string()), ("warnings", pa.string())]))
+
+        rows = ray.data.from_items(
+            items, override_num_blocks=len(items)).map_batches(
+                check_part, batch_format="pyarrow",
+                zero_copy_batch=True).take_all()
+        violations = [{"pid": int(r["pid"]), "problems": r["violations"]}
+                      for r in rows if r["violations"]]
+        warnings_ = [{"pid": int(r["pid"]), "problems": r["warnings"]}
+                     for r in rows if r["warnings"]]
+        return {"partitions_checked": len(rows),
+                "rows_checked": sum(int(r["rows"]) for r in rows),
+                "violations": violations, "warnings": warnings_}
 
     def table_stats(self) -> "dict":
         """Operational health snapshot from the manifest alone (no data

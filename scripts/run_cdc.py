@@ -58,6 +58,10 @@ def main() -> None:
                     help="read-only: print the lake health snapshot "
                          "(rows/bytes/skew/watermark spread/dlq backlog) "
                          "and exit")
+    ap.add_argument("--fsck", action="store_true",
+                    help="read-only: distributed lake invariant check "
+                         "(routing/uniqueness/ordering/watermarks per "
+                         "partition); exit 1 if violations are found")
     ap.add_argument("--bootstrap-from", default=None, metavar="PARQUET",
                     help="seed the EMPTY lake from a full-table snapshot "
                          "(parquet path/dir with the lake schema minus lsn) "
@@ -134,6 +138,10 @@ def main() -> None:
         if args.stats:
             print(json.dumps({"lake": args.lake, **pipe.table_stats()}))
             return
+        if args.fsck:
+            rep = pipe.fsck()
+            print(json.dumps({"lake": args.lake, **rep}))
+            return 1 if rep["violations"] else None
         if args.bootstrap_from is not None:
             if args.snapshot_lsn is None:
                 ap.error("--bootstrap-from requires --snapshot-lsn")

