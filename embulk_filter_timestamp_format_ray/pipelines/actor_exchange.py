@@ -32,7 +32,9 @@ import ray
 from embulk_filter_timestamp_format_ray.pipelines.cdc import (
     LAKE_ROW_GROUP_ROWS,
     MergeApplier,
+    fold_partition_state,
     merge_partition_table,
+    sort_by_merge_key,
 )
 
 
@@ -88,20 +90,11 @@ class PartitionBufferActor:
                 # state first — this base merge clears the partition's
                 # delta list at commit, so dropping them here would lose
                 # committed rows
-                from embulk_filter_timestamp_format_ray.pipelines.cdc import (
-                    fold_partition_state,
-                )
-
                 pend = [pq.read_table(os.path.join(self.lake_dir, d["path"]))
                         for d in meta["deltas"]]
                 prior = fold_partition_state(prior, pend)
             state, new_wm, applied = merge_partition_table(delta, prior, watermark)
-            # lexicographic key order on disk, same as every other writer
-            import pyarrow.compute as pc
-
-            state = state.take(pc.sort_indices(
-                state, sort_keys=[("conv_id", "ascending"),
-                                  ("turn_idx", "ascending")]))
+            state = sort_by_merge_key(state)
             rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)

@@ -325,6 +325,35 @@ def keep_last_per_key(tbl: pa.Table) -> pa.Table:
     return tbl.take(pa.array(perm[last]))
 
 
+def sort_by_merge_key(tbl: pa.Table) -> pa.Table:
+    """THE on-disk lake file ordering — lexicographic (conv_id, turn_idx).
+    Every lake writer (base merge, delta commit, compaction, repartition,
+    both exchanges) emits this order and fsck audits it; keeping the key
+    spec in one place means a future key change cannot silently diverge
+    between writers (which would erode point-lookup row-group pruning)."""
+    if tbl.num_rows <= 1:
+        return tbl
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("conv_id", "ascending"),
+                        ("turn_idx", "ascending")]))
+
+
+def is_merge_key_sorted(tbl: pa.Table) -> bool:
+    """O(n) adjacent-row monotonicity probe for ``sort_by_merge_key``'s
+    order — no argsort, no index materialization.  Null keys (never
+    written by a healthy lake) report unsorted."""
+    n = tbl.num_rows
+    if n <= 1:
+        return True
+    c = tbl.column("conv_id").combine_chunks()
+    t = tbl.column("turn_idx").combine_chunks()
+    ca, cb = c.slice(0, n - 1), c.slice(1)
+    ta, tb = t.slice(0, n - 1), t.slice(1)
+    ok = pc.or_(pc.less(ca, cb),
+                pc.and_(pc.equal(ca, cb), pc.less_equal(ta, tb)))
+    return pc.all(ok).as_py() is True
+
+
 class PreMergeCombiner:
     """map_batches combiner applied after partitioning, before the shuffle:
     per block, keep only each key's winner (tombstones included), then
@@ -483,9 +512,7 @@ class MergeApplier:
         # dictionary-index order): keeps conv_id row-group statistics
         # selective for the point-lookup predicate pushdown, and makes
         # every lake writer's file ordering identical (fsck checks it)
-        state = state.take(pc.sort_indices(
-            state, sort_keys=[("conv_id", "ascending"),
-                              ("turn_idx", "ascending")]))
+        state = sort_by_merge_key(state)
         rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
         full = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
@@ -541,9 +568,7 @@ def write_delta_file(lake_dir: str, txn_id: str, pid: int, watermark: int,
     if applied == 0:
         return None
     winners = keep_last_per_key(fresh).select(["op", *LAKE_COLUMNS])
-    winners = winners.take(pc.sort_indices(
-        winners, sort_keys=[("conv_id", "ascending"),
-                            ("turn_idx", "ascending")]))
+    winners = sort_by_merge_key(winners)
     rel = os.path.join(f"txn-{txn_id}", f"delta-{pid:05d}.parquet")
     full = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(full), exist_ok=True)
@@ -983,9 +1008,7 @@ class CDCPipeline:
                 return MergeApplier._result(None)
             pid = int(group.column("_pid")[0].as_py())
             state = group.drop_columns(["_pid"])
-            state = state.take(pc.sort_indices(
-                state, sort_keys=[("conv_id", "ascending"),
-                                  ("turn_idx", "ascending")]))
+            state = sort_by_merge_key(state)
             rel = os.path.join(f"txn-{txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(lake_dir, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)
@@ -1074,9 +1097,7 @@ class CDCPipeline:
                     state = fold_partition_state(base, deltas)
                     rel = ""
                     if state.num_rows:
-                        state = state.take(pc.sort_indices(
-                            state, sort_keys=[("conv_id", "ascending"),
-                                              ("turn_idx", "ascending")]))
+                        state = sort_by_merge_key(state)
                         rel = os.path.join(f"txn-{txn_id}",
                                            f"part-{row['pid']:05d}.parquet")
                         full = os.path.join(lake_dir, rel)
@@ -1189,9 +1210,7 @@ class CDCPipeline:
                 return MergeApplier._result(None)
             pid = int(group.column("_pid")[0].as_py())
             state = group.drop_columns(["_pid"]).select(LAKE_COLUMNS)
-            state = state.take(pc.sort_indices(
-                state, sort_keys=[("conv_id", "ascending"),
-                                  ("turn_idx", "ascending")]))
+            state = sort_by_merge_key(state)
             rel = os.path.join(f"txn-{txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(lake_dir, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)
@@ -1779,14 +1798,24 @@ class CDCPipeline:
         partition reads its base+delta files and verifies the invariants
         every other operator silently relies on —
 
-        * **routing**: every row's recomputed partition id (same
+        All checks run on the RAW files, never on the folded view —
+        ``fold_partition_state`` repairs duplicates and filters tombstones
+        by construction, so a post-fold check would mostly verify the fold
+        operator instead of the on-disk state:
+
+        * **routing**: every raw row's recomputed partition id (same
           PartitionStage + salt config as writes) equals the partition it
           lives in — catches cross-layout corruption the frozen-config
           guard can't see once files are already misplaced;
-        * **uniqueness**: no duplicate (conv_id, turn_idx) after the fold
-          (a broken merge would double keys);
-        * **watermark**: max(lsn) in the partition ≤ its committed
-          last_applied_lsn (rows from the future mean a torn commit);
+        * **uniqueness**: no duplicate (conv_id, turn_idx) WITHIN a file —
+          every writer runs keep_last_per_key before writing, so a
+          duplicated key inside one base/delta file means a broken merge
+          (across files duplicates are legitimate: that is the delta
+          backlog);
+        * **watermark**: max(lsn) per file ≤ the partition's committed
+          last_applied_lsn (rows from the future mean a torn commit) —
+          checked per raw file so a future-lsn delete tombstone cannot
+          hide behind the fold's tombstone filter;
         * **ordering** (WARNING tier, not a violation): base and delta
           files sorted by the merge key — reads stay correct without it,
           but point-lookup row-group pruning loses selectivity; lakes
@@ -1813,7 +1842,7 @@ class CDCPipeline:
                           "watermark": int(p.get("last_applied_lsn", -1))})
         if not items:
             return {"partitions_checked": 0, "rows_checked": 0,
-                    "violations": []}
+                    "violations": [], "warnings": []}
 
         def check_part(batch: pa.Table) -> pa.Table:
             out = []
@@ -1823,50 +1852,46 @@ class CDCPipeline:
                 warns = []
                 rows_seen = 0
 
-                def sortedness(t: pa.Table, what: str):
-                    order = pc.sort_indices(t, sort_keys=[
-                        ("conv_id", "ascending"), ("turn_idx", "ascending")])
-                    if not np.array_equal(np.asarray(order),
-                                          np.arange(t.num_rows)):
+                def check_file(t: pa.Table, what: str):
+                    if not t.num_rows:
+                        return
+                    if not is_merge_key_sorted(t):
                         warns.append(f"{what} not sorted by merge key")
-
-                base = None
-                if row["base"]:
-                    base = pq.read_table(os.path.join(lake_dir, row["base"]))
-                    rows_seen += base.num_rows
-                    sortedness(base, "base file")
-                deltas = []
-                for d in row["deltas"]:
-                    t = pq.read_table(os.path.join(lake_dir, d))
-                    rows_seen += t.num_rows
-                    sortedness(t, f"delta file {os.path.basename(d)}")
-                    deltas.append(t)
-                live = fold_partition_state(base, deltas)
-                if live.num_rows:
-                    # uniqueness post-fold
-                    uniq = pa.table({
-                        "c": live.column("conv_id"),
-                        "t": live.column("turn_idx")})
+                    # uniqueness within the file: every writer runs
+                    # keep_last_per_key first, so an in-file duplicate
+                    # key is a broken merge
+                    uniq = pa.table({"c": t.column("conv_id"),
+                                     "t": t.column("turn_idx")})
                     n_distinct = uniq.group_by(["c", "t"]).aggregate(
                         []).num_rows
-                    if n_distinct != live.num_rows:
+                    if n_distinct != t.num_rows:
                         probs.append(
-                            f"{live.num_rows - n_distinct} duplicate "
-                            "merge key(s) after fold")
+                            f"{t.num_rows - n_distinct} duplicate merge "
+                            f"key(s) within {what}")
+                    # watermark on the raw file (tombstones included)
+                    mx = pc.max(t.column("lsn")).as_py()
+                    if mx is not None and mx > row["watermark"]:
+                        probs.append(
+                            f"max lsn {mx} in {what} exceeds committed "
+                            f"watermark {row['watermark']}")
                     # routing: recomputed pid must equal the owning pid
-                    routed = stage(live)
+                    routed = stage(t)
                     wrong = pc.sum(pc.cast(pc.not_equal(
                         routed.column("_pid"),
                         pa.scalar(pid, pa.int32())), pa.int64())).as_py()
                     if wrong:
-                        probs.append(f"{wrong} row(s) routed to another "
-                                     "partition under the committed layout")
-                    # watermark: no row from the future
-                    mx = pc.max(live.column("lsn")).as_py()
-                    if mx is not None and mx > row["watermark"]:
-                        probs.append(
-                            f"max lsn {mx} exceeds committed watermark "
-                            f"{row['watermark']}")
+                        probs.append(f"{wrong} row(s) in {what} routed to "
+                                     "another partition under the "
+                                     "committed layout")
+
+                if row["base"]:
+                    base = pq.read_table(os.path.join(lake_dir, row["base"]))
+                    rows_seen += base.num_rows
+                    check_file(base, "base file")
+                for d in row["deltas"]:
+                    t = pq.read_table(os.path.join(lake_dir, d))
+                    rows_seen += t.num_rows
+                    check_file(t, f"delta file {os.path.basename(d)}")
                 out.append({"pid": pid, "rows": rows_seen,
                             "violations": "; ".join(probs),
                             "warnings": "; ".join(warns)})

@@ -125,6 +125,12 @@ def main() -> None:
                     f"{args.partitions} was given; omit the flag to adopt "
                     "the committed layout, or repartition_lake to change it")
         except ValueError:
+            if args.fsck:
+                # a health check that would "pass" a lake that was never
+                # committed (or a mistyped path) masks real failures
+                print(json.dumps({"lake": args.lake, "error":
+                                  "no committed lake at this path"}))
+                return 2
             pipe = CDCPipeline(args.lake,
                                num_partitions=args.partitions or 128,
                                dlq=args.dlq)

@@ -558,9 +558,11 @@ def test_random_schedule_with_sync_mirror(ray_session, tmp_path_factory,
 
 
 def test_fsck_healthy_and_corrupted(ray_session, tmp_path_factory):
-    """fsck passes a healthy (delta-backlogged, salted conv-mode) lake and
-    pinpoints deliberate corruption: mis-routed rows, unsorted files, and
-    future lsns."""
+    """fsck passes a healthy delta-backlogged lake and pinpoints each
+    corruption tier on the RAW files: mis-routed rows, in-file duplicate
+    keys, future lsns hiding behind a delete tombstone, and (warning tier)
+    an unsorted file."""
+    import pyarrow.compute as pc_
     import pyarrow.parquet as pq_
     import ray.data
 
@@ -573,8 +575,7 @@ def test_fsck_healthy_and_corrupted(ray_session, tmp_path_factory):
     assert rep["violations"] == [] and rep["warnings"] == []
     assert rep["rows_checked"] > 0
 
-    # corrupt: swap two partitions' base files (mis-routing + maybe
-    # watermark violations), and unsort one delta file
+    # corrupt 1: swap two partitions' base files (mis-routing)
     m = mf.read_manifest(lake)
     pids = [p for p, meta in m["partitions"].items() if meta.get("path")][:2]
     a = os.path.join(lake, m["partitions"][pids[0]]["path"])
@@ -587,3 +588,65 @@ def test_fsck_healthy_and_corrupted(ray_session, tmp_path_factory):
     assert {int(pids[0]), int(pids[1])} <= bad_pids
     assert any("routed to another partition" in v["problems"]
                for v in bad["violations"])
+    pq_.write_table(ta, a)  # restore
+    pq_.write_table(tb, b)
+
+    # corrupt 2: duplicate a merge key INSIDE the base file (a broken
+    # merge would double keys — the fold silently repairs this, so the
+    # check must look at the raw file)
+    dup = pa.concat_tables([ta, ta.slice(0, 1)])
+    pq_.write_table(dup, a)
+    bad = pipe.fsck()
+    assert any("duplicate merge key" in v["problems"]
+               for v in bad["violations"])
+    pq_.write_table(ta, a)
+
+    # corrupt 3: a future-lsn DELETE tombstone in a delta file — the fold
+    # filters tombstones out of live state, so only a raw-file watermark
+    # check can see it
+    dpid, dmeta = next((p, meta) for p, meta in m["partitions"].items()
+                       if meta.get("deltas"))
+    dpath = os.path.join(lake, dmeta["deltas"][0]["path"])
+    td = pq_.read_table(dpath)
+    wm = int(dmeta["last_applied_lsn"])
+    ghost = td.slice(0, 1).set_column(
+        td.schema.get_field_index("lsn"), "lsn",
+        pa.array([wm + 1000], pa.int64())).set_column(
+        td.schema.get_field_index("op"), "op", pa.array(["delete"]))
+    pq_.write_table(pa.concat_tables([td, ghost]), dpath)
+    bad = pipe.fsck()
+    assert any("exceeds committed watermark" in v["problems"]
+               for v in bad["violations"])
+    pq_.write_table(td, dpath)
+
+    # corrupt 4 (warning tier): reverse a delta file's row order — reads
+    # stay correct, so this must NOT be a violation
+    rev = td.take(pc_.sort_indices(
+        td, sort_keys=[("conv_id", "descending")]))
+    if td.num_rows > 1:
+        pq_.write_table(rev, dpath)
+        warned = pipe.fsck()
+        assert warned["violations"] == []
+        assert any("not sorted by merge key" in w["problems"]
+                   for w in warned["warnings"])
+        pq_.write_table(td, dpath)
+
+    # restored lake is clean again
+    final = pipe.fsck()
+    assert final["violations"] == [] and final["warnings"] == []
+
+
+def test_fsck_cli_refuses_missing_lake(tmp_path_factory):
+    """--fsck on a path with no committed manifest exits 2 instead of
+    reporting an empty (vacuously healthy) lake."""
+    import subprocess
+    import sys
+
+    missing = str(tmp_path_factory.mktemp("no_lake")) + "/typo"
+    r = subprocess.run(
+        [sys.executable, "scripts/run_cdc.py", "--lake", missing,
+         "--events", "0", "--fsck"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 2, r.stdout + r.stderr
+    assert "no committed lake" in r.stdout
