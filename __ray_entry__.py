@@ -545,6 +545,44 @@ def q_cdc_delta_commits(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_patch_upserts(sf_dir: str):
+    """Partial-column updates (op='patch'): ~15% of the fixture stream's
+    upsert traffic is sparse Debezium/Mongo-style patches that set only a
+    hashed subset of {role, text, tool, ts} (NULL = unchanged).  The route
+    exercises every write tier — base merge for the prefix, a delta commit
+    folded by compaction, and a PENDING delta commit folded at read time —
+    so the oracle checks that fold_patch_runs (per-column LWW under a
+    delete horizon; pipelines/cdc.py) arbitrates identically in commit,
+    compaction and merge-on-read fold.
+
+    Oracle: SQL replay of the same rule — delete horizon per key, then
+    per-column argmax-lsn among setters (upserts always set a column,
+    patches set their non-NULL columns), joined back by setter lsn.  ``ts``
+    is excluded like the flagship (ns precision vs DuckDB µs)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(
+        os.path.join(_FIXTURES, "cdc_patch_events_20000.parquet"))
+    lsn = events.column("lsn")
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_patch_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    c1, c2 = pa.scalar(8_000, pa.int64()), pa.scalar(14_000, pa.int64())
+    pipe.apply(ray.data.from_arrow(events.filter(pc.less(lsn, c1))))
+    pipe.apply_delta(ray.data.from_arrow(events.filter(pc.and_(
+        pc.greater_equal(lsn, c1), pc.less(lsn, c2)))))
+    pipe.compact_deltas()
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(lsn, c2))))
+    return pipe.read_lake().map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_assemble_transcripts(sf_dir: str):
     """Lake → corpus bridge: replay the CDC stream, then assemble each
     conversation's turns into one ordered transcript document
@@ -2137,6 +2175,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_bootstrap": q_cdc_bootstrap,
         "cdc_merge_on_read": q_cdc_merge_on_read,
         "cdc_delta_commits": q_cdc_delta_commits,
+        "cdc_patch_upserts": q_cdc_patch_upserts,
         "cdc_sync": q_cdc_sync,
         "cdc_sync_mirror": q_cdc_sync_mirror,
         "cdc_incremental_view": q_cdc_incremental_view,
@@ -2430,6 +2469,38 @@ def oracle_sql() -> "dict[str, str]":
             "case role when 'human' then 'user' when 'ai' then 'assistant' "
             "else role end as role, text, tool, lsn "
             "from ranked where rn = 1 and op <> 'delete'",
+        # Partial-column updates: replay fold_patch_runs' rule in SQL —
+        # delete horizon per key (dl), then per-column argmax-lsn among
+        # SETTERS (upserts always; patches where the column is non-NULL),
+        # value fetched by joining back on the setter lsn (lsns are unique
+        # in the replay-free fixture).  A key whose max lsn is a delete has
+        # no rows above dl and vanishes; a patch above dl resurrects.
+        "cdc_patch_upserts":
+            "with e as (select * from "
+            f"read_parquet('{_FIXTURES}/cdc_patch_events_20000.parquet')), "
+            "d as (select conv_id, turn_idx, "
+            "coalesce(max(lsn) filter (where op = 'delete'), -1) as dl "
+            "from e group by conv_id, turn_idx), "
+            "f as (select e.* from e join d using (conv_id, turn_idx) "
+            "where e.lsn > d.dl and e.op <> 'delete'), "
+            "s as (select conv_id, turn_idx, max(lsn) as lsn, "
+            "max(lsn) filter (where op = 'upsert' or role is not null) "
+            "as s_role, "
+            "max(lsn) filter (where op = 'upsert' or text is not null) "
+            "as s_text, "
+            "max(lsn) filter (where op = 'upsert' or tool is not null) "
+            "as s_tool "
+            "from f group by conv_id, turn_idx) "
+            "select s.conv_id, s.turn_idx, "
+            "case er.role when 'human' then 'user' when 'ai' then "
+            "'assistant' else er.role end as role, et.text, eo.tool, s.lsn "
+            "from s "
+            "left join e er on er.conv_id = s.conv_id and "
+            "er.turn_idx = s.turn_idx and er.lsn = s.s_role "
+            "left join e et on et.conv_id = s.conv_id and "
+            "et.turn_idx = s.turn_idx and et.lsn = s.s_text "
+            "left join e eo on eo.conv_id = s.conv_id and "
+            "eo.turn_idx = s.turn_idx and eo.lsn = s.s_tool",
         # Bootstrap+suffix ≡ full fold, minus lsn (snapshot rows carry the
         # snapshot position, legitimately differing from their source lsn)
         "cdc_bootstrap":

@@ -70,7 +70,12 @@ DEFAULT_EPOCH_SPECS: "dict[int, ColumnConfig]" = {
 }
 
 MERGE_KEY = ("conv_id", "turn_idx")
-VALID_OPS = ("upsert", "delete")
+VALID_OPS = ("upsert", "delete", "patch")
+
+#: wire/op-code order — index = int8 code used by the combiner's
+#: wire encoding and by the fold kernels (0 upsert, 1 delete, 2 patch)
+_OP_NAMES = pa.array(["upsert", "delete", "patch"], pa.string())
+PATCH_OP = "patch"
 
 #: reserved partition id for the dead-letter route (never produced by
 #: PartitionStage, whose pids are uint64 % num_partitions ≥ 0)
@@ -184,7 +189,12 @@ class NormalizeStage:
             ns[idx] = sub_ns
             null_mask[idx] = sub_null
         if self.dlq:
-            codes[null_mask & (codes == 0)] = 3
+            # a patch event with NULL ts_raw is "ts unchanged" (unset), not
+            # an unparseable timestamp — exclude it from quarantine code 3
+            patch_unset = np.asarray(pc.fill_null(pc.and_(
+                pc.equal(batch.column("op"), PATCH_OP),
+                pc.is_null(raw)), False))
+            codes[null_mask & (codes == 0) & ~patch_unset] = 3
         ts = pa.array(ns).cast(pa.timestamp("ns")).cast(_TS_NS_UTC)
         if null_mask.any():
             ts = pc.if_else(pa.array(~null_mask), ts, pa.scalar(None, _TS_NS_UTC))
@@ -276,34 +286,28 @@ def fold_partition_state(base: "pa.Table | None", deltas: "list[pa.Table]",
         return _empty_lake_table(cols)
     merged = pa.concat_tables(parts, promote_options="permissive")
     winners = keep_last_per_key(merged)
-    live = winners.filter(pc.equal(winners.column("op"), "upsert"))
+    # live = everything but tombstones: an all-patch key (possible only
+    # when base is pruned away or the key never had a base row) is a
+    # sparse upsert — unset columns read as NULL
+    live = winners.filter(pc.not_equal(winners.column("op"), "delete"))
     return live.select(cols)
 
 
-def keep_last_per_key(tbl: pa.Table) -> pa.Table:
-    """Max-LSN winner per (conv_id, turn_idx) — the associative merge core.
+def _merge_key_runs(tbl: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
+    """Sort machinery shared by the fold kernels: returns ``(perm, last)``
+    where ``perm`` orders rows by (conv_id, turn_idx, lsn) and ``last``
+    marks each key-run's final (max-LSN) position in sorted coordinates.
 
-    Used both as the pre-shuffle combiner (map-side: shrinks the exchange to
-    one row per key per block; at binlog scale most updates collapse here)
-    and as the reduce-side merge. Winner selection commutes with itself, so
-    combining before the shuffle cannot change the final winners.
-
-    Contract: ``lsn`` uniquely identifies event content (true for any real
-    binlog); ties at equal (key, lsn) are exact replays, so either copy
-    winning yields identical state."""
-    if tbl.num_rows <= 1:
-        return tbl
-    # lexsort over integer keys (dictionary indices for conv_id) is far
-    # cheaper than an arrow multi-column string sort; then gather only the
-    # winner rows in a single take
+    lexsort over integer keys (dictionary indices for conv_id) is far
+    cheaper than an arrow multi-column string sort.  Fast path: fuse
+    (conv, turn, lsn-lsn_min) into ONE int64 key and run a single argsort
+    instead of a 3-pass lexsort (~2× on 2M-row blocks) — only when the
+    fused key provably fits 62 bits; equal fused keys are exact (key, lsn)
+    replays, so sort stability is irrelevant."""
     conv = np.asarray(pc.dictionary_encode(
         tbl.column("conv_id").combine_chunks()).indices.cast(pa.int64()))
     turn = np.asarray(tbl.column("turn_idx").cast(pa.int64()))
     lsn = np.asarray(tbl.column("lsn").cast(pa.int64()))
-    # fast path: fuse (conv, turn, lsn-lsn_min) into ONE int64 key and run a
-    # single argsort instead of a 3-pass lexsort (~2× on 2M-row blocks).
-    # Only taken when the fused key provably fits 62 bits; equal fused keys
-    # are exact (key, lsn) replays, so sort stability is irrelevant.
     t_min, t_max = (int(turn.min()), int(turn.max())) if len(turn) else (0, 0)
     l_min, l_max = int(lsn.min()), int(lsn.max())
     t_span = t_max - t_min + 1
@@ -320,9 +324,116 @@ def keep_last_per_key(tbl: pa.Table) -> pa.Table:
         c_s, t_s = conv[perm], turn[perm]
         last = np.ones(len(perm), dtype=bool)
         last[:-1] = (c_s[:-1] != c_s[1:]) | (t_s[:-1] != t_s[1:])
+    return perm, last
+
+
+def _has_patch_rows(tbl: pa.Table) -> bool:
+    if tbl.num_rows == 0 or "op" not in tbl.schema.names:
+        return False
+    return pc.any(pc.equal(tbl.column("op"), PATCH_OP)).as_py() is True
+
+
+def keep_last_per_key(tbl: pa.Table) -> pa.Table:
+    """Max-LSN winner per (conv_id, turn_idx) — the associative merge core.
+
+    Used both as the pre-shuffle combiner (map-side: shrinks the exchange to
+    one row per key per block; at binlog scale most updates collapse here)
+    and as the reduce-side merge. Winner selection commutes with itself, so
+    combining before the shuffle cannot change the final winners.
+
+    Partial-column updates: when the table carries ``op == 'patch'`` rows
+    (a patch sets only its non-NULL value columns; NULL = unchanged), the
+    fold dispatches to :func:`fold_patch_runs` — the per-column LWW
+    extension of the same kernel.  Tables without patch rows (the headline
+    binlog) keep the single-argsort whole-row path untouched.
+
+    Contract: ``lsn`` uniquely identifies event content (true for any real
+    binlog); ties at equal (key, lsn) are exact replays, so either copy
+    winning yields identical state."""
+    if tbl.num_rows <= 1:
+        return tbl
+    if _has_patch_rows(tbl):
+        return fold_patch_runs(tbl)
+    perm, last = _merge_key_runs(tbl)
     # NOTE: dictionary indices order != lexical conv order; callers must not
     # rely on output ordering (the verification read sorts explicitly)
     return tbl.take(pa.array(perm[last]))
+
+
+def fold_patch_runs(tbl: pa.Table) -> pa.Table:
+    """Per-key fold with partial-column update (``op='patch'``) semantics —
+    the associative extension of ``keep_last_per_key`` to Debezium/Mongo
+    style sparse updates.  One output row per (conv_id, turn_idx).
+
+    Semantics (per-column LWW under a delete horizon — the unique
+    ASSOCIATIVE extension of whole-row LWW, which is what lets the same
+    kernel arbitrate the in-batch reduce, delta commits, read folds and
+    compaction without per-column lsn sidecars):
+
+    * an ``upsert`` sets EVERY value column (including explicit NULLs) at
+      its lsn; a ``patch`` sets only its non-NULL value columns (NULL =
+      unchanged — resetting a column to NULL therefore requires an upsert);
+      a ``delete`` invalidates all column values set at lower lsns;
+    * a key exists iff its max-lsn event is not a delete — so a patch
+      above a delete RESURRECTS the key with only its own columns (a
+      sparse upsert).  "Patch on a missing key is a no-op" is NOT
+      expressible associatively (a combiner-folded patch pair cannot be
+      un-merged when a delete later lands between their lsns), so the
+      resurrect rule is the scale-correct contract; sources that require
+      strict patch-on-existing semantics must enforce it upstream;
+    * output op: ``delete`` when the run ends in a tombstone (kept — the
+      delta tier persists tombstones), ``patch`` when the run saw ONLY
+      patches (a delta commit must not materialize unknown columns as
+      NULL — the base row may hold them), else ``upsert``.
+
+    Cross-commit correctness needs only row-level lsns because partition
+    watermarks make commits lsn-disjoint: every event in a later commit
+    outranks every row of an earlier one, so a commit-collapsed patch
+    row's column values are never re-interleaved."""
+    perm, last = _merge_key_runs(tbl)
+    n = len(perm)
+    lsn = np.asarray(tbl.column("lsn").cast(pa.int64()))
+    opc = np.asarray(pc.index_in(
+        tbl.column("op").combine_chunks(), value_set=_OP_NAMES)
+        .cast(pa.int64()))[perm]
+    ends = np.flatnonzero(last)
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    idx = np.arange(n, dtype=np.int64)
+    # last delete position per run (delete horizon): sorted by lsn, so
+    # position order == lsn order within a run
+    dpos = np.where(opc == 1, idx, np.int64(-1))
+    di = np.maximum.accumulate(dpos)[ends]
+    di[di < starts] = -1
+    # last boundary (non-patch) position per run → output op class
+    bpos = np.where(opc != 2, idx, np.int64(-1))
+    bi = np.maximum.accumulate(bpos)[ends]
+    has_boundary = bi >= starts
+    is_del_out = opc[ends] == 1
+    sel_end = pa.array(perm[ends])
+    out: "dict[str, pa.Array]" = {}
+    for name in tbl.column_names:
+        if name in ("conv_id", "turn_idx"):
+            out[name] = tbl.column(name).take(sel_end)
+        elif name == "lsn":
+            out[name] = pa.array(lsn[perm[ends]])
+        elif name == "op":
+            out[name] = pa.array(
+                np.where(is_del_out, "delete",
+                         np.where(has_boundary, "upsert", "patch"))
+                .astype(object).tolist(), type=pa.string())
+        else:
+            col = tbl.column(name).combine_chunks()
+            notnull = np.asarray(pc.is_valid(col))[perm]
+            # setter positions: upserts always, patches where non-NULL
+            spos = np.where((opc == 0) | ((opc == 2) & notnull),
+                            idx, np.int64(-1))
+            si = np.maximum.accumulate(spos)[ends]
+            valid = (si >= starts) & (si > di) & ~is_del_out
+            gather = pa.array(perm[np.maximum(si, 0)], mask=~valid)
+            out[name] = col.take(gather)
+    return pa.table(out)
 
 
 def sort_by_merge_key(tbl: pa.Table) -> pa.Table:
@@ -382,13 +493,29 @@ class PreMergeCombiner:
             if pc.any(dlq_mask).as_py():
                 dlq_part = batch.filter(dlq_mask)
                 batch = batch.filter(pc.invert(dlq_mask))
-        out = keep_last_per_key(batch) if batch.num_rows else batch
+        if batch.num_rows and _has_patch_rows(batch):
+            # partial-column updates cannot be block-folded without
+            # per-column lsn sidecars (a later block's delete can land
+            # between two folded patches' lsns) — forward patch rows
+            # untouched and fold only the whole-row ops; patches are a
+            # fraction of binlog traffic, so the exchange stays combined
+            # where it matters.  (A possible prune — dropping patches below
+            # their key's in-block boundary — is safe but not worth the
+            # extra per-key join here.)
+            pmask = pc.equal(batch.column("op"), PATCH_OP)
+            rest = batch.filter(pc.invert(pmask))
+            out = pa.concat_tables(
+                [keep_last_per_key(rest) if rest.num_rows else rest,
+                 batch.filter(pmask)])
+        else:
+            out = keep_last_per_key(batch) if batch.num_rows else batch
         if dlq_part is not None:
             out = pa.concat_tables([out, dlq_part])
         if not self.wire_encode:
             return out
-        is_del = pc.cast(pc.equal(out.column("op"), "delete"), pa.int8())
-        out = out.drop_columns(["op"]).append_column("_del", is_del)
+        op_code = pc.cast(pc.index_in(
+            out.column("op").combine_chunks(), value_set=_OP_NAMES), pa.int8())
+        out = out.drop_columns(["op"]).append_column("_del", op_code)
         for col in ("role", "conv_id"):
             i = out.schema.get_field_index(col)
             enc = pc.dictionary_encode(out.column(col).combine_chunks())
@@ -405,8 +532,8 @@ def decode_shuffle_encoding(tbl: pa.Table) -> pa.Table:
         if pa.types.is_dictionary(c.type):
             tbl = tbl.set_column(i, col, c.cast(pa.string()))
     if "_del" in tbl.schema.names:
-        op = pc.if_else(pc.equal(tbl.column("_del"), 1),
-                        pa.scalar("delete"), pa.scalar("upsert"))
+        # _del carries the _OP_NAMES code (0 upsert / 1 delete / 2 patch)
+        op = pc.take(_OP_NAMES, tbl.column("_del").cast(pa.int64()))
         tbl = tbl.drop_columns(["_del"]).append_column("op", op)
     return tbl
 
@@ -447,7 +574,9 @@ def merge_partition_table(delta: pa.Table, prior: "pa.Table | None",
         return empty, new_watermark, 0
     merged = pa.concat_tables(parts, promote_options="permissive")
     winners = keep_last_per_key(merged)
-    live = winners.filter(pc.equal(winners.column("op"), "upsert"))
+    # not_equal "delete" (vs equal "upsert"): keys touched only by patch
+    # events materialize as sparse upserts (fold_patch_runs semantics)
+    live = winners.filter(pc.not_equal(winners.column("op"), "delete"))
     return live.select(LAKE_COLUMNS), new_watermark, applied
 
 
@@ -1338,7 +1467,8 @@ class CDCPipeline:
 
         def merge_view(group: pa.Table) -> pa.Table:
             winners = keep_last_per_key(group)
-            live = winners.filter(pc.equal(winners.column("op"), "upsert"))
+            live = winners.filter(
+                pc.not_equal(winners.column("op"), "delete"))
             return live.select(LAKE_COLUMNS)
 
         return base.union(delta).groupby("_pid").map_groups(
@@ -1702,7 +1832,7 @@ class CDCPipeline:
     def _confirmed_sync_dirs(out_dir: str) -> "list[str]":
         """Sync directories the consumer cursor has CONFIRMED (embedded
         version ≤ cursor), ascending by name.  Directories above the cursor
-        are speculative — a torn producer attempt (DESIGN #35) — and are
+        are speculative — a torn producer attempt (DESIGN #36) — and are
         invisible to every consumer-side operation until the producer's
         next sync confirms or removes them."""
         cur_path = os.path.join(out_dir, CDCPipeline.SYNC_CURSOR)

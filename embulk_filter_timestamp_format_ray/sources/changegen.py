@@ -144,12 +144,14 @@ class ChangeEventBatchGenerator:
     """map_batches callable: block of ids → CDC event batch (pa.Table)."""
 
     def __init__(self, seed: int, num_events: int, num_convs: int,
-                 replay_fraction: float = 0.02, reorder: bool = True):
+                 replay_fraction: float = 0.02, reorder: bool = True,
+                 patch_permille: int = 0):
         self.seed = seed
         self.num_events = num_events
         self.num_convs = num_convs
         self.replay_every = max(int(1 / replay_fraction), 1) if replay_fraction else 0
         self.reorder = reorder
+        self.patch_permille = patch_permille
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("id"), dtype=np.int64)
@@ -164,15 +166,46 @@ class ChangeEventBatchGenerator:
             lsn = np.concatenate([ids, dup_lsn])
         f = event_fields(lsn, self.seed, self.num_events, self.num_convs)
         op = np.where(f["is_delete"], "delete", "upsert")
+        role, text, tool = f["role"], f["text"], f["tool"]
+        ts_raw = _render_ts_raw(f["ts_ns"], f["epoch"])
+        if self.patch_permille:
+            # partial-column updates: a deterministic slice of the upsert
+            # traffic becomes op='patch' events that set only a hashed
+            # subset of {role, text, tool, ts} — NULL columns mean
+            # "unchanged" (fold_patch_runs semantics); pure function of
+            # lsn so replayed copies are byte-identical and an SQL oracle
+            # can replay the rule
+            h6 = splitmix64(lsn, self.seed + 6)
+            is_patch = (~f["is_delete"]) & (
+                (h6 % np.uint64(1000)) < np.uint64(self.patch_permille))
+            op = np.where(is_patch, "patch", op)
+            bits = (h6 >> np.uint64(10)).astype(np.int64)
+            set_role = (bits & 1) == 1
+            set_text = (bits & 2) == 2
+            set_tool = (bits & 4) == 4
+            set_ts = (bits & 8) == 8
+            # a patch must SET at least one column: selecting only `tool`
+            # when the generated tool is itself NULL would yield an all-NULL
+            # (no-op) patch — force text on when the EFFECTIVE set is empty
+            tool_present = np.asarray(pc.is_valid(tool))
+            none_set = ~(set_role | set_text | (set_tool & tool_present)
+                         | set_ts)
+            set_text |= none_set
+            keep = lambda m, arr: pc.if_else(  # noqa: E731
+                pa.array(~is_patch | m), arr, pa.scalar(None, pa.string()))
+            role = keep(set_role, role)
+            text = keep(set_text, text)
+            tool = keep(set_tool, tool)
+            ts_raw = keep(set_ts, ts_raw)
         tbl = pa.table({
             "lsn": pa.array(lsn),
             "op": pa.array(op.tolist(), type=pa.string()),
             "conv_id": f["conv_id"],
             "turn_idx": f["turn_idx"],
-            "role": f["role"],
-            "text": f["text"],
-            "tool": f["tool"],
-            "ts_raw": _render_ts_raw(f["ts_ns"], f["epoch"]),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts_raw": ts_raw,
             "schema_epoch": pa.array(f["epoch"]),
         })
         if self.reorder:
@@ -186,7 +219,7 @@ class ChangeEventBatchGenerator:
 
 def change_events(num_events: int, *, seed: int = 42, num_convs: "int | None" = None,
                   parallelism: "int | None" = None, replay_fraction: float = 0.02,
-                  reorder: bool = True):
+                  reorder: bool = True, patch_permille: int = 0):
     """Ray Dataset of `num_events` synthetic CDC events (streaming blocks)."""
     import ray.data
 
@@ -194,19 +227,22 @@ def change_events(num_events: int, *, seed: int = 42, num_convs: "int | None" = 
         num_convs = max(num_events // 50, 1)
     ds = ray.data.range(num_events, override_num_blocks=parallelism)
     gen = ChangeEventBatchGenerator(seed, num_events, num_convs,
-                                    replay_fraction, reorder)
+                                    replay_fraction, reorder,
+                                    patch_permille=patch_permille)
     return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def expected_event_table(num_events: int, *, seed: int = 42,
-                         num_convs: "int | None" = None) -> pa.Table:
+                         num_convs: "int | None" = None,
+                         patch_permille: int = 0) -> pa.Table:
     """Driver-side oracle input: all events in lsn-emission order, without
     replay/reorder noise (used by tests to cross-check the generator)."""
     if num_convs is None:
         num_convs = max(num_events // 50, 1)
     ids = np.arange(num_events, dtype=np.int64)
     gen = ChangeEventBatchGenerator(seed, num_events, num_convs,
-                                    replay_fraction=0.0, reorder=False)
+                                    replay_fraction=0.0, reorder=False,
+                                    patch_permille=patch_permille)
     return gen(pa.table({"id": ids}))
 
 

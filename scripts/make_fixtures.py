@@ -382,6 +382,16 @@ def main():
     pq.write_table(ev, os.path.join(OUT, f"cdc_events_{CDC_EVENTS}.parquet"))
     print("cdc events:", ev.num_rows, "cols:", ev.schema.names)
 
+    # partial-column update stream: ~15% of upsert traffic becomes
+    # op='patch' events (NULL value columns = unchanged) — the
+    # cdc_patch_upserts oracle replays fold_patch_runs' per-column LWW +
+    # delete-horizon rule in SQL over this table
+    evp = expected_event_table(CDC_EVENTS, seed=42, patch_permille=150)
+    pq.write_table(evp,
+                   os.path.join(OUT, f"cdc_patch_events_{CDC_EVENTS}.parquet"))
+    ops = evp.column("op").to_pylist()
+    print("cdc patch events:", evp.num_rows, "patches:", ops.count("patch"))
+
 
 if __name__ == "__main__":
     main()

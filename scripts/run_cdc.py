@@ -48,6 +48,10 @@ def main() -> None:
                     help="quarantine bad events (invalid envelope / unknown "
                          "epoch / unparseable ts) into the lake's dead-letter "
                          "parquet instead of dropping or aborting")
+    ap.add_argument("--patch-permille", type=int, default=0,
+                    help="emit ~N/1000 of the generated upsert traffic as "
+                         "op='patch' partial-column updates (NULL columns "
+                         "= unchanged; fold_patch_runs semantics)")
     ap.add_argument("--poison-permille", type=int, default=0,
                     help="corrupt ~N per 1000 generated events (op+ts_raw) "
                          "to exercise the dlq path")
@@ -219,7 +223,8 @@ def main() -> None:
         total = 0
         quarantined = 0
         for i in range(args.micro_batches):
-            ds = poison(change_events(args.events, seed=args.seed))
+            ds = poison(change_events(args.events, seed=args.seed,
+                                      patch_permille=args.patch_permille))
             # the generator emits the full lsn range; the pipeline's
             # low-watermark prune drops already-committed events, so a resumed
             # run only pays to re-apply the uncommitted suffix
