@@ -583,6 +583,40 @@ def q_cdc_patch_upserts(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_rollback(sf_dir: str):
+    """Rollback (RESTORE VERSION AS OF): the lsn<10_000 prefix commits as
+    v1; a CORRUPTED copy of the suffix commits as v2; ``rollback(1)``
+    restores v1's partition table — data files, watermarks, DLQ — as
+    metadata-only commit v3 (pipelines/cdc.py rollback; GC keeps
+    snapshot-referenced files live); the CLEAN suffix then re-applies over
+    the rolled-back watermarks.  Final state must equal the clean
+    full-stream fold — proving rollback restored both the data AND the
+    replay position.  Oracle: the flagship argmax-LSN fold."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES, "cdc_events_20000.parquet"))
+    lsn = events.column("lsn")
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_rb_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(events.filter(pc.less(lsn, cut))))
+    suffix = events.filter(pc.greater_equal(lsn, cut))
+    bad = suffix.set_column(
+        suffix.schema.get_field_index("text"), "text",
+        pc.binary_join_element_wise(suffix.column("text"), "<CORRUPT>", ""))
+    pipe.apply(ray.data.from_arrow(bad))
+    pipe.rollback(1)
+    pipe.apply(ray.data.from_arrow(suffix))
+    return pipe.read_lake().map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_assemble_transcripts(sf_dir: str):
     """Lake → corpus bridge: replay the CDC stream, then assemble each
     conversation's turns into one ordered transcript document
@@ -2176,6 +2210,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_merge_on_read": q_cdc_merge_on_read,
         "cdc_delta_commits": q_cdc_delta_commits,
         "cdc_patch_upserts": q_cdc_patch_upserts,
+        "cdc_rollback": q_cdc_rollback,
         "cdc_sync": q_cdc_sync,
         "cdc_sync_mirror": q_cdc_sync_mirror,
         "cdc_incremental_view": q_cdc_incremental_view,
@@ -2462,6 +2497,16 @@ def oracle_sql() -> "dict[str, str]":
         # Delta commits + compaction + pending fold ≡ full fold (DeltaWriter,
         # compact_deltas and the MOR read all reuse keep_last_per_key)
         "cdc_delta_commits":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Rollback: bad commit undone (restore v1 metadata + watermarks),
+        # clean suffix re-applied ⇒ final state == the clean full fold
+        "cdc_rollback":
             "with ranked as (select *, row_number() over "
             "(partition by conv_id, turn_idx order by lsn desc) as rn "
             f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "

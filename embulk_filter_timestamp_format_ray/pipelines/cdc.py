@@ -1599,6 +1599,50 @@ class CDCPipeline:
         """Manifest versions currently readable via ``read_lake_at``."""
         return mf.list_versions(self.lake_dir)
 
+    def rollback(self, version: int) -> "dict":
+        """Restore the lake to retained snapshot ``version`` AS A NEW
+        COMMIT (Iceberg-style rollback): the head manifest's entire
+        partition table — data files, delta lists, watermarks, DLQ — is
+        replaced wholesale by the snapshot's and committed as version
+        head+1 through the same OCC manifest swap every writer uses.
+
+        Metadata-only and O(manifest): nothing is rewritten or deleted.
+        The snapshot's data files are still on disk because GC unions the
+        live sets of ALL retained snapshots (state/manifest.py
+        gc_orphan_txns), and they stay live afterwards because the new
+        head references them directly.  Watermarks roll back WITH the
+        partitions, so re-tailing the undone lsn range re-applies it —
+        the undo-a-bad-commit-then-replay-corrected workflow
+        (low-watermark prune + max-LSN merge arbitrate the overlap
+        exactly as for any replay).  Rolling FORWARD again is possible
+        while the overwritten versions remain within
+        ``time_travel_retain``.
+
+        Raises ``ValueError`` when ``version`` has no retained snapshot
+        and :class:`state.manifest.CommitConflict` when a concurrent
+        writer commits between the read and the swap (retry against the
+        fresh head — rollback intent must be re-decided, like
+        repartition_lake)."""
+        manifest = mf.read_manifest(self.lake_dir)
+        self.check_manifest_compat(manifest)
+        current = int(manifest.get("version", 0))
+        if int(version) == current:
+            return {"version": current, "restored_version": current,
+                    "partitions": len(manifest.get("partitions", {})),
+                    "noop": True}
+        target = mf.read_manifest_at(self.lake_dir, int(version))
+        self.check_manifest_compat(target)
+        new_manifest = dict(target)
+        new_manifest["version"] = current + 1
+        new_manifest["last_txn"] = f"rollback-to-v{int(version)}"
+        new_manifest["rolled_back_to"] = int(version)
+        mf.commit_manifest(self.lake_dir, new_manifest,
+                           retain_history=self.time_travel_retain,
+                           expected_version=current)
+        return {"version": new_manifest["version"],
+                "restored_version": int(version),
+                "partitions": len(target.get("partitions", {}))}
+
     def lake_changes(self, v_from: int, v_to: int, columns=None):
         """Change Data Feed: one row per key whose state differs between two
         retained versions — ``change_type`` ∈ insert/update/delete, ``lsn``

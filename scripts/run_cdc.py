@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--at-version", type=int, default=None,
                     help="read-only: report row count + retained versions of "
                          "the lake AS OF this manifest version, apply nothing")
+    ap.add_argument("--rollback-to", type=int, default=None,
+                    help="restore the lake to this retained snapshot as a "
+                         "NEW commit (metadata-only; watermarks roll back "
+                         "with it so the undone lsn range can be re-tailed), "
+                         "then apply nothing")
     ap.add_argument("--dlq", action="store_true",
                     help="quarantine bad events (invalid envelope / unknown "
                          "epoch / unparseable ts) into the lake's dead-letter "
@@ -162,6 +167,11 @@ def main() -> None:
             print(json.dumps({"bootstrap": boot}))
             if args.events == 0:
                 return
+        if args.rollback_to is not None:
+            res = pipe.rollback(args.rollback_to)
+            print(json.dumps({"lake": args.lake, "rollback": res,
+                              "rows": pipe.read_lake().count()}))
+            return
         if args.at_version is not None:
             snap = pipe.read_lake_at(args.at_version)
             print(json.dumps({

@@ -124,3 +124,65 @@ def test_lake_changes_cdf(ray_session, tmp_path):
     assert got == want and len(got) > 0
     # identical versions → empty feed (manifest diff finds no changed files)
     assert pipe.lake_changes(2, 2).count() == 0
+
+
+def test_rollback_restores_and_replays_corrected(ray_session, tmp_path):
+    """The undo-a-bad-commit workflow: good prefix → corrupted suffix →
+    rollback → corrected suffix.  Rollback is metadata-only; watermarks
+    roll back with it, so re-applying the undone lsn range works."""
+    import pyarrow.compute as pc
+
+    lake = str(tmp_path / "lake")
+    pipe = CDCPipeline(lake, num_partitions=4, auto_gc=True)
+    full = expected_event_table(900)
+    c1, c2 = full.slice(0, 450), full.slice(450, 450)
+    pipe.apply(ray.data.from_arrow(c1))
+    s1 = _sorted_state(pipe.read_lake())
+    bad = c2.set_column(
+        c2.schema.get_field_index("text"), "text",
+        pc.binary_join_element_wise(c2.column("text"), "<CORRUPT>", ""))
+    pipe.apply(ray.data.from_arrow(bad))
+    assert b"<CORRUPT>" in _sorted_state(pipe.read_lake()).column(
+        "text").combine_chunks().buffers()[2].to_pybytes()
+
+    res = pipe.rollback(1)
+    assert res == {"version": 3, "restored_version": 1, "partitions": 4}
+    assert _sorted_state(pipe.read_lake()).equals(s1)
+    # GC after rollback must not eat the restored files
+    pipe.gc()
+    assert _sorted_state(pipe.read_lake()).equals(s1)
+
+    # corrected replay of the undone range lands cleanly
+    pipe.apply(ray.data.from_arrow(c2))
+    clean_lake = str(tmp_path / "clean")
+    clean = CDCPipeline(clean_lake, num_partitions=4)
+    clean.apply(ray.data.from_arrow(full))
+    got = _sorted_state(pipe.read_lake())
+    assert b"<CORRUPT>" not in got.column(
+        "text").combine_chunks().buffers()[2].to_pybytes()
+    assert got.equals(_sorted_state(clean.read_lake()))
+
+
+def test_rollback_noop_missing_and_conflict_guard(ray_session, tmp_path):
+    lake = str(tmp_path / "lake")
+    pipe = CDCPipeline(lake, num_partitions=4)
+    pipe.apply(ray.data.from_arrow(expected_event_table(300)))
+    assert pipe.rollback(1)["noop"] is True
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        pipe.rollback(42)
+
+
+def test_rollback_to_snapshot_with_pending_deltas(ray_session, tmp_path):
+    """A snapshot taken mid-backlog (pending delta files) restores with its
+    merge-on-read fold intact."""
+    lake = str(tmp_path / "lake")
+    pipe = CDCPipeline(lake, num_partitions=4)
+    full = expected_event_table(900)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 300)))            # v1 base
+    pipe.apply_delta(ray.data.from_arrow(full.slice(300, 300)))    # v2 delta
+    s2 = _sorted_state(pipe.read_lake())
+    pipe.compact_deltas()                                          # v3
+    pipe.apply(ray.data.from_arrow(full.slice(600, 300)))          # v4
+    assert pipe.rollback(2)["restored_version"] == 2
+    assert mf.has_deltas(mf.read_manifest(lake))
+    assert _sorted_state(pipe.read_lake()).equals(s2)
