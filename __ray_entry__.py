@@ -583,6 +583,41 @@ def q_cdc_patch_upserts(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_conv_erasure(sf_dir: str):
+    """Conversation-level tombstones (GDPR erasure): ~0.5% of the fixture
+    stream is op='delete_conv' — a conv-scoped tombstone that erases EVERY
+    turn of its conversation below its lsn, replicated by PartitionStage to
+    all partitions (a conversation spans partitions under turn hashing),
+    carried through the combiner unfolded, persisted in delta files, and
+    dropped once a base merge / compaction materializes the erasure
+    (pipelines/cdc.py keep_last_per_key conv-horizon tier).  The route
+    exercises base merge + delta commit + compaction + a PENDING delta
+    folded at read.  Oracle: SQL replay — per-conv max delete_conv lsn
+    joined as an extra delete horizon, then the argmax-LSN fold above it."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(
+        os.path.join(_FIXTURES, "cdc_convdel_events_20000.parquet"))
+    lsn = events.column("lsn")
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_cd_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    c1, c2 = pa.scalar(8_000, pa.int64()), pa.scalar(14_000, pa.int64())
+    pipe.apply(ray.data.from_arrow(events.filter(pc.less(lsn, c1))))
+    pipe.apply_delta(ray.data.from_arrow(events.filter(pc.and_(
+        pc.greater_equal(lsn, c1), pc.less(lsn, c2)))))
+    pipe.compact_deltas()
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(lsn, c2))))
+    return pipe.read_lake().map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_rollback(sf_dir: str):
     """Rollback (RESTORE VERSION AS OF): the lsn<10_000 prefix commits as
     v1; a CORRUPTED copy of the suffix commits as v2; ``rollback(1)``
@@ -2211,6 +2246,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_delta_commits": q_cdc_delta_commits,
         "cdc_patch_upserts": q_cdc_patch_upserts,
         "cdc_rollback": q_cdc_rollback,
+        "cdc_conv_erasure": q_cdc_conv_erasure,
         "cdc_sync": q_cdc_sync,
         "cdc_sync_mirror": q_cdc_sync_mirror,
         "cdc_incremental_view": q_cdc_incremental_view,
@@ -2514,6 +2550,28 @@ def oracle_sql() -> "dict[str, str]":
             "case role when 'human' then 'user' when 'ai' then 'assistant' "
             "else role end as role, text, tool, lsn "
             "from ranked where rn = 1 and op <> 'delete'",
+        # Conversation erasure: per-conv max delete_conv lsn is one more
+        # delete horizon (greatest with the per-key delete horizon); the
+        # fold keeps only upserts strictly above it.  Keys re-created after
+        # the erasure (upsert lsn > horizon) survive.
+        "cdc_conv_erasure":
+            "with e as (select * from "
+            f"read_parquet('{_FIXTURES}/cdc_convdel_events_20000.parquet')), "
+            "cd as (select conv_id, max(lsn) as cdl from e "
+            "where op = 'delete_conv' group by conv_id), "
+            "h as (select e.conv_id, e.turn_idx, greatest("
+            "coalesce(max(e.lsn) filter (where e.op = 'delete'), -1), "
+            "coalesce(any_value(cd.cdl), -1)) as hz "
+            "from e left join cd using (conv_id) "
+            "where e.op <> 'delete_conv' group by e.conv_id, e.turn_idx), "
+            "f as (select e.* from e join h using (conv_id, turn_idx) "
+            "where e.op = 'upsert' and e.lsn > h.hz), "
+            "ranked as (select *, row_number() over (partition by conv_id, "
+            "turn_idx order by lsn desc) as rn from f) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1",
         # Partial-column updates: replay fold_patch_runs' rule in SQL —
         # delete horizon per key (dl), then per-column argmax-lsn among
         # SETTERS (upserts always; patches where the column is non-NULL),

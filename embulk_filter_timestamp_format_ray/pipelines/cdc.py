@@ -70,12 +70,20 @@ DEFAULT_EPOCH_SPECS: "dict[int, ColumnConfig]" = {
 }
 
 MERGE_KEY = ("conv_id", "turn_idx")
-VALID_OPS = ("upsert", "delete", "patch")
+VALID_OPS = ("upsert", "delete", "patch", "delete_conv")
 
-#: wire/op-code order — index = int8 code used by the combiner's
-#: wire encoding and by the fold kernels (0 upsert, 1 delete, 2 patch)
-_OP_NAMES = pa.array(["upsert", "delete", "patch"], pa.string())
+#: wire/op-code order — index = int8 code used by the combiner's wire
+#: encoding and by the fold kernels (0 upsert, 1 delete, 2 patch,
+#: 3 delete_conv)
+_OP_NAMES = pa.array(["upsert", "delete", "patch", "delete_conv"],
+                     pa.string())
 PATCH_OP = "patch"
+CONV_DELETE_OP = "delete_conv"
+
+#: merge-key turn_idx of a conversation tombstone row (real turns are
+#: >= 0); NormalizeStage forces it so every replica of a tombstone folds
+#: under one per-conv key
+CONV_TOMBSTONE_TURN = -1
 
 #: reserved partition id for the dead-letter route (never produced by
 #: PartitionStage, whose pids are uint64 % num_partitions ≥ 0)
@@ -189,25 +197,43 @@ class NormalizeStage:
             ns[idx] = sub_ns
             null_mask[idx] = sub_null
         if self.dlq:
-            # a patch event with NULL ts_raw is "ts unchanged" (unset), not
-            # an unparseable timestamp — exclude it from quarantine code 3
-            patch_unset = np.asarray(pc.fill_null(pc.and_(
-                pc.equal(batch.column("op"), PATCH_OP),
+            # an event with NULL ts_raw whose op carries no ts payload —
+            # patch ("ts unchanged"), delete, delete_conv — is NOT an
+            # unparseable timestamp; exclude it from quarantine code 3
+            ts_free = np.asarray(pc.fill_null(pc.and_(
+                pc.is_in(batch.column("op"), value_set=pa.array(
+                    [PATCH_OP, "delete", CONV_DELETE_OP])),
                 pc.is_null(raw)), False))
-            codes[null_mask & (codes == 0) & ~patch_unset] = 3
+            codes[null_mask & (codes == 0) & ~ts_free] = 3
         ts = pa.array(ns).cast(pa.timestamp("ns")).cast(_TS_NS_UTC)
         if null_mask.any():
             ts = pc.if_else(pa.array(~null_mask), ts, pa.scalar(None, _TS_NS_UTC))
+        turn_col = batch.column("turn_idx").cast(pa.int32())
+        text_col = batch.column("text")
+        tool_col = (batch.column("tool") if "tool" in batch.schema.names
+                    else pa.nulls(batch.num_rows, pa.string()))
+        cd_mask = pc.fill_null(
+            pc.equal(batch.column("op"), CONV_DELETE_OP), False)
+        if pc.any(cd_mask).as_py():
+            # conversation tombstone: conv-scoped, so the merge key's turn
+            # becomes the reserved sentinel (every replica folds under one
+            # per-conv key) and the value payload is dropped
+            live = pc.invert(cd_mask)
+            turn_col = pc.if_else(live, turn_col,
+                                  pa.scalar(CONV_TOMBSTONE_TURN, pa.int32()))
+            null_s = pa.scalar(None, pa.string())
+            role = pc.if_else(live, role, null_s)
+            text_col = pc.if_else(live, text_col, null_s)
+            tool_col = pc.if_else(live, tool_col, null_s)
+            ts = pc.if_else(live, ts, pa.scalar(None, _TS_NS_UTC))
         cols = {
             "lsn": batch.column("lsn"),
             "op": batch.column("op"),
             "conv_id": batch.column("conv_id"),
-            "turn_idx": batch.column("turn_idx").cast(pa.int32()),
+            "turn_idx": turn_col,
             "role": role,
-            "text": batch.column("text"),
-            "tool": batch.column("tool")
-            if "tool" in batch.schema.names
-            else pa.nulls(batch.num_rows, pa.string()),
+            "text": text_col,
+            "tool": tool_col,
             "ts": ts,
         }
         if self.dlq:
@@ -289,7 +315,9 @@ def fold_partition_state(base: "pa.Table | None", deltas: "list[pa.Table]",
     # live = everything but tombstones: an all-patch key (possible only
     # when base is pruned away or the key never had a base row) is a
     # sparse upsert — unset columns read as NULL
-    live = winners.filter(pc.not_equal(winners.column("op"), "delete"))
+    live = winners.filter(pc.invert(pc.is_in(
+        winners.column("op"),
+        value_set=pa.array(["delete", CONV_DELETE_OP]))))
     return live.select(cols)
 
 
@@ -347,20 +375,73 @@ def keep_last_per_key(tbl: pa.Table) -> pa.Table:
     extension of the same kernel.  Tables without patch rows (the headline
     binlog) keep the single-argsort whole-row path untouched.
 
+    Conversation tombstones: ``op == 'delete_conv'`` rows (merge key
+    (conv_id, CONV_TOMBSTONE_TURN), replicated by PartitionStage to every
+    partition) erase EVERY key of their conversation with lsn below the
+    tombstone's — one more max-merge horizon, so associativity is
+    preserved.  The folded output keeps one tombstone row per conv (the
+    delta tier persists it until a base merge/compaction materializes the
+    erasure); base-state writers drop it via their live filter.
+
     Contract: ``lsn`` uniquely identifies event content (true for any real
     binlog); ties at equal (key, lsn) are exact replays, so either copy
     winning yields identical state."""
     if tbl.num_rows <= 1:
         return tbl
-    if _has_patch_rows(tbl):
-        return fold_patch_runs(tbl)
-    perm, last = _merge_key_runs(tbl)
-    # NOTE: dictionary indices order != lexical conv order; callers must not
-    # rely on output ordering (the verification read sorts explicitly)
-    return tbl.take(pa.array(perm[last]))
+    has_cd = ("op" in tbl.schema.names and
+              pc.any(pc.equal(tbl.column("op"),
+                              CONV_DELETE_OP)).as_py() is True)
+    if not has_cd:
+        if _has_patch_rows(tbl):
+            return fold_patch_runs(tbl)
+        perm, last = _merge_key_runs(tbl)
+        # NOTE: dictionary indices order != lexical conv order; callers must
+        # not rely on output ordering (the verification read sorts
+        # explicitly)
+        return tbl.take(pa.array(perm[last]))
+    cd_mask = pc.equal(tbl.column("op"), CONV_DELETE_OP)
+    tomb = tbl.filter(cd_mask)
+    rest = tbl.filter(pc.invert(cd_mask))
+    # collapse tombstone replays/duplicates to one max-lsn row per conv key
+    if tomb.num_rows > 1:
+        perm_t, last_t = _merge_key_runs(tomb)
+        tomb = tomb.take(pa.array(perm_t[last_t]))
+    if rest.num_rows == 0:
+        return tomb
+    horizon = _conv_horizon_rows(rest, tomb)
+    if _has_patch_rows(rest):
+        folded = fold_patch_runs(rest, conv_horizon=horizon)
+    else:
+        perm, last = _merge_key_runs(rest)
+        winners = perm[last]
+        # whole-row winners: every column was set at the winner's lsn, so
+        # the erasure horizon applies row-wise
+        keep = np.asarray(rest.column("lsn").cast(pa.int64()))[winners] \
+            > horizon[winners]
+        folded = rest.take(pa.array(winners[keep]))
+    return pa.concat_tables([folded, tomb], promote_options="none")
 
 
-def fold_patch_runs(tbl: pa.Table) -> pa.Table:
+def _conv_horizon_rows(tbl: pa.Table, tomb: pa.Table) -> np.ndarray:
+    """Per-row conversation-erasure horizon: for each row of ``tbl``, the
+    max delete_conv lsn of its conv_id in ``tomb`` (-1 when none).  The
+    Python loop runs over the block's UNIQUE conv_ids only (the same
+    hash-the-uniques precedent as stages/partition.py)."""
+    hmap: "dict[str, int]" = {}
+    for conv, lsn in zip(tomb.column("conv_id").to_pylist(),
+                         tomb.column("lsn").to_pylist()):
+        prev = hmap.get(conv, -1)
+        if lsn > prev:
+            hmap[conv] = lsn
+    enc = pc.dictionary_encode(tbl.column("conv_id").combine_chunks())
+    per_value = np.array([hmap.get(v, -1)
+                          for v in enc.dictionary.to_pylist()],
+                         dtype=np.int64)
+    return per_value[np.asarray(enc.indices.cast(pa.int64()))]
+
+
+def fold_patch_runs(tbl: pa.Table,
+                    conv_horizon: "np.ndarray | None" = None) -> pa.Table:
     """Per-key fold with partial-column update (``op='patch'``) semantics —
     the associative extension of ``keep_last_per_key`` to Debezium/Mongo
     style sparse updates.  One output row per (conv_id, turn_idx).
@@ -389,7 +470,13 @@ def fold_patch_runs(tbl: pa.Table) -> pa.Table:
     Cross-commit correctness needs only row-level lsns because partition
     watermarks make commits lsn-disjoint: every event in a later commit
     outranks every row of an earlier one, so a commit-collapsed patch
-    row's column values are never re-interleaved."""
+    row's column values are never re-interleaved.
+
+    ``conv_horizon`` (keep_last_per_key's conversation-tombstone tier): a
+    per-row int64 erasure lsn aligned to ``tbl``'s row order; setters at
+    or below their row's horizon are invalid, and runs whose max lsn is at
+    or below it are dropped entirely (the conv tombstone row itself
+    represents them)."""
     perm, last = _merge_key_runs(tbl)
     n = len(perm)
     lsn = np.asarray(tbl.column("lsn").cast(pa.int64()))
@@ -401,6 +488,8 @@ def fold_patch_runs(tbl: pa.Table) -> pa.Table:
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     idx = np.arange(n, dtype=np.int64)
+    hz = (conv_horizon[perm[ends]] if conv_horizon is not None
+          else np.full(len(ends), -1, dtype=np.int64))
     # last delete position per run (delete horizon): sorted by lsn, so
     # position order == lsn order within a run
     dpos = np.where(opc == 1, idx, np.int64(-1))
@@ -431,9 +520,16 @@ def fold_patch_runs(tbl: pa.Table) -> pa.Table:
                             idx, np.int64(-1))
             si = np.maximum.accumulate(spos)[ends]
             valid = (si >= starts) & (si > di) & ~is_del_out
+            if conv_horizon is not None:
+                valid &= lsn[perm[np.maximum(si, 0)]] > hz
             gather = pa.array(perm[np.maximum(si, 0)], mask=~valid)
             out[name] = col.take(gather)
-    return pa.table(out)
+    folded = pa.table(out)
+    if conv_horizon is None:
+        return folded
+    # runs fully at/below their conversation's erasure horizon are
+    # represented by the conv tombstone row alone
+    return folded.filter(pa.array(lsn[perm[ends]] > hz))
 
 
 def sort_by_merge_key(tbl: pa.Table) -> pa.Table:
@@ -493,20 +589,25 @@ class PreMergeCombiner:
             if pc.any(dlq_mask).as_py():
                 dlq_part = batch.filter(dlq_mask)
                 batch = batch.filter(pc.invert(dlq_mask))
-        if batch.num_rows and _has_patch_rows(batch):
-            # partial-column updates cannot be block-folded without
-            # per-column lsn sidecars (a later block's delete can land
-            # between two folded patches' lsns) — forward patch rows
-            # untouched and fold only the whole-row ops; patches are a
-            # fraction of binlog traffic, so the exchange stays combined
-            # where it matters.  (A possible prune — dropping patches below
-            # their key's in-block boundary — is safe but not worth the
-            # extra per-key join here.)
-            pmask = pc.equal(batch.column("op"), PATCH_OP)
-            rest = batch.filter(pc.invert(pmask))
+        passthrough = None
+        if batch.num_rows and "op" in batch.schema.names:
+            # two op classes must cross the exchange UNFOLDED: patches
+            # (block-folding partial updates needs per-column lsn sidecars —
+            # a later block's delete can land between two folded patches'
+            # lsns) and conversation tombstones (replicated to every pid by
+            # PartitionStage; a per-key fold here would collapse the
+            # replicas across pids, starving all partitions but one).  Both
+            # are a fraction of binlog traffic, so the exchange stays
+            # combined where it matters.
+            passthrough = pc.is_in(batch.column("op"), value_set=pa.array(
+                [PATCH_OP, CONV_DELETE_OP]))
+            if not pc.any(passthrough).as_py():
+                passthrough = None
+        if passthrough is not None:
+            rest = batch.filter(pc.invert(passthrough))
             out = pa.concat_tables(
                 [keep_last_per_key(rest) if rest.num_rows else rest,
-                 batch.filter(pmask)])
+                 batch.filter(passthrough)])
         else:
             out = keep_last_per_key(batch) if batch.num_rows else batch
         if dlq_part is not None:
@@ -576,7 +677,9 @@ def merge_partition_table(delta: pa.Table, prior: "pa.Table | None",
     winners = keep_last_per_key(merged)
     # not_equal "delete" (vs equal "upsert"): keys touched only by patch
     # events materialize as sparse upserts (fold_patch_runs semantics)
-    live = winners.filter(pc.not_equal(winners.column("op"), "delete"))
+    live = winners.filter(pc.invert(pc.is_in(
+        winners.column("op"),
+        value_set=pa.array(["delete", CONV_DELETE_OP]))))
     return live.select(LAKE_COLUMNS), new_watermark, applied
 
 
@@ -1467,8 +1570,9 @@ class CDCPipeline:
 
         def merge_view(group: pa.Table) -> pa.Table:
             winners = keep_last_per_key(group)
-            live = winners.filter(
-                pc.not_equal(winners.column("op"), "delete"))
+            live = winners.filter(pc.invert(pc.is_in(
+                winners.column("op"),
+                value_set=pa.array(["delete", CONV_DELETE_OP]))))
             return live.select(LAKE_COLUMNS)
 
         return base.union(delta).groupby("_pid").map_groups(
@@ -1876,7 +1980,7 @@ class CDCPipeline:
     def _confirmed_sync_dirs(out_dir: str) -> "list[str]":
         """Sync directories the consumer cursor has CONFIRMED (embedded
         version ≤ cursor), ascending by name.  Directories above the cursor
-        are speculative — a torn producer attempt (DESIGN #36) — and are
+        are speculative — a torn producer attempt (DESIGN #37) — and are
         invisible to every consumer-side operation until the producer's
         next sync confirms or removes them."""
         cur_path = os.path.join(out_dir, CDCPipeline.SYNC_CURSOR)
@@ -2048,8 +2152,13 @@ class CDCPipeline:
                         probs.append(
                             f"max lsn {mx} in {what} exceeds committed "
                             f"watermark {row['watermark']}")
-                    # routing: recomputed pid must equal the owning pid
-                    routed = stage(t)
+                    # routing: recomputed pid must equal the owning pid.
+                    # Conversation tombstones (turn == CONV_TOMBSTONE_TURN)
+                    # are REPLICATED to every partition by design — exempt.
+                    routable = t.filter(pc.not_equal(
+                        t.column("turn_idx"),
+                        pa.scalar(CONV_TOMBSTONE_TURN, pa.int32())))
+                    routed = stage(routable)
                     wrong = pc.sum(pc.cast(pc.not_equal(
                         routed.column("_pid"),
                         pa.scalar(pid, pa.int32())), pa.int64())).as_py()

@@ -145,13 +145,14 @@ class ChangeEventBatchGenerator:
 
     def __init__(self, seed: int, num_events: int, num_convs: int,
                  replay_fraction: float = 0.02, reorder: bool = True,
-                 patch_permille: int = 0):
+                 patch_permille: int = 0, conv_delete_permille: int = 0):
         self.seed = seed
         self.num_events = num_events
         self.num_convs = num_convs
         self.replay_every = max(int(1 / replay_fraction), 1) if replay_fraction else 0
         self.reorder = reorder
         self.patch_permille = patch_permille
+        self.conv_delete_permille = conv_delete_permille
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("id"), dtype=np.int64)
@@ -197,6 +198,16 @@ class ChangeEventBatchGenerator:
             text = keep(set_text, text)
             tool = keep(set_tool, tool)
             ts_raw = keep(set_ts, ts_raw)
+        if self.conv_delete_permille:
+            # conversation-erasure requests (op='delete_conv'): conv-scoped
+            # tombstones that take precedence over the row's delete/patch
+            # draw; pure function of lsn (replay-identical, SQL-replayable).
+            # NormalizeStage forces turn_idx to the tombstone sentinel and
+            # drops the value payload downstream.
+            h7 = splitmix64(lsn, self.seed + 7)
+            is_cd = (h7 % np.uint64(1000)) < np.uint64(
+                self.conv_delete_permille)
+            op = np.where(is_cd, "delete_conv", op)
         tbl = pa.table({
             "lsn": pa.array(lsn),
             "op": pa.array(op.tolist(), type=pa.string()),
@@ -219,7 +230,8 @@ class ChangeEventBatchGenerator:
 
 def change_events(num_events: int, *, seed: int = 42, num_convs: "int | None" = None,
                   parallelism: "int | None" = None, replay_fraction: float = 0.02,
-                  reorder: bool = True, patch_permille: int = 0):
+                  reorder: bool = True, patch_permille: int = 0,
+                  conv_delete_permille: int = 0):
     """Ray Dataset of `num_events` synthetic CDC events (streaming blocks)."""
     import ray.data
 
@@ -228,13 +240,15 @@ def change_events(num_events: int, *, seed: int = 42, num_convs: "int | None" = 
     ds = ray.data.range(num_events, override_num_blocks=parallelism)
     gen = ChangeEventBatchGenerator(seed, num_events, num_convs,
                                     replay_fraction, reorder,
-                                    patch_permille=patch_permille)
+                                    patch_permille=patch_permille,
+                                    conv_delete_permille=conv_delete_permille)
     return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def expected_event_table(num_events: int, *, seed: int = 42,
                          num_convs: "int | None" = None,
-                         patch_permille: int = 0) -> pa.Table:
+                         patch_permille: int = 0,
+                         conv_delete_permille: int = 0) -> pa.Table:
     """Driver-side oracle input: all events in lsn-emission order, without
     replay/reorder noise (used by tests to cross-check the generator)."""
     if num_convs is None:
@@ -242,7 +256,8 @@ def expected_event_table(num_events: int, *, seed: int = 42,
     ids = np.arange(num_events, dtype=np.int64)
     gen = ChangeEventBatchGenerator(seed, num_events, num_convs,
                                     replay_fraction=0.0, reorder=False,
-                                    patch_permille=patch_permille)
+                                    patch_permille=patch_permille,
+                                    conv_delete_permille=conv_delete_permille)
     return gen(pa.table({"id": ids}))
 
 

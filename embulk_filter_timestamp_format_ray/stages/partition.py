@@ -121,6 +121,37 @@ class PartitionStage:
         self.salt_factor = salt_factor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "op" in batch.schema.names:
+            # conversation tombstones (op='delete_conv') erase keys in
+            # EVERY partition that may hold turns of their conv: under
+            # turn-level hashing a conversation spans partitions, and under
+            # conv-local hashing salting fans hot convs out — so tombstones
+            # replicate to all pids.  They are rare (erasure requests), so
+            # the x num_partitions fanout is metadata-scale.
+            cd = pc.fill_null(pc.equal(batch.column("op"), "delete_conv"),
+                              False)
+            if pc.any(cd).as_py():
+                tomb = batch.filter(cd)
+                rest = self._route(batch.filter(pc.invert(cd)))
+                p = self.num_partitions
+                rep = tomb.take(pa.array(
+                    np.repeat(np.arange(tomb.num_rows, dtype=np.int64), p)))
+                if "_pid" in rep.schema.names:
+                    rep = rep.drop_columns(["_pid"])
+                rep = rep.append_column("_pid", pa.array(
+                    np.tile(np.arange(p, dtype=np.int32), tomb.num_rows)))
+                # combine_chunks: Ray's streaming executor logs schema-drift
+                # warnings on bundles whose columns carry empty chunk lists
+                # (the 0-row side of the concat); tombstone blocks are rare
+                # so the copy is noise-level
+                return pa.concat_tables([rest, rep]).combine_chunks()
+        return self._route(batch)
+
+    def _route(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            if "_pid" in batch.schema.names:
+                batch = batch.drop_columns(["_pid"])
+            return batch.append_column("_pid", pa.array([], pa.int32()))
         conv_hash = hash_strings_dict(batch.column("conv_id"))
         if self.by_turn:
             turn = np.asarray(batch.column("turn_idx").cast(pa.int64())).astype(np.uint64)

@@ -392,6 +392,16 @@ def main():
     ops = evp.column("op").to_pylist()
     print("cdc patch events:", evp.num_rows, "patches:", ops.count("patch"))
 
+    # conversation-erasure stream: ~0.5% of events are op='delete_conv'
+    # tombstones that erase EVERY turn of their conversation below their
+    # lsn — the cdc_conv_erasure oracle replays the conv-horizon rule
+    evc = expected_event_table(CDC_EVENTS, seed=42, conv_delete_permille=5)
+    pq.write_table(
+        evc, os.path.join(OUT, f"cdc_convdel_events_{CDC_EVENTS}.parquet"))
+    ops = evc.column("op").to_pylist()
+    print("cdc convdel events:", evc.num_rows,
+          "tombstones:", ops.count("delete_conv"))
+
 
 if __name__ == "__main__":
     main()

@@ -57,6 +57,10 @@ def main() -> None:
                     help="emit ~N/1000 of the generated upsert traffic as "
                          "op='patch' partial-column updates (NULL columns "
                          "= unchanged; fold_patch_runs semantics)")
+    ap.add_argument("--conv-delete-permille", type=int, default=0,
+                    help="emit ~N/1000 of the stream as op='delete_conv' "
+                         "conversation tombstones (GDPR-style erasure of "
+                         "every turn below the tombstone's lsn)")
     ap.add_argument("--poison-permille", type=int, default=0,
                     help="corrupt ~N per 1000 generated events (op+ts_raw) "
                          "to exercise the dlq path")
@@ -233,8 +237,10 @@ def main() -> None:
         total = 0
         quarantined = 0
         for i in range(args.micro_batches):
-            ds = poison(change_events(args.events, seed=args.seed,
-                                      patch_permille=args.patch_permille))
+            ds = poison(change_events(
+                args.events, seed=args.seed,
+                patch_permille=args.patch_permille,
+                conv_delete_permille=args.conv_delete_permille))
             # the generator emits the full lsn range; the pipeline's
             # low-watermark prune drops already-committed events, so a resumed
             # run only pays to re-apply the uncommitted suffix

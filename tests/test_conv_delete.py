@@ -1,0 +1,285 @@
+"""Conversation-level tombstones (op='delete_conv' — GDPR-style erasure).
+
+Contract (pipelines/cdc.py keep_last_per_key + fold_patch_runs):
+
+* a delete_conv at lsn L erases EVERY (conv, turn) key of its conversation
+  whose state lsn is below L — one more max-merge horizon, so the fold
+  stays associative;
+* events above the horizon (upserts, patches) survive / resurrect;
+* tombstones are replicated by PartitionStage to every partition (a
+  conversation spans partitions under turn-level hashing), pass the
+  combiner UNFOLDED (folding would collapse the per-pid replicas), persist
+  in delta files, and are dropped once a base merge / compaction has
+  materialized the erasure.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+    CONV_TOMBSTONE_TURN,
+    NormalizeStage,
+    PreMergeCombiner,
+    decode_shuffle_encoding,
+    keep_last_per_key,
+)
+from embulk_filter_timestamp_format_ray.stages.partition import PartitionStage
+
+_TS = pa.timestamp("ns", tz="UTC")
+
+
+def _events_table(rows):
+    """rows: (op, conv, turn, role, text, tool, ts_ns_or_None, lsn);
+    delete_conv rows use turn=CONV_TOMBSTONE_TURN and a NULL payload."""
+    return pa.table({
+        "op": pa.array([r[0] for r in rows], pa.string()),
+        "conv_id": pa.array([r[1] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[2] for r in rows], pa.int32()),
+        "role": pa.array([r[3] for r in rows], pa.string()),
+        "text": pa.array([r[4] for r in rows], pa.string()),
+        "tool": pa.array([r[5] for r in rows], pa.string()),
+        "ts": pa.array([r[6] for r in rows], pa.int64()).cast(
+            pa.timestamp("ns")).cast(_TS),
+        "lsn": pa.array([r[7] for r in rows], pa.int64()),
+    })
+
+
+def scalar_replay(rows):
+    """Sequential replay incl. patch + delete_conv (the executable spec)."""
+    state = {}
+    for r in sorted(rows, key=lambda r: r[7]):
+        op, conv, turn, role, text, tool, ts, lsn = r
+        if op == "delete_conv":
+            for k in [k for k in state if k[0] == conv]:
+                state.pop(k)
+            continue
+        k = (conv, turn)
+        if op == "delete":
+            state.pop(k, None)
+            continue
+        if op == "upsert":
+            state[k] = {"role": role, "text": text, "tool": tool,
+                        "ts": ts, "lsn": lsn}
+            continue
+        cur = state.get(
+            k, {"role": None, "text": None, "tool": None, "ts": None,
+                "lsn": lsn})
+        for col, v in (("role", role), ("text", text), ("tool", tool),
+                       ("ts", ts)):
+            if v is not None:
+                cur[col] = v
+        cur["lsn"] = lsn
+        state[k] = cur
+    return state
+
+
+def _fold_to_state(tbl):
+    out = keep_last_per_key(tbl)
+    live = out.filter(pc.invert(pc.is_in(
+        out.column("op"), value_set=pa.array(["delete", "delete_conv"]))))
+    ts_ns = live.column("ts").cast(pa.timestamp("ns")).cast(pa.int64())
+    return {
+        (r["conv_id"], r["turn_idx"]): {
+            "role": r["role"], "text": r["text"], "tool": r["tool"],
+            "ts": ts_ns[i].as_py(), "lsn": r["lsn"]}
+        for i, r in enumerate(live.to_pylist())}
+
+
+CD = CONV_TOMBSTONE_TURN
+
+
+def test_conv_delete_semantics():
+    rows = [
+        # conv a: turn 1 erased (upsert below horizon), turn 2 survives
+        # (upsert above), turn 3 resurrected sparsely by a patch above
+        ("upsert", "a", 1, "u", "t1", "x", 10, 1),
+        ("upsert", "a", 3, "u", "t3", None, 30, 3),
+        ("delete_conv", "a", CD, None, None, None, None, 5),
+        ("upsert", "a", 2, "v", "t2", None, 20, 7),
+        ("patch", "a", 3, None, "p9", None, None, 9),
+        # conv b untouched
+        ("upsert", "b", 1, "w", "q1", None, 40, 2),
+    ]
+    got = _fold_to_state(_events_table(rows))
+    assert got == scalar_replay(rows)
+    assert got == {
+        ("a", 2): {"role": "v", "text": "t2", "tool": None, "ts": 20,
+                   "lsn": 7},
+        ("a", 3): {"role": None, "text": "p9", "tool": None, "ts": None,
+                   "lsn": 9},
+        ("b", 1): {"role": "w", "text": "q1", "tool": None, "ts": 40,
+                   "lsn": 2},
+    }
+    # the folded output keeps exactly one tombstone row per conv, max lsn
+    folded = keep_last_per_key(_events_table(
+        rows + [("delete_conv", "a", CD, None, None, None, None, 4)]))
+    tombs = folded.filter(pc.equal(folded.column("op"), "delete_conv"))
+    assert tombs.num_rows == 1
+    assert tombs.column("lsn").to_pylist() == [5]
+    assert tombs.column("turn_idx").to_pylist() == [CD]
+
+
+def _random_events(seed, n, n_convs=4, n_turns=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    lsns = rng.permutation(n * 3)[:n]
+    for i in range(n):
+        conv = f"c{rng.integers(n_convs)}"
+        turn = int(rng.integers(n_turns))
+        op = ["upsert", "delete", "patch", "delete_conv"][
+            rng.choice(4, p=[.4, .12, .36, .12])]
+        lsn = int(lsns[i])
+        if op == "delete":
+            rows.append(("delete", conv, turn, None, None, None, None, lsn))
+        elif op == "delete_conv":
+            rows.append(("delete_conv", conv, CD, None, None, None, None,
+                         lsn))
+        elif op == "upsert":
+            tool = None if rng.random() < .4 else f"T{rng.integers(4)}"
+            rows.append(("upsert", conv, turn, f"r{rng.integers(3)}",
+                         f"x{lsn}", tool, int(rng.integers(100)), lsn))
+        else:
+            bits = 0
+            while not bits:
+                bits = int(rng.integers(1, 16))
+            rows.append(("patch", conv, turn,
+                         f"pr{lsn}" if bits & 1 else None,
+                         f"pt{lsn}" if bits & 2 else None,
+                         f"pl{lsn}" if bits & 4 else None,
+                         int(rng.integers(100)) if bits & 8 else None,
+                         lsn))
+    for j in rng.choice(len(rows), size=max(1, n // 10), replace=False):
+        rows.append(rows[int(j)])
+    return rows
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6])
+def test_conv_delete_fold_associative_across_blocks(seed):
+    """split → per-block combine → concat → fold == sequential replay.
+    The combiner must forward tombstones unfolded; the reduce applies the
+    horizon exactly."""
+    rows = _random_events(seed, 150)
+    want = scalar_replay(rows)
+    tbl = _events_table(rows)
+    rng = np.random.default_rng(seed + 500)
+    tbl = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
+    n_blocks = int(rng.integers(1, 7))
+    cuts = (np.sort(rng.choice(tbl.num_rows, size=n_blocks - 1,
+                               replace=False))
+            if n_blocks > 1 else np.array([], dtype=np.int64))
+    combiner = PreMergeCombiner(wire_encode=bool(seed % 2))
+    parts, lo = [], 0
+    for hi in [*cuts.tolist(), tbl.num_rows]:
+        block = tbl.slice(lo, hi - lo)
+        lo = hi
+        if block.num_rows:
+            parts.append(decode_shuffle_encoding(combiner(block)))
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    assert _fold_to_state(merged) == want
+
+
+def test_combiner_forwards_tombstones_uncombined():
+    """Replicated tombstones (same key, same lsn, different pids) must NOT
+    collapse in the combiner — each partition needs its copy."""
+    base = _events_table([
+        ("delete_conv", "a", CD, None, None, None, None, 5),
+        ("delete_conv", "a", CD, None, None, None, None, 5),
+        ("upsert", "a", 1, "u", "t", None, 1, 7),
+    ])
+    batch = base.append_column("_pid", pa.array([0, 1, 0], pa.int32()))
+    out = PreMergeCombiner()(batch)
+    tomb = out.filter(pc.equal(out.column("op"), "delete_conv"))
+    assert sorted(tomb.column("_pid").to_pylist()) == [0, 1]
+
+
+def test_partition_stage_replicates_tombstones():
+    tbl = _events_table([
+        ("upsert", "a", 1, "u", "t", None, 1, 1),
+        ("delete_conv", "a", CD, None, None, None, None, 2),
+    ])
+    out = PartitionStage(8)(tbl)
+    tomb = out.filter(pc.equal(out.column("op"), "delete_conv"))
+    assert sorted(tomb.column("_pid").to_pylist()) == list(range(8))
+    rest = out.filter(pc.equal(out.column("op"), "upsert"))
+    assert rest.num_rows == 1
+
+
+def test_normalize_conv_delete_envelope():
+    batch = pa.table({
+        "lsn": pa.array([1, 2], pa.int64()),
+        "op": pa.array(["upsert", "delete_conv"]),
+        "conv_id": pa.array(["c", "c"]),
+        "turn_idx": pa.array([3, None], pa.int32()),
+        "role": pa.array(["user", "user"]),
+        "text": pa.array(["t", "gone"]),
+        "tool": pa.array([None, "tool-1"], pa.string()),
+        "ts_raw": pa.array(["1700000000000", None]),
+        "schema_epoch": pa.array([0, 0], pa.int64()),
+    })
+    out = NormalizeStage(dlq=True)(batch)
+    assert out.num_rows == 2
+    row = out.filter(pc.equal(out.column("op"), "delete_conv")).to_pylist()[0]
+    # turn forced to the sentinel, payload nulled, no quarantine
+    assert row["turn_idx"] == CONV_TOMBSTONE_TURN
+    assert row["role"] is None and row["text"] is None and row["tool"] is None
+    assert row["dlq_reason"] is None
+
+
+def test_conv_delete_e2e_base_delta_compact(ray_session, tmp_path_factory):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        ROLE_RENAMES_EPOCH2,
+        change_events,
+        expected_event_table,
+    )
+
+    n = 6000
+    ev = expected_event_table(n, seed=13, patch_permille=120,
+                              conv_delete_permille=6)
+    assert "delete_conv" in set(ev.column("op").to_pylist())
+    ren = {v: k for k, v in ROLE_RENAMES_EPOCH2.items()}
+    rows = []
+    for r in ev.to_pylist():
+        role = ren.get(r["role"], r["role"]) if r["role"] is not None else None
+        turn = CD if r["op"] == "delete_conv" else r["turn_idx"]
+        rows.append((r["op"], r["conv_id"], turn, role, r["text"],
+                     r["tool"], None, r["lsn"]))
+    want = scalar_replay(rows)
+
+    def lake_state(pipe):
+        tbl = pipe.final_state_sorted()
+        assert min(tbl.column("turn_idx").to_pylist(), default=0) >= 0, \
+            "tombstone row leaked into the read view"
+        return {(r["conv_id"], r["turn_idx"]):
+                {"role": r["role"], "text": r["text"], "tool": r["tool"],
+                 "ts": None, "lsn": r["lsn"]}
+                for r in tbl.select(
+                    ["conv_id", "turn_idx", "role", "text", "tool", "lsn"]
+                ).to_pylist()}
+
+    base = tmp_path_factory.mktemp("convdel_lakes")
+    p1 = CDCPipeline(str(base / "base"), num_partitions=8)
+    p1.apply(change_events(n, seed=13, patch_permille=120,
+                           conv_delete_permille=6, parallelism=4))
+    assert lake_state(p1) == want
+    assert p1.fsck()["violations"] == []
+
+    p2 = CDCPipeline(str(base / "delta"), num_partitions=8)
+    lsn = ev.column("lsn")
+    cut = pa.scalar(n // 2, pa.int64())
+    p2.apply(ray.data.from_arrow(ev.filter(pc.less(lsn, cut))))
+    p2.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(lsn, cut))))
+    assert lake_state(p2) == want      # merge-on-read fold applies horizon
+    assert p2.fsck()["violations"] == []
+    p2.compact_deltas()
+    assert lake_state(p2) == want      # compaction materialized the erasure
+    # idempotent replay
+    p2.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(lsn, cut))))
+    assert lake_state(p2) == want
+    assert p2.fsck()["violations"] == []
