@@ -58,9 +58,12 @@ def _ray_init_kwargs() -> dict:
     return kwargs
 
 
-def _events_parquet(num_events: int, num_cpus: int) -> str:
+def _events_parquet(num_events: int, num_cpus: int,
+                    patch_permille: int = 0) -> str:
     """Materialize the synthetic binlog ONCE (untimed input preparation)."""
-    path = os.path.join(tempfile.gettempdir(), f"graft_bench_events_{num_events}")
+    suffix = f"_p{patch_permille}" if patch_permille else ""
+    path = os.path.join(tempfile.gettempdir(),
+                        f"graft_bench_events_{num_events}{suffix}")
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
         from embulk_filter_timestamp_format_ray.sources.changegen import change_events
@@ -69,19 +72,21 @@ def _events_parquet(num_events: int, num_cpus: int) -> str:
         # update-heavy binlog: ~10 updates per (conv, turn) key on average,
         # the shape a CDC upsert stream actually has
         ds = change_events(num_events, seed=42, parallelism=num_cpus * 2,
-                           num_convs=max(num_events // 400, 1))
+                           num_convs=max(num_events // 400, 1),
+                           patch_permille=patch_permille)
         ds.write_parquet(path)
         open(done, "w").close()
     return path
 
 
-def run_headline(num_cpus: int, dlq: bool = False) -> dict:
+def run_headline(num_cpus: int, dlq: bool = False,
+                 patch_permille: int = 0) -> dict:
     import ray
     import ray.data
 
     from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
 
-    events_path = _events_parquet(N_EVENTS, num_cpus)
+    events_path = _events_parquet(N_EVENTS, num_cpus, patch_permille)
     lake = os.path.join(tempfile.gettempdir(), f"graft_bench_lake_{uuid.uuid4().hex[:8]}")
     ds = ray.data.read_parquet(events_path, override_num_blocks=num_cpus * 2)
     t0 = time.perf_counter()
@@ -165,7 +170,8 @@ def run_queries(sf_dir: str) -> dict:
              "top_p_sources", "event_rank", "event_gaps",
              "distinct_users_by_type", "hll_grouped", "remove_boilerplate",
              "bloom_join_revenue", "set_intersect", "set_except",
-             "cdc_delta_commits", "cdc_sync"]
+             "cdc_delta_commits", "cdc_sync", "cdc_patch_upserts",
+             "cdc_conv_erasure", "cdc_rollback"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session
@@ -405,6 +411,11 @@ def main() -> None:
             # two null columns + one validity scan per batch)
             queries["cdc_headline_dlq"] = round(
                 run_headline(NUM_CPUS, dlq=True)["sec"], 3)
+            # patch-traffic A/B: 10% of upsert traffic as partial-column
+            # updates — quantifies the patch fold tier (pass-through
+            # combiner + per-column reduce) at headline scale
+            queries["cdc_headline_patch10"] = round(
+                run_headline(NUM_CPUS, patch_permille=100)["sec"], 3)
             queries["parse_1m"] = round(micro["parse_sec"] + micro["format_sec"], 3)
             queries.update(run_queries(SF_DIR))
             dd = run_dedup_bench()

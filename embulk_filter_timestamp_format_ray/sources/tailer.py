@@ -160,3 +160,38 @@ def tail_directory(pipe, directory: str, files_per_batch: int = 16,
         if delta and compact_every and len(stats) % compact_every == 0:
             pipe.compact_deltas()
     return stats
+
+
+def follow_directory(pipe, directory: str, poll_interval: float = 2.0,
+                     idle_polls: int = 3, on_commit=None,
+                     **tail_kwargs) -> "list[dict]":
+    """Continuous tail (daemon mode): poll ``directory`` and apply new
+    binlog files as they land, until ``idle_polls`` consecutive polls find
+    nothing pending (``idle_polls=0`` = run forever — the production
+    setting; a finite count gives tests and demos a clean exit).
+
+    Each poll is one :func:`tail_directory` pass, so all of its guarantees
+    carry over unchanged: footer-stats pruning, sidecar tail bookkeeping,
+    exactly-once commits, the delta/compaction cadence.  A crash at ANY
+    point degrades to a fresh ``follow_directory`` start — the poll loop
+    holds no state of its own.
+
+    ``on_commit(stats_list)`` (optional) fires after every non-empty poll —
+    the seam for metrics export or a downstream ``sync_changes`` cadence.
+    """
+    import time as _time
+
+    all_stats: "list[dict]" = []
+    idle = 0
+    while True:
+        stats = tail_directory(pipe, directory, **tail_kwargs)
+        if stats:
+            idle = 0
+            all_stats.extend(stats)
+            if on_commit is not None:
+                on_commit(stats)
+        else:
+            idle += 1
+            if idle_polls and idle >= idle_polls:
+                return all_stats
+        _time.sleep(poll_interval if not stats else 0.0)

@@ -87,6 +87,15 @@ def main() -> None:
                     help="apply pending change-event parquet files from DIR "
                          "(footer-stats + sidecar pruning; idempotent) "
                          "instead of generating events")
+    ap.add_argument("--follow", action="store_true",
+                    help="with --tail-dir: keep polling for new binlog "
+                         "files instead of a one-shot pass; exits after "
+                         "--max-idle-polls empty polls (0 = forever)")
+    ap.add_argument("--poll-interval", type=float, default=2.0,
+                    help="--follow poll cadence in seconds")
+    ap.add_argument("--max-idle-polls", type=int, default=3,
+                    help="--follow exits after this many consecutive empty "
+                         "polls (0 = run forever)")
     ap.add_argument("--files-per-batch", type=int, default=16,
                     help="files per exactly-once commit when tailing")
     ap.add_argument("--delta", action="store_true",
@@ -198,10 +207,22 @@ def main() -> None:
             )
 
             t0 = time.perf_counter()
-            commits = tail_directory(pipe, args.tail_dir,
-                                     files_per_batch=args.files_per_batch,
-                                     delta=args.delta,
-                                     compact_every=args.compact_every)
+            if args.follow:
+                from embulk_filter_timestamp_format_ray.sources.tailer import (
+                    follow_directory,
+                )
+
+                commits = follow_directory(
+                    pipe, args.tail_dir,
+                    poll_interval=args.poll_interval,
+                    idle_polls=args.max_idle_polls,
+                    files_per_batch=args.files_per_batch,
+                    delta=args.delta, compact_every=args.compact_every)
+            else:
+                commits = tail_directory(pipe, args.tail_dir,
+                                         files_per_batch=args.files_per_batch,
+                                         delta=args.delta,
+                                         compact_every=args.compact_every)
             out = {
                 "tail_dir": args.tail_dir,
                 "commits": len(commits),

@@ -117,3 +117,48 @@ def test_tail_delta_mode_with_compaction_cadence(ray_session, binlog_dir,
         == backlog
     pipe.compact_deltas()
     _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N))
+
+
+def test_follow_applies_files_landing_mid_loop(ray_session, tmp_path_factory):
+    """follow_directory: files dropped BETWEEN polls are picked up; the
+    loop exits after idle_polls empty polls; final state equals the
+    sequential oracle."""
+    import threading
+    import time
+
+    from embulk_filter_timestamp_format_ray.sources.tailer import (
+        follow_directory,
+    )
+    from tests.test_cdc import _assert_matches_oracle, _lake_as_dict, \
+        sequential_oracle
+
+    d = str(tmp_path_factory.mktemp("binlog_follow"))
+    full = expected_event_table(N)
+    step = N // 6
+    # first two chunks are present at start; the rest land while following
+    for i in range(2):
+        pq.write_table(full.slice(i * step, step),
+                       os.path.join(d, f"events-{i:04d}.parquet"))
+
+    def shipper():
+        for i in range(2, 6):
+            time.sleep(0.3)
+            tmp = os.path.join(d, f".tmp-{i}")
+            pq.write_table(full.slice(i * step, step), tmp)
+            # atomic rename: the tailer never sees a half-written file
+            os.replace(tmp, os.path.join(d, f"events-{i:04d}.parquet"))
+
+    lake = str(tmp_path_factory.mktemp("lake_follow"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    commits = []
+    t = threading.Thread(target=shipper)
+    t.start()
+    stats = follow_directory(pipe, d, poll_interval=0.2, idle_polls=4,
+                             files_per_batch=2,
+                             on_commit=lambda s: commits.append(len(s)))
+    t.join()
+    assert sum(s["events_applied"] for s in stats) > 0
+    assert len(commits) >= 2  # landed in at least two separate polls
+    _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N))
+    # a fresh follow on the drained directory exits with nothing applied
+    assert follow_directory(pipe, d, poll_interval=0.05, idle_polls=2) == []
