@@ -1082,6 +1082,22 @@ def q_explode_words(sf_dir: str):
     return explode_list(ds, "words", out_col="word")
 
 
+def q_chunk_documents(sf_dir: str):
+    """Token-window chunking with overlap: documents → training-example
+    windows of 64 whitespace tokens advancing by 48 (every token covered,
+    short tail window kept).  Overlap means a plain list re-offset cannot
+    express the windows, so the kernel gathers the flattened token stream
+    once and run-length-joins (stages/text_stats.py chunk_documents_batch).
+    Oracle: regexp_split + unnest(range(n_chunks)) + list_slice replaying
+    the identical integer chunk-count rule."""
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        chunk_documents,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return chunk_documents(ds, size=64, stride=48)
+
+
 def q_distinct_event_types(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.relational import distinct
 
@@ -2270,6 +2286,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "shuffle_semi_orders": q_shuffle_semi_orders,
         "shuffle_anti_orders": q_shuffle_anti_orders,
         "explode_words": q_explode_words,
+        "chunk_documents": q_chunk_documents,
         "distinct_event_types": q_distinct_event_types,
         "topk_docs_per_source": q_topk_docs_per_source,
         "corpus_prep": q_corpus_prep,
@@ -2736,6 +2753,22 @@ def oracle_sql() -> "dict[str, str]":
         "explode_words":
             "select doc_id, unnest(regexp_split_to_array(text, '\\s+')) as word "
             "from documents",
+        # Token-window chunking: identical integer chunk-count rule
+        # (1 + max(0, ceil((n-size)/stride))) replayed with unnest(range())
+        # + list_slice; split regex mirrors the kernel's \s+
+        "chunk_documents":
+            r"with d as (select doc_id, regexp_split_to_array(text, '\s+') "
+            "as toks from documents), "
+            "c as (select doc_id, toks, len(toks) as n, "
+            "1 + greatest(0, (len(toks) - 64 + 48 - 1) // 48) as n_chunks "
+            "from d), "
+            "x as (select doc_id, toks, n, unnest(range(0, n_chunks)) "
+            "as chunk_idx from c) "
+            "select doc_id, chunk_idx, "
+            "least(chunk_idx*48 + 64, n) - chunk_idx*48 as chunk_tokens, "
+            "array_to_string(list_slice(toks, chunk_idx*48 + 1, "
+            "least(chunk_idx*48 + 64, n)), ' ') as chunk_text "
+            "from x",
         "distinct_event_types":
             "select distinct event_type from events",
         "topk_docs_per_source":

@@ -377,3 +377,74 @@ def doc_token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     return ds.map_batches(count, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def chunk_documents_batch(batch: pa.Table, *, size: int, stride: int,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> pa.Table:
+    """Token-window document chunking: split each document into overlapping
+    windows of ``size`` whitespace tokens advancing by ``stride`` — the
+    long-document → training-example step of a corpus pipeline.  One row
+    per chunk: (doc_id, chunk_idx, chunk_tokens, chunk_text).
+
+    Chunk count (integer-exact, mirrored by the SQL oracle):
+    ``1 + max(0, ceil((n_tokens - size) / stride))`` — every token is
+    covered, the last window may be short, a short/empty document yields
+    exactly one chunk.
+
+    Fully vectorized flat-map: one regex split per batch, the overlapping
+    windows are materialized by a single integer gather over the flattened
+    token buffer (overlap means a plain ListArray re-offset cannot express
+    the windows — offsets must not overlap), then one run-length
+    ``binary_join``.  No per-document callbacks, no shuffle."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    txt = batch.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern_regex(txt, pattern=r"\s+")
+    n = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
+    n_chunks = 1 + np.where(n > size, (n - size + stride - 1) // stride, 0)
+    total = int(n_chunks.sum())
+    rep = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    # chunk_idx within each document (segment-local arange)
+    doc_first = np.cumsum(n_chunks) - n_chunks
+    k = np.arange(total, dtype=np.int64) - doc_first[rep]
+    start = k * stride
+    end = np.minimum(start + size, n[rep])
+    lens = end - start
+    # gather indices into the flattened token stream
+    flat = pc.list_flatten(toks)
+    doc_off = np.asarray(toks.offsets.cast(pa.int64()))[:-1]
+    chunk_first = np.cumsum(lens) - lens
+    gather = (np.arange(int(lens.sum()), dtype=np.int64)
+              - np.repeat(chunk_first, lens)
+              + np.repeat(doc_off[rep] + start, lens))
+    offsets = np.empty(total + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lens, out=offsets[1:])
+    gathered = flat.take(pa.array(gather))
+    if isinstance(gathered, pa.ChunkedArray):
+        gathered = gathered.combine_chunks()
+    windows = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), gathered)
+    chunk_text = pc.binary_join(windows, " ")
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        id_col: ids.take(pa.array(rep)),
+        "chunk_idx": pa.array(k),
+        "chunk_tokens": pa.array(lens),
+        "chunk_text": chunk_text.cast(pa.string()),
+    })
+
+
+def chunk_documents(ds, *, size: int, stride: int, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Dataset wrapper over :func:`chunk_documents_batch` (stateless
+    flat-map — streams, no shuffle; output rows ≈ input tokens / stride)."""
+    return ds.map_batches(
+        lambda b: chunk_documents_batch(b, size=size, stride=stride,
+                                        id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -1231,3 +1231,45 @@ def test_grouping_sets_and_cube(ray_session):
         grouping_sets_aggregate(ds, ["a"], sets=[["zzz"]], aggs={"s": ("v", "sum")})
     with pytest.raises(ValueError):
         grouping_sets_aggregate(ds, ["a"], sets=[], aggs={"s": ("v", "sum")})
+
+
+def test_chunk_documents_batch_windows():
+    """Token-window chunking: coverage, overlap, short tail, empty doc."""
+    import numpy as np
+
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        chunk_documents_batch,
+    )
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d e f g", "x y", ""]),
+    })
+    out = chunk_documents_batch(b, size=3, stride=2)
+    rows = out.to_pylist()
+    assert rows == [
+        {"doc_id": 1, "chunk_idx": 0, "chunk_tokens": 3, "chunk_text": "a b c"},
+        {"doc_id": 1, "chunk_idx": 1, "chunk_tokens": 3, "chunk_text": "c d e"},
+        {"doc_id": 1, "chunk_idx": 2, "chunk_tokens": 3, "chunk_text": "e f g"},
+        {"doc_id": 2, "chunk_idx": 0, "chunk_tokens": 2, "chunk_text": "x y"},
+        {"doc_id": 3, "chunk_idx": 0, "chunk_tokens": 1, "chunk_text": ""},
+    ]
+    # random parity vs a per-doc scalar spec
+    rng = np.random.default_rng(7)
+    docs = [" ".join(f"t{rng.integers(50)}" for _ in range(rng.integers(1, 40)))
+            for _ in range(60)]
+    b2 = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                   "text": pa.array(docs)})
+    for size, stride in [(5, 5), (8, 4), (16, 15), (1, 1)]:
+        got = chunk_documents_batch(b2, size=size, stride=stride).to_pylist()
+        want = []
+        for i, doc in enumerate(docs):
+            toks = doc.split(" ")
+            n = len(toks)
+            n_chunks = 1 + max(0, -((n - size) // -stride)) if n > size else 1
+            for k in range(n_chunks):
+                seg = toks[k * stride:k * stride + size]
+                want.append({"doc_id": i, "chunk_idx": k,
+                             "chunk_tokens": len(seg),
+                             "chunk_text": " ".join(seg)})
+        assert got == want, (size, stride)
