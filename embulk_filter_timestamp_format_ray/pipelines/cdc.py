@@ -1703,6 +1703,37 @@ class CDCPipeline:
         """Manifest versions currently readable via ``read_lake_at``."""
         return mf.list_versions(self.lake_dir)
 
+    def history(self) -> "list[dict]":
+        """DESCRIBE HISTORY analog: one summary row per retained manifest
+        version (ascending) — rows / data+delta file counts / dlq backlog /
+        watermark span / the txn that produced it, plus ``rolled_back_to``
+        for rollback commits.  Metadata-only: reads the tiny manifest
+        snapshots, never data files."""
+        out = []
+        for v in mf.list_versions(self.lake_dir):
+            m = mf.read_manifest_at(self.lake_dir, v)
+            parts = m.get("partitions", {})
+            wms = [int(p.get("last_applied_lsn", -1)) for p in parts.values()]
+            row = {
+                "version": v,
+                "txn": m.get("last_txn"),
+                "partitions": len(parts),
+                "rows": sum(int(p.get("rows", 0)) for p in parts.values()),
+                "delta_files": sum(len(p.get("deltas", []))
+                                   for p in parts.values()),
+                "delta_rows": sum(int(d.get("rows", 0))
+                                  for p in parts.values()
+                                  for d in p.get("deltas", [])),
+                "dlq_rows": sum(int(d.get("rows", 0))
+                                for d in m.get("dlq", [])),
+                "watermark_min": min(wms, default=-1),
+                "watermark_max": max(wms, default=-1),
+            }
+            if "rolled_back_to" in m:
+                row["rolled_back_to"] = int(m["rolled_back_to"])
+            out.append(row)
+        return out
+
     def rollback(self, version: int) -> "dict":
         """Restore the lake to retained snapshot ``version`` AS A NEW
         COMMIT (Iceberg-style rollback): the head manifest's entire

@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--at-version", type=int, default=None,
                     help="read-only: report row count + retained versions of "
                          "the lake AS OF this manifest version, apply nothing")
+    ap.add_argument("--history", action="store_true",
+                    help="print one summary row per retained manifest "
+                         "version (DESCRIBE HISTORY analog; metadata-only), "
+                         "apply nothing")
     ap.add_argument("--rollback-to", type=int, default=None,
                     help="restore the lake to this retained snapshot as a "
                          "NEW commit (metadata-only; watermarks roll back "
@@ -180,6 +184,10 @@ def main() -> None:
             print(json.dumps({"bootstrap": boot}))
             if args.events == 0:
                 return
+        if args.history:
+            print(json.dumps({"lake": args.lake,
+                              "history": pipe.history()}))
+            return
         if args.rollback_to is not None:
             res = pipe.rollback(args.rollback_to)
             print(json.dumps({"lake": args.lake, "rollback": res,

@@ -283,3 +283,67 @@ def test_conv_delete_e2e_base_delta_compact(ray_session, tmp_path_factory):
         ev.filter(pc.greater_equal(lsn, cut))))
     assert lake_state(p2) == want
     assert p2.fsck()["violations"] == []
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_op_schedule_full_op_space(ray_session, tmp_path_factory,
+                                          seed):
+    """Composition fuzz over the FULL op space (upsert/delete/patch/
+    delete_conv): a seeded random schedule of base applies, delta commits,
+    compactions and a mid-stream repartition over random chunk boundaries
+    with overlapping re-deliveries must converge to the sequential replay
+    — extends test_delta_commits.test_random_op_schedule_converges to the
+    partial-update and erasure tiers."""
+    import numpy as np
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        ROLE_RENAMES_EPOCH2,
+        expected_event_table,
+    )
+
+    n = 5000
+    ev = expected_event_table(n, seed=21, patch_permille=150,
+                              conv_delete_permille=6)
+    ren = {v: k for k, v in ROLE_RENAMES_EPOCH2.items()}
+    rows = []
+    for r in ev.to_pylist():
+        role = ren.get(r["role"], r["role"]) if r["role"] is not None else None
+        turn = CD if r["op"] == "delete_conv" else r["turn_idx"]
+        rows.append((r["op"], r["conv_id"], turn, role, r["text"],
+                     r["tool"], None, r["lsn"]))
+    want = scalar_replay(rows)
+
+    rng = np.random.default_rng(seed)
+    lake = str(tmp_path_factory.mktemp(f"lake_fullops_{seed}"))
+    pipe = CDCPipeline(lake, num_partitions=8,
+                       auto_compact_deltas=(4 if seed % 2 else None))
+    cuts = sorted(rng.choice(np.arange(200, n - 200), size=5,
+                             replace=False).tolist())
+    bounds = [0, *cuts, n]
+    lsn = ev.column("lsn")
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        overlap = int(rng.integers(0, lo // 2 + 1))
+        chunk = ev.filter(pc.and_(
+            pc.greater_equal(lsn, pa.scalar(lo - overlap, pa.int64())),
+            pc.less(lsn, pa.scalar(hi, pa.int64()))))
+        if rng.choice(["base", "delta", "delta"]) == "base":
+            pipe.apply(ray.data.from_arrow(chunk))
+        else:
+            pipe.apply_delta(ray.data.from_arrow(chunk))
+        if rng.random() < 0.3:
+            pipe.compact_deltas()
+        if i == 3 and seed % 2 == 0:
+            pipe.repartition_lake(16 if seed == 0 else 4)
+
+    tbl = pipe.final_state_sorted()
+    assert min(tbl.column("turn_idx").to_pylist(), default=0) >= 0
+    got = {(r["conv_id"], r["turn_idx"]):
+           {"role": r["role"], "text": r["text"], "tool": r["tool"],
+            "ts": None, "lsn": r["lsn"]}
+           for r in tbl.select(
+               ["conv_id", "turn_idx", "role", "text", "tool", "lsn"]
+           ).to_pylist()}
+    assert got == want
+    assert pipe.fsck()["violations"] == []

@@ -186,3 +186,20 @@ def test_rollback_to_snapshot_with_pending_deltas(ray_session, tmp_path):
     assert pipe.rollback(2)["restored_version"] == 2
     assert mf.has_deltas(mf.read_manifest(lake))
     assert _sorted_state(pipe.read_lake()).equals(s2)
+
+
+def test_history_summarizes_retained_versions(ray_session, tmp_path):
+    lake = str(tmp_path / "lake")
+    pipe = CDCPipeline(lake, num_partitions=4)
+    full = expected_event_table(900)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 450)))
+    pipe.apply_delta(ray.data.from_arrow(full.slice(450, 450)))
+    pipe.rollback(1)
+    h = pipe.history()
+    assert [r["version"] for r in h] == [1, 2, 3]
+    assert h[1]["delta_files"] > 0 and h[1]["delta_rows"] > 0
+    assert h[2]["rolled_back_to"] == 1
+    # rollback restored v1's table shape
+    assert h[2]["rows"] == h[0]["rows"]
+    assert h[2]["watermark_max"] == h[0]["watermark_max"]
+    assert all(r["dlq_rows"] == 0 for r in h)
