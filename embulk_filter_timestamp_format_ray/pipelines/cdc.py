@@ -355,12 +355,6 @@ def _merge_key_runs(tbl: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
     return perm, last
 
 
-def _has_patch_rows(tbl: pa.Table) -> bool:
-    if tbl.num_rows == 0 or "op" not in tbl.schema.names:
-        return False
-    return pc.any(pc.equal(tbl.column("op"), PATCH_OP)).as_py() is True
-
-
 def keep_last_per_key(tbl: pa.Table) -> pa.Table:
     """Max-LSN winner per (conv_id, turn_idx) — the associative merge core.
 
@@ -388,11 +382,19 @@ def keep_last_per_key(tbl: pa.Table) -> pa.Table:
     winning yields identical state."""
     if tbl.num_rows <= 1:
         return tbl
-    has_cd = ("op" in tbl.schema.names and
-              pc.any(pc.equal(tbl.column("op"),
-                              CONV_DELETE_OP)).as_py() is True)
+    has_cd = has_patch = False
+    if "op" in tbl.schema.names:
+        # ONE op-classification scan decides the dispatch (vs separate
+        # equality scans per tier): max code <= 1 ⇒ the plain whole-row
+        # binlog, the headline hot path
+        codes = pc.index_in(tbl.column("op").combine_chunks(),
+                            value_set=_OP_NAMES)
+        mx = pc.max(codes).as_py()
+        if mx is not None and mx >= 2:
+            has_cd = mx == 3
+            has_patch = pc.any(pc.equal(codes, 2)).as_py() is True
     if not has_cd:
-        if _has_patch_rows(tbl):
+        if has_patch:
             return fold_patch_runs(tbl)
         perm, last = _merge_key_runs(tbl)
         # NOTE: dictionary indices order != lexical conv order; callers must
@@ -409,7 +411,7 @@ def keep_last_per_key(tbl: pa.Table) -> pa.Table:
     if rest.num_rows == 0:
         return tomb
     horizon = _conv_horizon_rows(rest, tomb)
-    if _has_patch_rows(rest):
+    if has_patch:  # patches are never tombstones, so the flag carries over
         folded = fold_patch_runs(rest, conv_horizon=horizon)
     else:
         perm, last = _merge_key_runs(rest)
