@@ -347,3 +347,109 @@ def test_random_op_schedule_full_op_space(ray_session, tmp_path_factory,
            ).to_pylist()}
     assert got == want
     assert pipe.fsck()["violations"] == []
+
+
+def test_erasure_reaches_sync_mirror(ray_session, tmp_path_factory):
+    """A conversation erased upstream disappears from a downstream sync
+    mirror: the changefeed ships the erased keys as deletes."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        expected_event_table,
+    )
+
+    base = tmp_path_factory.mktemp("erase_sync")
+    lake, out = str(base / "lake"), str(base / "mirror")
+    pipe = CDCPipeline(lake, num_partitions=4)
+    ev = expected_event_table(1200)
+    pipe.apply(ray.data.from_arrow(ev))
+    pipe.sync_changes(out)
+    live = pipe.final_state_sorted()
+    victim = live.column("conv_id")[0].as_py()
+    n_victim = live.filter(
+        pc.equal(live.column("conv_id"), victim)).num_rows
+    assert n_victim > 0
+
+    tomb = pa.table({
+        "lsn": pa.array([2_000_000], pa.int64()),
+        "op": pa.array(["delete_conv"]),
+        "conv_id": pa.array([victim]),
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array([None], pa.string()),
+        "text": pa.array([None], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts_raw": pa.array([None], pa.string()),
+        "schema_epoch": pa.array([0], pa.int64()),
+    })
+    pipe.apply(ray.data.from_arrow(tomb))
+    pipe.sync_changes(out)
+    mirror = pa.Table.from_pandas(
+        CDCPipeline.read_sync_mirror(out).to_pandas(), preserve_index=False)
+    assert mirror.filter(
+        pc.equal(mirror.column("conv_id"), victim)).num_rows == 0
+    # and the mirror matches live state overall
+    assert mirror.num_rows == pipe.final_state_sorted().num_rows
+
+
+def test_erasure_physically_purges_after_retention(ray_session,
+                                                   tmp_path_factory):
+    """GDPR completeness: after the erasure commit, subsequent commits
+    rolling the retention window, and GC, NO parquet file under the lake
+    still contains the erased conversation's bytes.  (The erasure commit
+    itself rewrites every partition — tombstones replicate to all pids —
+    so pre-erasure file content survives only in retained snapshots.)"""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        expected_event_table,
+    )
+
+    lake = str(tmp_path_factory.mktemp("erase_purge") / "lake")
+    pipe = CDCPipeline(lake, num_partitions=4, auto_gc=True,
+                       time_travel_retain=2)
+    ev = expected_event_table(1200)
+    pipe.apply(ray.data.from_arrow(ev))
+    live = pipe.final_state_sorted()
+    victim = live.column("conv_id")[0].as_py()
+
+    def mk(lsn, op="delete_conv", conv=victim):
+        return pa.table({
+            "lsn": pa.array([lsn], pa.int64()),
+            "op": pa.array([op]),
+            "conv_id": pa.array([conv]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array(["filler"], pa.string()),
+            "tool": pa.array([None], pa.string()),
+            "ts_raw": pa.array(["1700000000000"], pa.string()),
+            "schema_epoch": pa.array([0], pa.int64()),
+        })
+
+    pipe.apply(ray.data.from_arrow(mk(2_000_000)))          # erasure commit
+    # roll the retention window past the pre-erasure snapshots
+    pipe.apply(ray.data.from_arrow(mk(2_000_001, op="upsert",
+                                      conv="conv-zzz")))
+    pipe.apply(ray.data.from_arrow(mk(2_000_002, op="upsert",
+                                      conv="conv-zzz")))
+    pipe.gc()
+    hits = []
+    for root, _, files in os.walk(lake):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(root, f))
+            if "conv_id" in t.schema.names and t.filter(
+                    pc.equal(t.column("conv_id"), victim)).num_rows:
+                hits.append(os.path.join(root, f))
+    assert hits == [], f"erased conversation still on disk in {hits}"
+    # and no retained version can read it back
+    for v in pipe.versions():
+        snap = pa.Table.from_pandas(
+            pipe.read_lake_at(v).to_pandas(), preserve_index=False)
+        assert snap.filter(
+            pc.equal(snap.column("conv_id"), victim)).num_rows == 0
