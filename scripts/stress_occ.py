@@ -43,7 +43,8 @@ try:
     from embulk_filter_timestamp_format_ray.state import manifest as mf
 
     wid, n_events, lake = {wid}, {n_events}, {lake!r}
-    full = expected_event_table(n_events)
+    full = expected_event_table(n_events, patch_permille={patch},
+                                conv_delete_permille={convdel})
     pipe = CDCPipeline(lake, num_partitions=8)
     conflicts = 0
     # every writer applies the WHOLE stream in 4 chunks, offset so the
@@ -85,6 +86,8 @@ def main() -> int:
     ap.add_argument("--events", type=int, default=6000)
     ap.add_argument("--writers", type=int, default=3)
     ap.add_argument("--lake", default=None)
+    ap.add_argument("--patch-permille", type=int, default=0)
+    ap.add_argument("--conv-delete-permille", type=int, default=0)
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     lake = args.lake or os.path.join(
@@ -95,7 +98,8 @@ def main() -> int:
         subprocess.Popen(
             [sys.executable, "-c",
              WORKER.format(repo=repo, wid=w, n_events=args.events,
-                           lake=lake)],
+                           lake=lake, patch=args.patch_permille,
+                           convdel=args.conv_delete_permille)],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
         for w in range(args.writers)
     ]
@@ -126,7 +130,9 @@ def main() -> int:
         solo_lake = os.path.join(
             tempfile.gettempdir(), f"stress_solo_{uuid.uuid4().hex[:8]}")
         solo = CDCPipeline(solo_lake, num_partitions=8)
-        solo.apply(ray.data.from_arrow(expected_event_table(args.events)))
+        solo.apply(ray.data.from_arrow(expected_event_table(
+            args.events, patch_permille=args.patch_permille,
+            conv_delete_permille=args.conv_delete_permille)))
         exp = solo.final_state_sorted()
         ok = got.equals(exp)
         print(json.dumps({
