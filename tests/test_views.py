@@ -108,3 +108,37 @@ def test_view_reflects_late_update(ray_session):
     # untouched conversations unchanged
     other = [c for c in before.index if c != conv][0]
     assert after.loc[other, "n_turns"] == before.loc[other, "n_turns"]
+
+
+def test_view_under_patch_and_erasure_traffic(ray_session):
+    """Patches and conversation tombstones flow through the view's
+    partition folds: an incremental refresh over a patched+erased lake
+    equals a from-scratch recompute of the same lake."""
+    import shutil
+
+    import ray
+
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        expected_event_table as evt,
+    )
+
+    pipe, lake, view_dir = _mk_lake(ray)
+    view = IncrementalView(lake, view_dir)
+    view.refresh()
+    # second micro-batch carries patches and a conversation erasure
+    extra = evt(3000, patch_permille=200, conv_delete_permille=8)
+    lsn = extra.column("lsn")
+    import pyarrow.compute as pc
+
+    pipe.apply_delta(ray.data.from_arrow(extra.filter(
+        pc.greater_equal(lsn, pa.scalar(2000, pa.int64())))))
+    inc = view.refresh()
+    assert inc["recomputed"] > 0
+    got = view.read().to_pandas().sort_values("conv_id") \
+        .reset_index(drop=True)
+    fresh = IncrementalView(lake, view_dir + "_fresh")
+    fresh.refresh()
+    want = fresh.read().to_pandas().sort_values("conv_id") \
+        .reset_index(drop=True)
+    assert got.equals(want)
+    shutil.rmtree(view_dir + "_fresh", ignore_errors=True)
