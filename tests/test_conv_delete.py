@@ -453,3 +453,47 @@ def test_erasure_physically_purges_after_retention(ray_session,
             pipe.read_lake_at(v).to_pandas(), preserve_index=False)
         assert snap.filter(
             pc.equal(snap.column("conv_id"), victim)).num_rows == 0
+
+
+def test_actor_exchange_full_op_space(ray_session, tmp_path_factory):
+    """The raw-actor push exchange funnels through the same fold kernels:
+    delta commits with patches + conversation tombstones via
+    exchange="actor" converge to the sequential replay."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        ROLE_RENAMES_EPOCH2,
+        expected_event_table,
+    )
+
+    n = 4000
+    ev = expected_event_table(n, seed=17, patch_permille=150,
+                              conv_delete_permille=6)
+    ren = {v: k for k, v in ROLE_RENAMES_EPOCH2.items()}
+    rows = []
+    for r in ev.to_pylist():
+        role = ren.get(r["role"], r["role"]) if r["role"] is not None else None
+        turn = CD if r["op"] == "delete_conv" else r["turn_idx"]
+        rows.append((r["op"], r["conv_id"], turn, role, r["text"],
+                     r["tool"], None, r["lsn"]))
+    want = scalar_replay(rows)
+
+    lake = str(tmp_path_factory.mktemp("actor_fullops") / "lake")
+    pipe = CDCPipeline(lake, num_partitions=8)
+    lsn = ev.column("lsn")
+    cut = pa.scalar(n // 2, pa.int64())
+    pipe.apply(ray.data.from_arrow(ev.filter(pc.less(lsn, cut))),
+               exchange="actor")
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(lsn, cut))), exchange="actor")
+    tbl = pipe.final_state_sorted()
+    got = {(r["conv_id"], r["turn_idx"]):
+           {"role": r["role"], "text": r["text"], "tool": r["tool"],
+            "ts": None, "lsn": r["lsn"]}
+           for r in tbl.select(
+               ["conv_id", "turn_idx", "role", "text", "tool", "lsn"]
+           ).to_pylist()}
+    assert got == want
+    pipe.compact_deltas()
+    assert pipe.fsck()["violations"] == []
