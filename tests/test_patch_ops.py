@@ -293,3 +293,54 @@ def test_patch_e2e_base_delta_compact_equal(ray_session, tmp_path_factory):
         ev.filter(pc.greater_equal(lsn, cut))))
     assert lake_state(p2) == want
     assert p2.fsck()["violations"] == []
+
+
+def test_patch_fold_hypothesis_property():
+    """Hypothesis property (shrinking complements the seeded fuzz): any
+    event schedule over a 2-conv × 2-turn key space, split at any point
+    into two combined blocks, folds to the sequential replay.  Key space
+    deliberately minimal so delete/patch/upsert interleavings collide
+    maximally (DESIGN #25)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ev = st.tuples(
+        st.sampled_from(["upsert", "delete", "patch"]),
+        st.sampled_from(["a", "b"]),
+        st.integers(0, 1),
+        st.one_of(st.none(), st.sampled_from(["r1", "r2"])),
+        st.one_of(st.none(), st.sampled_from(["t1", "t2"])),
+        st.one_of(st.none(), st.sampled_from(["x"])),
+        st.one_of(st.none(), st.integers(0, 9)),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=24), st.integers(0, 23),
+           st.randoms())
+    def prop(events, cut, rnd):
+        rows = []
+        for i, (op, conv, turn, role, text, tool, ts) in enumerate(events):
+            if op == "delete":
+                rows.append(("delete", conv, turn, None, None, None, None, i))
+            elif op == "upsert":
+                rows.append(("upsert", conv, turn, role or "r0", text or "t0",
+                             tool, ts if ts is not None else 0, i))
+            else:
+                if role is None and text is None and tool is None \
+                        and ts is None:
+                    text = "t0"  # a patch must set something
+                rows.append(("patch", conv, turn, role, text, tool, ts, i))
+        want = scalar_replay(rows)
+        tbl = _events_table(rows)
+        order = list(range(tbl.num_rows))
+        rnd.shuffle(order)
+        tbl = tbl.take(pa.array(order))
+        cut = min(cut, tbl.num_rows)
+        combiner = PreMergeCombiner()
+        parts = [p for p in (tbl.slice(0, cut), tbl.slice(cut))
+                 if p.num_rows]
+        merged = pa.concat_tables([combiner(p) for p in parts],
+                                  promote_options="permissive")
+        assert _fold_to_state(merged) == want
+
+    prop()
