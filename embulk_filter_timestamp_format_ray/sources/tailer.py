@@ -116,7 +116,8 @@ def pending_files(directory: str, resume_lsn: int,
 
 def tail_directory(pipe, directory: str, files_per_batch: int = 16,
                    suffix: str = ".parquet", delta: bool = False,
-                   compact_every: int = 8) -> "list[dict]":
+                   compact_every: int = 8,
+                   commit_offset: int = 0) -> "list[dict]":
     """Apply every pending file in ``directory`` to ``pipe``
     (:class:`~embulk_filter_timestamp_format_ray.pipelines.cdc.CDCPipeline`),
     in lsn order.  Returns per-commit stats.  Idempotent: rerunning on an
@@ -157,7 +158,11 @@ def tail_directory(pipe, directory: str, files_per_batch: int = 16,
             ingested[name] = hi
         resume = pipe.resume_lsn()
         _write_sidecar(pipe.lake_dir, ingested, resume)
-        if delta and compact_every and len(stats) % compact_every == 0:
+        # commit_offset carries the cadence across calls (follow_directory
+        # polls repeatedly; without it a poll landing < compact_every
+        # commits would never compact and the backlog would grow unbounded)
+        if delta and compact_every and \
+                (commit_offset + len(stats)) % compact_every == 0:
             pipe.compact_deltas()
     return stats
 
@@ -184,7 +189,8 @@ def follow_directory(pipe, directory: str, poll_interval: float = 2.0,
     all_stats: "list[dict]" = []
     idle = 0
     while True:
-        stats = tail_directory(pipe, directory, **tail_kwargs)
+        stats = tail_directory(pipe, directory,
+                               commit_offset=len(all_stats), **tail_kwargs)
         if stats:
             idle = 0
             all_stats.extend(stats)
