@@ -1098,6 +1098,33 @@ def q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, size=64, stride=48)
 
 
+def q_transcripts_to_training(sf_dir: str):
+    """The engine's raison d'être as ONE composition: exactly-once CDC
+    replay → lake → per-conversation transcript assembly → overlapping
+    token-window training chunks.  Every stage streams (one shuffle for the
+    merge, one for assembly, chunking stateless).  Oracle: the flagship
+    argmax-LSN fold + ordered string_agg + the unnest(range())/list_slice
+    chunk replay, chained in one SQL statement."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.transcripts import (
+        assemble_conversations,
+    )
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        change_events,
+    )
+    from embulk_filter_timestamp_format_ray.stages.text_stats import (
+        chunk_documents,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_train_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(change_events(20_000, seed=42, parallelism=16))
+    docs = assemble_conversations(pipe.read_lake())
+    return chunk_documents(docs, size=32, stride=24, id_col="conv_id",
+                           text_col="transcript")
+
+
 def q_distinct_event_types(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.relational import distinct
 
@@ -2287,6 +2314,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "shuffle_anti_orders": q_shuffle_anti_orders,
         "explode_words": q_explode_words,
         "chunk_documents": q_chunk_documents,
+        "transcripts_to_training": q_transcripts_to_training,
         "distinct_event_types": q_distinct_event_types,
         "topk_docs_per_source": q_topk_docs_per_source,
         "corpus_prep": q_corpus_prep,
@@ -2768,6 +2796,32 @@ def oracle_sql() -> "dict[str, str]":
             "least(chunk_idx*48 + 64, n) - chunk_idx*48 as chunk_tokens, "
             "array_to_string(list_slice(toks, chunk_idx*48 + 1, "
             "least(chunk_idx*48 + 64, n)), ' ') as chunk_text "
+            "from x",
+        # The capstone chain: flagship fold → ordered transcript assembly →
+        # token-window chunking, one statement
+        "transcripts_to_training":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "final as (select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text "
+            "from ranked where rn = 1 and op <> 'delete'), "
+            "docs as (select conv_id, "
+            "string_agg(coalesce(role, '') || ': ' || coalesce(text, ''), "
+            "chr(10) order by turn_idx) as transcript "
+            "from final group by conv_id), "
+            "d as (select conv_id, "
+            r"regexp_split_to_array(transcript, '\s+') as toks from docs), "
+            "c as (select conv_id, toks, len(toks) as n, "
+            "1 + greatest(0, (len(toks) - 32 + 24 - 1) // 24) as n_chunks "
+            "from d), "
+            "x as (select conv_id, toks, n, unnest(range(0, n_chunks)) "
+            "as chunk_idx from c) "
+            "select conv_id, chunk_idx, "
+            "least(chunk_idx*24 + 32, n) - chunk_idx*24 as chunk_tokens, "
+            "array_to_string(list_slice(toks, chunk_idx*24 + 1, "
+            "least(chunk_idx*24 + 32, n)), ' ') as chunk_text "
             "from x",
         "distinct_event_types":
             "select distinct event_type from events",
