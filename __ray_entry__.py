@@ -1098,6 +1098,28 @@ def q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, size=64, stride=48)
 
 
+def q_cdc_point_lookup(sf_dir: str):
+    """Indexed point lookup: one conversation read back from the committed
+    lake via read_conversation — candidate-partition pruning (conv-hash →
+    pid set) + conv_id row-group predicate pushdown inside those files
+    (files are (conv_id, turn_idx)-sorted with bounded row groups), no full
+    scan, no shuffle.  A hot conversation ('conv-00000003') is used so the
+    key exists at every sf.  Oracle: the flagship fold filtered to the
+    conversation."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        change_events,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_pt_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(change_events(20_000, seed=42, parallelism=16))
+    tbl = pipe.read_conversation("conv-00000003")
+    return tbl.select(["conv_id", "turn_idx", "role", "text", "tool",
+                       "lsn"])
+
+
 def q_transcripts_to_training(sf_dir: str):
     """The engine's raison d'être as ONE composition: exactly-once CDC
     replay → lake → per-conversation transcript assembly → overlapping
@@ -2315,6 +2337,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "explode_words": q_explode_words,
         "chunk_documents": q_chunk_documents,
         "transcripts_to_training": q_transcripts_to_training,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "distinct_event_types": q_distinct_event_types,
         "topk_docs_per_source": q_topk_docs_per_source,
         "corpus_prep": q_corpus_prep,
@@ -2797,6 +2820,16 @@ def oracle_sql() -> "dict[str, str]":
             "array_to_string(list_slice(toks, chunk_idx*48 + 1, "
             "least(chunk_idx*48 + 64, n)), ' ') as chunk_text "
             "from x",
+        # Point lookup == the flagship fold restricted to one conversation
+        "cdc_point_lookup":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet') "
+            "where conv_id = 'conv-00000003') "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
         # The capstone chain: flagship fold → ordered transcript assembly →
         # token-window chunking, one statement
         "transcripts_to_training":

@@ -220,12 +220,17 @@ def main() -> None:
                     follow_directory,
                 )
 
+                # with --sync-to, ship changes downstream after every
+                # non-empty poll — a continuously-mirroring CDC daemon
+                on_commit = ((lambda _s: pipe.sync_changes(args.sync_to))
+                             if args.sync_to else None)
                 commits = follow_directory(
                     pipe, args.tail_dir,
                     poll_interval=args.poll_interval,
                     idle_polls=args.max_idle_polls,
                     files_per_batch=args.files_per_batch,
-                    delta=args.delta, compact_every=args.compact_every)
+                    delta=args.delta, compact_every=args.compact_every,
+                    on_commit=on_commit)
             else:
                 commits = tail_directory(pipe, args.tail_dir,
                                          files_per_batch=args.files_per_batch,
