@@ -82,7 +82,14 @@ def _read_sidecar(lake_dir: str) -> "dict[str, int]":
 def _write_sidecar(lake_dir: str, entries: "dict[str, int]",
                    resume_lsn: int) -> None:
     os.makedirs(lake_dir, exist_ok=True)
-    kept = {k: v for k, v in entries.items() if v > resume_lsn}
+    # merge-on-write: concurrent active-active tailers each checkpoint
+    # their OWN applied files; overwriting would drop the peer's entries
+    # and cause redundant (idempotent, but wasteful) re-application.  The
+    # remaining read-merge-write race only ever LOSES entries, which the
+    # watermark/LWW replay prune absorbs — the sidecar is an optimization
+    # tier, never a correctness tier.
+    merged = {**_read_sidecar(lake_dir), **entries}
+    kept = {k: v for k, v in merged.items() if v > resume_lsn}
     tmp = _sidecar_path(lake_dir) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(kept, f, sort_keys=True)
@@ -117,7 +124,8 @@ def pending_files(directory: str, resume_lsn: int,
 def tail_directory(pipe, directory: str, files_per_batch: int = 16,
                    suffix: str = ".parquet", delta: bool = False,
                    compact_every: int = 8,
-                   commit_offset: int = 0) -> "list[dict]":
+                   commit_offset: int = 0,
+                   commit_retries: int = 8) -> "list[dict]":
     """Apply every pending file in ``directory`` to ``pipe``
     (:class:`~embulk_filter_timestamp_format_ray.pipelines.cdc.CDCPipeline`),
     in lsn order.  Returns per-commit stats.  Idempotent: rerunning on an
@@ -152,8 +160,14 @@ def tail_directory(pipe, directory: str, files_per_batch: int = 16,
         # core busy without per-block overhead dominating.
         rows = sum(r for _, _, r in batch)
         nb = max(2, min(64, rows // 16_000 + 1))
+        # commit_retries > the apply default: an active-active tailer
+        # fleet races both micro-batch commits AND compaction commits, so
+        # a daemon needs a deeper OCC retry budget than a one-shot job
+        # (each retry re-reads the manifest and re-prunes, so persistence
+        # is safe — see stress_occ.py for the cross-process proof)
         stats.append(apply(
-            ray.data.read_parquet(paths, override_num_blocks=nb)))
+            ray.data.read_parquet(paths, override_num_blocks=nb),
+            max_commit_retries=commit_retries))
         for name, hi, _ in batch:
             ingested[name] = hi
         resume = pipe.resume_lsn()
@@ -163,7 +177,20 @@ def tail_directory(pipe, directory: str, files_per_batch: int = 16,
         # commits would never compact and the backlog would grow unbounded)
         if delta and compact_every and \
                 (commit_offset + len(stats)) % compact_every == 0:
-            pipe.compact_deltas()
+            from embulk_filter_timestamp_format_ray.state.manifest import (
+                CommitConflict,
+            )
+
+            try:
+                pipe.compact_deltas()
+            except CommitConflict:
+                # active-active tailers: a concurrent writer advanced the
+                # manifest past the compaction's retry budget.  Skipping a
+                # compaction is ALWAYS safe (it only re-bounds read
+                # amplification; the next cadence or any base merge folds
+                # the backlog), so the tail keeps flowing.
+                logger.warning("compaction lost a commit race; backlog "
+                               "carries to the next cadence")
     return stats
 
 

@@ -162,3 +162,81 @@ def test_follow_applies_files_landing_mid_loop(ray_session, tmp_path_factory):
     _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N))
     # a fresh follow on the drained directory exits with nothing applied
     assert follow_directory(pipe, d, poll_interval=0.05, idle_polls=2) == []
+
+
+def test_two_concurrent_followers_one_lake(ray_session, tmp_path_factory):
+    """Active-active REDUNDANT tailers in one process: two follow loops,
+    each shipping the FULL stream (per-writer in-order — the documented
+    active-active shape, same as stress_occ across processes), racing
+    delta commits + compactions into one lake via OCC — final state equals
+    the sequential oracle.
+
+    Contract note: redundancy is required.  Two sources shipping DISJOINT
+    lsn ranges concurrently would violate the in-order delivery assumption
+    behind the watermark replay-prune (a source that jumps the watermark
+    ahead makes the other's older unapplied events look like replays);
+    multi-source disjoint streams need per-source lsn spaces, which is out
+    of the single-binlog contract."""
+    import threading
+
+    # ray.data's read path re-attempts `from fsspec.implementations.http
+    # import HTTPFileSystem` on EVERY read_parquet call; aiohttp is absent
+    # in this container so the import always fails, is evicted from
+    # sys.modules, and two threads racing the attempt can observe each
+    # other's partially-initialized module (ImportError: cannot import
+    # name...).  Stubbing aiohttp/yarl lets the fsspec module import ONCE
+    # successfully and stay cached — test-scope only; nothing here touches
+    # http:// paths.
+    import sys
+    import types
+    for _name in ("aiohttp", "yarl"):
+        sys.modules.setdefault(_name, types.ModuleType(_name))
+    import fsspec.implementations.http  # noqa: F401
+
+    from embulk_filter_timestamp_format_ray.sources.tailer import (
+        follow_directory,
+    )
+    from tests.test_cdc import _assert_matches_oracle, _lake_as_dict, \
+        sequential_oracle
+
+    base = tmp_path_factory.mktemp("two_followers")
+    d1, d2 = str(base / "binlog_a"), str(base / "binlog_b")
+    os.makedirs(d1)
+    os.makedirs(d2)
+    full = expected_event_table(N)
+    step = N // 6
+    # BOTH directories carry the whole stream (redundant shippers); the
+    # followers apply their copies in min-lsn order and race per chunk
+    for i in range(6):
+        chunk = full.slice(i * step, N - i * step if i == 5 else step)
+        pq.write_table(chunk, os.path.join(d1, f"a-{i:03d}.parquet"))
+        pq.write_table(chunk, os.path.join(d2, f"b-{i:03d}.parquet"))
+
+    lake = str(base / "lake")
+    pipe = CDCPipeline(lake, num_partitions=8)
+    results = {}
+
+    errors = {}
+
+    def run(name, d):
+        # each follower uses its own pipeline handle (shared manifest via
+        # OCC); delta mode with a short compaction cadence maximizes
+        # commit-path interleaving
+        try:
+            p = CDCPipeline(lake, num_partitions=8) if name == "b" else pipe
+            results[name] = follow_directory(
+                p, d, poll_interval=0.1, idle_polls=3, files_per_batch=1,
+                delta=True, compact_every=2)
+        except Exception as e:  # surfaced after join
+            errors[name] = repr(e)
+
+    ta = threading.Thread(target=run, args=("a", d1))
+    tb = threading.Thread(target=run, args=("b", d2))
+    ta.start()
+    tb.start()
+    ta.join()
+    tb.join()
+    assert errors == {}, errors
+    assert results["a"] and results["b"]
+    _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N))
+    assert CDCPipeline.from_lake(lake).fsck()["violations"] == []
