@@ -171,7 +171,8 @@ def run_queries(sf_dir: str) -> dict:
              "distinct_users_by_type", "hll_grouped", "remove_boilerplate",
              "bloom_join_revenue", "set_intersect", "set_except",
              "cdc_delta_commits", "cdc_sync", "cdc_patch_upserts",
-             "cdc_conv_erasure", "cdc_rollback"]
+             "cdc_conv_erasure", "cdc_rollback", "chunk_documents",
+             "transcripts_to_training", "cdc_point_lookup"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session
