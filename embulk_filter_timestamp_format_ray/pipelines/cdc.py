@@ -1489,11 +1489,13 @@ class CDCPipeline:
                 "rows": sum(int(r["rows"]) for r in rows),
                 "resume_lsn": int(snapshot_lsn)}
 
-    def gc(self) -> "list[str]":
+    def gc(self, dry_run: bool = False) -> "list[str]":
         """Remove txn dirs no longer referenced by the committed manifest
         (safe under the single-writer protocol; the manifest IS the commit
-        point, so orphans are either crashed or superseded txns)."""
-        return mf.gc_orphan_txns(self.lake_dir, keep_txns=set())
+        point, so orphans are either crashed or superseded txns).
+        ``dry_run=True`` only reports what would be reclaimed."""
+        return mf.gc_orphan_txns(self.lake_dir, keep_txns=set(),
+                                 dry_run=dry_run)
 
     def apply_stream(self, event_datasets) -> "list[dict]":
         """Continuous micro-batch tail: apply each incoming change-event

@@ -207,10 +207,13 @@ def data_files(manifest: "dict[str, Any]") -> "list[str]":
         d["path"] for d in manifest.get("dlq", []) if d.get("path")]
 
 
-def gc_orphan_txns(lake_dir: str, keep_txns: "set[str]") -> "list[str]":
+def gc_orphan_txns(lake_dir: str, keep_txns: "set[str]",
+                   dry_run: bool = False) -> "list[str]":
     """Remove txn dirs not referenced by the committed manifest OR any
     retained history snapshot (so time travel within the retention window
-    survives GC). Returns removed dir names."""
+    survives GC). Returns removed dir names.  ``dry_run=True`` reports the
+    orphan set without touching disk — the VACUUM DRY RUN analog for
+    auditing what a GC would reclaim."""
     removed = []
     manifest = read_manifest(lake_dir)
     live = {os.path.join(lake_dir, os.path.dirname(p)) for p in data_files(manifest)}
@@ -226,8 +229,9 @@ def gc_orphan_txns(lake_dir: str, keep_txns: "set[str]") -> "list[str]":
             continue
         if full in live:
             continue
-        for f in os.listdir(full):
-            os.unlink(os.path.join(full, f))
-        os.rmdir(full)
+        if not dry_run:
+            for f in os.listdir(full):
+                os.unlink(os.path.join(full, f))
+            os.rmdir(full)
         removed.append(name)
     return removed

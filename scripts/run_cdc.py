@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--at-version", type=int, default=None,
                     help="read-only: report row count + retained versions of "
                          "the lake AS OF this manifest version, apply nothing")
+    ap.add_argument("--gc", action="store_true",
+                    help="remove txn dirs unreferenced by the manifest or "
+                         "any retained snapshot, then apply nothing")
+    ap.add_argument("--gc-dry-run", action="store_true",
+                    help="report what --gc would reclaim, touch nothing")
     ap.add_argument("--history", action="store_true",
                     help="print one summary row per retained manifest "
                          "version (DESCRIBE HISTORY analog; metadata-only), "
@@ -184,6 +189,12 @@ def main() -> None:
             print(json.dumps({"bootstrap": boot}))
             if args.events == 0:
                 return
+        if args.gc or args.gc_dry_run:
+            removed = pipe.gc(dry_run=args.gc_dry_run)
+            print(json.dumps({"lake": args.lake,
+                              "dry_run": bool(args.gc_dry_run),
+                              "orphan_txns": removed}))
+            return
         if args.history:
             print(json.dumps({"lake": args.lake,
                               "history": pipe.history()}))

@@ -43,3 +43,25 @@ def test_corrupt_tmp_never_becomes_commit(tmp_path):
         f.write("{corrupt")
     assert mf.read_manifest(lake)["version"] == 1
     assert json.load(open(os.path.join(lake, "manifest.json")))["version"] == 1
+
+
+def test_gc_dry_run_reports_without_deleting(tmp_path):
+    import os
+
+    from embulk_filter_timestamp_format_ray.state import manifest as mf
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(os.path.join(lake, "txn-live"))
+    os.makedirs(os.path.join(lake, "txn-orphan"))
+    open(os.path.join(lake, "txn-orphan", "part.parquet"), "w").close()
+    mf.commit_manifest(lake, {
+        "version": 1,
+        "partitions": {"0": {"path": "txn-live/part.parquet", "rows": 0,
+                             "last_applied_lsn": 0}},
+    })
+    would = mf.gc_orphan_txns(lake, keep_txns=set(), dry_run=True)
+    assert would == ["txn-orphan"]
+    assert os.path.isdir(os.path.join(lake, "txn-orphan"))  # untouched
+    removed = mf.gc_orphan_txns(lake, keep_txns=set())
+    assert removed == ["txn-orphan"]
+    assert not os.path.isdir(os.path.join(lake, "txn-orphan"))
