@@ -497,3 +497,59 @@ def test_actor_exchange_full_op_space(ray_session, tmp_path_factory):
     assert got == want
     pipe.compact_deltas()
     assert pipe.fsck()["violations"] == []
+
+
+def test_dlq_reprocess_recovers_quarantined_patch(ray_session,
+                                                  tmp_path_factory):
+    """A PATCH event from an unknown schema epoch is quarantined, the spec
+    catches up, and reprocess applies it with its ORIGINAL lsn — the
+    per-column fold arbitrates it against newer applied state exactly like
+    the whole-row LWW contract (an old quarantined patch never beats a
+    newer applied touch of the same column)."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.config import ColumnConfig
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+        CDCPipeline,
+        DEFAULT_EPOCH_SPECS,
+    )
+
+    lake = str(tmp_path_factory.mktemp("dlq_patch") / "lake")
+    pipe = CDCPipeline(lake, num_partitions=4, dlq=True)
+
+    def ev(lsn, op, epoch, *, role=None, text=None, ts="1700000000000"):
+        return {
+            "lsn": lsn, "op": op, "conv_id": "c", "turn_idx": 0,
+            "role": role, "text": text, "tool": None,
+            "ts_raw": ts, "schema_epoch": epoch,
+        }
+
+    batch = pa.Table.from_pylist([
+        ev(1, "upsert", 0, role="user", text="base"),
+        # epoch-9 patches: quarantined (unknown epoch); one sets text at
+        # lsn 2 (will be SUPERSEDED by the applied lsn-3 upsert), one sets
+        # role at lsn 5 (still the column's newest setter after recovery)
+        ev(2, "patch", 9, text="stale patch", ts=None),
+        ev(5, "patch", 9, role="assistant", ts=None),
+        ev(3, "upsert", 0, role="user", text="newer"),
+    ])
+    pipe.apply(ray.data.from_arrow(batch))
+    assert pipe.read_dlq().num_rows == 2
+    state = {(r["conv_id"], r["turn_idx"]): r
+             for r in pipe.final_state_sorted().to_pylist()}
+    assert state[("c", 0)]["text"] == "newer"
+    assert state[("c", 0)]["role"] == "user"
+
+    specs = dict(DEFAULT_EPOCH_SPECS)
+    specs[9] = ColumnConfig("ts_raw", "timestamp", from_format=("%Q",),
+                            from_unit="ms")
+    stats = pipe.reprocess_dlq(epoch_specs=specs)
+    assert stats["events_quarantined"] == 0
+    assert pipe.read_dlq().num_rows == 0
+    state = {(r["conv_id"], r["turn_idx"]): r
+             for r in pipe.final_state_sorted().to_pylist()}
+    # lsn-5 patch lands (role), lsn-2 patch loses to the lsn-3 upsert
+    assert state[("c", 0)]["role"] == "assistant"
+    assert state[("c", 0)]["text"] == "newer"
+    assert state[("c", 0)]["lsn"] == 5
+    assert pipe.fsck()["violations"] == []
