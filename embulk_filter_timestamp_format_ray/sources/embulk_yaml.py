@@ -11,7 +11,9 @@ dialect onto Ray Data so the example configs run verbatim:
   header).  ``timestamp``-typed source columns are parsed with the
   parser-level ``default_timestamp_format`` / ``default_timezone``
   (CsvParserPlugin semantics) via the engine's own parser kernels.
-* ``parser: type: json`` → ``read_jsonl``.
+* ``parser: type: json`` → text lines as ONE json column named ``record``
+  (embulk JsonParserPlugin semantics — the examples' JSONPaths start
+  ``$.record.``), feeding the filter's dynamic JSON-string mode.
 * the ``timestamp_format`` filter → ``TimestampFormatStage`` built by
   ``TaskConfig.from_yaml``.
 * ``out:`` is ignored — callers consume the returned Dataset (the examples
@@ -56,9 +58,16 @@ def load_input(doc: dict, base_dir: "str | None" = None):
     parser = in_cfg.get("parser") or {}
     ptype = parser.get("type", "csv")
     if ptype == "json":
-        from embulk_filter_timestamp_format_ray.sources.readers import read_jsonl
+        # embulk's json parser (JsonParserPlugin) emits ONE json-typed column
+        # named "record" per input line — the example configs' JSONPath
+        # targets all start "$.record." for this reason.  The engine's json
+        # representation is a JSON-encoded string column (dynamic mode of
+        # TimestampFormatStage), so: text lines → column "record".
+        import ray.data
 
-        return read_jsonl(path)
+        return ray.data.read_text(path).map_batches(
+            lambda b: b.rename_columns(["record"]),
+            batch_format="pyarrow", zero_copy_batch=True)
     if ptype != "csv":
         raise ConfigError(f"unsupported parser type {ptype!r}")
     from embulk_filter_timestamp_format_ray.sources.readers import (

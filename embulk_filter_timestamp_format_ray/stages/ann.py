@@ -177,6 +177,147 @@ def ivf_topk(ds, queries, k: int = 10, *, n_centroids: int = 16, nprobe: int = 4
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+# ------------------------------------------------- partitioned IVF index
+#
+# ``ivf_topk`` assigns lists in flight and then FILTERS every block by
+# centroid id — correct and streaming, but the probe still scans the full
+# corpus.  The scale path is to pay the assignment shuffle ONCE, persist the
+# corpus as centroid-partitioned parquet, and prune AT THE READ: a query set
+# probing ``nprobe`` lists opens only those directories' files, so the other
+# (n_centroids - nprobe)/n_centroids of a 100-TB corpus never leaves storage.
+
+
+_CENTROIDS_FILE = "centroids.parquet"
+_VECTORS_DIR = "vectors"
+_SUCCESS_FILE = "_SUCCESS"
+
+
+def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16,
+                    id_col: str = "vec_id", col: str = "embedding",
+                    sample_size: int = 2048, seed: int = 3) -> str:
+    """Materialize ``ds`` as an on-disk centroid-partitioned IVF index.
+
+    Layout::
+
+        index_dir/centroids.parquet            (ivf_list, centroid[dim])
+        index_dir/vectors/ivf_list=<c>/*.parquet   (id_col, col)
+        index_dir/_SUCCESS
+
+    Training is the same seeded k-means-lite as ``ivf_topk``, but the init
+    sample is sorted by ``id_col`` so the centroids (and hence the physical
+    layout) are identical on any read topology.  The write is ONE pass:
+    assign inside ``map_batches`` (centroids broadcast via ``ray.put``),
+    then ``write_parquet(partition_cols=["ivf_list"])`` — Ray's hive-style
+    partitioned write, which shuffles nothing (each block fans its rows
+    into per-list files locally)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    sample_tbl = ds.limit(sample_size).to_pandas() \
+        .sort_values(id_col).reset_index(drop=True)
+    sample = np.stack(sample_tbl[col].to_numpy())
+    centroids = train_centroids(sample.astype(np.float64), n_centroids, seed)
+
+    tmp_dir = index_dir.rstrip("/") + ".building"
+    if os.path.exists(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    os.makedirs(os.path.join(tmp_dir, _VECTORS_DIR), exist_ok=True)
+
+    dim = centroids.shape[1]
+    cent_tbl = pa.table({
+        "ivf_list": pa.array(np.arange(len(centroids), dtype=np.int64)),
+        "centroid": pa.FixedSizeListArray.from_arrays(
+            pa.array(centroids.reshape(-1), pa.float64()), dim),
+    })
+    pq.write_table(cent_tbl, os.path.join(tmp_dir, _CENTROIDS_FILE))
+
+    cref = ray.put(centroids) if ray.is_initialized() else centroids
+    assigned = ds.select_columns([id_col, col]).map_batches(
+        IVFAssignStage(cref, id_col), batch_format="pyarrow",
+        zero_copy_batch=True)
+    assigned.write_parquet(os.path.join(tmp_dir, _VECTORS_DIR),
+                           partition_cols=["ivf_list"])
+    with open(os.path.join(tmp_dir, _SUCCESS_FILE), "w") as f:
+        f.write("ok\n")
+    if os.path.exists(index_dir):
+        import shutil
+
+        shutil.rmtree(index_dir)
+    os.rename(tmp_dir, index_dir)
+    return index_dir
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(index_dir, _CENTROIDS_FILE))
+    carr = tbl.column("centroid").combine_chunks()
+    dim = carr.type.list_size
+    order = np.argsort(np.asarray(tbl.column("ivf_list")))
+    mat = np.asarray(carr.flatten()).reshape(-1, dim)
+    return mat[order]
+
+
+def ivf_probe_paths(index_dir: str, queries: np.ndarray, nprobe: int):
+    """(probe_lists, partition_dirs) for a query set — the read-pruning
+    contract: a probe touches AT MOST ``len(queries) × nprobe`` (deduped)
+    of the n_centroids partition directories, never the whole corpus."""
+    import os
+
+    centroids = load_ivf_centroids(index_dir)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, len(centroids))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    lists = sorted({int(c) for row in probe for c in row})
+    paths = []
+    for c in lists:
+        p = os.path.join(index_dir, _VECTORS_DIR, f"ivf_list={c}")
+        if os.path.isdir(p):  # empty lists have no directory
+            paths.append(p)
+    return lists, paths
+
+
+def ivf_topk_partitioned(index_dir: str, queries, k: int = 10, *,
+                         nprobe: int = 4, id_col: str = "vec_id",
+                         col: str = "embedding"):
+    """Approximate top-k over a ``build_ivf_index`` layout.
+
+    Unlike ``ivf_topk`` this PRUNES THE READ: only the probed lists'
+    parquet files are opened (``read_parquet`` over the nprobe partition
+    directories, ``columns=[id, embedding]``), then the standard broadcast
+    query matrix + per-batch local-top-k combiner + tiny final reduce."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    _, paths = ivf_probe_paths(index_dir, qn, nprobe)
+    # read_parquet over an explicit path LIST wants files, not dirs —
+    # expand each probed partition directory to its parquet files
+    import os
+
+    files = [os.path.join(d, f) for d in paths
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    ds = ray.data.read_parquet(files, columns=[id_col, col])
+    qref = ray.put(qn) if ray.is_initialized() else qn
+    cand = ds.map_batches(_BatchTopK(qref, k, id_col), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(group, sort_keys=[("cosine", "descending"),
+                                                  (id_col, "ascending")])
+        g = group.take(order).slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(1, g.num_rows + 1)))
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- k-means
 
 

@@ -112,3 +112,158 @@ def test_run_from_long_yml_verbatim(ray_session):
     rec = json.loads(out.column("record").to_pylist()[0])
     assert rec["long1"] == "2015-07-13 00:00:00.100000000"
     assert rec["long2"] == 1436713200
+
+
+# ------------------------------------------------------------------ r4:
+# the remaining reference example configs, run VERBATIM (yml files loaded
+# unchanged from /root/reference/example) against their .txt preview goldens.
+
+
+def _run(name: str):
+    from embulk_filter_timestamp_format_ray.sources.embulk_yaml import (
+        run_embulk_config,
+    )
+
+    return _collect(run_embulk_config(os.path.join(EXAMPLES, name)))
+
+
+@needs_reference
+def test_run_timezone_yml_verbatim(ray_session):
+    """example/timezone.yml vs timezone.txt (+0900 rendering)."""
+    out = _run("timezone.yml")
+    assert out.num_rows == 2
+    assert sorted(out.column("string1").to_pylist()) == ["2015-07-13"] * 2
+    assert sorted(out.column("string2").to_pylist()) == [
+        "2015-07-13 00:00:00.000000000 +0900",
+        "2015-07-13 00:00:00.100000000 +0900",
+    ]
+
+
+@needs_reference
+def test_run_from_double_yml_verbatim(ray_session):
+    """example/from_double.yml vs from_double.txt (the .100199936 float
+    artifact is the golden, not a bug)."""
+    import json
+
+    out = _run("from_double.yml")
+    assert out.num_rows == 1
+    assert out.column("double1").to_pylist() == ["2015-07-13 00:00:00.100199936"]
+    assert out.column("double2").to_pylist() == [1436713200]
+    assert out.column("double3").to_pylist() == [pytest.approx(1.4367132001002e9)]
+    assert out.column("double4").cast(pa.int64()).to_pylist() == \
+        [1436713200_100199936]
+    rec = json.loads(out.column("record").to_pylist()[0])
+    assert rec["double1"] == "2015-07-13 00:00:00.100199936"
+    assert rec["double2"] == 1436713200
+    assert rec["double3"] == pytest.approx(1.4367132001002e9)
+
+
+NESTED_EXPECT_TS_MS = [1436713200000, 1436713200100]
+NESTED_EXPECT_INNER = ["2015-07-13 00:00:00.000000000",
+                       "2015-07-13 00:00:00.100000000"]
+NESTED_EXPECT_IGNORED = ["2015-07-12 15:00:00 UTC", "2015-07-12 15:00:00.1 UTC"]
+
+
+def _check_nested_golden(out):
+    """Shared golden for nested.yml / bracket_notation.yml (nested.txt and
+    bracket_notation.txt hold the same values — only JSONPath spelling
+    differs)."""
+    import json
+
+    assert out.num_rows == 2
+    docs = sorted((json.loads(s) for s in out.column("record").to_pylist()),
+                  key=lambda d: d["timestamp"])
+    assert [d["timestamp"] for d in docs] == NESTED_EXPECT_TS_MS
+    assert [d["nested"]["nested"][0]["timestamp"] for d in docs] == \
+        NESTED_EXPECT_INNER
+    assert [d["ignore_nested"]["timestamp"] for d in docs] == \
+        NESTED_EXPECT_IGNORED
+
+
+@needs_reference
+def test_run_nested_yml_verbatim(ray_session):
+    """example/nested.yml (JSONL source → single 'record' json column, the
+    embulk JsonParserPlugin contract) vs nested.txt."""
+    _check_nested_golden(_run("nested.yml"))
+
+
+@needs_reference
+def test_run_bracket_notation_yml_verbatim(ray_session):
+    """example/bracket_notation.yml ($['record']['...'] spelling) vs
+    bracket_notation.txt — identical values to nested.yml."""
+    _check_nested_golden(_run("bracket_notation.yml"))
+
+
+EXPECT_STRING1_JAVA = [
+    "2015-07-13 00:00:00.000000 +0800", "2015-07-13 08:00:00.000000 +0800",
+    "2015-07-13 00:00:00.000000 +0800", "2015-07-13 00:00:00.000000 +0800",
+    "2015-07-13 00:00:00.100000 +0800", "2015-07-13 00:00:00.120000 +0800",
+    "2015-07-13 00:00:00.123000 +0800", "2015-07-13 00:00:00.123400 +0800",
+    "2015-07-13 00:00:00.123450 +0800", "2015-07-13 00:00:00.123456 +0800",
+    "2015-07-13 00:00:00.123456 +0800", "2015-07-13 00:00:00.123456 +0800",
+    "2015-07-13 00:00:00.123456 +0800",
+]
+
+EXPECT_TS4_NS = [
+    1436716800_000000000, 1436745600_000000000,
+    1436716800_000000000, 1436716800_000000000,
+    1436716800_100000000, 1436716800_120000000, 1436716800_123000000,
+    1436716800_123400000, 1436716800_123450000, 1436716800_123456000,
+    1436716800_123456700, 1436716800_123456780, 1436716800_123456789,
+]
+
+
+@needs_reference
+def test_run_from_string_java_yml_verbatim(ray_session):
+    """example/from_string_java.yml (pure java directives, incl. the
+    'yyyy-MM-dd HH:mm:ss.nnnnnn Z' output format) vs from_string_java.txt."""
+    import json
+
+    out = _run("from_string_java.yml")
+    assert out.num_rows == 13
+    assert sorted(out.column("string1").to_pylist()) == sorted(EXPECT_STRING1_JAVA)
+    assert sorted(out.column("string2").to_pylist()) == sorted(EXPECT_LONG_MS)
+    assert sorted(out.column("string4").cast(pa.int64()).to_pylist()) == \
+        sorted(EXPECT_TS4_NS)
+    docs = [json.loads(s) for s in out.column("record").to_pylist()]
+    assert sorted(d["string1"] for d in docs) == sorted(EXPECT_STRING1_JAVA)
+    assert sorted(d["string2"] for d in docs) == sorted(EXPECT_LONG_MS)
+
+
+@needs_reference
+def test_run_from_string_auto_java_yml_verbatim(ray_session):
+    """example/from_string_auto_java.yml (timestamp_parser: auto_java — ruby
+    directives converted to java at plan time) vs from_string_auto_java.txt:
+    same values as the pure-ruby from_string run."""
+    import json
+
+    out = _run("from_string_auto_java.yml")
+    assert out.num_rows == 13
+    assert sorted(out.column("string1").to_pylist()) == sorted(EXPECT_STRING1)
+    assert sorted(out.column("string2").to_pylist()) == sorted(EXPECT_LONG_MS)
+    assert sorted(out.column("string4").cast(pa.int64()).to_pylist()) == \
+        sorted(EXPECT_TS4_NS)
+    docs = [json.loads(s) for s in out.column("record").to_pylist()]
+    assert sorted(d["string1"] for d in docs) == sorted(EXPECT_STRING1)
+    assert sorted(d["string2"] for d in docs) == sorted(EXPECT_LONG_MS)
+
+
+@needs_reference
+def test_run_empty_yml_verbatim(ray_session, tmp_path):
+    """example/empty.yml (a timestamp_format filter with NO columns) must be
+    an exact passthrough.  The reference repo ships no example.jsonl, so the
+    input is synthesized; the config text runs unchanged."""
+    import json
+
+    from embulk_filter_timestamp_format_ray.sources.embulk_yaml import (
+        run_embulk_config,
+    )
+
+    lines = [json.dumps({"a": 1, "ts": "2015-07-12 15:00:00 UTC"}),
+             json.dumps({"a": 2, "ts": "2015-07-12 15:00:00.1 UTC"})]
+    (tmp_path / "example").mkdir()
+    (tmp_path / "example" / "example.jsonl").write_text("\n".join(lines) + "\n")
+    with open(os.path.join(EXAMPLES, "empty.yml")) as f:
+        yml_text = f.read()
+    out = _collect(run_embulk_config(yml_text, base_dir=str(tmp_path)))
+    assert sorted(out.column("record").to_pylist()) == sorted(lines)
