@@ -40,15 +40,17 @@ from embulk_filter_timestamp_format_ray.pipelines.cdc import (
 
 @ray.remote
 class PartitionBufferActor:
-    """Owns a contiguous range of partition ids; buffers pushed deltas and
-    merges+writes on finalize."""
+    """Owns a slice of partition ids; buffers pushed deltas and
+    merges+writes on finalize.
 
-    def __init__(self, lake_dir: str, txn_id: str, partition_meta: dict,
-                 delta_mode: bool = False):
+    PERSISTENT across commits: all per-transaction state (txn id, the
+    manifest's partition metadata, base-vs-delta mode) arrives as
+    ``finalize`` arguments, so one actor pool serves every micro-batch of a
+    tail loop — the per-commit actor spawn cost that made the ephemeral
+    exchange lose its measured 1.6× win is paid once."""
+
+    def __init__(self, lake_dir: str):
         self.lake_dir = lake_dir
-        self.txn_id = txn_id
-        self.partition_meta = partition_meta
-        self.delta_mode = delta_mode
         self.buffers: dict[int, list[pa.Table]] = {}
 
     def add(self, pid: int, table: pa.Table) -> None:
@@ -58,8 +60,11 @@ class PartitionBufferActor:
         for pid, table in tables.items():
             self.buffers.setdefault(pid, []).append(table)
 
-    def finalize(self) -> "list[dict]":
-        if self.delta_mode:
+    def finalize(self, txn_id: str, partition_meta: dict,
+                 delta_mode: bool = False) -> "list[dict]":
+        self.txn_id = txn_id
+        self.partition_meta = partition_meta
+        if delta_mode:
             # merge-on-read DELTA commit: never read or rewrite base state —
             # write only the micro-batch's per-key winners (the same core
             # as the dataset exchange's DeltaWriter)
@@ -111,20 +116,20 @@ class PartitionBufferActor:
 
 class ActorExchange:
     """Push-based exchange: split blocks by pid inside map_batches, route
-    sub-tables to owner actors, finalize after the upstream drains."""
+    sub-tables to owner actors, finalize after the upstream drains.
 
-    def __init__(self, lake_dir: str, txn_id: str, partition_meta: dict,
-                 num_partitions: int, num_actors: int = 8,
-                 delta_mode: bool = False):
+    The pool is created ONCE and reusable: construct per lake, then run any
+    number of push→finalize cycles (one per commit).  Hold one instance for
+    a tail loop's lifetime and pass it to ``CDCPipeline.apply`` /
+    ``apply_delta`` as the ``exchange`` argument."""
+
+    def __init__(self, lake_dir: str, num_partitions: int,
+                 num_actors: int = 8):
+        self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.num_actors = min(num_actors, num_partitions)
-        self.actors = [
-            PartitionBufferActor.remote(lake_dir, txn_id, {
-                pid: m for pid, m in partition_meta.items()
-                if pid % self.num_actors == a
-            }, delta_mode=delta_mode)
-            for a in range(self.num_actors)
-        ]
+        self.actors = [PartitionBufferActor.remote(lake_dir)
+                       for _ in range(self.num_actors)]
 
     def push_stage(self):
         actors = self.actors
@@ -152,17 +157,31 @@ class ActorExchange:
 
         return push
 
-    def finalize(self) -> "list[dict]":
+    def finalize(self, txn_id: str, partition_meta: dict,
+                 delta_mode: bool = False) -> "list[dict]":
         out = []
-        for rows in ray.get([a.finalize.remote() for a in self.actors]):
+        for rows in ray.get([
+                a.finalize.remote(txn_id, {
+                    pid: m for pid, m in partition_meta.items()
+                    if pid % self.num_actors == i
+                }, delta_mode=delta_mode)
+                for i, a in enumerate(self.actors)]):
             out.extend(rows)
         return out
 
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a, no_restart=True)
+        self.actors = []
 
-def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False) -> dict:
+
+def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
+                              exchange: "ActorExchange | None" = None) -> dict:
     """CDCPipeline.apply variant using the actor exchange (experimental).
     ``delta=True`` commits merge-on-read delta files instead of base merges
-    (CDCPipeline.apply_delta's cost model, minus the sort shuffle)."""
+    (CDCPipeline.apply_delta's cost model, minus the sort shuffle).
+    ``exchange`` reuses a persistent pool across commits (a tail loop's
+    steady state); None spawns an ephemeral pool for this commit only."""
     import uuid
 
     from embulk_filter_timestamp_format_ray.pipelines.cdc import (
@@ -177,8 +196,14 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False) -> dict:
     low = mf.min_watermark(manifest, pipeline.num_partitions)
     txn_id = uuid.uuid4().hex[:12]
     partition_meta = {int(p): m for p, m in manifest["partitions"].items()}
-    exchange = ActorExchange(pipeline.lake_dir, txn_id, partition_meta,
-                             pipeline.num_partitions, delta_mode=delta)
+    if exchange is None:
+        exchange = ActorExchange(pipeline.lake_dir, pipeline.num_partitions)
+    elif (exchange.lake_dir != pipeline.lake_dir
+          or exchange.num_partitions != pipeline.num_partitions):
+        raise ValueError(
+            f"persistent exchange is bound to {exchange.lake_dir!r} "
+            f"(P={exchange.num_partitions}); this pipeline is "
+            f"{pipeline.lake_dir!r} (P={pipeline.num_partitions})")
 
     ds = events_ds.map_batches(
         NormalizeStage(pipeline.epoch_specs, low_watermark=low,
@@ -196,7 +221,7 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False) -> dict:
                         zero_copy_batch=True)
     ds = ds.map_batches(exchange.push_stage(), batch_format="pyarrow")
     ds.count()  # drain the push stage
-    rows = exchange.finalize()
+    rows = exchange.finalize(txn_id, partition_meta, delta_mode=delta)
 
     partitions = dict(manifest["partitions"])
     total_applied = 0

@@ -1003,7 +1003,7 @@ class CDCPipeline:
         exactly-once (the loser commits a no-op txn)."""
         for attempt in range(max_commit_retries + 1):
             try:
-                if exchange == "actor":
+                if exchange != "dataset":
                     if self.dlq:
                         raise ValueError(
                             "dlq requires the dataset exchange (the actor "
@@ -1013,7 +1013,11 @@ class CDCPipeline:
                         apply_with_actor_exchange,
                     )
 
-                    return apply_with_actor_exchange(self, events_ds)
+                    # exchange may be the string "actor" (ephemeral pool) or
+                    # a persistent ActorExchange instance reused per commit
+                    return apply_with_actor_exchange(
+                        self, events_ds,
+                        exchange=None if exchange == "actor" else exchange)
                 return self._apply_dataset(events_ds)
             except mf.CommitConflict:
                 if attempt == max_commit_retries:
@@ -1039,16 +1043,18 @@ class CDCPipeline:
         concurrency are identical to ``apply`` (same normalize → partition
         → combine → single shuffle; only the per-partition writer differs).
         ``exchange="actor"`` pairs the delta writer with the raw-actor push
-        exchange, same caveats as ``apply(exchange="actor")``.  Measured
-        (BASELINE.md): the DATASET exchange is the faster delta path on
-        this box (0.34–0.46 s warm per 100k-event commit vs 1.1–2.1 s) —
-        the actor path pays per-commit actor spawn, which only a
-        persistent exchange reused across commits would amortize; it is
-        kept for parity and as that refactor's seam.
+        exchange (ephemeral pool — pays per-commit actor spawn); passing a
+        persistent ``ActorExchange`` instance reuses ONE pool across every
+        commit of a micro-batch loop, which is the measured fast path for
+        the tail steady state (BASELINE.md r4 A/B: 8×100k-event delta
+        commits, pregenerated input: 4.19 s persistent-actor vs 6.21 s
+        dataset — 1.48×, bit-identical lake state).  Same caveats as
+        ``apply(exchange="actor")``: bounded micro-batches only (buffers
+        live in actor heaps, no spill).
         """
         for attempt in range(max_commit_retries + 1):
             try:
-                if exchange == "actor":
+                if exchange != "dataset":
                     if self.dlq:
                         raise ValueError(
                             "dlq requires the dataset exchange (the actor "
@@ -1058,8 +1064,9 @@ class CDCPipeline:
                         apply_with_actor_exchange,
                     )
 
-                    res = apply_with_actor_exchange(self, events_ds,
-                                                    delta=True)
+                    res = apply_with_actor_exchange(
+                        self, events_ds, delta=True,
+                        exchange=None if exchange == "actor" else exchange)
                 else:
                     res = self._apply_dataset(events_ds, _delta=True)
                 break

@@ -11,11 +11,29 @@ from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
 COMPARED_COLUMNS = ("role", "text", "tool", "lsn")
 
 
-def lake_state_dict(pipeline: CDCPipeline) -> "dict[tuple, dict]":
+#: lake_state_dict materializes EVERY row into a driver-side Python dict —
+#: fixture-scale verification only.  Refuse anything that looks like real
+#: data; production-scale invariant checking is ``CDCPipeline.fsck()``
+#: (distributed, footer-driven).
+MAX_VERIFY_ROWS = 5_000_000
+
+
+def lake_state_dict(pipeline: CDCPipeline,
+                    max_rows: int = MAX_VERIFY_ROWS) -> "dict[tuple, dict]":
     """Committed lake state keyed by (conv_id, turn_idx); raises on duplicate
-    merge keys (a merge invariant violation)."""
+    merge keys (a merge invariant violation).
+
+    FIXTURE-SCALE ONLY: this drains the whole lake to the driver as Python
+    objects (the point is an exact dict-vs-oracle comparison in tests).
+    Guarded by ``max_rows``; at any real scale use ``CDCPipeline.fsck()``
+    / ``pipelines.verify.diff_states`` over sampled partitions instead."""
     out: dict[tuple, dict] = {}
     final = pipeline.final_state_sorted()
+    if final.num_rows > max_rows:
+        raise ValueError(
+            f"lake_state_dict is a fixture-scale test helper; lake has "
+            f"{final.num_rows} rows (> {max_rows}).  Use CDCPipeline.fsck() "
+            f"for production-scale invariant checks.")
     for row in final.to_pylist():
         key = (row["conv_id"], row["turn_idx"])
         if key in out:

@@ -125,7 +125,8 @@ def tail_directory(pipe, directory: str, files_per_batch: int = 16,
                    suffix: str = ".parquet", delta: bool = False,
                    compact_every: int = 8,
                    commit_offset: int = 0,
-                   commit_retries: int = 8) -> "list[dict]":
+                   commit_retries: int = 8,
+                   exchange="dataset") -> "list[dict]":
     """Apply every pending file in ``directory`` to ``pipe``
     (:class:`~embulk_filter_timestamp_format_ray.pipelines.cdc.CDCPipeline`),
     in lsn order.  Returns per-commit stats.  Idempotent: rerunning on an
@@ -165,9 +166,12 @@ def tail_directory(pipe, directory: str, files_per_batch: int = 16,
         # a daemon needs a deeper OCC retry budget than a one-shot job
         # (each retry re-reads the manifest and re-prunes, so persistence
         # is safe — see stress_occ.py for the cross-process proof)
+        # exchange passes through: "dataset" (default), "actor", or a
+        # persistent ActorExchange pool reused across every commit of a
+        # follow loop (the caller owns its lifetime)
         stats.append(apply(
             ray.data.read_parquet(paths, override_num_blocks=nb),
-            max_commit_retries=commit_retries))
+            max_commit_retries=commit_retries, exchange=exchange))
         for name, hi, _ in batch:
             ingested[name] = hi
         resume = pipe.resume_lsn()

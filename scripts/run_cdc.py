@@ -127,6 +127,20 @@ def main() -> None:
                     help="fold pending delta files back into base parquet "
                          "(after the applies, or standalone with "
                          "--events 0)")
+    ap.add_argument("--pregen", action="store_true",
+                    help="materialize the synthetic event stream to parquet "
+                         "ONCE before the timer starts, so multi-micro-batch "
+                         "throughput measures the ENGINE, not repeated "
+                         "stream generation (the generator re-runs per "
+                         "batch otherwise)")
+    ap.add_argument("--exchange", choices=("dataset", "actor"),
+                    default="dataset",
+                    help="partition exchange for the merge: 'dataset' = Ray "
+                         "Data shuffle (default, spills, any scale); "
+                         "'actor' = persistent push-exchange actor pool, "
+                         "created once and reused across every micro-batch "
+                         "commit of this run (bounded micro-batches only — "
+                         "buffers live in actor heaps)")
     args = ap.parse_args()
 
     import ray
@@ -225,6 +239,14 @@ def main() -> None:
                 tail_directory,
             )
 
+            exchange = "dataset"
+            if args.exchange == "actor":
+                from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
+                    ActorExchange,
+                )
+
+                # persistent pool: spawned once, reused by every tail commit
+                exchange = ActorExchange(pipe.lake_dir, pipe.num_partitions)
             t0 = time.perf_counter()
             if args.follow:
                 from embulk_filter_timestamp_format_ray.sources.tailer import (
@@ -241,12 +263,13 @@ def main() -> None:
                     idle_polls=args.max_idle_polls,
                     files_per_batch=args.files_per_batch,
                     delta=args.delta, compact_every=args.compact_every,
-                    on_commit=on_commit)
+                    on_commit=on_commit, exchange=exchange)
             else:
                 commits = tail_directory(pipe, args.tail_dir,
                                          files_per_batch=args.files_per_batch,
                                          delta=args.delta,
-                                         compact_every=args.compact_every)
+                                         compact_every=args.compact_every,
+                                         exchange=exchange)
             out = {
                 "tail_dir": args.tail_dir,
                 "commits": len(commits),
@@ -278,30 +301,66 @@ def main() -> None:
             return
         start_lsn = pipe.resume_lsn() + 1 if args.resume else 0
         per_batch = max((args.events - start_lsn) // args.micro_batches, 1)
+        exchange = "dataset"
+        if args.exchange == "actor":
+            from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
+                ActorExchange,
+            )
+
+            # ONE pool for the whole run: reused by every micro-batch commit
+            exchange = ActorExchange(pipe.lake_dir, pipe.num_partitions)
+        pregen_dir = None
+        if args.pregen:
+            import shutil
+            import tempfile
+
+            import ray.data
+
+            pregen_dir = tempfile.mkdtemp(prefix="cdc_pregen_")
+            poison(change_events(
+                args.events, seed=args.seed,
+                patch_permille=args.patch_permille,
+                conv_delete_permille=args.conv_delete_permille,
+            )).write_parquet(pregen_dir)
         t0 = time.perf_counter()
         total = 0
         quarantined = 0
         for i in range(args.micro_batches):
-            ds = poison(change_events(
-                args.events, seed=args.seed,
-                patch_permille=args.patch_permille,
-                conv_delete_permille=args.conv_delete_permille))
+            if pregen_dir is not None:
+                import ray.data
+
+                # block count matched to the session's CPUs — a handful of
+                # write-sized blocks under-parallelizes the merge shuffle
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                ds = ray.data.read_parquet(pregen_dir,
+                                           override_num_blocks=cpus * 2)
+            else:
+                ds = poison(change_events(
+                    args.events, seed=args.seed,
+                    patch_permille=args.patch_permille,
+                    conv_delete_permille=args.conv_delete_permille))
             # the generator emits the full lsn range; the pipeline's
             # low-watermark prune drops already-committed events, so a resumed
             # run only pays to re-apply the uncommitted suffix
             apply = pipe.apply_delta if args.delta else pipe.apply
-            stats = apply(ds) if args.micro_batches == 1 else apply(
+            stats = apply(ds, exchange=exchange) \
+                if args.micro_batches == 1 else apply(
                 ds.filter(
                     expr=f"lsn >= {start_lsn + i * per_batch} and "
                          f"lsn < {start_lsn + (i + 1) * per_batch}"
                     if i < args.micro_batches - 1
-                    else f"lsn >= {start_lsn + i * per_batch}")
+                    else f"lsn >= {start_lsn + i * per_batch}"),
+                exchange=exchange,
             )
             total += stats["events_applied"]
             quarantined += stats.get("events_quarantined", 0)
             if view is not None:
                 view_refreshes.append(view.refresh()["recomputed"])
         elapsed = time.perf_counter() - t0
+        if pregen_dir is not None:
+            import shutil
+
+            shutil.rmtree(pregen_dir, ignore_errors=True)
         out = {
             "events": args.events, "applied": total,
             "sec": round(elapsed, 3),

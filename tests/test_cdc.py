@@ -383,6 +383,41 @@ def test_actor_exchange_conv_mode_routing(ray_session, tmp_path_factory, oracle)
     _assert_matches_oracle(_lake_as_dict(pipe), oracle)
 
 
+def test_persistent_actor_exchange_across_commits(ray_session,
+                                                  tmp_path_factory, oracle):
+    """One ActorExchange pool reused for a delta-commit micro-batch loop
+    plus a base-merge apply (the tail steady state the persistence exists
+    for) — final state must equal the sequential oracle, and the pool must
+    refuse a pipeline it isn't bound to."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
+        ActorExchange,
+    )
+
+    lake = str(tmp_path_factory.mktemp("lake_actorx_persist"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    ex = ActorExchange(lake, 16)
+    tbl = expected_event_table(N_EVENTS)
+    cut = N_EVENTS // 3
+    for lo, hi in ((0, cut), (cut, 2 * cut), (2 * cut, N_EVENTS)):
+        sl = tbl.filter(pc.and_(pc.greater_equal(tbl.column("lsn"), lo),
+                                pc.less(tbl.column("lsn"), hi)))
+        pipe.apply_delta(ray.data.from_arrow(sl), exchange=ex)
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+    # a base merge through the SAME pool (buffers must be clean between
+    # commits); full replay is a watermark-pruned no-op → state unchanged
+    pipe.apply(ray.data.from_arrow(tbl), exchange=ex)
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+    # the pool is bound to its lake/partitioning
+    other = CDCPipeline(str(tmp_path_factory.mktemp("lake_actorx_other")),
+                        num_partitions=16)
+    with pytest.raises(ValueError):
+        other.apply(ray.data.from_arrow(tbl), exchange=ex)
+    ex.shutdown()
+
+
 def test_salted_conversation_point_lookup(ray_session, tmp_path_factory, oracle):
     """ADVICE r1 (medium): point lookup of a SALTED conversation must read
     the whole salt-candidate pid set, not just the unsalted pid."""

@@ -240,3 +240,26 @@ def test_two_concurrent_followers_one_lake(ray_session, tmp_path_factory):
     assert results["a"] and results["b"]
     _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N))
     assert CDCPipeline.from_lake(lake).fsck()["violations"] == []
+
+
+def test_tail_delta_with_persistent_actor_exchange(ray_session, binlog_dir,
+                                                   tmp_path_factory):
+    """The tail loop's steady-state fast path: ONE ActorExchange pool
+    reused across every delta commit of the tail — same final state as the
+    dataset-exchange tail."""
+    from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
+        ActorExchange,
+    )
+    from tests.test_cdc import _assert_matches_oracle, _lake_as_dict, \
+        sequential_oracle
+
+    lake = str(tmp_path_factory.mktemp("lake_tail_ax"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    ex = ActorExchange(lake, 8)
+    stats = tail_directory(pipe, binlog_dir, files_per_batch=2, delta=True,
+                           compact_every=2, exchange=ex)
+    assert len(stats) == 3
+    _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N))
+    # idempotent re-tail through the same pool
+    assert tail_directory(pipe, binlog_dir, delta=True, exchange=ex) == []
+    ex.shutdown()
