@@ -1483,6 +1483,41 @@ def q_multimodal_decode(sf_dir: str):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_multimodal_decode_png(sf_dir: str):
+    """REAL-codec decode path end-to-end: deterministic PNG payloads
+    (stdlib encoder, functions/imagecodec.py) attached per doc, decoded by
+    the stage's tier chain (PIL → stdlib sniffer) inside the actor pool —
+    dims/format verified against the closed-form SQL.  This is the
+    non-stub branch of the multimodal pipeline under driver oracle."""
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        decode_images,
+    )
+
+    def attach_png(b: pa.Table) -> pa.Table:
+        from embulk_filter_timestamp_format_ray.functions.imagecodec import (
+            encode_png,
+        )
+
+        # per-item encoding is the codec tier's nature; dims are a pure
+        # function of doc_id so DuckDB can replay them
+        payloads = [
+            encode_png(np.full((1 + int(i) % 9, 1 + int(i) % 16),
+                               (int(i) * 37) % 256, np.uint8))
+            for i in np.asarray(b.column("doc_id"))
+        ]
+        return b.append_column("image_bytes",
+                               pa.array(payloads, pa.binary()))
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    ds = ds.map_batches(attach_png, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = decode_images(ds, concurrency=(1, 4), batch_size=256)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "img_width", "img_height",
+                            "img_format"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_top_words(sf_dir: str):
     """Corpus-wide top-20 words: flat-map explode → sharded count aggregate
     → global top-k combiner (≤ k rows survive per block; no global sort,
@@ -2378,6 +2413,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_embed_ann": q_multimodal_embed_ann,
         "hll_distinct": q_hll_distinct,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -3113,6 +3149,12 @@ def oracle_sql() -> "dict[str, str]":
             "qualify rank <= 10",
         "multimodal_decode":
             "select doc_id, strlen(text)::bigint as n_bytes from documents",
+        "multimodal_decode_png":
+            # dims are a pure function of doc_id (the payload PNGs are
+            # synthesized that way), so SQL replays the REAL decode
+            "select doc_id, (1 + doc_id % 16)::int as img_width, "
+            "(1 + doc_id % 9)::int as img_height, 'PNG' as img_format "
+            "from documents",
         "multimodal_embed_ann":
             "select query_id, doc_id, rank "
             f"from read_parquet('{_FIXTURES}/multimodal_ann_sf001.parquet')",

@@ -1,10 +1,13 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
 The Ray-side plumbing (schema, actor-pool stage shape, batch sizing, output
-layout) is real and tested; the actual media decode is STUBBED because this
-container ships no image/audio libraries.  ``ImageDecodeStage`` tries to
-import PIL at actor init and otherwise uses a clearly-marked deterministic
-fake decoder; ``strict=True`` surfaces the stub as ``NotImplementedError``.
+layout) is real and tested.  Codec tiers per stage: PIL (imported once per
+actor when available) → the stdlib image codec
+(``functions/imagecodec.py`` — REAL PNG decode/resize/encode and
+PNG/JPEG/GIF dimension sniffing, no external deps) → a clearly-marked
+deterministic fake for arbitrary non-image bytes; ``strict=True`` raises
+``NotImplementedError`` instead of faking.  Audio/video decode remains
+stubbed (no stdlib codec exists for those).
 
 Scale notes baked into the design:
 * decode stages are callable CLASSES for ``map_batches(Cls,
@@ -77,9 +80,13 @@ def _cyclic_gather(col: pa.Array, width: int) -> np.ndarray:
 class ImageDecodeStage:
     """Actor-pool stage: binary image → (width, height, n_bytes, format).
 
-    Real decode requires PIL (absent here) — the fake path derives
-    deterministic metadata from a payload hash so the pipeline shape,
-    schema, and batch flow are fully exercisable in tests.
+    Three codec tiers, best available per payload:
+    1. PIL (once per actor, if importable) — full format coverage;
+    2. stdlib header sniffing (functions/imagecodec.py) — REAL container
+       metadata for PNG/JPEG/GIF payloads, no external deps;
+    3. deterministic fake (payload-hash pseudo-metadata, clearly marked
+       ``FAKE``) so the pipeline shape/schema stay exercisable on
+       arbitrary bytes.  ``strict=True`` raises instead of faking.
     """
 
     def __init__(self, binary_col: str = "image_bytes", strict: bool = False):
@@ -104,11 +111,6 @@ class ImageDecodeStage:
         return 16 + h % 1024, 16 + (h >> 10) % 1024, "FAKE"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._pil is None and self.strict:
-            raise NotImplementedError(
-                "image decode requires PIL, which is not available in this "
-                "environment; run with strict=False for the stubbed decoder"
-            )
         col = batch.column(self.binary_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -128,12 +130,43 @@ class ImageDecodeStage:
             h_arr = pa.array(heights, pa.int32())
             f_arr = pa.array(fmts, pa.string())
         else:
-            # STUB, batch-vectorized: same per-payload math as _decode_fake
+            from embulk_filter_timestamp_format_ray.functions.imagecodec import (
+                sniff_image_meta,
+            )
+
+            metas = [sniff_image_meta(p) for p in col.to_pylist()]
+            if self.strict and not all(metas):
+                raise NotImplementedError(
+                    "strict image decode requires PIL (absent) or payloads "
+                    "the stdlib codec recognizes (PNG/JPEG/GIF); run with "
+                    "strict=False for the stubbed decoder")
             h = splitmix64(lens.astype(np.uint64), 17)
-            w_arr = pa.array((16 + h % np.uint64(1024)).astype(np.int32))
-            h_arr = pa.array(
-                (16 + (h >> np.uint64(10)) % np.uint64(1024)).astype(np.int32))
-            f_arr = pa.array(["FAKE"] * batch.num_rows, pa.string())
+            if any(metas):
+                # mixed tier: REAL header metadata for recognized images,
+                # the deterministic fake elsewhere (per-item by nature)
+                widths, heights, fmts = [], [], []
+                for i, m in enumerate(metas):
+                    if m is not None:
+                        w_i, h_i, f_i = m
+                    else:
+                        w_i = int(16 + h[i] % np.uint64(1024))
+                        h_i = int(16 + (h[i] >> np.uint64(10))
+                                  % np.uint64(1024))
+                        f_i = "FAKE"
+                    widths.append(w_i)
+                    heights.append(h_i)
+                    fmts.append(f_i)
+                w_arr = pa.array(widths, pa.int32())
+                h_arr = pa.array(heights, pa.int32())
+                f_arr = pa.array(fmts, pa.string())
+            else:
+                # STUB, batch-vectorized: same per-payload math as
+                # _decode_fake
+                w_arr = pa.array((16 + h % np.uint64(1024)).astype(np.int32))
+                h_arr = pa.array(
+                    (16 + (h >> np.uint64(10)) % np.uint64(1024))
+                    .astype(np.int32))
+                f_arr = pa.array(["FAKE"] * batch.num_rows, pa.string())
         return batch.append_column("img_width", w_arr) \
                     .append_column("img_height", h_arr) \
                     .append_column("n_bytes", pa.array(lens.astype(np.int64))) \
@@ -141,9 +174,11 @@ class ImageDecodeStage:
 
 
 class ImageResizeStage:
-    """Resize stub with the real pipeline shape: binary in → binary out +
-    updated dims.  The PIL path is the genuine implementation; the fake
-    path re-derives deterministic bytes (clearly marked, never silent)."""
+    """Resize with the real pipeline shape: binary in → binary out +
+    updated dims.  Tiers: PIL (any format) → stdlib PNG decode +
+    nearest-neighbor resize + re-encode (functions/imagecodec.py) →
+    deterministic byte-tiling stub for non-image payloads (clearly
+    marked, never silent)."""
 
     def __init__(self, width: int = 224, height: int = 224,
                  binary_col: str = "image_bytes"):
@@ -178,19 +213,51 @@ class ImageResizeStage:
                     out_payloads.append(b"")
             resized = pa.array(out_payloads, pa.binary())
         else:
-            # STUB, batch-vectorized: cyclic tile/truncate each payload to
-            # `target` bytes (empty payloads stay empty, as the scalar
-            # `payload * k` tiling yields b"")
-            target = self.width * self.height // 64
-            tiled = _cyclic_gather(col, target)
-            _, _, _, empty = _payload_views(col)
-            counts = np.where(empty, 0, target).astype(np.int64)
-            offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-            flat = tiled[~empty].reshape(-1)
-            resized = pa.Array.from_buffers(
-                pa.binary(), n,
-                [None, pa.py_buffer(offsets.tobytes()),
-                 pa.py_buffer(flat.tobytes())])
+            from embulk_filter_timestamp_format_ray.functions.imagecodec import (
+                decode_png,
+                encode_png,
+                resize_nearest,
+            )
+
+            payloads = col.to_pylist()
+            decoded = []
+            any_real = False
+            for p in payloads:
+                try:
+                    decoded.append(decode_png(p or b""))
+                    any_real = True
+                except Exception:
+                    decoded.append(None)
+            if any_real:
+                # stdlib tier: REAL nearest-neighbor resize for decodable
+                # PNGs (per-item by codec nature), stub tiling elsewhere
+                target = self.width * self.height // 64
+                out_payloads = []
+                for p, img in zip(payloads, decoded):
+                    if img is not None:
+                        out_payloads.append(encode_png(
+                            resize_nearest(img, self.width, self.height)))
+                    elif p:
+                        out_payloads.append(bytes(np.resize(
+                            np.frombuffer(p, np.uint8), target)))
+                    else:
+                        out_payloads.append(b"")
+                resized = pa.array(out_payloads, pa.binary())
+            else:
+                # STUB, batch-vectorized: cyclic tile/truncate each payload
+                # to `target` bytes (empty payloads stay empty, as the
+                # scalar `payload * k` tiling yields b"")
+                target = self.width * self.height // 64
+                tiled = _cyclic_gather(col, target)
+                _, _, _, empty = _payload_views(col)
+                counts = np.where(empty, 0, target).astype(np.int64)
+                offsets = np.concatenate(
+                    [[0], np.cumsum(counts)]).astype(np.int32)
+                flat = tiled[~empty].reshape(-1)
+                resized = pa.Array.from_buffers(
+                    pa.binary(), n,
+                    [None, pa.py_buffer(offsets.tobytes()),
+                     pa.py_buffer(flat.tobytes())])
         return batch.set_column(
             batch.schema.get_field_index(self.binary_col), self.binary_col,
             resized) \
