@@ -172,7 +172,8 @@ def run_queries(sf_dir: str) -> dict:
              "bloom_join_revenue", "set_intersect", "set_except",
              "cdc_delta_commits", "cdc_sync", "cdc_patch_upserts",
              "cdc_conv_erasure", "cdc_rollback", "chunk_documents",
-             "transcripts_to_training", "cdc_point_lookup"]
+             "transcripts_to_training", "cdc_point_lookup",
+             "ann_ivf", "multimodal_decode_png"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session
