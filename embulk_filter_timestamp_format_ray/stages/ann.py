@@ -251,6 +251,33 @@ def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16,
     return index_dir
 
 
+def append_to_ivf_index(ds, index_dir: str, *, id_col: str = "vec_id",
+                        col: str = "embedding") -> str:
+    """Incrementally add vectors to an existing ``build_ivf_index`` layout
+    — the maintenance path a growing corpus needs (a 100-TB index cannot
+    rebuild per ingest).  New vectors assign against the FROZEN centroids
+    (no retrain: the physical layout is the contract, same reasoning as
+    the CDC lake's committed partition config) and land as NEW parquet
+    files inside their lists' directories (``write_parquet`` append mode
+    never rewrites existing files).  Probe correctness is unaffected
+    mid-append: every already-visible file is complete, so a concurrent
+    ``ivf_topk_partitioned`` simply sees a prefix of the new vectors."""
+    import os
+
+    import ray
+
+    if not os.path.exists(os.path.join(index_dir, _SUCCESS_FILE)):
+        raise ValueError(f"{index_dir!r} is not a built IVF index")
+    centroids = load_ivf_centroids(index_dir)
+    cref = ray.put(centroids) if ray.is_initialized() else centroids
+    assigned = ds.select_columns([id_col, col]).map_batches(
+        IVFAssignStage(cref, id_col), batch_format="pyarrow",
+        zero_copy_batch=True)
+    assigned.write_parquet(os.path.join(index_dir, _VECTORS_DIR),
+                           partition_cols=["ivf_list"])
+    return index_dir
+
+
 def load_ivf_centroids(index_dir: str) -> np.ndarray:
     import os
 

@@ -112,3 +112,36 @@ def test_full_probe_equals_brute_force(ray_session, index_dir):
         .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert list(full["vec_id"]) == list(exact["vec_id"])
     assert list(full["rank"]) == list(exact["rank"])
+
+
+def test_incremental_append(ray_session, tmp_path_factory):
+    """build on half the corpus, append the other half: a full-probe query
+    must equal brute force over the WHOLE corpus (frozen centroids, new
+    files only — no rebuild)."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        append_to_ivf_index,
+        brute_force_topk,
+    )
+
+    x, tbl = _corpus()
+    half = N // 2
+    d = str(tmp_path_factory.mktemp("ivf_app") / "idx")
+    build_ivf_index(ray.data.from_arrow(tbl.slice(0, half)), d,
+                    n_centroids=NC, sample_size=half, seed=3)
+    before = ivf_topk_partitioned(d, x[:2], k=5, nprobe=NC).to_pandas()
+    assert set(before["vec_id"]) <= set(range(half))
+    append_to_ivf_index(ray.data.from_arrow(tbl.slice(half)), d)
+    # centroids frozen (same file), corpus now complete
+    cent_after = load_ivf_centroids(d)
+    assert cent_after.shape == (NC, DIM)
+    exact = brute_force_topk(ray.data.from_arrow(tbl), x[:2], k=5) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    full = ivf_topk_partitioned(d, x[:2], k=5, nprobe=NC) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    # appending to a non-index path is refused
+    with pytest.raises(ValueError):
+        append_to_ivf_index(ray.data.from_arrow(tbl),
+                            str(tmp_path_factory.mktemp("notidx")))

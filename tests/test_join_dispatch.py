@@ -96,3 +96,32 @@ def test_outer_types_never_broadcast(sides, ray_session):
     df = out.to_pandas()
     n_left = pq.read_table(lp).num_rows
     assert len(df) > n_left  # unmatched right keys present exactly once each
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_null_key_parity(ray_session, tmp_path, how):
+    """SQL null semantics (null keys never match) must be identical on both
+    sides of the dispatch boundary."""
+    import ray.data
+
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2, None, 3], pa.int64()),
+                             "lv": [10, 20, 30, 40]}), lp)
+    pq.write_table(pa.table({"rk": pa.array([1, None, 3], pa.int64()),
+                             "rv": [100, 200, 300]}), rp)
+
+    def run(auto):
+        out = shuffle_join(ray.data.read_parquet(lp),
+                           ray.data.read_parquet(rp),
+                           on="k", right_on="rk", how=how,
+                           auto_broadcast_bytes=auto,
+                           num_partitions=None if auto else 2)
+        return out.to_pandas().sort_values("lv").reset_index(drop=True)
+
+    bc, sh = run(1 << 30), run(None)
+    assert list(bc["lv"]) == list(sh["lv"])
+    assert bc["rv"].fillna(-1).tolist() == sh["rv"].fillna(-1).tolist()
+    if how == "inner":
+        assert list(bc["lv"]) == [10, 40]  # null key row dropped
+    else:
+        assert list(bc["lv"]) == [10, 20, 30, 40]  # kept, rv null
