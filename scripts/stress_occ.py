@@ -46,6 +46,16 @@ try:
     full = expected_event_table(n_events, patch_permille={patch},
                                 conv_delete_permille={convdel})
     pipe = CDCPipeline(lake, num_partitions=8)
+    exchange = "dataset"
+    if {exchange!r} == "actor":
+        # ONE persistent push-exchange pool per writer process, reused by
+        # every commit it makes — the steady-state fast path under real
+        # cross-process OCC races
+        from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
+            ActorExchange,
+        )
+
+        exchange = ActorExchange(lake, 8)
     conflicts = 0
     # every writer applies the WHOLE stream in 4 chunks, offset so the
     # writers overlap heavily (at-least-once redundant delivery)
@@ -59,10 +69,11 @@ try:
             try:
                 if mode == 0:
                     pipe.apply(ray.data.from_arrow(chunk),
-                               max_commit_retries=0)
+                               max_commit_retries=0, exchange=exchange)
                 else:
                     pipe.apply_delta(ray.data.from_arrow(chunk),
-                                     max_commit_retries=0)
+                                     max_commit_retries=0,
+                                     exchange=exchange)
                 break
             except mf.CommitConflict:
                 conflicts += 1
@@ -88,6 +99,10 @@ def main() -> int:
     ap.add_argument("--lake", default=None)
     ap.add_argument("--patch-permille", type=int, default=0)
     ap.add_argument("--conv-delete-permille", type=int, default=0)
+    ap.add_argument("--exchange", choices=("dataset", "actor"),
+                    default="dataset",
+                    help="'actor' = one persistent push-exchange pool per "
+                         "writer, reused across all its commits")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     lake = args.lake or os.path.join(
@@ -99,7 +114,8 @@ def main() -> int:
             [sys.executable, "-c",
              WORKER.format(repo=repo, wid=w, n_events=args.events,
                            lake=lake, patch=args.patch_permille,
-                           convdel=args.conv_delete_permille)],
+                           convdel=args.conv_delete_permille,
+                           exchange=args.exchange)],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
         for w in range(args.writers)
     ]
