@@ -1328,6 +1328,47 @@ def q_dedup_minhash(sf_dir: str):
     return dedup_minhash_pairs(ds, threshold=0.6)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental dedup against a PERSISTENT LSH band store — the CDC-fed
+    corpus shape: the store is built once from the accepted corpus (even
+    doc_ids here); each new micro-batch (odd doc_ids) probes only the
+    store shards its band keys hash into, drops store collisions plus
+    within-batch duplicates, and appends its survivors.  Oracle: an
+    independent sequential replay (scripts/make_fixtures.py
+    incremental_dedup_reference)."""
+    import shutil
+
+    from embulk_filter_timestamp_format_ray.stages.dedup import (
+        build_band_store,
+        dedup_against_store,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def half(parity):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"))
+            return b.filter(pa.array(ids % 2 == parity))
+        return f
+
+    store_dir = tempfile.mkdtemp(prefix="bandstore_q_")
+    try:
+        build_band_store(
+            docs.map_batches(half(0), batch_format="pyarrow",
+                             zero_copy_batch=True),
+            store_dir, num_perm=32, bands=8)
+        kept, _rep = dedup_against_store(
+            docs.map_batches(half(1), batch_format="pyarrow",
+                             zero_copy_batch=True),
+            store_dir)
+        # kept is a broadcast semi-join of the odd half against the
+        # driver-side kept-id table — consume it before the store dir goes
+        ids = sorted(kept.to_pandas()["doc_id"].tolist())
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 def q_dedup_simhash(sf_dir: str):
     from embulk_filter_timestamp_format_ray.stages.dedup import dedup_simhash_pairs
 
@@ -2407,6 +2448,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_near_corpus": q_dedup_near_corpus,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -3126,6 +3168,9 @@ def oracle_sql() -> "dict[str, str]":
         "dedup_near_corpus":
             "select doc_id "
             f"from read_parquet('{_FIXTURES}/dedup_near_corpus_sf001.parquet')",
+        "dedup_incremental":
+            "select doc_id "
+            f"from read_parquet('{_FIXTURES}/dedup_incremental_sf001.parquet')",
         "embedding_neardup":
             "select id_a, id_b, cosine "
             f"from read_parquet('{_FIXTURES}/embedding_neardup_sf001.parquet')",

@@ -919,3 +919,210 @@ def dedup_near_duplicates(ds, *, threshold: float = 0.7, num_perm: int = 64,
     from embulk_filter_timestamp_format_ray.stages.relational import broadcast_join
 
     return broadcast_join(ds, drop.select([id_col]), on=id_col, how="anti")
+
+
+# ------------------------------------------------- incremental band store
+#
+# The one-shot dedup pipelines above re-scan the whole corpus per run.  A
+# CDC-fed corpus needs the INCREMENTAL shape: dedup each new micro-batch
+# against everything already accepted, without touching the accumulated
+# data.  The store persists only LSH band keys — (band_key, doc_id) rows,
+# ~16 B/doc/band — hive-partitioned by band_key hash into
+# BAND_STORE_SHARDS directories, so a micro-batch probe reads only the
+# shards its own band keys hash into (the same read-pruning layout as the
+# IVF index, DESIGN #39).  Semantics: collision on ANY band = duplicate
+# (pure LSH, no signature re-estimation — the store keeps no signatures;
+# tune num_perm/bands for the precision the corpus needs).  The LSH config
+# is a committed contract (params.json), refused on mismatch like the CDC
+# lake's partition config.
+
+BAND_STORE_SHARDS = 64
+_BS_BANDS_DIR = "bands"
+_BS_PARAMS = "params.json"
+_BS_SUCCESS = "_SUCCESS"
+#: dedup_against_store materializes the NEW batch's band rows and id sets
+#: driver-side — bounded micro-batches only (the store side always streams)
+MAX_INCREMENTAL_BAND_ROWS = 20_000_000
+
+
+def _band_key_batch(t: pa.Table) -> pa.Table:
+    """(band, band_hash) → one composite int64 band_key + its store shard."""
+    h = np.asarray(t.column("band_hash")).astype(np.uint64)
+    band = np.asarray(t.column("band")).astype(np.uint64)
+    bk = splitmix64(h ^ splitmix64(band, 7), 53)
+    shard = (bk % np.uint64(BAND_STORE_SHARDS)).astype(np.int64)
+    return t.append_column("band_key", pa.array(bk.astype(np.int64))) \
+            .append_column("band_shard", pa.array(shard))
+
+
+def _band_key_rows(ds, *, num_perm: int, bands: int, shingle_k: int,
+                   id_col: str):
+    mh = ds.map_batches(MinHashStage(num_perm, shingle_k),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    b = mh.map_batches(BandEmitStage(num_perm, bands, id_col,
+                                     include_sig=False),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    b = b.map_batches(_band_key_batch, batch_format="pyarrow",
+                      zero_copy_batch=True)
+    return b.map_batches(lambda t: t.select(["band_key", "band_shard",
+                                             id_col]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _band_store_params(store_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(store_dir, _BS_PARAMS)) as f:
+        return json.load(f)
+
+
+def build_band_store(ds, store_dir: str, *, num_perm: int = 64,
+                     bands: int = 16, shingle_k: int = 3,
+                     id_col: str = "doc_id") -> str:
+    """Initialize the store from an already-deduplicated corpus: ONE
+    streaming pass (minhash → band keys → shard-partitioned parquet
+    write, no exchange — co-location is per FILE)."""
+    import json
+    import os
+
+    tmp = store_dir.rstrip("/") + ".building"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    params = {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
+              "id_col": id_col}
+    with open(os.path.join(tmp, _BS_PARAMS), "w") as f:
+        json.dump(params, f)
+    rows = _band_key_rows(ds, num_perm=num_perm, bands=bands,
+                          shingle_k=shingle_k, id_col=id_col)
+    rows.write_parquet(os.path.join(tmp, _BS_BANDS_DIR),
+                       partition_cols=["band_shard"])
+    with open(os.path.join(tmp, _BS_SUCCESS), "w") as f:
+        f.write("ok\n")
+    if os.path.exists(store_dir):
+        import shutil
+
+        shutil.rmtree(store_dir)
+    os.rename(tmp, store_dir)
+    return store_dir
+
+
+def dedup_against_store(new_ds, store_dir: str, *, update: bool = True):
+    """Dedup a new micro-batch against the accumulated corpus.
+
+    Returns ``(kept_ds, report)``: ``kept_ds`` is ``new_ds`` minus (a)
+    docs whose band keys collide with the store and (b) within-batch
+    duplicates (union-find over batch collisions, min id survives).
+    ``update=True`` appends the SURVIVORS' band rows to the store
+    (append-only files into existing shard dirs — same maintenance shape
+    as ``append_to_ivf_index``).
+
+    Scale contract: the new batch's band rows materialize driver-side
+    (guarded by ``MAX_INCREMENTAL_BAND_ROWS``); the store side only ever
+    STREAMS through a broadcast join over the probed shard directories.
+    A crash between the kept-computation and the store append is safe:
+    re-running re-drops the same duplicates and re-appends the same rows,
+    whose extra copies only make the collision check more eager (band_key
+    membership is idempotent)."""
+    import os
+
+    import ray
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        broadcast_join,
+    )
+
+    if not os.path.exists(os.path.join(store_dir, _BS_SUCCESS)):
+        raise ValueError(f"{store_dir!r} is not a built band store")
+    params = _band_store_params(store_dir)
+    id_col = params.pop("id_col")
+
+    nb_tables = [ray.get(r) for r in
+                 _band_key_rows(new_ds, id_col=id_col, **params)
+                 .to_arrow_refs()]
+    nb = pa.concat_tables([t for t in nb_tables if t.num_rows],
+                          promote_options="permissive") \
+        if any(t.num_rows for t in nb_tables) else None
+    if nb is not None and nb.num_rows > MAX_INCREMENTAL_BAND_ROWS:
+        raise ValueError(
+            f"new batch emitted {nb.num_rows} band rows "
+            f"(> {MAX_INCREMENTAL_BAND_ROWS}); incremental dedup is for "
+            f"micro-batches — run dedup_near_duplicates for a full pass")
+    if nb is None:
+        return new_ds, {"new_docs": 0, "dup_vs_store": 0,
+                        "dup_within_batch": 0, "kept": 0}
+
+    new_ids = np.unique(np.asarray(nb.column(id_col)))
+    bk = np.asarray(nb.column("band_key"))
+    nid = np.asarray(nb.column(id_col))
+
+    # (a) store collisions: probe ONLY the shards the new keys hash into;
+    # the new keys broadcast, the store streams
+    shards = np.unique(np.asarray(nb.column("band_shard")))
+    shard_dirs = [os.path.join(store_dir, _BS_BANDS_DIR, f"band_shard={s}")
+                  for s in shards]
+    files = [os.path.join(d, f) for d in shard_dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    dup_store_ids: set = set()
+    if files:
+        store_ds = ray.data.read_parquet(files, columns=["band_key", id_col])
+        probe = pa.table({"band_key": pa.array(bk),
+                          "id_new": pa.array(nid)})
+        hits = broadcast_join(store_ds, probe, on="band_key", how="inner")
+        # ≤ one row per (store doc, new doc, band) — reduce to the new-id
+        # set with a vectorized per-batch projection + driver union (the
+        # result is bounded by the new batch)
+        id_batches = [ray.get(r) for r in
+                      hits.map_batches(
+                          lambda t: pa.table({"id_new": t.column("id_new")}),
+                          batch_format="pyarrow", zero_copy_batch=True)
+                      .to_arrow_refs()]
+        for t in id_batches:
+            if t.num_rows:
+                dup_store_ids.update(np.unique(np.asarray(
+                    t.column("id_new"))).tolist())
+
+    # (b) within-batch collisions: same band_key twice in the new batch →
+    # union-find (bounded: batch-sized), min id survives per component
+    order = np.lexsort((nid, bk))
+    bks, nids = bk[order], nid[order]
+    same = bks[1:] == bks[:-1]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in np.nonzero(same)[0]:
+        a, b2 = int(nids[i]), int(nids[i + 1])
+        if a == b2:
+            continue
+        ra, rb = find(a), find(b2)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    dup_within = {n for n in parent if find(n) != n}
+
+    drop = dup_store_ids | dup_within
+    kept_ids = np.array(sorted(set(new_ids.tolist()) - drop), dtype=np.int64)
+    kept_tbl = pa.table({id_col: pa.array(kept_ids)})
+    kept_ds = broadcast_join(new_ds, kept_tbl, on=id_col, how="semi")
+
+    if update and len(kept_ids):
+        keep_mask = np.isin(nid, kept_ids)
+        surv = nb.filter(pa.array(keep_mask))
+        ray.data.from_arrow(surv).write_parquet(
+            os.path.join(store_dir, _BS_BANDS_DIR),
+            partition_cols=["band_shard"])
+    return kept_ds, {
+        "new_docs": int(len(new_ids)),
+        "dup_vs_store": int(len(dup_store_ids)),
+        "dup_within_batch": int(len(dup_within - dup_store_ids)),
+        "kept": int(len(kept_ids)),
+    }

@@ -106,6 +106,67 @@ def simhash_pairs_reference(ids, texts, *, max_hamming=3, max_bucket=256):
     return pairs
 
 
+def incremental_dedup_reference(ids, texts, *, num_perm=32, bands=8,
+                                shingle_k=3):
+    """Independent sequential replay of dedup_against_store's semantics:
+    store = EVEN doc_ids' band keys; batch = ODD doc_ids.  A batch doc
+    drops if any of its band keys is in the store, or (within-batch) if
+    it is a non-min member of a union-find component over shared band
+    keys.  Scalar signatures + dict sets — not the Ray path."""
+    stage = MinHashStage(num_perm, shingle_k)
+    r = num_perm // bands
+
+    def band_keys(text):
+        sig = stage.signature(text or "")
+        keys = []
+        for b in range(bands):
+            h = np.uint64(0)
+            for j in range(r):
+                h = splitmix64(np.array([h ^ sig[b * r + j]], np.uint64),
+                               31 + b)[0]
+            keys.append((b, int(h)))
+        return keys
+
+    store = set()
+    batch = []
+    for i, t in zip(ids, texts):
+        if int(i) % 2 == 0:
+            store.update(band_keys(t))
+        else:
+            batch.append((int(i), band_keys(t)))
+    dup_store = {i for i, keys in batch if any(k in store for k in keys)}
+    by_key = defaultdict(list)
+    for i, keys in batch:
+        for k in set(keys):
+            by_key[k].append(i)
+    pairs = set()
+    for members in by_key.values():
+        members = sorted(set(members))
+        for x in range(1, len(members)):
+            pairs.add((members[0], members[x]))
+    drop_within = set(union_find_drops(pairs))
+    kept = sorted(i for i, _ in batch
+                  if i not in dup_store and i not in drop_within)
+    return kept
+
+
+def union_find_drops(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n for n in parent if find(n) != n}
+
+
 def union_find_survivors(ids, pairs):
     parent = {}
 
@@ -353,6 +414,11 @@ def main():
     pq.write_table(pa.table({"doc_id": pa.array(survivors, pa.int64())}),
                    os.path.join(OUT, "dedup_near_corpus_sf001.parquet"))
     print("dedup_near_corpus survivors:", len(survivors))
+
+    inc = incremental_dedup_reference(ids, texts)
+    pq.write_table(pa.table({"doc_id": pa.array(inc, pa.int64())}),
+                   os.path.join(OUT, "dedup_incremental_sf001.parquet"))
+    print("dedup_incremental kept:", len(inc))
 
     ep = embedding_pairs_reference()
     pq.write_table(pairs_table(ep, "cosine", pa.float64()),
