@@ -30,7 +30,9 @@ def prepared_corpus(ds, *, min_tokens: int = 10, near_dup: bool = False,
                     near_dup_threshold: float = 0.85,
                     redact_pii: bool = False,
                     max_dup5_x1000: "int | None" = None,
-                    eval_ds=None, decontam_threshold_pct: int = 20):
+                    eval_ds=None, decontam_threshold_pct: int = 20,
+                    dedup_store: "str | None" = None,
+                    store_report: "dict | None" = None):
     """documents (doc_id, text) → filtered + deduped corpus Dataset.
 
     Optional curation passes (all deterministic, so resume stays
@@ -38,7 +40,14 @@ def prepared_corpus(ds, *, min_tokens: int = 10, near_dup: bool = False,
     filter (drop docs whose duplicated-5-gram mass exceeds
     ``max_dup5_x1000`` per-mille — Gopher rule), and eval-suite
     decontamination against ``eval_ds`` (drop docs with ≥threshold%
-    benchmark 5-gram overlap)."""
+    benchmark 5-gram overlap).
+
+    ``dedup_store`` makes the job INCREMENTAL: the first run seeds a
+    persistent LSH band store from this corpus; every later run dedups
+    its input against everything previously accepted (store collisions
+    drop) and appends its survivors — the recurring-ingest corpus shape
+    (stages/dedup.py band store; micro-batch contract applies).  When a
+    dict is passed as ``store_report`` it receives the probe counts."""
     from embulk_filter_timestamp_format_ray.stages.dedup import (
         dedup_exact,
         dedup_near_duplicates,
@@ -89,6 +98,24 @@ def prepared_corpus(ds, *, min_tokens: int = 10, near_dup: bool = False,
     ds = dedup_exact(ds)
     if near_dup:
         ds = dedup_near_duplicates(ds, threshold=near_dup_threshold)
+    if dedup_store is not None:
+        import os
+
+        from embulk_filter_timestamp_format_ray.stages.dedup import (
+            _BS_SUCCESS,
+            build_band_store,
+            dedup_against_store,
+        )
+
+        if not os.path.exists(os.path.join(dedup_store, _BS_SUCCESS)):
+            # first run: this corpus seeds the store (one streaming pass)
+            build_band_store(ds, dedup_store)
+            if store_report is not None:
+                store_report["seeded"] = True
+        else:
+            ds, rep = dedup_against_store(ds, dedup_store)
+            if store_report is not None:
+                store_report.update(rep)
     return ds
 
 

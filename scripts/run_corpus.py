@@ -40,6 +40,11 @@ def main() -> None:
     ap.add_argument("--jsonl", action="store_true",
                     help="write newline-delimited JSON parts instead of "
                          "parquet")
+    ap.add_argument("--dedup-store", default=None, metavar="DIR",
+                    help="persistent LSH band store: the FIRST run seeds it "
+                         "from this corpus; later runs drop docs that "
+                         "near-duplicate anything previously accepted and "
+                         "append their survivors (incremental ingest)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
@@ -64,11 +69,14 @@ def main() -> None:
         eval_ds = ray.data.read_parquet(
             args.decontaminate, columns=["doc_id", "text"]) \
             if args.decontaminate else None
+        store_report = {}
         corpus = prepared_corpus(ds, min_tokens=args.min_tokens,
                                  near_dup=args.near_dup,
                                  redact_pii=args.redact_pii,
                                  max_dup5_x1000=args.max_dup5,
-                                 eval_ds=eval_ds)
+                                 eval_ds=eval_ds,
+                                 dedup_store=args.dedup_store,
+                                 store_report=store_report)
         if args.pack is not None:
             if args.pack < 1:
                 raise SystemExit("--pack requires a positive token budget")
@@ -78,6 +86,8 @@ def main() -> None:
                              resume=args.resume,
                              fmt="jsonl" if args.jsonl else "parquet")
         stats["sec"] = round(time.perf_counter() - t0, 3)
+        if store_report:
+            stats["dedup_store"] = store_report
         print(json.dumps(stats))
     finally:
         ray.shutdown()

@@ -133,3 +133,34 @@ def test_empty_batch(ray_session, store):
     kept, rep = dedup_against_store(ray.data.from_arrow(empty), store)
     assert rep == {"new_docs": 0, "dup_vs_store": 0,
                    "dup_within_batch": 0, "kept": 0}
+
+
+def test_prepared_corpus_incremental(ray_session, tmp_path):
+    """The composed corpus-prep flow: first run seeds the store, a rerun of
+    overlapping input keeps only the genuinely new docs."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.corpus import (
+        prepared_corpus,
+    )
+
+    store = str(tmp_path / "store")
+    texts1 = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "streaming executors schedule pipeline stages with backpressure "
+        "control across worker nodes",
+    ]
+    b1 = _batch([_doc(i, t) for i, t in enumerate(texts1)])
+    rep1 = {}
+    out1 = prepared_corpus(ray.data.from_arrow(b1), min_tokens=3,
+                           dedup_store=store, store_report=rep1)
+    assert out1.count() == 2 and rep1 == {"seeded": True}
+
+    fresh = ("parquet row groups carry min max statistics enabling "
+             "predicate pushdown at scan time")
+    b2 = _batch([_doc(10, texts1[0]), _doc(11, fresh)])
+    rep2 = {}
+    out2 = prepared_corpus(ray.data.from_arrow(b2), min_tokens=3,
+                           dedup_store=store, store_report=rep2)
+    assert sorted(out2.to_pandas()["doc_id"]) == [11]
+    assert rep2["dup_vs_store"] == 1 and rep2["kept"] == 1
