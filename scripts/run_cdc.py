@@ -53,6 +53,16 @@ def main() -> None:
                     help="print one summary row per retained manifest "
                          "version (DESCRIBE HISTORY analog; metadata-only), "
                          "apply nothing")
+    ap.add_argument("--diff", nargs=2, type=int, default=None,
+                    metavar=("V_FROM", "V_TO"),
+                    help="print the change feed summary between two "
+                         "retained versions (insert/update/delete counts "
+                         "via lake_changes — cost scales with the delta, "
+                         "only changed partitions are read); add "
+                         "--diff-out DIR to also write the change rows")
+    ap.add_argument("--diff-out", default=None, metavar="DIR",
+                    help="with --diff: write the full change rows "
+                         "(post-image payload) as parquet to DIR")
     ap.add_argument("--rollback-to", type=int, default=None,
                     help="restore the lake to this retained snapshot as a "
                          "NEW commit (metadata-only; watermarks roll back "
@@ -212,6 +222,23 @@ def main() -> None:
         if args.history:
             print(json.dumps({"lake": args.lake,
                               "history": pipe.history()}))
+            return
+        if args.diff is not None:
+            v_from, v_to = args.diff
+            cols = ["role", "text", "tool", "ts"] if args.diff_out else None
+            feed = pipe.lake_changes(v_from, v_to, columns=cols)
+            if args.diff_out:
+                feed.write_parquet(args.diff_out)
+                feed = ray.data.read_parquet(args.diff_out)
+            import pyarrow as _pa  # noqa: F401
+
+            counts = feed.groupby("change_type").count().to_pandas()
+            print(json.dumps({
+                "lake": args.lake, "v_from": v_from, "v_to": v_to,
+                "changes": {str(r["change_type"]): int(r["count()"])
+                            for _, r in counts.iterrows()},
+                "out": args.diff_out,
+            }))
             return
         if args.rollback_to is not None:
             res = pipe.rollback(args.rollback_to)
