@@ -1069,22 +1069,39 @@ def dedup_against_store(new_ds, store_dir: str, *, update: bool = True):
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
     dup_store_ids: set = set()
     if files:
-        store_ds = ray.data.read_parquet(files, columns=["band_key", id_col])
-        probe = pa.table({"band_key": pa.array(bk),
-                          "id_new": pa.array(nid)})
-        hits = broadcast_join(store_ds, probe, on="band_key", how="inner")
-        # ≤ one row per (store doc, new doc, band) — reduce to the new-id
-        # set with a vectorized per-batch projection + driver union (the
-        # result is bounded by the new batch)
-        id_batches = [ray.get(r) for r in
-                      hits.map_batches(
-                          lambda t: pa.table({"id_new": t.column("id_new")}),
-                          batch_format="pyarrow", zero_copy_batch=True)
-                      .to_arrow_refs()]
-        for t in id_batches:
+        # MEMBERSHIP, not a join: a hot band key (e.g. the shared band of
+        # very short docs) would make an inner join emit |store matches| ×
+        # |new matches| rows; all we need is WHICH probe keys exist in the
+        # store — each store batch emits at most the (deduped) probe keys
+        # it contains, so the stream is bounded by probe size × blocks
+        store_ds = ray.data.read_parquet(files, columns=["band_key"])
+        probe_keys = pa.array(np.unique(bk))
+        kref = ray.put(probe_keys) if ray.is_initialized() else probe_keys
+
+        def matched_keys(t: pa.Table) -> pa.Table:
+            from embulk_filter_timestamp_format_ray.stages.relational import (
+                resolve_broadcast,
+            )
+
+            keys = resolve_broadcast(kref)
+            col = t.column("band_key")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            hit = col.filter(pc.is_in(col, value_set=keys))
+            return pa.table({"band_key": hit.unique()})
+
+        key_batches = [ray.get(r) for r in
+                       store_ds.map_batches(matched_keys,
+                                            batch_format="pyarrow",
+                                            zero_copy_batch=True)
+                       .to_arrow_refs()]
+        hit_keys: set = set()
+        for t in key_batches:
             if t.num_rows:
-                dup_store_ids.update(np.unique(np.asarray(
-                    t.column("id_new"))).tolist())
+                hit_keys.update(np.asarray(t.column("band_key")).tolist())
+        if hit_keys:
+            mask = np.isin(bk, np.fromiter(hit_keys, dtype=np.int64))
+            dup_store_ids.update(np.unique(nid[mask]).tolist())
 
     # (b) within-batch collisions: same band_key twice in the new batch →
     # union-find (bounded: batch-sized), min id survives per component
