@@ -1473,6 +1473,39 @@ def q_ann_ivf(sf_dir: str):
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _ivf_quant_index_dir(sf_dir: str) -> str:
+    import hashlib
+
+    from embulk_filter_timestamp_format_ray.stages.ann import build_ivf_index
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:q1".encode()
+    ).hexdigest()[:16]
+    idx = os.path.join("/tmp/graft_ivf", key)
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        os.makedirs("/tmp/graft_ivf", exist_ok=True)
+        ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+        build_ivf_index(ds, idx, n_centroids=16, quantized=True)
+    return idx
+
+
+def q_ann_ivf_quantized(sf_dir: str):
+    """Quantized IVF tier: the index stores int8 q + scale_ppm (~4× less
+    disk — at 100 TB the embedding column IS the dataset) and the probe
+    dequantizes per batch.  The int8 round-trip is deterministic IEEE
+    double arithmetic, so DuckDB replays the dequantized vectors exactly
+    and the brute-force ranking over them is the oracle (nprobe=10/16
+    still achieves the exact dequantized top-k on this data)."""
+    from embulk_filter_timestamp_format_ray.stages.ann import ivf_topk_partitioned
+
+    idx = _ivf_quant_index_dir(sf_dir)
+    out = ivf_topk_partitioned(idx, _ann_queries(sf_dir), k=10, nprobe=10)
+    return out.map_batches(lambda b: b.select(["query_id", "vec_id", "rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_multimodal_embed_ann(sf_dir: str):
     """Composed multimodal → similarity-search pipeline: opaque binary
     payloads → actor-pool feature extraction (deterministic fake embedder —
@@ -2454,6 +2487,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_quantized": q_ann_ivf_quantized,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_embed_ann": q_multimodal_embed_ann,
@@ -3191,6 +3225,27 @@ def oracle_sql() -> "dict[str, str]":
             "row_number() over (partition by q.qid order by "
             "list_cosine_similarity(q.embedding, e.embedding) desc, e.vec_id) "
             "as rank from q cross join embeddings e "
+            "qualify rank <= 10",
+        "ann_ivf_quantized":
+            # DuckDB replays the int8 round-trip bit-for-bit (same IEEE
+            # double ops as quantize/dequantize_embeddings_batch, incl.
+            # the per-component float32 cast), then ranks by cosine over
+            # the DEQUANTIZED corpus; queries stay un-quantized, exactly
+            # like the Ray path
+            "with s as (select vec_id, embedding, list_max(list_transform("
+            "embedding, x -> abs(x::double))) as ma from embeddings), "
+            "d as (select vec_id, list_transform(generate_series(1, "
+            "len(embedding)), i -> ((greatest(least(floor(127 * "
+            "embedding[i]::double / (case when ma = 0 then 1 else ma end) "
+            "+ 0.5), 127), -127) / 127.0) * (floor(ma * 1000000 + 0.5) "
+            "/ 1000000.0))::float) as emb from s), "
+            f"q as (select vec_id as qid, embedding from embeddings "
+            f"where vec_id < {N_ANN_QUERIES}) "
+            "select q.qid as query_id, d.vec_id, "
+            "row_number() over (partition by q.qid order by "
+            "list_cosine_similarity(list_transform(q.embedding, "
+            "x -> x::double), list_transform(d.emb, x -> x::double)) "
+            "desc, d.vec_id) as rank from q cross join d "
             "qualify rank <= 10",
         "multimodal_decode":
             "select doc_id, strlen(text)::bigint as n_bytes from documents",

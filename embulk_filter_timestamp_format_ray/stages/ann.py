@@ -190,11 +190,26 @@ def ivf_topk(ds, queries, k: int = 10, *, n_centroids: int = 16, nprobe: int = 4
 _CENTROIDS_FILE = "centroids.parquet"
 _VECTORS_DIR = "vectors"
 _SUCCESS_FILE = "_SUCCESS"
+_PARAMS_FILE = "params.json"
+
+
+def load_ivf_params(index_dir: str) -> dict:
+    """Layout contract of a built index; older indexes (no params.json)
+    are the float layout with the default column names."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(index_dir, _PARAMS_FILE)) as f:
+            return json.load(f)
+    except OSError:
+        return {"quantized": False, "id_col": "vec_id", "col": "embedding"}
 
 
 def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16,
                     id_col: str = "vec_id", col: str = "embedding",
-                    sample_size: int = 2048, seed: int = 3) -> str:
+                    sample_size: int = 2048, seed: int = 3,
+                    quantized: bool = False) -> str:
     """Materialize ``ds`` as an on-disk centroid-partitioned IVF index.
 
     Layout::
@@ -209,7 +224,16 @@ def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16,
     assign inside ``map_batches`` (centroids broadcast via ``ray.put``),
     then ``write_parquet(partition_cols=["ivf_list"])`` — Ray's hive-style
     partitioned write, which shuffles nothing (each block fans its rows
-    into per-list files locally)."""
+    into per-list files locally).
+
+    ``quantized=True`` stores int8 per-vector symmetric quantization
+    (``quantize_embeddings_batch``: q[int8×dim] + scale_ppm) instead of
+    the float list — ~4× smaller on disk, which at 100 TB is the
+    difference between an index that fits and one that doesn't; probes
+    dequantize per batch (max per-component error scale/254).  The layout
+    choice is recorded in params.json and resolved automatically at probe
+    time."""
+    import json
     import os
 
     import pyarrow.parquet as pq
@@ -239,8 +263,19 @@ def build_ivf_index(ds, index_dir: str, *, n_centroids: int = 16,
     assigned = ds.select_columns([id_col, col]).map_batches(
         IVFAssignStage(cref, id_col), batch_format="pyarrow",
         zero_copy_batch=True)
+    if quantized:
+        def to_quantized(batch: pa.Table) -> pa.Table:
+            qt = quantize_embeddings_batch(batch, col=col, id_col=id_col)
+            # quantize keeps row order, so the assign column re-attaches
+            return qt.append_column("ivf_list", batch.column("ivf_list"))
+
+        assigned = assigned.map_batches(to_quantized, batch_format="pyarrow",
+                                        zero_copy_batch=True)
     assigned.write_parquet(os.path.join(tmp_dir, _VECTORS_DIR),
                            partition_cols=["ivf_list"])
+    with open(os.path.join(tmp_dir, _PARAMS_FILE), "w") as f:
+        json.dump({"quantized": bool(quantized), "id_col": id_col,
+                   "col": col, "n_centroids": int(n_centroids)}, f)
     with open(os.path.join(tmp_dir, _SUCCESS_FILE), "w") as f:
         f.write("ok\n")
     if os.path.exists(index_dir):
@@ -273,6 +308,14 @@ def append_to_ivf_index(ds, index_dir: str, *, id_col: str = "vec_id",
     assigned = ds.select_columns([id_col, col]).map_batches(
         IVFAssignStage(cref, id_col), batch_format="pyarrow",
         zero_copy_batch=True)
+    if load_ivf_params(index_dir).get("quantized"):
+        # the committed layout is quantized — appended rows must match it
+        def to_quantized(batch: pa.Table) -> pa.Table:
+            qt = quantize_embeddings_batch(batch, col=col, id_col=id_col)
+            return qt.append_column("ivf_list", batch.column("ivf_list"))
+
+        assigned = assigned.map_batches(to_quantized, batch_format="pyarrow",
+                                        zero_copy_batch=True)
     assigned.write_parquet(os.path.join(index_dir, _VECTORS_DIR),
                            partition_cols=["ivf_list"])
     return index_dir
@@ -318,9 +361,11 @@ def ivf_topk_partitioned(index_dir: str, queries, k: int = 10, *,
     Unlike ``ivf_topk`` this PRUNES THE READ: only the probed lists'
     parquet files are opened (``read_parquet`` over the nprobe partition
     directories, ``columns=[id, embedding]``), then the standard broadcast
-    query matrix + per-batch local-top-k combiner + tiny final reduce."""
+    query matrix + per-batch local-top-k combiner + tiny final reduce.
+    A ``quantized=True`` index dequantizes per batch before scoring."""
     import ray
 
+    params = load_ivf_params(index_dir)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     _, paths = ivf_probe_paths(index_dir, qn, nprobe)
     # read_parquet over an explicit path LIST wants files, not dirs —
@@ -329,7 +374,14 @@ def ivf_topk_partitioned(index_dir: str, queries, k: int = 10, *,
 
     files = [os.path.join(d, f) for d in paths
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    ds = ray.data.read_parquet(files, columns=[id_col, col])
+    if params.get("quantized"):
+        ds = ray.data.read_parquet(files, columns=[id_col, "q", "scale_ppm"])
+        ds = ds.map_batches(
+            lambda b: dequantize_embeddings_batch(b, out_col=col)
+            .select([id_col, col]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        ds = ray.data.read_parquet(files, columns=[id_col, col])
     qref = ray.put(qn) if ray.is_initialized() else qn
     cand = ds.map_batches(_BatchTopK(qref, k, id_col), batch_format="pyarrow",
                           zero_copy_batch=True)
