@@ -173,7 +173,8 @@ def run_queries(sf_dir: str) -> dict:
              "cdc_delta_commits", "cdc_sync", "cdc_patch_upserts",
              "cdc_conv_erasure", "cdc_rollback", "chunk_documents",
              "transcripts_to_training", "cdc_point_lookup",
-             "ann_ivf", "multimodal_decode_png"]
+             "ann_ivf", "ann_ivf_quantized", "multimodal_decode_png",
+             "dedup_incremental"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session
