@@ -262,6 +262,11 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
         # here would orphan the dlq parquet files for GC once the retained
         # history rotates (every other manifest writer preserves it)
         new_manifest["dlq"] = manifest["dlq"]
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+        carry_lsn_ceiling,
+    )
+
+    carry_lsn_ceiling(manifest, new_manifest)
     mf.commit_manifest(pipeline.lake_dir, new_manifest,
                        retain_history=pipeline.time_travel_retain,
                        expected_version=manifest["version"])

@@ -851,6 +851,21 @@ class DeltaWriter:
             self.lake_dir, self.txn_id, pid, watermark, delta))
 
 
+def carry_lsn_ceiling(manifest: dict, new_manifest: dict) -> None:
+    """Propagate a repartition's ``lsn_ceiling`` (see repartition_lake):
+    the ceiling stays in the manifest while ANY partition's watermark is
+    still below it — fsck's torn-commit check allows lsns up to
+    max(watermark, ceiling) during that window — and drops automatically
+    once every watermark has ratcheted past (closing the blind spot)."""
+    ceil = manifest.get("lsn_ceiling")
+    if ceil is None:
+        return
+    low = min((int(p.get("last_applied_lsn", -1))
+               for p in new_manifest["partitions"].values()), default=-1)
+    if low < int(ceil):
+        new_manifest["lsn_ceiling"] = int(ceil)
+
+
 class CDCPipeline:
     """End-to-end apply: events Dataset → exactly-once lake commit."""
 
@@ -1205,6 +1220,7 @@ class CDCPipeline:
         }
         if dlq_entries:
             new_manifest["dlq"] = dlq_entries
+        carry_lsn_ceiling(manifest, new_manifest)
         if self._pre_commit_hook is not None:
             self._pre_commit_hook()  # test seam: interleave a competing commit
         mf.commit_manifest(self.lake_dir, new_manifest,
@@ -1290,6 +1306,18 @@ class CDCPipeline:
             # quarantine files are layout-independent (append-only, never
             # keyed) — carry them across the repartition untouched
             new_manifest["dlq"] = manifest["dlq"]
+        # Watermarks reset to the global LOW (the only sound value — a new
+        # partition mixes keys from old partitions with different
+        # watermarks), but the rows legitimately carry lsns up to the old
+        # global HIGH.  Record that ceiling so fsck's torn-commit check
+        # (max lsn ≤ watermark) doesn't flag a correct repartition; writers
+        # carry it forward until every watermark ratchets past it.
+        ceiling = max((int(p.get("last_applied_lsn", -1))
+                       for p in manifest["partitions"].values()),
+                      default=-1)
+        ceiling = max(ceiling, int(manifest.get("lsn_ceiling", -1)))
+        if ceiling > low:
+            new_manifest["lsn_ceiling"] = ceiling
         # OCC: a writer that committed mid-repartition invalidates the
         # rewrite (it rewrote the OLD layout's files) — surface the conflict
         mf.commit_manifest(self.lake_dir, new_manifest,
@@ -1378,6 +1406,7 @@ class CDCPipeline:
             }
             if manifest.get("dlq"):
                 new_manifest["dlq"] = manifest["dlq"]
+            carry_lsn_ceiling(manifest, new_manifest)
             if self._pre_commit_hook is not None:
                 self._pre_commit_hook()  # test seam: interleave a commit
             try:
@@ -2132,10 +2161,13 @@ class CDCPipeline:
           duplicated key inside one base/delta file means a broken merge
           (across files duplicates are legitimate: that is the delta
           backlog);
-        * **watermark**: max(lsn) per file ≤ the partition's committed
-          last_applied_lsn (rows from the future mean a torn commit) —
-          checked per raw file so a future-lsn delete tombstone cannot
-          hide behind the fold's tombstone filter;
+        * **watermark**: max(lsn) per file ≤ max(the partition's committed
+          last_applied_lsn, the manifest's ``lsn_ceiling``) — rows from
+          the future mean a torn commit; the ceiling exists because a
+          repartition soundly resets watermarks to the old global low
+          while its rows keep their lsns (carry_lsn_ceiling drops it once
+          watermarks ratchet past).  Checked per raw file so a future-lsn
+          delete tombstone cannot hide behind the fold's tombstone filter;
         * **ordering** (WARNING tier, not a violation): base and delta
           files sorted by the merge key — reads stay correct without it,
           but point-lookup row-group pruning loses selectivity; lakes
@@ -2153,13 +2185,18 @@ class CDCPipeline:
                                by_turn=(self.partition_mode == "turn"),
                                salt_keys=self.salt_keys,
                                salt_factor=self.salt_factor)
+        # a repartition resets watermarks to the old global low while its
+        # rows keep their lsns — the recorded ceiling is the sound bound
+        # until every watermark ratchets past it (carry_lsn_ceiling)
+        ceiling = int(manifest.get("lsn_ceiling", -1))
         items = []
         for pid, p in manifest["partitions"].items():
             if not p.get("path") and not p.get("deltas"):
                 continue
             items.append({"pid": int(pid), "base": p.get("path") or "",
                           "deltas": [d["path"] for d in p.get("deltas", [])],
-                          "watermark": int(p.get("last_applied_lsn", -1))})
+                          "watermark": max(
+                              int(p.get("last_applied_lsn", -1)), ceiling)})
         if not items:
             return {"partitions_checked": 0, "rows_checked": 0,
                     "violations": [], "warnings": []}

@@ -63,6 +63,12 @@ def main() -> None:
     ap.add_argument("--diff-out", default=None, metavar="DIR",
                     help="with --diff: write the full change rows "
                          "(post-image payload) as parquet to DIR")
+    ap.add_argument("--repartition-to", type=int, default=None,
+                    metavar="P",
+                    help="rewrite the committed lake under a new partition "
+                         "count (distributed read -> reshuffle -> commit; "
+                         "the escape hatch when partitions outgrow a merge "
+                         "task), then apply nothing")
     ap.add_argument("--rollback-to", type=int, default=None,
                     help="restore the lake to this retained snapshot as a "
                          "NEW commit (metadata-only; watermarks roll back "
@@ -239,6 +245,11 @@ def main() -> None:
                             for _, r in counts.iterrows()},
                 "out": args.diff_out,
             }))
+            return
+        if args.repartition_to is not None:
+            res = pipe.repartition_lake(args.repartition_to)
+            print(json.dumps({"lake": args.lake, "repartition": res,
+                              "rows": pipe.read_lake().count()}))
             return
         if args.rollback_to is not None:
             res = pipe.rollback(args.rollback_to)

@@ -1095,3 +1095,29 @@ def test_read_merged_empty_pending_is_lake(ray_session, tmp_path_factory):
     view = _view_as_dict(pipe.read_merged(empty))
     lake_state = _lake_as_dict(pipe)
     assert view == lake_state
+
+
+def test_fsck_clean_after_repartition(ray_session, tmp_path_factory):
+    """A repartition resets watermarks to the global low while rows keep
+    their lsns — the recorded lsn_ceiling must keep fsck green through
+    that window, and drop once a later apply ratchets the watermarks
+    past it (r4: the --repartition-to CLI surfaced fsck flagging a
+    correct lake)."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_repart_fsck"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)))
+    assert pipe.fsck()["violations"] == []
+
+    pipe.repartition_lake(8)
+    m = mf.read_manifest(lake)
+    assert m.get("lsn_ceiling", -1) >= 0  # ceiling recorded
+    rep = pipe.fsck()
+    assert rep["violations"] == [], rep["violations"][:3]
+
+    # a later apply that moves every watermark past the ceiling drops it
+    pipe.apply(ray.data.from_arrow(expected_event_table(2 * N_EVENTS)))
+    m2 = mf.read_manifest(lake)
+    assert "lsn_ceiling" not in m2
+    assert pipe.fsck()["violations"] == []
