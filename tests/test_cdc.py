@@ -1121,3 +1121,17 @@ def test_fsck_clean_after_repartition(ray_session, tmp_path_factory):
     m2 = mf.read_manifest(lake)
     assert "lsn_ceiling" not in m2
     assert pipe.fsck()["violations"] == []
+
+
+def test_lake_changes_empty_across_repartition(ray_session,
+                                               tmp_path_factory):
+    """A repartition changes every partition's FILES but no key's STATE —
+    the change feed between the two versions must be empty (the row-level
+    compare is key-global, so the layout change cancels out)."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_repart_diff"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)))
+    pipe.repartition_lake(8)
+    assert pipe.lake_changes(1, 2).count() == 0
