@@ -1806,7 +1806,6 @@ class CDCPipeline:
                     "partitions": len(manifest.get("partitions", {})),
                     "noop": True}
         target = mf.read_manifest_at(self.lake_dir, int(version))
-        self.check_manifest_compat(target)
         new_manifest = dict(target)
         new_manifest["version"] = current + 1
         new_manifest["last_txn"] = f"rollback-to-v{int(version)}"
@@ -1814,9 +1813,24 @@ class CDCPipeline:
         mf.commit_manifest(self.lake_dir, new_manifest,
                            retain_history=self.time_travel_retain,
                            expected_version=current)
+        # The restore is wholesale — the snapshot's partition_config comes
+        # back WITH it (a rollback across a repartition_lake legitimately
+        # changes the layout).  Adopt it so this handle keeps routing
+        # correctly; compat-checking the target against the CURRENT layout
+        # would wrongly refuse exactly that restore (r4 bug).
+        cfg = target.get("partition_config") or {}
+        if cfg:
+            self.num_partitions = int(cfg.get("num_partitions",
+                                              self.num_partitions))
+            self.partition_mode = cfg.get("partition_mode",
+                                          self.partition_mode)
+            salt = cfg.get("salt_keys") or []
+            self.salt_keys = frozenset(salt) if salt else None
+            self.salt_factor = int(cfg.get("salt_factor", self.salt_factor))
         return {"version": new_manifest["version"],
                 "restored_version": int(version),
-                "partitions": len(target.get("partitions", {}))}
+                "partitions": len(target.get("partitions", {})),
+                "num_partitions": self.num_partitions}
 
     def lake_changes(self, v_from: int, v_to: int, columns=None):
         """Change Data Feed: one row per key whose state differs between two

@@ -146,7 +146,8 @@ def test_rollback_restores_and_replays_corrected(ray_session, tmp_path):
         "text").combine_chunks().buffers()[2].to_pybytes()
 
     res = pipe.rollback(1)
-    assert res == {"version": 3, "restored_version": 1, "partitions": 4}
+    assert res == {"version": 3, "restored_version": 1,
+                   "partitions": 4, "num_partitions": 4}
     assert _sorted_state(pipe.read_lake()).equals(s1)
     # GC after rollback must not eat the restored files
     pipe.gc()
@@ -203,3 +204,34 @@ def test_history_summarizes_retained_versions(ray_session, tmp_path):
     assert h[2]["rows"] == h[0]["rows"]
     assert h[2]["watermark_max"] == h[0]["watermark_max"]
     assert all(r["dlq_rows"] == 0 for r in h)
+
+
+def test_rollback_across_repartition_adopts_layout(ray_session,
+                                                   tmp_path_factory):
+    """Rolling back past a repartition_lake must restore the snapshot's
+    partition layout WITH its data (the restore is wholesale) — the
+    current-layout compat check wrongly refused exactly that (r4 bug).
+    The handle and fresh from_lake opens adopt the restored layout; fsck
+    is clean and subsequent applies route correctly."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        expected_event_table,
+    )
+
+    lake = str(tmp_path_factory.mktemp("lake_rb_repart"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    pipe.apply(ray.data.from_arrow(expected_event_table(3000)))   # v1 @16
+    before = pipe.final_state_sorted()
+    pipe.repartition_lake(8)                                      # v2 @8
+    res = pipe.rollback(1)                                        # v3 = v1
+    assert res["num_partitions"] == 16
+    assert pipe.num_partitions == 16  # handle adopted the restored layout
+    fresh = CDCPipeline.from_lake(lake)
+    assert fresh.num_partitions == 16
+    assert fresh.fsck()["violations"] == []
+    assert fresh.final_state_sorted().equals(before)
+    # replaying a superset against the restored layout stays clean
+    fresh.apply(ray.data.from_arrow(expected_event_table(6000)))
+    assert fresh.fsck()["violations"] == []
