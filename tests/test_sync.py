@@ -292,3 +292,27 @@ def test_empty_mirror_keeps_default_schema(ray_session, tmp_path_factory):
     sel = ds.map_batches(lambda b: b.select(["conv_id", "text", "lsn"]),
                          batch_format="pyarrow")
     assert sel.count() == 0  # column select resolves on the empty mirror
+
+
+def test_sync_changes_across_repartition(ray_session, tmp_path_factory):
+    """A mid-stream repartition must not break the downstream mirror: the
+    next sync ships the key-level changes across the layout change (the
+    change feed compares keys globally), not a re-snapshot."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        expected_event_table,
+    )
+
+    lake = str(tmp_path_factory.mktemp("lake_sync_repart"))
+    mirror = str(tmp_path_factory.mktemp("mirror_repart"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(6000)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 3000)))   # v1
+    s1 = pipe.sync_changes(mirror)
+    assert s1["mode"] == "snapshot"
+    pipe.repartition_lake(8)                               # v2: layout only
+    pipe.apply(ray.data.from_arrow(full.slice(3000)))      # v3
+    s2 = pipe.sync_changes(mirror)
+    assert s2["mode"] == "changes" and s2["v_from"] == 1
+    assert s2["rows"] > 0

@@ -142,3 +142,31 @@ def test_view_under_patch_and_erasure_traffic(ray_session):
         .reset_index(drop=True)
     assert got.equals(want)
     shutil.rmtree(view_dir + "_fresh", ignore_errors=True)
+
+
+def test_view_survives_repartition(ray_session, tmp_path_factory):
+    """A repartition invalidates every cached partial (pids and file
+    signatures change); the next refresh recomputes the NEW layout and the
+    folded view equals a from-scratch recompute."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        expected_event_table,
+    )
+
+    lake = str(tmp_path_factory.mktemp("lake_view_repart"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(5000)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2500)))
+    view = IncrementalView(lake, lake + "_view")
+    assert view.refresh()["recomputed"] == 16
+    pipe.repartition_lake(8)
+    assert view.refresh()["recomputed"] == 8  # every new pid recomputed
+    pipe.apply(ray.data.from_arrow(full.slice(2500)))
+    view.refresh()
+    fresh = IncrementalView(lake, lake + "_view_fresh")
+    fresh.refresh()
+    a = view.read().to_pandas().sort_values("conv_id").reset_index(drop=True)
+    b = fresh.read().to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert a.equals(b)
