@@ -74,6 +74,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     anything else (the stage catches and falls through)."""
     if not payload or payload[:8] != PNG_SIG:
         raise ValueError("not a PNG")
+    try:
+        return _decode_png_inner(payload)
+    except ValueError:
+        raise
+    except Exception as e:  # truncated chunks / corrupt zlib streams:
+        # one predictable exception type for arbitrary bytes
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png_inner(payload: bytes) -> np.ndarray:
     pos, ihdr, idat = 8, None, []
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack(">I4s", payload[pos:pos + 8])

@@ -161,3 +161,43 @@ def test_decode_images_actor_pool_on_real_pngs(ray_session):
     expect_fmt = "PNG" if stage._pil is None else "PNG"
     assert list(got["img_format"]) == [expect_fmt] * 3
     assert list(got["img_width"]) == [a.shape[1] for a in imgs]
+
+
+# ------------------------------------------------------------- fuzz tier
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(h=st.integers(1, 12), w=st.integers(1, 12),
+           ch=st.sampled_from([1, 3, 4]), filt=st.integers(0, 4),
+           seed=st.integers(0, 2**16))
+    @settings(max_examples=120, deadline=None)
+    def test_png_roundtrip_fuzz(h, w, ch, filt, seed):
+        a = _img(h, w, ch, seed=seed)
+        out = decode_png(encode_png(a, filter_type=filt))
+        want = a if a.ndim == 3 else a[:, :, None]
+        assert (out == want).all()
+        m = sniff_image_meta(encode_png(a, filter_type=filt))
+        assert m == (w, h, "PNG")
+
+    @given(payload=st.binary(min_size=0, max_size=64))
+    @settings(max_examples=120, deadline=None)
+    def test_garbage_bytes_fail_predictably(payload):
+        # arbitrary bytes: sniff never raises; decode raises ONLY
+        # ValueError (truncated chunks / corrupt zlib are wrapped)
+        sniff_image_meta(payload)
+        try:
+            decode_png(payload)
+        except ValueError:
+            pass
+
+    @given(cut=st.integers(8, 60))
+    @settings(max_examples=60, deadline=None)
+    def test_truncated_real_png_fails_predictably(cut):
+        png = encode_png(_img(4, 4, 3))
+        try:
+            decode_png(png[:cut])
+        except ValueError:
+            pass
+except ImportError:  # pragma: no cover
+    pass
