@@ -1143,3 +1143,82 @@ def dedup_against_store(new_ds, store_dir: str, *, update: bool = True):
         "dup_within_batch": int(len(dup_within - dup_store_ids)),
         "kept": int(len(kept_ids)),
     }
+
+
+def band_store_stats(store_dir: str) -> dict:
+    """Footer-only health snapshot of a band store: shard/file/row counts
+    (the file count is what ``compact_band_store`` re-bounds)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(os.path.join(store_dir, _BS_SUCCESS)):
+        raise ValueError(f"{store_dir!r} is not a built band store")
+    bands_dir = os.path.join(store_dir, _BS_BANDS_DIR)
+    shards = files = rows = 0
+    for sub in sorted(os.listdir(bands_dir)):
+        d = os.path.join(bands_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        shards += 1
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                files += 1
+                rows += pq.read_metadata(os.path.join(d, f)).num_rows
+    return {"shards": shards, "files": files, "rows": rows}
+
+
+def compact_band_store(store_dir: str) -> dict:
+    """Fold each shard's append-only file pile into ONE file (dropping
+    duplicate (band_key, doc_id) rows a crash-replay may have appended).
+    Every incremental update adds a file per touched shard, so a
+    long-running tail needs this the way the CDC lake needs
+    compact_deltas.  One distributed task per multi-file shard; untouched
+    shards keep their files; correctness is unaffected mid-compaction
+    (band membership is a set — extra copies only repeat work)."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    if not os.path.exists(os.path.join(store_dir, _BS_SUCCESS)):
+        raise ValueError(f"{store_dir!r} is not a built band store")
+    bands_dir = os.path.join(store_dir, _BS_BANDS_DIR)
+    todo = []
+    for sub in sorted(os.listdir(bands_dir)):
+        d = os.path.join(bands_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        fs = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if len(fs) > 1:
+            todo.append({"dir": d, "files": fs})
+    if not todo:
+        return {"shards_compacted": 0, "files_removed": 0}
+
+    run_id = uuid.uuid4().hex[:8]
+
+    def compact_shard(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():  # metadata-tier loop (≤shards rows)
+            d, fs = row["dir"], row["files"]
+            t = pa.concat_tables([pq.read_table(os.path.join(d, f))
+                                  for f in fs],
+                                 promote_options="permissive")
+            # distinct over the full row set: files hold (band_key, doc_id)
+            grp = t.group_by(list(t.schema.names)).aggregate([])
+            pq.write_table(grp, os.path.join(d, f"compact-{run_id}.parquet"),
+                           compression="zstd")
+            # new file is complete before the old ones go — a reader that
+            # raced sees duplicates at worst (idempotent membership)
+            for f in fs:
+                os.unlink(os.path.join(d, f))
+            out.append({"dir": d, "removed": len(fs)})
+        return pa.Table.from_pylist(out, schema=pa.schema(
+            [("dir", pa.string()), ("removed", pa.int64())]))
+
+    rows = ray.data.from_items(todo, override_num_blocks=len(todo)) \
+        .map_batches(compact_shard, batch_format="pyarrow").take_all()
+    return {"shards_compacted": len(rows),
+            "files_removed": sum(int(r["removed"]) for r in rows)}

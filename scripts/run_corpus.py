@@ -45,6 +45,10 @@ def main() -> None:
                          "from this corpus; later runs drop docs that "
                          "near-duplicate anything previously accepted and "
                          "append their survivors (incremental ingest)")
+    ap.add_argument("--compact-store", action="store_true",
+                    help="after the job, fold the band store's per-shard "
+                         "append pile into one file per shard (the corpus "
+                         "analog of the lake's delta compaction)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
@@ -88,6 +92,14 @@ def main() -> None:
         stats["sec"] = round(time.perf_counter() - t0, 3)
         if store_report:
             stats["dedup_store"] = store_report
+        if args.compact_store:
+            if not args.dedup_store:
+                raise SystemExit("--compact-store requires --dedup-store")
+            from embulk_filter_timestamp_format_ray.stages.dedup import (
+                compact_band_store,
+            )
+
+            stats["store_compaction"] = compact_band_store(args.dedup_store)
         print(json.dumps(stats))
     finally:
         ray.shutdown()

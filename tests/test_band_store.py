@@ -164,3 +164,34 @@ def test_prepared_corpus_incremental(ray_session, tmp_path):
                            dedup_store=store, store_report=rep2)
     assert sorted(out2.to_pandas()["doc_id"]) == [11]
     assert rep2["dup_vs_store"] == 1 and rep2["kept"] == 1
+
+
+def test_band_store_compaction(ray_session, store):
+    """Each update appends files per touched shard; compaction folds every
+    multi-file shard to ONE file, dedups replay copies, and changes no
+    probe answer."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.dedup import (
+        band_store_stats,
+        compact_band_store,
+    )
+
+    texts = ["fresh passage number one about arrow compute kernels",
+             "fresh passage number two about object store spilling"]
+    for i, t in enumerate(texts):
+        dedup_against_store(ray.data.from_arrow(_batch([_doc(50 + i, t)])),
+                            store)
+    s0 = band_store_stats(store)
+    assert s0["files"] > s0["shards"]  # appends piled up
+    rep = compact_band_store(store)
+    assert rep["shards_compacted"] >= 1
+    s1 = band_store_stats(store)
+    assert s1["files"] == s1["shards"]          # one file per shard
+    assert s1["rows"] <= s0["rows"]             # replay dups folded
+    # probe answers unchanged: both texts still dedup as store hits
+    kept, repp = dedup_against_store(
+        ray.data.from_arrow(_batch([_doc(60, texts[0]),
+                                    _doc(61, BASE_TEXTS[0])])),
+        store, update=False)
+    assert repp["dup_vs_store"] == 2 and repp["kept"] == 0
