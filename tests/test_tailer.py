@@ -263,3 +263,32 @@ def test_tail_delta_with_persistent_actor_exchange(ray_session, binlog_dir,
     # idempotent re-tail through the same pool
     assert tail_directory(pipe, binlog_dir, delta=True, exchange=ex) == []
     ex.shutdown()
+
+
+def test_follow_daemon_full_composition(ray_session, binlog_dir,
+                                        tmp_path_factory):
+    """The whole steady-state daemon in one flow: follow_directory polling
+    a binlog dir, DELTA commits through a persistent actor-exchange pool,
+    compaction cadence, and a per-poll downstream mirror — final mirror
+    fold must equal the lake's folded state, and fsck must be clean."""
+    from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
+        ActorExchange,
+    )
+    from embulk_filter_timestamp_format_ray.sources.tailer import (
+        follow_directory,
+    )
+    from tests.test_sync import _live, _mirror
+
+    lake = str(tmp_path_factory.mktemp("lake_daemon"))
+    mirror_dir = str(tmp_path_factory.mktemp("mirror_daemon"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    ex = ActorExchange(lake, 8)
+    commits = follow_directory(
+        pipe, binlog_dir, poll_interval=0.2, idle_polls=2,
+        files_per_batch=2, delta=True, compact_every=2, exchange=ex,
+        on_commit=lambda _s: pipe.sync_changes(mirror_dir))
+    assert len(commits) == 3  # 6 files / 2 per commit
+    pipe.sync_changes(mirror_dir)  # final catch-up (idempotent)
+    assert pipe.fsck()["violations"] == []
+    assert _mirror(mirror_dir) == _live(pipe)
+    ex.shutdown()
