@@ -1135,3 +1135,54 @@ def test_lake_changes_empty_across_repartition(ray_session,
     pipe.apply(ray.data.from_arrow(expected_event_table(N_EVENTS)))
     pipe.repartition_lake(8)
     assert pipe.lake_changes(1, 2).count() == 0
+
+
+def test_dlq_heal_after_repartition(ray_session, tmp_path_factory):
+    """The quarantine is layout-independent: a repartition carries it
+    untouched and a heal afterwards routes reprocessed rows under the NEW
+    layout (fsck-clean)."""
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        poison_events,
+    )
+
+    lake = str(tmp_path_factory.mktemp("lake_dlq_repart"))
+    pipe = CDCPipeline(lake, num_partitions=16, dlq=True)
+    ev = poison_events(change_events(N_EVENTS, seed=42), 30,
+                       unknown_epoch_band=True)
+    stats = pipe.apply(ev)
+    assert stats["events_quarantined"] > 0
+    pipe.repartition_lake(8)
+    assert pipe.read_dlq().num_rows == stats["events_quarantined"]
+    heal = pipe.reprocess_dlq(epoch_specs=pipe.suggest_dlq_specs())
+    assert heal["events_applied"] > 0
+    assert pipe.fsck()["violations"] == []
+
+
+def test_bootstrap_then_repartition_then_tail(ray_session,
+                                              tmp_path_factory):
+    """Snapshot bootstrap → repartition → resumed tail must converge to
+    the same state as a full replay: the repartition preserves the
+    bootstrap's resume position (global low) and the continued stream
+    routes under the new layout."""
+    import pyarrow.compute as pc2
+    import ray.data
+
+    full = expected_event_table(6000)
+    snap_pipe = CDCPipeline(str(tmp_path_factory.mktemp("snap_src")),
+                            num_partitions=4)
+    snap_pipe.apply(ray.data.from_arrow(full.slice(0, 3000)))
+    snapshot = snap_pipe.final_state_sorted().drop_columns(["lsn"])
+
+    lake = str(tmp_path_factory.mktemp("lake_boot_repart"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    pipe.bootstrap(ray.data.from_arrow(snapshot), snapshot_lsn=2999)
+    pipe.repartition_lake(8)
+    assert pipe.resume_lsn() == 2999
+    pipe.apply(ray.data.from_arrow(full.filter(
+        pc2.greater_equal(full.column("lsn"), 3000))))
+    ref = CDCPipeline(str(tmp_path_factory.mktemp("lake_boot_ref")),
+                      num_partitions=8)
+    ref.apply(ray.data.from_arrow(full))
+    assert pipe.final_state_sorted().drop_columns(["lsn"]).equals(
+        ref.final_state_sorted().drop_columns(["lsn"]))
+    assert pipe.fsck()["violations"] == []
