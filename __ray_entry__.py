@@ -220,6 +220,39 @@ def q_cdc_time_travel(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_schema_evolution(sf_dir: str):
+    """Widen-only lake schema evolution: the first apply commits the core
+    schema (lsn < 10_000); the second carries an EXTRA ``lang`` column
+    (deterministic lsn%3 → en/fr/de) that widens the committed schema
+    (pipelines/cdc.py merge_schema_entries).  Rows whose winning event
+    predates the column read it as NULL (pad-at-read).  Oracle: the
+    flagship argmax-LSN fold with lang reconstructed by the same lsn rule,
+    NULL below the evolution boundary."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_evo_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    ev = change_events(20_000, seed=42, parallelism=16)
+    cut = pa.scalar(10_000, pa.int64())
+    pipe.apply(ev.map_batches(
+        lambda b: b.filter(pc.less(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+
+    def widened(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("lsn"), cut))
+        lsn = np.asarray(b.column("lsn").combine_chunks().cast(pa.int64()))
+        lang = pc.take(pa.array(["en", "fr", "de"]), pa.array(lsn % 3))
+        return b.append_column("lang", lang)
+
+    pipe.apply(ev.map_batches(widened, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    return pipe.read_lake(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "lsn",
+                 "lang"])
+
+
 def q_cdc_changefeed(sf_dir: str):
     """Change Data Feed between two lake versions: the two-chunk apply
     (lsn < 10_000, then the rest) commits versions 1 and 2; lake_changes
@@ -2443,6 +2476,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_delta_commits": q_cdc_delta_commits,
         "cdc_patch_upserts": q_cdc_patch_upserts,
         "cdc_rollback": q_cdc_rollback,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_conv_erasure": q_cdc_conv_erasure,
         "cdc_sync": q_cdc_sync,
         "cdc_sync_mirror": q_cdc_sync_mirror,
@@ -2752,6 +2786,18 @@ def oracle_sql() -> "dict[str, str]":
             "select conv_id, turn_idx, "
             "case role when 'human' then 'user' when 'ai' then 'assistant' "
             "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Schema evolution: the lsn>=10000 chunk carries an extra `lang`
+        # column (lsn%3 → en/fr/de); winners below the boundary read NULL
+        "cdc_schema_evolution":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn, "
+            "case when lsn >= 10000 then (case lsn % 3 when 0 then 'en' "
+            "when 1 then 'fr' else 'de' end) end as lang "
             "from ranked where rn = 1 and op <> 'delete'",
         # Conversation erasure: per-conv max delete_conv lsn is one more
         # delete horizon (greatest with the per-key delete horizon); the

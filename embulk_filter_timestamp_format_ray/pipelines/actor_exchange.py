@@ -32,8 +32,10 @@ import ray
 from embulk_filter_timestamp_format_ray.pipelines.cdc import (
     LAKE_ROW_GROUP_ROWS,
     MergeApplier,
+    extras_schema_b64,
     fold_partition_state,
     merge_partition_table,
+    merge_schema_entries,
     sort_by_merge_key,
 )
 
@@ -109,6 +111,7 @@ class PartitionBufferActor:
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": new_wm, "events_applied": applied,
                 "events_seen": delta.num_rows,
+                "schema_ipc": extras_schema_b64(state),
             })
         self.buffers.clear()
         return rows
@@ -255,7 +258,8 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
         "num_partitions": pipeline.num_partitions,
         "partition_config": pipeline.partition_config(),
         "last_txn": txn_id,
-        "schema_columns": ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"],
+        **merge_schema_entries(manifest, [r.get("schema_ipc") or ""
+                                          for r in rows]),
     }
     if manifest.get("dlq"):
         # the quarantine belongs to the lake, not the exchange: dropping it

@@ -30,6 +30,7 @@ write-then-manifest-swap commit (state/manifest.py).
 
 from __future__ import annotations
 
+import base64
 import dataclasses
 import json
 import logging
@@ -212,6 +213,16 @@ class NormalizeStage:
         text_col = batch.column("text")
         tool_col = (batch.column("tool") if "tool" in batch.schema.names
                     else pa.nulls(batch.num_rows, pa.string()))
+        # widen-only schema evolution: non-envelope event columns pass
+        # through as evolved lake value columns (merge + manifest widen
+        # downstream); reserved internal names are a config error
+        extras = [c for c in batch.schema.names if c not in ENVELOPE_COLUMNS]
+        bad_names = [c for c in extras if c in RESERVED_EVENT_COLUMNS]
+        if bad_names:
+            raise CastError(
+                f"change-event column(s) {bad_names} collide with reserved "
+                f"lake columns; rename them at the source")
+        extra_cols = {c: batch.column(c) for c in extras}
         cd_mask = pc.fill_null(
             pc.equal(batch.column("op"), CONV_DELETE_OP), False)
         if pc.any(cd_mask).as_py():
@@ -226,6 +237,10 @@ class NormalizeStage:
             text_col = pc.if_else(live, text_col, null_s)
             tool_col = pc.if_else(live, tool_col, null_s)
             ts = pc.if_else(live, ts, pa.scalar(None, _TS_NS_UTC))
+            extra_cols = {
+                c: pc.if_else(live, v, pa.scalar(None, v.type))
+                for c, v in extra_cols.items()
+            }
         cols = {
             "lsn": batch.column("lsn"),
             "op": batch.column("op"),
@@ -235,6 +250,7 @@ class NormalizeStage:
             "text": text_col,
             "tool": tool_col,
             "ts": ts,
+            **extra_cols,
         }
         if self.dlq:
             code_arr = pa.array(codes)
@@ -259,6 +275,10 @@ class NormalizeStage:
             "tool": pa.array([], pa.string()),
             "ts": pa.array([], _TS_NS_UTC),
         }
+        if batch is not None:
+            for c in batch.schema.names:
+                if c not in ENVELOPE_COLUMNS and c not in RESERVED_EVENT_COLUMNS:
+                    cols[c] = pa.array([], batch.schema.field(c).type)
         if self.dlq:
             cols["ts_raw"] = pa.array([], pa.string())
             cols["schema_epoch"] = pa.array([], pa.int32())
@@ -283,33 +303,181 @@ _LAKE_FIELD_TYPES = {
 }
 
 
-def _empty_lake_table(columns=None) -> pa.Table:
+def _empty_lake_table(columns=None, types=None) -> pa.Table:
     cols = list(columns) if columns is not None else LAKE_COLUMNS
-    return pa.table({c: pa.array([], _LAKE_FIELD_TYPES[c]) for c in cols})
+    t = types or _LAKE_FIELD_TYPES
+    return pa.table({c: pa.array([], t[c]) for c in cols})
+
+
+# ---------------------------------------------------------------- schema
+# evolution (widen-only): change events may carry EXTRA value columns beyond
+# the envelope; they flow through the same normalize → merge → commit path
+# as the core columns (the fold kernels are column-agnostic) and WIDEN the
+# committed lake schema.  The manifest records the evolved column list
+# (``schema_columns``) plus the extras' Arrow types (``schema_extras_ipc``,
+# base64 IPC so any Arrow type round-trips exactly); readers pad files that
+# predate a column with NULLs.  Renames/drops are NOT supported — widening
+# is the only evolution that composes with per-column LWW patch semantics
+# (a dropped column's patches would silently resurrect it).
+
+#: columns consumed by NormalizeStage as the change-event envelope — never
+#: passed through as payload
+ENVELOPE_COLUMNS = frozenset({"lsn", "op", "conv_id", "turn_idx", "role",
+                              "text", "tool", "ts_raw", "schema_epoch"})
+
+#: names an event's EXTRA column may never use (produced internally)
+RESERVED_EVENT_COLUMNS = frozenset({"ts", "dlq_reason", "_pid", "_del",
+                                    "_shard"})
+
+#: internal / forensic columns that must never be treated as evolved lake
+#: value columns when they ride along a merge table (dlq mode)
+_NON_VALUE_COLUMNS = frozenset({*LAKE_COLUMNS, "op", "_pid", "_del",
+                                "ts_raw", "schema_epoch", "dlq_reason"})
+
+
+def extra_columns_of(names) -> "list[str]":
+    """Evolved (non-core) lake value columns of a table, in appearance
+    order."""
+    return [n for n in names if n not in _NON_VALUE_COLUMNS]
+
+
+def extras_schema_b64(tbl: pa.Table) -> str:
+    """Base64 IPC serialization of a table's evolved columns' schema ("" when
+    the table is core-only) — the wire format merge tasks use to report the
+    columns they committed back to the driver's manifest swap."""
+    fields = [tbl.schema.field(n) for n in extra_columns_of(tbl.column_names)]
+    if not fields:
+        return ""
+    return base64.b64encode(
+        pa.schema(fields).serialize().to_pybytes()).decode("ascii")
+
+
+def _fields_from_b64(b64: str) -> "list[pa.Field]":
+    if not b64:
+        return []
+    return list(pa.ipc.read_schema(pa.py_buffer(base64.b64decode(b64))))
+
+
+def manifest_extra_fields(manifest: "dict") -> "list[pa.Field]":
+    return _fields_from_b64(manifest.get("schema_extras_ipc") or "")
+
+
+def manifest_schema_columns(manifest: "dict") -> "list[str]":
+    return list(manifest.get("schema_columns") or LAKE_COLUMNS)
+
+
+def _manifest_types(manifest: "dict") -> "dict[str, pa.DataType]":
+    types = dict(_LAKE_FIELD_TYPES)
+    types["op"] = pa.string()
+    for f in manifest_extra_fields(manifest):
+        types[f.name] = f.type
+    return types
+
+
+def schema_entries_of(manifest: "dict") -> "dict":
+    """Manifest schema fields carried UNCHANGED into a rewrite commit
+    (compaction: folded state's columns ⊆ the committed schema)."""
+    entry = {"schema_columns": manifest_schema_columns(manifest)}
+    ipc = manifest.get("schema_extras_ipc")
+    if ipc:
+        entry["schema_extras_ipc"] = ipc
+    return entry
+
+
+def merge_schema_entries(manifest: "dict", schema_ipcs) -> "dict":
+    """Driver-side widen-only schema union for a commit's manifest swap:
+    the prior manifest's extras keep their order; newly observed extras
+    append in sorted-name order (deterministic regardless of which
+    partitions reported them).  Raises on a type conflict — the same extra
+    name must keep one type across the lake's lifetime."""
+    committed = {f.name: f for f in manifest_extra_fields(manifest)}
+    order = list(committed)
+    fresh: "dict[str, pa.Field]" = {}
+    for b in schema_ipcs:
+        for f in _fields_from_b64(b):
+            prev = committed.get(f.name) or fresh.get(f.name)
+            if prev is not None and prev.type != f.type:
+                raise ValueError(
+                    f"schema evolution type conflict on column "
+                    f"{f.name!r}: {prev.type} (committed) vs {f.type} "
+                    f"(incoming); widen-only evolution requires a stable "
+                    f"type per column")
+            if f.name not in committed and f.name not in fresh:
+                fresh[f.name] = f
+    order += sorted(fresh)
+    entry = {"schema_columns": LAKE_COLUMNS + order}
+    fields = [committed.get(n) or fresh[n] for n in order]
+    if fields:
+        entry["schema_extras_ipc"] = base64.b64encode(
+            pa.schema(fields).serialize().to_pybytes()).decode("ascii")
+    return entry
+
+
+def pad_to_schema(tbl: pa.Table, cols, types) -> pa.Table:
+    """Project ``tbl`` to ``cols`` in order, appending all-NULL columns for
+    the names it predates — THE widen-only read contract (a row written
+    before a column existed reads that column as NULL)."""
+    have = set(tbl.column_names)
+    if have.issuperset(cols):
+        return tbl.select(list(cols))
+    return pa.table({c: (tbl.column(c) if c in have
+                         else pa.nulls(tbl.num_rows, types[c]))
+                     for c in cols})
+
+
+def _union_extras(tables) -> "list[str]":
+    """Ordered union of evolved value columns across heterogeneous-schema
+    merge inputs (first appearance wins the position)."""
+    seen: "list[str]" = []
+    for t in tables:
+        if t is None:
+            continue
+        for n in extra_columns_of(t.column_names):
+            if n not in seen:
+                seen.append(n)
+    return seen
+
+
+def _union_types(tables) -> "dict[str, pa.DataType]":
+    types = dict(_LAKE_FIELD_TYPES)
+    types["op"] = pa.string()
+    for t in tables:
+        if t is None:
+            continue
+        for n in t.column_names:
+            if n not in types:
+                types[n] = t.schema.field(n).type
+    return types
 
 
 def fold_partition_state(base: "pa.Table | None", deltas: "list[pa.Table]",
-                         columns=None) -> pa.Table:
+                         columns=None, types=None) -> pa.Table:
     """Fold one partition's committed BASE state with its pending DELTA
     files into live state (the merge-on-read counterpart of a base merge):
     base rows are live upserts; delta rows carry op+lsn; max-LSN winner per
     key + delete-wins — the commit's own core (keep_last_per_key), so a
     fold and a compaction produce identical state by construction.
 
-    ``columns`` prunes the fold to a subset of LAKE_COLUMNS (must include
-    the merge key + lsn); callers like the change-data-feed fold only
-    (conv_id, turn_idx, lsn)."""
-    cols = list(columns) if columns is not None else LAKE_COLUMNS
+    ``columns`` prunes the fold to a subset of the lake schema (must
+    include the merge key + lsn); callers like the change-data-feed fold
+    only (conv_id, turn_idx, lsn).  With ``columns=None`` the fold spans
+    the UNION of the inputs' columns — under widen-only schema evolution a
+    base or delta file that predates a column reads it as NULL."""
+    if columns is not None:
+        cols = list(columns)
+    else:
+        cols = [*LAKE_COLUMNS, *_union_extras([base, *deltas])]
+    types = {**_union_types([base, *deltas]), **(types or {})}
     parts = []
     if base is not None and base.num_rows:
-        b = base.select(cols).append_column(
+        b = pad_to_schema(base, cols, types).append_column(
             "op", pa.array(np.full(base.num_rows, "upsert")))
         parts.append(b.select(["op", *cols]))
     for d in deltas:
         if d.num_rows:
-            parts.append(d.select(["op", *cols]))
+            parts.append(pad_to_schema(d, ["op", *cols], types))
     if not parts:
-        return _empty_lake_table(cols)
+        return _empty_lake_table(cols, types)
     merged = pa.concat_tables(parts, promote_options="permissive")
     winners = keep_last_per_key(merged)
     # live = everything but tombstones: an all-patch key (possible only
@@ -661,20 +829,23 @@ def merge_partition_table(delta: pa.Table, prior: "pa.Table | None",
     fresh = delta if not replay_filter else delta.filter(
         pc.greater(delta.column("lsn"), watermark))
     applied = fresh.num_rows
+    # widen-only schema evolution: the merge spans the UNION of the prior
+    # state's and the incoming delta's value columns — whichever side
+    # predates a column contributes NULLs for it (an upsert from a source
+    # that doesn't know the column sets it NULL; per-column patch LWW is
+    # handled by fold_patch_runs, which is column-agnostic)
+    extras = _union_extras([prior, fresh])
+    cols = [*LAKE_COLUMNS, *extras]
+    types = _union_types([prior, fresh])
     parts = []
     if prior is not None and prior.num_rows:
-        prior_ops = prior.append_column("op", pa.array(["upsert"] * prior.num_rows))
-        parts.append(prior_ops.select(["op", *LAKE_COLUMNS]))
+        prior_ops = pad_to_schema(prior, cols, types).append_column(
+            "op", pa.array(["upsert"] * prior.num_rows))
+        parts.append(prior_ops.select(["op", *cols]))
     if fresh.num_rows:
-        parts.append(fresh.select(["op", *LAKE_COLUMNS]))
+        parts.append(pad_to_schema(fresh, ["op", *cols], types))
     if not parts:
-        schema = pa.schema([
-            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-            ("role", pa.string()), ("text", pa.string()), ("tool", pa.string()),
-            ("ts", _TS_NS_UTC), ("lsn", pa.int64()),
-        ])
-        empty = pa.table({f.name: pa.array([], f.type) for f in schema})
-        return empty, new_watermark, 0
+        return _empty_lake_table(cols, types), new_watermark, 0
     merged = pa.concat_tables(parts, promote_options="permissive")
     winners = keep_last_per_key(merged)
     # not_equal "delete" (vs equal "upsert"): keys touched only by patch
@@ -682,7 +853,7 @@ def merge_partition_table(delta: pa.Table, prior: "pa.Table | None",
     live = winners.filter(pc.invert(pc.is_in(
         winners.column("op"),
         value_set=pa.array(["delete", CONV_DELETE_OP]))))
-    return live.select(LAKE_COLUMNS), new_watermark, applied
+    return live.select(cols), new_watermark, applied
 
 
 class MergeApplier:
@@ -756,6 +927,7 @@ class MergeApplier:
             "pid": pid, "path": rel, "rows": state.num_rows,
             "last_applied_lsn": new_watermark, "events_applied": applied,
             "events_seen": delta.num_rows,
+            "schema_ipc": extras_schema_b64(state),
         })
 
     @staticmethod
@@ -763,8 +935,10 @@ class MergeApplier:
         schema = pa.schema([
             ("pid", pa.int64()), ("path", pa.string()), ("rows", pa.int64()),
             ("last_applied_lsn", pa.int64()), ("events_applied", pa.int64()),
-            ("events_seen", pa.int64()),
+            ("events_seen", pa.int64()), ("schema_ipc", pa.string()),
         ])
+        if row is not None:
+            row.setdefault("schema_ipc", "")
         rows = [row] if row else []
         return pa.Table.from_pylist(rows, schema=schema)
 
@@ -801,7 +975,9 @@ def write_delta_file(lake_dir: str, txn_id: str, pid: int, watermark: int,
     applied = fresh.num_rows
     if applied == 0:
         return None
-    winners = keep_last_per_key(fresh).select(["op", *LAKE_COLUMNS])
+    delta_cols = ["op", *LAKE_COLUMNS, *_union_extras([fresh])]
+    winners = pad_to_schema(keep_last_per_key(fresh), delta_cols,
+                            _union_types([fresh]))
     winners = sort_by_merge_key(winners)
     rel = os.path.join(f"txn-{txn_id}", f"delta-{pid:05d}.parquet")
     full = os.path.join(lake_dir, rel)
@@ -812,6 +988,7 @@ def write_delta_file(lake_dir: str, txn_id: str, pid: int, watermark: int,
         "pid": pid, "path": rel, "rows": winners.num_rows,
         "last_applied_lsn": new_watermark, "events_applied": applied,
         "events_seen": delta.num_rows,
+        "schema_ipc": extras_schema_b64(winners),
     }
 
 
@@ -1216,7 +1393,11 @@ class CDCPipeline:
             "num_partitions": self.num_partitions,
             "partition_config": self.partition_config(),
             "last_txn": txn_id,
-            "schema_columns": LAKE_COLUMNS,
+            # widen-only schema union: prior extras + whatever evolved
+            # columns this commit's merge tasks reported writing
+            **merge_schema_entries(manifest, [
+                r.get("schema_ipc") or "" for r in rows
+                if int(r["pid"]) != DLQ_PID]),
         }
         if dlq_entries:
             new_manifest["dlq"] = dlq_entries
@@ -1275,6 +1456,7 @@ class CDCPipeline:
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": low, "events_applied": 0,
                 "events_seen": group.num_rows,
+                "schema_ipc": extras_schema_b64(state),
             })
 
         ds = self.read_lake().map_batches(stage, batch_format="pyarrow",
@@ -1300,7 +1482,11 @@ class CDCPipeline:
             "num_partitions": new_num_partitions,
             "partition_config": self.partition_config(),
             "last_txn": txn_id,
-            "schema_columns": LAKE_COLUMNS,
+            # the rewrite reads through read_lake (padded), so every new
+            # file carries the full evolved schema; the union keeps prior
+            # extras even for partitions that came back empty
+            **merge_schema_entries(manifest, [
+                r.get("schema_ipc") or "" for r in rows]),
         }
         if manifest.get("dlq"):
             # quarantine files are layout-independent (append-only, never
@@ -1402,7 +1588,9 @@ class CDCPipeline:
                 "num_partitions": self.num_partitions,
                 "partition_config": self.partition_config(),
                 "last_txn": txn_id,
-                "schema_columns": LAKE_COLUMNS,
+                # compaction folds committed state only — the schema is
+                # carried unchanged (folded columns ⊆ committed schema)
+                **schema_entries_of(manifest),
             }
             if manifest.get("dlq"):
                 new_manifest["dlq"] = manifest["dlq"]
@@ -1473,13 +1661,22 @@ class CDCPipeline:
                 "lsn": pa.array(np.full(batch.num_rows, int(snapshot_lsn),
                                         dtype=np.int64)),
             }
+            # evolved snapshot columns seed the lake schema (widen-only)
+            for c in extra_columns_of(batch.schema.names):
+                if c in RESERVED_EVENT_COLUMNS:
+                    raise CastError(
+                        f"snapshot column {c!r} collides with a reserved "
+                        f"lake column; rename it at the source")
+                cols[c] = batch.column(c)
             return pa.table(cols)
 
         def write_partition(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
                 return MergeApplier._result(None)
             pid = int(group.column("_pid")[0].as_py())
-            state = group.drop_columns(["_pid"]).select(LAKE_COLUMNS)
+            state = group.drop_columns(["_pid"])
+            state = state.select(
+                [*LAKE_COLUMNS, *_union_extras([state])])
             state = sort_by_merge_key(state)
             rel = os.path.join(f"txn-{txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(lake_dir, rel)
@@ -1490,6 +1687,7 @@ class CDCPipeline:
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": int(snapshot_lsn), "events_applied": 0,
                 "events_seen": group.num_rows,
+                "schema_ipc": extras_schema_b64(state),
             })
 
         ds = snapshot_ds.map_batches(stamp, batch_format="pyarrow",
@@ -1514,7 +1712,8 @@ class CDCPipeline:
             "num_partitions": self.num_partitions,
             "partition_config": self.partition_config(),
             "last_txn": txn_id,
-            "schema_columns": LAKE_COLUMNS,
+            **merge_schema_entries(manifest, [
+                r.get("schema_ipc") or "" for r in rows]),
         }
         mf.commit_manifest(self.lake_dir, new_manifest,
                            retain_history=self.time_travel_retain,
@@ -1587,7 +1786,22 @@ class CDCPipeline:
                                    by_turn=(self.partition_mode == "turn"),
                                    salt_keys=self.salt_keys,
                                    salt_factor=self.salt_factor)
-        view_cols = ["op", *LAKE_COLUMNS]
+        view_schema = manifest_schema_columns(manifest)
+        types = _manifest_types(manifest)
+        # pending events may carry evolved columns the lake hasn't
+        # committed yet — the view must show them exactly as the eventual
+        # apply would (schema() here is plan metadata / a small sample)
+        try:
+            pending_schema = pending_ds.schema().base_schema
+            for f in pending_schema:
+                if (f.name not in ENVELOPE_COLUMNS
+                        and f.name not in RESERVED_EVENT_COLUMNS
+                        and f.name not in types):
+                    view_schema.append(f.name)
+                    types[f.name] = f.type
+        except Exception:  # schema unavailable: manifest columns only
+            pass
+        view_cols = ["op", *view_schema]
         normalize = NormalizeStage(self.epoch_specs, low_watermark=low,
                                    stop_on_invalid=self.stop_on_invalid,
                                    dlq=self.dlq)
@@ -1596,12 +1810,12 @@ class CDCPipeline:
             out = normalize(batch)
             if "dlq_reason" in out.schema.names:
                 out = out.filter(pc.is_null(out.column("dlq_reason")))
-            return partition(out.select(view_cols))
+            return partition(pad_to_schema(out, view_cols, types))
 
         def base_side(batch: pa.Table) -> pa.Table:
             tagged = batch.append_column(
                 "op", pa.array(np.full(batch.num_rows, "upsert")))
-            return partition(tagged.select(view_cols))
+            return partition(pad_to_schema(tagged, view_cols, types))
 
         kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
         delta = (pending_ds.map_batches(delta_side, **kwargs)
@@ -1613,7 +1827,7 @@ class CDCPipeline:
             live = winners.filter(pc.invert(pc.is_in(
                 winners.column("op"),
                 value_set=pa.array(["delete", CONV_DELETE_OP]))))
-            return live.select(LAKE_COLUMNS)
+            return live.select(view_schema)
 
         return base.union(delta).groupby("_pid").map_groups(
             merge_view, batch_format="pyarrow")
@@ -1706,13 +1920,18 @@ class CDCPipeline:
                              "dead-letter lane)")
         if epoch_specs is not None:
             self.epoch_specs = epoch_specs
-        ident = ["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool",
-                 "ts_raw", "schema_epoch"]
+        base_ident = ["lsn", "op", "conv_id", "turn_idx", "role", "text",
+                      "tool", "ts_raw", "schema_epoch"]
         for attempt in range(max_commit_retries + 1):
             dlq = self.read_dlq()
             if dlq.num_rows == 0:
                 return {"events_seen": 0, "events_applied": 0,
                         "events_quarantined": 0}
+            # evolved payload columns quarantined WITH the event reprocess
+            # with it (identity includes them so exact replays collapse)
+            ident = base_ident + [c for c in dlq.column_names
+                                  if c not in base_ident
+                                  and c not in ("ts", "dlq_reason")]
             events = dlq.select(ident).group_by(ident).aggregate([])
             # quarantined rows always carry their source epoch; recovered
             # parsing needs the ORIGINAL raw string back in ts_raw's seat
@@ -1858,13 +2077,16 @@ class CDCPipeline:
 
         payload = [c for c in (columns or [])
                    if c not in ("conv_id", "turn_idx", "lsn")]
-        bad = [c for c in payload if c not in _LAKE_FIELD_TYPES]
-        if bad:
-            raise ValueError(f"unknown lake column(s) {bad}; "
-                             f"lake schema is {LAKE_COLUMNS}")
 
         m_from = mf.read_manifest_at(self.lake_dir, v_from)
         m_to = mf.read_manifest_at(self.lake_dir, v_to)
+        # widen-only: v_to's schema normally supersets v_from's, but a diff
+        # can span a rollback — union both so either side's columns resolve
+        types = {**_manifest_types(m_from), **_manifest_types(m_to)}
+        bad = [c for c in payload if c not in types]
+        if bad:
+            raise ValueError(f"unknown lake column(s) {bad}; "
+                             f"lake schema is {manifest_schema_columns(m_to)}")
 
         def signature(m: "dict") -> "dict[str, tuple]":
             # partition state identity = base path + ordered delta paths
@@ -1878,12 +2100,17 @@ class CDCPipeline:
                    if p_from.get(p) != p_to.get(p)}
         diff_cols = ["conv_id", "turn_idx", "lsn", *payload]
 
+        evolved_payload = any(c not in _LAKE_FIELD_TYPES for c in payload)
+
         def side_source(m: "dict", sig: "dict[str, tuple]"):
             """Changed partitions' live state at this version, pruned to the
             diff columns: plain file reads when no pending deltas, the
-            per-partition fold otherwise."""
-            if any(sig.get(p, (None, ()))[1] for p in changed):
-                return self._fold_dataset(m, columns=diff_cols, pids=changed)
+            per-partition fold otherwise (also whenever an evolved payload
+            column is requested — files may predate it and need padding)."""
+            if (evolved_payload
+                    or any(sig.get(p, (None, ()))[1] for p in changed)):
+                return self._fold_dataset(m, columns=diff_cols, pids=changed,
+                                          types=types)
             files = [os.path.join(self.lake_dir, sig[p][0])
                      for p in changed if sig.get(p, (None,))[0]]
             if not files:
@@ -1895,7 +2122,7 @@ class CDCPipeline:
             "turn_idx": pa.array([], pa.int32()),
             "change_type": pa.array([], pa.string()),
             "lsn": pa.array([], pa.int64()),
-            **{c: pa.array([], _LAKE_FIELD_TYPES[c]) for c in payload},
+            **{c: pa.array([], types[c]) for c in payload},
         })
         src_from = side_source(m_from, p_from)
         src_to = side_source(m_to, p_to)
@@ -2345,12 +2572,20 @@ class CDCPipeline:
     def _manifest_dataset(self, manifest: "dict", columns=None):
         import ray.data
 
+        mcols = manifest_schema_columns(manifest)
+        types = _manifest_types(manifest)
         if columns is not None:
-            bad = [c for c in columns if c not in _LAKE_FIELD_TYPES]
+            bad = [c for c in columns if c not in types]
             if bad:
                 raise ValueError(f"unknown lake column(s) {bad}; "
-                                 f"lake schema is {LAKE_COLUMNS}")
+                                 f"lake schema is {mcols}")
             columns = list(columns)
+        if len(mcols) > len(LAKE_COLUMNS) and not mf.has_deltas(manifest):
+            # evolved lake: base files written before a column widened the
+            # schema predate it — the per-partition fold path pads them
+            # with NULLs (plain read_parquet would fail on the mixed
+            # schemas); partitions without deltas skip the fold itself
+            return self._fold_dataset(manifest, columns=columns)
         if mf.has_deltas(manifest):
             # pending delta commits: every read folds base+deltas per
             # partition (merge-on-read) — no shuffle, the manifest already
@@ -2373,17 +2608,23 @@ class CDCPipeline:
             return ray.data.from_arrow(_empty_lake_table(columns))
         return ray.data.read_parquet(files, columns=columns)
 
-    def _fold_dataset(self, manifest: "dict", columns=None, pids=None):
+    def _fold_dataset(self, manifest: "dict", columns=None, pids=None,
+                      types=None):
         """Streaming merge-on-read scan: one fold task per partition reads
         that partition's base + delta files and emits its live state — the
         file→partition mapping comes from the manifest, so NO shuffle is
         needed (cf. the Hudi MOR read model: per-file-group merge).
 
-        ``columns`` prunes the fold (must include the merge key + lsn);
-        ``pids`` restricts to a partition subset (change-data-feed)."""
+        ``columns`` prunes the fold (must include the merge key + lsn when
+        any partition has pending deltas); ``pids`` restricts to a
+        partition subset (change-data-feed).  Files that predate an evolved
+        column are read without it (footer-level column intersection, so
+        the scan still prunes) and padded with NULLs."""
         import ray.data
 
-        cols = list(columns) if columns is not None else list(LAKE_COLUMNS)
+        cols = (list(columns) if columns is not None
+                else manifest_schema_columns(manifest))
+        types = {**_manifest_types(manifest), **(types or {})}
         lake_dir = self.lake_dir
         items = []
         for pid, p in manifest["partitions"].items():
@@ -2394,23 +2635,35 @@ class CDCPipeline:
             items.append({"pid": int(pid), "base": p.get("path") or "",
                           "deltas": [d["path"] for d in p.get("deltas", [])]})
         if not items:
-            return ray.data.from_arrow(_empty_lake_table(cols))
+            return ray.data.from_arrow(_empty_lake_table(cols, types))
+
+        def read_padded(rel: str, want: "list[str]") -> pa.Table:
+            path = os.path.join(lake_dir, rel)
+            have = set(pq.read_schema(path).names)  # footer only
+            t = pq.read_table(path, columns=[c for c in want if c in have])
+            return pad_to_schema(t, want, types)
 
         def fold_files(batch: pa.Table) -> pa.Table:
             outs = []
             # metadata-tier loop: ≤ num_partitions rows total, data-tier
             # work stays vectorized inside fold_partition_state
             for row in batch.to_pylist():
-                base = pq.read_table(os.path.join(lake_dir, row["base"]),
-                                     columns=cols) if row["base"] else None
-                deltas = [pq.read_table(os.path.join(lake_dir, d),
-                                        columns=["op", *cols])
+                base = read_padded(row["base"], cols) if row["base"] else None
+                if not row["deltas"]:
+                    # no pending deltas: the base IS the live state — skip
+                    # the fold's sort entirely (the evolved-schema read
+                    # path routes here for every clean partition)
+                    if base is not None and base.num_rows:
+                        outs.append(base)
+                    continue
+                deltas = [read_padded(d, ["op", *cols])
                           for d in row["deltas"]]
-                folded = fold_partition_state(base, deltas, columns=cols)
+                folded = fold_partition_state(base, deltas, columns=cols,
+                                              types=types)
                 if folded.num_rows:
                     outs.append(folded)
             if not outs:
-                return _empty_lake_table(cols)
+                return _empty_lake_table(cols, types)
             return pa.concat_tables(outs, promote_options="permissive")
 
         return ray.data.from_items(
