@@ -320,3 +320,30 @@ def poison_events(ds, permille: int, unknown_epoch_band: bool = False):
     return ds.map_batches(
         lambda b: poison_batch(b, permille, unknown_epoch_band),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def evolve_batch(batch: pa.Table, from_lsn: int) -> pa.Table:
+    """Widen-only schema-evolution traffic: append an extra ``lang`` value
+    column (lsn%3 → en/fr/de) set from ``from_lsn`` on, NULL below it.
+
+    Pure function of lsn (replay-safe, SQL-oracle-replayable).  Within one
+    dataset the column is present on every row for block-schema uniformity;
+    the committed end state is identical to a true mid-stream appearance
+    because an upsert with NULL lang and an upsert that predates the column
+    both leave the row's lang NULL (tests/test_schema_evolution.py pins the
+    mid-stream variant)."""
+    import pyarrow.compute as pc
+
+    lsn = np.asarray(batch.column("lsn").combine_chunks().cast(pa.int64()))
+    lang = pc.take(pa.array(["en", "fr", "de"]), pa.array(lsn % 3))
+    lang = pc.if_else(pa.array(lsn >= from_lsn), lang,
+                      pa.scalar(None, pa.string()))
+    return batch.append_column("lang", lang)
+
+
+def evolve_events(ds, from_lsn: "int | None"):
+    """Dataset wrapper over :func:`evolve_batch` (no-op when None)."""
+    if from_lsn is None:
+        return ds
+    return ds.map_batches(lambda b: evolve_batch(b, from_lsn),
+                          batch_format="pyarrow", zero_copy_batch=True)

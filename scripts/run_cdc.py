@@ -86,6 +86,12 @@ def main() -> None:
                     help="emit ~N/1000 of the stream as op='delete_conv' "
                          "conversation tombstones (GDPR-style erasure of "
                          "every turn below the tombstone's lsn)")
+    ap.add_argument("--evolve-lang-from", type=int, default=None,
+                    metavar="LSN",
+                    help="schema-evolution traffic: events carry an extra "
+                         "'lang' column set from this lsn on (widen-only "
+                         "evolution; the committed lake schema gains the "
+                         "column, older rows read NULL)")
     ap.add_argument("--poison-permille", type=int, default=0,
                     help="corrupt ~N per 1000 generated events (op+ts_raw) "
                          "to exercise the dlq path")
@@ -199,8 +205,13 @@ def main() -> None:
         def poison(ds):
             # with --heal-dlq, a third poison band carries a valid-but-
             # unconfigured layout so the healing loop has rows to recover
-            return poison_events(ds, args.poison_permille,
-                                 unknown_epoch_band=args.heal_dlq)
+            ds = poison_events(ds, args.poison_permille,
+                               unknown_epoch_band=args.heal_dlq)
+            from embulk_filter_timestamp_format_ray.sources.changegen import (
+                evolve_events,
+            )
+
+            return evolve_events(ds, args.evolve_lang_from)
 
         if args.stats:
             print(json.dumps({"lake": args.lake, **pipe.table_stats()}))
@@ -422,6 +433,11 @@ def main() -> None:
             out["view_recomputed_per_batch"] = view_refreshes
         if args.sync_to:
             out["sync"] = pipe.sync_changes(args.sync_to)
+        if args.evolve_lang_from is not None:
+            from embulk_filter_timestamp_format_ray.state import manifest as _mf
+
+            out["schema_columns"] = _mf.read_manifest(
+                pipe.lake_dir).get("schema_columns")
         # read AFTER auto-compaction / --compact / --heal-dlq / --sync-to so
         # the reported version is the manifest's actual head
         out["lake_version"] = mf_version(pipe)

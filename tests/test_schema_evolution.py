@@ -339,6 +339,32 @@ def test_actor_exchange_commits_evolved_schema(ray_session, tmp_path):
     _check_lang(pipe.final_state_sorted(), 600)
 
 
+def test_evolve_events_equals_midstream_appearance(ray_session, tmp_path):
+    """The CLI's evolution traffic (evolve_batch: column on every row, NULL
+    below the boundary) commits the same end state as a true mid-stream
+    column appearance (column absent before the boundary)."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        evolve_batch,
+    )
+
+    full = expected_event_table(1600)
+    cut = 800
+    lo, hi = _split(full, cut)
+
+    mid = CDCPipeline(str(tmp_path / "mid"), num_partitions=4)
+    mid.apply(ray.data.from_arrow(lo))
+    mid.apply(ray.data.from_arrow(_with_lang(hi)))
+
+    cli = CDCPipeline(str(tmp_path / "cli"), num_partitions=4)
+    cli.apply(ray.data.from_arrow(evolve_batch(lo, cut)))
+    cli.apply(ray.data.from_arrow(evolve_batch(hi, cut)))
+
+    a, b = mid.final_state_sorted(), cli.final_state_sorted()
+    assert a.equals(b.select(a.schema.names))
+
+
 def test_dlq_reprocess_preserves_extras(ray_session, tmp_path):
     import ray.data
 
