@@ -253,6 +253,48 @@ def q_cdc_schema_evolution(sf_dir: str):
                  "lang"])
 
 
+def q_cdc_backfill(sf_dir: str):
+    """Distributed UPDATE / backfill (CDCPipeline.transform_lake): after
+    the schema-evolution replay (lang appears at lsn 10_000), ONE
+    exactly-once transform commit fills the pre-evolution NULLs with 'und'
+    AND introduces a derived text_len column — per-partition fold → fn →
+    rewrite, watermarks untouched, keys/lsns contract-checked.  Oracle:
+    the flagship fold with coalesce(lang rule, 'und') and length(text)."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_bf_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    ev = change_events(20_000, seed=42, parallelism=16)
+    cut = pa.scalar(10_000, pa.int64())
+    pipe.apply(ev.map_batches(
+        lambda b: b.filter(pc.less(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+
+    def widened(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("lsn"), cut))
+        lsn = np.asarray(b.column("lsn").combine_chunks().cast(pa.int64()))
+        lang = pc.take(pa.array(["en", "fr", "de"]), pa.array(lsn % 3))
+        return b.append_column("lang", lang)
+
+    pipe.apply(ev.map_batches(widened, batch_format="pyarrow",
+                              zero_copy_batch=True))
+
+    def backfill(state: pa.Table) -> pa.Table:
+        i = state.schema.get_field_index("lang")
+        state = state.set_column(
+            i, "lang", pc.fill_null(state.column("lang"), "und"))
+        return state.append_column(
+            "text_len", pc.cast(pc.utf8_length(state.column("text")),
+                                pa.int64()))
+
+    pipe.transform_lake(backfill)
+    return pipe.read_lake(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "lsn",
+                 "lang", "text_len"])
+
+
 def q_cdc_changefeed(sf_dir: str):
     """Change Data Feed between two lake versions: the two-chunk apply
     (lsn < 10_000, then the rest) commits versions 1 and 2; lake_changes
@@ -2477,6 +2519,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_patch_upserts": q_cdc_patch_upserts,
         "cdc_rollback": q_cdc_rollback,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_backfill": q_cdc_backfill,
         "cdc_conv_erasure": q_cdc_conv_erasure,
         "cdc_sync": q_cdc_sync,
         "cdc_sync_mirror": q_cdc_sync_mirror,
@@ -2798,6 +2841,21 @@ def oracle_sql() -> "dict[str, str]":
             "else role end as role, text, tool, lsn, "
             "case when lsn >= 10000 then (case lsn % 3 when 0 then 'en' "
             "when 1 then 'fr' else 'de' end) end as lang "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Backfill: the evolution fold, then the transform's fill+derive
+        # replayed in SQL (coalesce for the NULL fill, length() for the
+        # introduced column)
+        "cdc_backfill":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn, "
+            "coalesce(case when lsn >= 10000 then (case lsn % 3 "
+            "when 0 then 'en' when 1 then 'fr' else 'de' end) end, 'und') "
+            "as lang, "
+            "cast(length(text) as bigint) as text_len "
             "from ranked where rn = 1 and op <> 'delete'",
         # Conversation erasure: per-conv max delete_conv lsn is one more
         # delete horizon (greatest with the per-key delete horizon); the

@@ -702,6 +702,42 @@ def fold_patch_runs(tbl: pa.Table,
     return folded.filter(pa.array(lsn[perm[ends]] > hz))
 
 
+def _check_transform_contract(before: pa.Table, after: pa.Table,
+                              pid: int) -> None:
+    """transform_lake's per-partition guard: the transformed state must
+    carry exactly the input's (conv_id, turn_idx, lsn) rows — a changed
+    key would break hash routing, a changed lsn would corrupt replay
+    arbitration, and a dropped/added row is a delete/insert masquerading
+    as an update (those go through the binlog, not a transform)."""
+    if after.num_rows != before.num_rows:
+        raise ValueError(
+            f"transform_lake fn changed partition {pid}'s row count "
+            f"({before.num_rows} → {after.num_rows}); deletes/inserts "
+            f"must go through the change stream")
+    missing = [c for c in LAKE_COLUMNS if c not in after.column_names]
+    if missing:
+        raise ValueError(
+            f"transform_lake fn dropped core column(s) {missing} on "
+            f"partition {pid}")
+    if before.num_rows == 0:
+        return
+    key_cols = ["conv_id", "turn_idx", "lsn"]
+
+    def keys_sorted(t: pa.Table) -> pa.Table:
+        k = t.select(key_cols)
+        return k.take(pc.sort_indices(
+            k, sort_keys=[(c, "ascending") for c in key_cols]))
+
+    a, b = keys_sorted(before), keys_sorted(after)
+    for c in key_cols:
+        if not pc.all(pc.equal(a.column(c).cast(b.column(c).type),
+                               b.column(c))).as_py():
+            raise ValueError(
+                f"transform_lake fn changed the ({', '.join(key_cols)}) "
+                f"set on partition {pid}; keys and lsns are immutable "
+                f"under a transform")
+
+
 def sort_by_merge_key(tbl: pa.Table) -> pa.Table:
     """THE on-disk lake file ordering — lexicographic (conv_id, turn_idx).
     Every lake writer (base merge, delta commit, compaction, repartition,
@@ -1615,6 +1651,128 @@ class CDCPipeline:
                     "partitions_compacted": len(rows),
                     "delta_files_folded": folded_files}
 
+    def transform_lake(self, fn, max_commit_retries: int = 2) -> "dict":
+        """Distributed UPDATE / backfill: rewrite every partition's LIVE
+        state through ``fn`` (Arrow table → Arrow table) as ONE
+        exactly-once commit — the lake-maintenance tier a SQL ``UPDATE``
+        or a Delta-style backfill job maps to (e.g. fill a
+        schema-evolved column's NULLs, derive a new column from existing
+        data, re-render a value column).
+
+        * Fully distributed: one fold→fn→rewrite task per partition with
+          data; untouched partitions keep their files; the driver commits
+          ≤P manifest rows.
+        * The commit CLEARS each rewritten partition's delta list (the
+          fold already folded them — a transform is also a compaction by
+          construction) and leaves every watermark unchanged: no binlog
+          events were applied, so replay/resume semantics are untouched.
+        * ``fn`` contract (checked per partition; a violation raises and
+          NOTHING commits): the returned table must carry the SAME
+          (conv_id, turn_idx, lsn) rows — same count, same key multiset —
+          because changing keys would break hash routing and changing
+          lsns would corrupt replay arbitration.  Value columns may
+          change freely and NEW columns may be added; added columns widen
+          the committed schema exactly like evolved event columns
+          (merge_schema_entries), so a backfill can INTRODUCE a column.
+        * Time travel: the pre-transform version stays readable within
+          ``time_travel_retain``; ``rollback`` undoes a bad transform.
+        """
+        import ray.data
+
+        for attempt in range(max_commit_retries + 1):
+            manifest = mf.read_manifest(self.lake_dir)
+            self.check_manifest_compat(manifest)
+            todo = {pid: p for pid, p in manifest["partitions"].items()
+                    if p.get("path") or p.get("deltas")}
+            if not todo:
+                return {"version": manifest.get("version", 0),
+                        "partitions_transformed": 0, "rows": 0}
+            txn_id = uuid.uuid4().hex[:12]
+            lake_dir = self.lake_dir
+            types = _manifest_types(manifest)
+            items = [{"pid": int(pid), "base": p.get("path") or "",
+                      "deltas": [d["path"] for d in p["deltas"]]
+                      if p.get("deltas") else []}
+                     for pid, p in todo.items()]
+
+            def transform_part(batch: pa.Table) -> pa.Table:
+                outs = []
+                for row in batch.to_pylist():  # metadata tier (≤P rows)
+                    base = pq.read_table(
+                        os.path.join(lake_dir, row["base"])) \
+                        if row["base"] else None
+                    deltas = [pq.read_table(os.path.join(lake_dir, d))
+                              for d in row["deltas"]]
+                    state = fold_partition_state(base, deltas, types=types)
+                    out = fn(state)
+                    _check_transform_contract(state, out, row["pid"])
+                    rel = ""
+                    if out.num_rows:
+                        out = sort_by_merge_key(out)
+                        rel = os.path.join(
+                            f"txn-{txn_id}",
+                            f"part-{row['pid']:05d}.parquet")
+                        full = os.path.join(lake_dir, rel)
+                        os.makedirs(os.path.dirname(full), exist_ok=True)
+                        pq.write_table(out, full, compression="zstd",
+                                       row_group_size=LAKE_ROW_GROUP_ROWS)
+                    outs.append({"pid": row["pid"], "path": rel,
+                                 "rows": out.num_rows,
+                                 "schema_ipc": extras_schema_b64(out)})
+                return pa.Table.from_pylist(outs, schema=pa.schema([
+                    ("pid", pa.int64()), ("path", pa.string()),
+                    ("rows", pa.int64()), ("schema_ipc", pa.string())]))
+
+            rows = ray.data.from_items(
+                items, override_num_blocks=len(items)).map_batches(
+                    transform_part, batch_format="pyarrow",
+                    zero_copy_batch=True).take_all()
+            partitions = dict(manifest["partitions"])
+            for r in rows:
+                pid = str(r["pid"])
+                prev = partitions[pid]
+                lineage = list(prev.get("lineage", []))
+                lineage.append({"txn": txn_id, "events_applied": 0,
+                                "transform": True})
+                partitions[pid] = {
+                    "path": r["path"] or None, "rows": int(r["rows"]),
+                    "last_applied_lsn": int(prev.get("last_applied_lsn",
+                                                     -1)),
+                    "lineage": lineage[-16:],
+                }
+            new_manifest = {
+                "version": manifest["version"] + 1,
+                "partitions": partitions,
+                "num_partitions": self.num_partitions,
+                "partition_config": self.partition_config(),
+                "last_txn": txn_id,
+                # a transform may INTRODUCE columns — union like any commit
+                **merge_schema_entries(manifest, [
+                    r.get("schema_ipc") or "" for r in rows]),
+            }
+            if manifest.get("dlq"):
+                new_manifest["dlq"] = manifest["dlq"]
+            carry_lsn_ceiling(manifest, new_manifest)
+            if self._pre_commit_hook is not None:
+                self._pre_commit_hook()  # test seam
+            try:
+                mf.commit_manifest(self.lake_dir, new_manifest,
+                                   retain_history=self.time_travel_retain,
+                                   expected_version=manifest["version"])
+            except mf.CommitConflict:
+                if attempt == max_commit_retries:
+                    raise
+                logger.warning(
+                    "concurrent commit during transform on %s; retrying "
+                    "against the fresh manifest (%d/%d)",
+                    self.lake_dir, attempt + 1, max_commit_retries)
+                continue
+            if self.auto_gc:
+                mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
+            return {"txn": txn_id, "version": new_manifest["version"],
+                    "partitions_transformed": len(rows),
+                    "rows": sum(int(r["rows"]) for r in rows)}
+
     def bootstrap(self, snapshot_ds, snapshot_lsn: int) -> "dict":
         """Initial load → stream handoff (the Debezium snapshot pattern):
         seed an EMPTY lake from a consistent full-table snapshot taken at
@@ -2409,6 +2567,11 @@ class CDCPipeline:
           while its rows keep their lsns (carry_lsn_ceiling drops it once
           watermarks ratchet past).  Checked per raw file so a future-lsn
           delete tombstone cannot hide behind the fold's tombstone filter;
+        * **schema**: every file's columns ⊆ the manifest's committed
+          schema with matching Arrow types — an unknown column or a type
+          drift means a writer bypassed the widen-only evolution contract
+          (merge_schema_entries), which readers' NULL-padding would then
+          silently mask;
         * **ordering** (WARNING tier, not a violation): base and delta
           files sorted by the merge key — reads stay correct without it,
           but point-lookup row-group pruning loses selectivity; lakes
@@ -2430,6 +2593,7 @@ class CDCPipeline:
         # rows keep their lsns — the recorded ceiling is the sound bound
         # until every watermark ratchets past it (carry_lsn_ceiling)
         ceiling = int(manifest.get("lsn_ceiling", -1))
+        allowed_types = _manifest_types(manifest)
         items = []
         for pid, p in manifest["partitions"].items():
             if not p.get("path") and not p.get("deltas"):
@@ -2453,6 +2617,19 @@ class CDCPipeline:
                 def check_file(t: pa.Table, what: str):
                     if not t.num_rows:
                         return
+                    # schema: widen-only evolution means every on-disk
+                    # column must be committed in the manifest with the
+                    # same Arrow type (readers would NULL-pad around a
+                    # rogue column and silently hide it)
+                    for f in t.schema:
+                        want = allowed_types.get(f.name)
+                        if want is None:
+                            probs.append(f"column {f.name!r} in {what} is "
+                                         "not in the committed schema")
+                        elif f.type != want:
+                            probs.append(
+                                f"column {f.name!r} in {what} has type "
+                                f"{f.type}, committed schema says {want}")
                     if not is_merge_key_sorted(t):
                         warns.append(f"{what} not sorted by merge key")
                     # uniqueness within the file: every writer runs

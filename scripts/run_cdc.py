@@ -69,6 +69,13 @@ def main() -> None:
                          "count (distributed read -> reshuffle -> commit; "
                          "the escape hatch when partitions outgrow a merge "
                          "task), then apply nothing")
+    ap.add_argument("--backfill-fill-nulls", default=None,
+                    metavar="COL=VALUE",
+                    help="distributed UPDATE (transform_lake): rewrite "
+                         "every partition's live state filling COL's NULL "
+                         "string values with VALUE — one exactly-once "
+                         "commit, watermarks untouched, keys/lsns "
+                         "contract-checked; combine with --events 0")
     ap.add_argument("--rollback-to", type=int, default=None,
                     help="restore the lake to this retained snapshot as a "
                          "NEW commit (metadata-only; watermarks roll back "
@@ -256,6 +263,23 @@ def main() -> None:
                             for _, r in counts.iterrows()},
                 "out": args.diff_out,
             }))
+            return
+        if args.backfill_fill_nulls is not None:
+            col, sep, val = args.backfill_fill_nulls.partition("=")
+            if not sep or not col:
+                ap.error("--backfill-fill-nulls takes COL=VALUE")
+            import pyarrow.compute as _pc
+
+            def fill(state):
+                i = state.schema.get_field_index(col)
+                if i < 0:
+                    raise SystemExit(
+                        f"column {col!r} is not in the lake schema")
+                return state.set_column(
+                    i, col, _pc.fill_null(state.column(col), val))
+
+            res = pipe.transform_lake(fill)
+            print(json.dumps({"lake": args.lake, "backfill": res}))
             return
         if args.repartition_to is not None:
             res = pipe.repartition_lake(args.repartition_to)

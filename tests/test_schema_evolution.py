@@ -339,6 +339,37 @@ def test_actor_exchange_commits_evolved_schema(ray_session, tmp_path):
     _check_lang(pipe.final_state_sorted(), 600)
 
 
+def test_fsck_flags_uncommitted_column_and_type_drift(ray_session, tmp_path):
+    """A file column outside the committed schema (or with a drifted type)
+    is an fsck violation — readers' NULL-padding must never silently mask
+    a writer that bypassed merge_schema_entries."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    lake = str(tmp_path / "lake")
+    pipe = CDCPipeline(lake, num_partitions=4)
+    pipe.apply(ray.data.from_arrow(expected_event_table(400)))
+    assert pipe.fsck()["violations"] == []
+
+    m = mf.read_manifest(lake)
+    rel = next(p["path"] for p in m["partitions"].values() if p.get("path"))
+    full = os.path.join(lake, rel)
+    t = pq.read_table(full)
+    pq.write_table(t.append_column("rogue", pa.nulls(t.num_rows, pa.int64())),
+                   full)
+    rep = pipe.fsck()
+    assert any("rogue" in v["problems"] for v in rep["violations"])
+
+    # type drift on a committed column
+    pq.write_table(t.set_column(t.schema.get_field_index("lsn"), "lsn",
+                                t.column("lsn").cast(pa.int32())), full)
+    rep = pipe.fsck()
+    assert any("lsn" in v["problems"] and "type" in v["problems"]
+               for v in rep["violations"])
+
+
 def test_evolve_events_equals_midstream_appearance(ray_session, tmp_path):
     """The CLI's evolution traffic (evolve_batch: column on every row, NULL
     below the boundary) commits the same end state as a true mid-stream
