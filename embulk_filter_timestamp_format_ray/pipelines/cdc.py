@@ -1882,6 +1882,73 @@ class CDCPipeline:
                 "rows": sum(int(r["rows"]) for r in rows),
                 "resume_lsn": int(snapshot_lsn)}
 
+    def clone_lake(self, dest_dir: str) -> "dict":
+        """Zero-copy shallow clone (Delta SHALLOW CLONE / Iceberg snapshot
+        analog): a fully functional, independently WRITABLE lake at
+        ``dest_dir`` that shares the source's immutable data files —
+        O(txn dirs) symlinks + O(manifest) json copies, no data moved, so
+        cloning a 100-TB lake is a metadata operation.
+
+        * the clone has its own manifest, OCC lock, history, and GC
+          domain: applies/transforms/compactions on the clone write NEW
+          txn dirs inside it and never touch the source; commits on the
+          source after the clone point are invisible to the clone;
+        * clone GC removes only the clone's symlinks, never the files
+          behind them (state/manifest.py gc_orphan_txns link handling);
+        * retained history snapshots copy over, so time travel to
+          pre-clone versions works inside the clone;
+        * caveat (same as Delta shallow clones): GC/retention on the
+          SOURCE can remove files a clone still references.  Freeze the
+          source, or deepen the clone — a ``repartition_lake`` on the
+          clone rewrites every partition into clone-local files, after
+          which GC drops the symlinks and the clone is fully independent.
+
+        ``dest_dir`` must not already contain a lake."""
+        manifest = mf.read_manifest(self.lake_dir)
+        if manifest.get("version", 0) == 0:
+            raise ValueError(
+                f"lake {self.lake_dir!r} has no committed state to clone")
+        if mf.read_manifest(dest_dir).get("version", 0) != 0:
+            raise ValueError(f"{dest_dir!r} already holds a committed lake")
+        os.makedirs(dest_dir, exist_ok=True)
+        src = os.path.abspath(self.lake_dir)
+        # every txn dir any RETAINED version references stays reachable in
+        # the clone (time travel parity with the source)
+        manifests = [manifest]
+        for v in mf.list_versions(self.lake_dir):
+            if v != manifest["version"]:
+                manifests.append(mf.read_manifest_at(self.lake_dir, v))
+        txn_dirs = sorted({p.split(os.sep, 1)[0]
+                           for m in manifests for p in mf.data_files(m)})
+        linked = 0
+        for t in txn_dirs:
+            dst = os.path.join(dest_dir, t)
+            if not os.path.lexists(dst):
+                os.symlink(os.path.join(src, t), dst)
+                linked += 1
+        # provenance travels in the manifest (and every retained snapshot
+        # is copied so read_lake_at works inside the clone)
+        cloned = dict(manifest)
+        cloned["cloned_from"] = {"lake": src,
+                                 "version": int(manifest["version"])}
+        mf.commit_manifest(dest_dir, cloned,
+                           retain_history=self.time_travel_retain)
+        hist_src = os.path.join(src, mf.HISTORY_DIR)
+        if os.path.isdir(hist_src):
+            os.makedirs(os.path.join(dest_dir, mf.HISTORY_DIR),
+                        exist_ok=True)
+            import shutil as _shutil
+
+            for name in os.listdir(hist_src):
+                if name.startswith("manifest-v") and name.endswith(".json"):
+                    _shutil.copyfile(
+                        os.path.join(hist_src, name),
+                        os.path.join(dest_dir, mf.HISTORY_DIR, name))
+        return {"dest": dest_dir, "version": int(manifest["version"]),
+                "txn_dirs_linked": linked,
+                "rows": sum(int(p.get("rows", 0))
+                            for p in manifest["partitions"].values())}
+
     def gc(self, dry_run: bool = False) -> "list[str]":
         """Remove txn dirs no longer referenced by the committed manifest
         (safe under the single-writer protocol; the manifest IS the commit

@@ -230,8 +230,15 @@ def gc_orphan_txns(lake_dir: str, keep_txns: "set[str]",
         if full in live:
             continue
         if not dry_run:
-            for f in os.listdir(full):
-                os.unlink(os.path.join(full, f))
-            os.rmdir(full)
+            if os.path.islink(full):
+                # shallow-clone txn dir (CDCPipeline.clone_lake): the link
+                # target belongs to the SOURCE lake — remove only the link,
+                # never reach through it (the source's own GC owns those
+                # files)
+                os.unlink(full)
+            else:
+                for f in os.listdir(full):
+                    os.unlink(os.path.join(full, f))
+                os.rmdir(full)
         removed.append(name)
     return removed

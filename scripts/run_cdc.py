@@ -69,6 +69,11 @@ def main() -> None:
                          "count (distributed read -> reshuffle -> commit; "
                          "the escape hatch when partitions outgrow a merge "
                          "task), then apply nothing")
+    ap.add_argument("--clone-to", default=None, metavar="DIR",
+                    help="zero-copy shallow clone: an independently "
+                         "writable lake at DIR sharing this lake's "
+                         "immutable data files (O(txn-dirs) symlinks + "
+                         "manifest copies; no data moved)")
     ap.add_argument("--backfill-fill-nulls", default=None,
                     metavar="COL=VALUE",
                     help="distributed UPDATE (transform_lake): rewrite "
@@ -263,6 +268,10 @@ def main() -> None:
                             for _, r in counts.iterrows()},
                 "out": args.diff_out,
             }))
+            return
+        if args.clone_to is not None:
+            res = pipe.clone_lake(args.clone_to)
+            print(json.dumps({"lake": args.lake, "clone": res}))
             return
         if args.backfill_fill_nulls is not None:
             col, sep, val = args.backfill_fill_nulls.partition("=")
