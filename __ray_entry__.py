@@ -253,6 +253,34 @@ def q_cdc_schema_evolution(sf_dir: str):
                  "lang"])
 
 
+def q_cdc_clone(sf_dir: str):
+    """Zero-copy shallow clone as a fork point: the lsn<10_000 prefix
+    commits to the source, clone_lake forks it (symlinked txn dirs — no
+    data copied), and the REST of the stream applies to the CLONE only.
+    Returning the clone's final state proves the fork carries watermarks,
+    layout and history and keeps tailing exactly-once; the untouched
+    source stays at the prefix.  Oracle: the flagship full-stream fold."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(tempfile.gettempdir(), f"graft_cdc_clsrc_{run}")
+    dst = os.path.join(tempfile.gettempdir(), f"graft_cdc_cldst_{run}")
+    pipe = CDCPipeline(src, num_partitions=32)
+    ev = change_events(20_000, seed=42, parallelism=16)
+    cut = pa.scalar(10_000, pa.int64())
+    pipe.apply(ev.map_batches(
+        lambda b: b.filter(pc.less(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    pipe.clone_lake(dst)
+    clone = CDCPipeline.from_lake(dst)
+    clone.apply(ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    return clone.read_lake(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "lsn"])
+
+
 def q_cdc_backfill(sf_dir: str):
     """Distributed UPDATE / backfill (CDCPipeline.transform_lake): after
     the schema-evolution replay (lang appears at lsn 10_000), ONE
@@ -2520,6 +2548,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_rollback": q_cdc_rollback,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_backfill": q_cdc_backfill,
+        "cdc_clone": q_cdc_clone,
         "cdc_conv_erasure": q_cdc_conv_erasure,
         "cdc_sync": q_cdc_sync,
         "cdc_sync_mirror": q_cdc_sync_mirror,
@@ -2841,6 +2870,16 @@ def oracle_sql() -> "dict[str, str]":
             "else role end as role, text, tool, lsn, "
             "case when lsn >= 10000 then (case lsn % 3 when 0 then 'en' "
             "when 1 then 'fr' else 'de' end) end as lang "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Clone-as-fork: prefix to the source, suffix to the clone — the
+        # clone's state is the full-stream fold (same as the flagship)
+        "cdc_clone":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
             "from ranked where rn = 1 and op <> 'delete'",
         # Backfill: the evolution fold, then the transform's fill+derive
         # replayed in SQL (coalesce for the NULL fill, length() for the
