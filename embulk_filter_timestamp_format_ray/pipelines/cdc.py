@@ -210,9 +210,17 @@ class NormalizeStage:
         if null_mask.any():
             ts = pc.if_else(pa.array(~null_mask), ts, pa.scalar(None, _TS_NS_UTC))
         turn_col = batch.column("turn_idx").cast(pa.int32())
+        # all-NULL inputs arrive null-typed (Arrow inference); pin the lake
+        # types here so files never carry type-less columns
         text_col = batch.column("text")
+        if pa.types.is_null(text_col.type):
+            text_col = text_col.cast(pa.string())
+        if pa.types.is_null(role.type):
+            role = role.cast(pa.string())
         tool_col = (batch.column("tool") if "tool" in batch.schema.names
                     else pa.nulls(batch.num_rows, pa.string()))
+        if pa.types.is_null(tool_col.type):
+            tool_col = tool_col.cast(pa.string())
         # widen-only schema evolution: non-envelope event columns pass
         # through as evolved lake value columns (merge + manifest widen
         # downstream); reserved internal names are a config error
@@ -397,6 +405,13 @@ def merge_schema_entries(manifest: "dict", schema_ipcs) -> "dict":
         for f in _fields_from_b64(b):
             prev = committed.get(f.name) or fresh.get(f.name)
             if prev is not None and prev.type != f.type:
+                # a null-typed report (all-NULL batch) is typeless, not a
+                # conflict: the real type wins whichever side carries it
+                if pa.types.is_null(prev.type):
+                    (committed if f.name in committed else fresh)[f.name] = f
+                    continue
+                if pa.types.is_null(f.type):
+                    continue
                 raise ValueError(
                     f"schema evolution type conflict on column "
                     f"{f.name!r}: {prev.type} (committed) vs {f.type} "
@@ -2693,7 +2708,10 @@ class CDCPipeline:
                         if want is None:
                             probs.append(f"column {f.name!r} in {what} is "
                                          "not in the committed schema")
-                        elif f.type != want:
+                        elif f.type != want and not pa.types.is_null(f.type):
+                            # a null-typed column (Arrow's inference for an
+                            # all-NULL batch) reads as NULL in any type —
+                            # representable, not a drift
                             probs.append(
                                 f"column {f.name!r} in {what} has type "
                                 f"{f.type}, committed schema says {want}")
