@@ -281,6 +281,49 @@ def q_cdc_clone(sf_dir: str):
         columns=["conv_id", "turn_idx", "role", "text", "tool", "lsn"])
 
 
+def q_cdc_multi_table(sf_dir: str):
+    """Multi-table / multi-tenant fan-out (pipelines/cdc.py apply_multi):
+    the 20k stream is tagged by conv-id parity and routed into TWO
+    independent lakes in one normalize + composite-pid exchange pass —
+    per-lake exactly-once commits, per-table map-side combine (tables may
+    share merge keys).  Returns the union of both lakes tagged by table;
+    oracle: the flagship fold with the same parity rule."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+        CDCPipeline,
+        apply_multi,
+    )
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"graft_cdc_mt_{run}")
+    pipes = {
+        "a": CDCPipeline(base + "_a", num_partitions=16),
+        "b": CDCPipeline(base + "_b", num_partitions=24),
+    }
+
+    def tagged(b: pa.Table) -> pa.Table:
+        digits = pc.cast(pc.utf8_slice_codeunits(
+            b.column("conv_id"), 5, 99), pa.int64())
+        tag = pc.if_else(pc.equal(pc.bit_wise_and(digits, 1), 0),
+                         pa.scalar("a"), pa.scalar("b"))
+        return b.append_column("table", tag)
+
+    ev = change_events(20_000, seed=42, parallelism=16).map_batches(
+        tagged, batch_format="pyarrow", zero_copy_batch=True)
+    apply_multi(ev, pipes)
+
+    def tag_const(t):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column("tbl", pa.array([t] * b.num_rows))
+        return f
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "lsn"]
+    sides = [pipes[t].read_lake(columns=cols).map_batches(
+        tag_const(t), batch_format="pyarrow", zero_copy_batch=True)
+        for t in ("a", "b")]
+    return sides[0].union(sides[1])
+
+
 def q_cdc_backfill(sf_dir: str):
     """Distributed UPDATE / backfill (CDCPipeline.transform_lake): after
     the schema-evolution replay (lang appears at lsn 10_000), ONE
@@ -2549,6 +2592,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_backfill": q_cdc_backfill,
         "cdc_clone": q_cdc_clone,
+        "cdc_multi_table": q_cdc_multi_table,
         "cdc_conv_erasure": q_cdc_conv_erasure,
         "cdc_sync": q_cdc_sync,
         "cdc_sync_mirror": q_cdc_sync_mirror,
@@ -2870,6 +2914,18 @@ def oracle_sql() -> "dict[str, str]":
             "else role end as role, text, tool, lsn, "
             "case when lsn >= 10000 then (case lsn % 3 when 0 then 'en' "
             "when 1 then 'fr' else 'de' end) end as lang "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Multi-table fan-out: per-table state is the flagship fold
+        # restricted by the conv-parity routing rule
+        "cdc_multi_table":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn, "
+            "case when cast(substr(conv_id, 6) as int) % 2 = 0 "
+            "then 'a' else 'b' end as tbl "
             "from ranked where rn = 1 and op <> 'delete'",
         # Clone-as-fork: prefix to the source, suffix to the clone — the
         # clone's state is the full-stream fold (same as the flagship)

@@ -1079,6 +1079,167 @@ class DeltaWriter:
             self.lake_dir, self.txn_id, pid, watermark, delta))
 
 
+def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
+                table_col: str = "table") -> "dict[str, dict]":
+    """Multi-table / multi-tenant fan-out: route ONE mixed change stream
+    into N independent lakes in a single normalize + composite-pid
+    exchange pass — the Debezium-server-fans-into-topics shape, with each
+    lake keeping its own watermarks, manifest, OCC domain and (evolved)
+    schema.
+
+    * Routing key: the ``table_col`` value on every event; unknown values
+      abort the batch (a silently dropped tenant is unrecoverable).
+    * ONE exchange: each table's rows partition under ITS lake's layout,
+      then the pid is lifted to ``table_idx * stride + pid`` so a single
+      ``groupby`` shuffles everything; the reduce side lowers it back and
+      runs the normal per-partition merge into that table's lake dir.
+    * Map-side combine runs PER TABLE subset: tables may share merge keys
+      (same conv ids in two tenants), and a cross-table fold would pick
+      one tenant's winner for both.  Within a table the usual
+      cross-partition fold argument holds unchanged.
+    * Exactly-once PER LAKE: one manifest swap per table.  Cross-table
+      atomicity is NOT claimed — a crash between swaps leaves some lakes
+      committed and the others to pick up the replay on the next apply
+      (watermarks dedup), exactly like independent consumers of one log.
+    * The shared normalize pass requires identical epoch_specs /
+      stop_on_invalid across tables; dlq pipelines are refused (quarantine
+      per lake with separate applies).
+    """
+    if not pipelines:
+        raise ValueError("pipelines must name at least one table")
+    names = sorted(pipelines)
+    dirs = [os.path.abspath(pipelines[t].lake_dir) for t in names]
+    if len(set(dirs)) != len(dirs):
+        raise ValueError(
+            "apply_multi pipelines must target distinct lake dirs")
+    if any(p.dlq for p in pipelines.values()):
+        raise ValueError(
+            "apply_multi does not support dlq pipelines; quarantine per "
+            "lake with separate applies")
+    first = pipelines[names[0]]
+    for t in names[1:]:
+        if (pipelines[t].epoch_specs != first.epoch_specs
+                or pipelines[t].stop_on_invalid != first.stop_on_invalid):
+            raise ValueError(
+                "apply_multi runs ONE shared normalize pass; epoch_specs "
+                "and stop_on_invalid must be identical across tables")
+
+    manifests = {t: mf.read_manifest(pipelines[t].lake_dir) for t in names}
+    for t in names:
+        pipelines[t].check_manifest_compat(manifests[t])
+    low = min(mf.min_watermark(manifests[t], pipelines[t].num_partitions)
+              for t in names)
+    txn_id = uuid.uuid4().hex[:12]
+    stride = max(p.num_partitions for p in pipelines.values())
+    stages = {t: PartitionStage(
+        pipelines[t].num_partitions,
+        by_turn=(pipelines[t].partition_mode == "turn"),
+        salt_keys=pipelines[t].salt_keys,
+        salt_factor=pipelines[t].salt_factor) for t in names}
+    normalize = NormalizeStage(first.epoch_specs, low_watermark=low,
+                               stop_on_invalid=first.stop_on_invalid)
+    combiner = PreMergeCombiner()
+    idx_of = {t: i for i, t in enumerate(names)}
+    known = pa.array(names)
+
+    def route(batch: pa.Table) -> pa.Table:
+        if table_col not in batch.schema.names:
+            raise CastError(
+                f"apply_multi needs a {table_col!r} column on every event")
+        tags = batch.column(table_col)
+        ok = pc.fill_null(pc.is_in(tags, value_set=known), False)
+        if not pc.all(ok).as_py():
+            vals = sorted({v for v in batch.filter(pc.invert(ok))
+                           .column(table_col).to_pylist()}, key=str)[:5]
+            raise CastError(f"unknown table value(s) {vals}; routed tables "
+                            f"are {names}")
+        parts = []
+        for t in names:
+            sub = batch.filter(pc.equal(tags, t))
+            if sub.num_rows == 0:
+                continue
+            sub = normalize(sub.drop_columns([table_col]))
+            if sub.num_rows == 0:
+                continue
+            sub = combiner(stages[t](sub))
+            pid = np.asarray(sub.column("_pid").cast(pa.int32()))
+            comp = pa.array(
+                (pid.astype(np.int64) + idx_of[t] * stride).astype(np.int32))
+            i = sub.schema.get_field_index("_pid")
+            parts.append(sub.set_column(i, "_pid", comp))
+        if not parts:
+            out = normalize._empty_out(None)
+            return out.append_column("_pid", pa.array([], pa.int32()))
+        return pa.concat_tables(parts, promote_options="permissive")
+
+    appliers = {t: MergeApplier(
+        pipelines[t].lake_dir, txn_id,
+        {int(pid): m for pid, m in manifests[t]["partitions"].items()})
+        for t in names}
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return MergeApplier._result(None).append_column(
+                "table", pa.array([], pa.string()))
+        comp = int(group.column("_pid")[0].as_py())
+        t = names[comp // stride]
+        i = group.schema.get_field_index("_pid")
+        group = group.set_column(i, "_pid", pa.array(
+            np.full(group.num_rows, comp % stride, dtype=np.int32)))
+        res = appliers[t](group)
+        return res.append_column("table",
+                                 pa.array([t] * res.num_rows, pa.string()))
+
+    ds = events_ds.map_batches(route, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    rows = ds.groupby("_pid").map_groups(
+        merge_group, batch_format="pyarrow").take_all()
+
+    out: "dict[str, dict]" = {}
+    for t in names:
+        mine = [r for r in rows if r["table"] == t]
+        manifest = manifests[t]
+        if not mine:
+            # pure replay for this table: nothing merged, no version churn
+            out[t] = {"txn": None, "version": manifest.get("version", 0),
+                      "partitions_touched": 0, "events_applied": 0}
+            continue
+        partitions = dict(manifest["partitions"])
+        total = 0
+        for r in mine:
+            pid = str(r["pid"])
+            prev = partitions.get(pid, {})
+            lineage = list(prev.get("lineage", []))
+            lineage.append({"txn": txn_id,
+                            "events_applied": int(r["events_applied"])})
+            partitions[pid] = {
+                "path": r["path"], "rows": int(r["rows"]),
+                "last_applied_lsn": int(r["last_applied_lsn"]),
+                "lineage": lineage[-16:],
+            }
+            total += int(r["events_applied"])
+        new_manifest = {
+            "version": manifest["version"] + 1,
+            "partitions": partitions,
+            "num_partitions": pipelines[t].num_partitions,
+            "partition_config": pipelines[t].partition_config(),
+            "last_txn": txn_id,
+            **merge_schema_entries(manifest, [
+                r.get("schema_ipc") or "" for r in mine]),
+        }
+        if manifest.get("dlq"):
+            new_manifest["dlq"] = manifest["dlq"]
+        carry_lsn_ceiling(manifest, new_manifest)
+        mf.commit_manifest(pipelines[t].lake_dir, new_manifest,
+                           retain_history=pipelines[t].time_travel_retain,
+                           expected_version=manifest["version"])
+        if pipelines[t].auto_gc:
+            mf.gc_orphan_txns(pipelines[t].lake_dir, keep_txns={txn_id})
+        out[t] = {"txn": txn_id, "version": new_manifest["version"],
+                  "partitions_touched": len(mine), "events_applied": total}
+    return out
+
+
 def carry_lsn_ceiling(manifest: dict, new_manifest: dict) -> None:
     """Propagate a repartition's ``lsn_ceiling`` (see repartition_lake):
     the ceiling stays in the manifest while ANY partition's watermark is

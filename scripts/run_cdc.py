@@ -69,6 +69,12 @@ def main() -> None:
                          "count (distributed read -> reshuffle -> commit; "
                          "the escape hatch when partitions outgrow a merge "
                          "task), then apply nothing")
+    ap.add_argument("--fanout-to", default=None, metavar="DIR",
+                    help="multi-table routing demo (apply_multi): tag the "
+                         "generated stream by conv-id parity and fan it "
+                         "into TWO lakes — even convs to --lake, odd convs "
+                         "to DIR — in one normalize+exchange pass with "
+                         "per-lake exactly-once commits")
     ap.add_argument("--clone-to", default=None, metavar="DIR",
                     help="zero-copy shallow clone: an independently "
                          "writable lake at DIR sharing this lake's "
@@ -272,6 +278,46 @@ def main() -> None:
         if args.clone_to is not None:
             res = pipe.clone_lake(args.clone_to)
             print(json.dumps({"lake": args.lake, "clone": res}))
+            return
+        if args.fanout_to is not None:
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+                apply_multi,
+            )
+
+            from embulk_filter_timestamp_format_ray.state import (
+                manifest as _mf,
+            )
+
+            other = CDCPipeline.from_lake(args.fanout_to) \
+                if _mf.read_manifest(args.fanout_to).get("version", 0) \
+                else CDCPipeline(args.fanout_to,
+                                 num_partitions=pipe.num_partitions)
+
+            def tagged(b):
+                digits = _pc.cast(_pc.utf8_slice_codeunits(
+                    b.column("conv_id"), 5, 99), _pa.int64())
+                tag = _pc.if_else(
+                    _pc.equal(_pc.bit_wise_and(digits, 1), 0),
+                    _pa.scalar("even"), _pa.scalar("odd"))
+                return b.append_column("table", tag)
+
+            ev = poison(change_events(
+                args.events, seed=args.seed,
+                patch_permille=args.patch_permille,
+                conv_delete_permille=args.conv_delete_permille)).map_batches(
+                    tagged, batch_format="pyarrow", zero_copy_batch=True)
+            t0 = time.perf_counter()
+            stats = apply_multi(ev, {"even": pipe, "odd": other})
+            print(json.dumps({
+                "events": args.events,
+                "sec": round(time.perf_counter() - t0, 3),
+                "lakes": {t: {"applied": s["events_applied"],
+                              "version": s["version"]}
+                          for t, s in stats.items()},
+            }))
             return
         if args.backfill_fill_nulls is not None:
             col, sep, val = args.backfill_fill_nulls.partition("=")
