@@ -174,7 +174,8 @@ def run_queries(sf_dir: str) -> dict:
              "cdc_conv_erasure", "cdc_rollback", "chunk_documents",
              "transcripts_to_training", "cdc_point_lookup",
              "ann_ivf", "ann_ivf_quantized", "multimodal_decode_png",
-             "dedup_incremental"]
+             "dedup_incremental", "cdc_schema_evolution", "cdc_backfill",
+             "cdc_multi_table"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session
