@@ -281,6 +281,37 @@ def q_cdc_clone(sf_dir: str):
         columns=["conv_id", "turn_idx", "role", "text", "tool", "lsn"])
 
 
+def q_cdc_transcripts_view(sf_dir: str):
+    """Incrementally-maintained transcript materialization
+    (views.transcript_view): the lake's conversations as assembled
+    documents kept fresh at DELTA cost — the two-chunk apply refreshes the
+    view twice, the second refresh re-assembling only the partitions the
+    second chunk rewrote.  Requires the conv-mode layout (conversations
+    partition-local ⇒ per-partition assembly is exact and disjoint).
+    Oracle: the assemble_transcripts string_agg fold."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.views import (
+        transcript_view,
+    )
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_tv_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32, partition_mode="conv")
+    view = transcript_view(lake, lake + "_view")
+    ev = change_events(20_000, seed=42, parallelism=16)
+    cut = pa.scalar(10_000, pa.int64())
+    pipe.apply(ev.map_batches(
+        lambda b: b.filter(pc.less(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    view.refresh()
+    pipe.apply(ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    view.refresh()
+    return view.read()
+
+
 def q_cdc_multi_table(sf_dir: str):
     """Multi-table / multi-tenant fan-out (pipelines/cdc.py apply_multi):
     the 20k stream is tagged by conv-id parity and routed into TWO
@@ -2593,6 +2624,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_backfill": q_cdc_backfill,
         "cdc_clone": q_cdc_clone,
         "cdc_multi_table": q_cdc_multi_table,
+        "cdc_transcripts_view": q_cdc_transcripts_view,
         "cdc_conv_erasure": q_cdc_conv_erasure,
         "cdc_sync": q_cdc_sync,
         "cdc_sync_mirror": q_cdc_sync_mirror,
@@ -2915,6 +2947,19 @@ def oracle_sql() -> "dict[str, str]":
             "case when lsn >= 10000 then (case lsn % 3 when 0 then 'en' "
             "when 1 then 'fr' else 'de' end) end as lang "
             "from ranked where rn = 1 and op <> 'delete'",
+        # Incremental transcript view: same fold as assemble_transcripts
+        "cdc_transcripts_view":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "final as (select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text "
+            "from ranked where rn = 1 and op <> 'delete') "
+            "select conv_id, count(*)::bigint as n_turns, "
+            "string_agg(coalesce(role, '') || ': ' || coalesce(text, ''), "
+            "chr(10) order by turn_idx) as transcript "
+            "from final group by conv_id",
         # Multi-table fan-out: per-table state is the flagship fold
         # restricted by the conv-parity routing rule
         "cdc_multi_table":

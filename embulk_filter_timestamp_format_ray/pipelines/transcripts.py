@@ -27,6 +27,14 @@ from embulk_filter_timestamp_format_ray.stages.relational import (
 def _assemble_shard(group: pa.Table) -> pa.Table:
     g = group.drop_columns(["_shard"])
     warn_large_key_group(g.num_rows, "assemble_conversations", "shard")
+    return assemble_table(g)
+
+
+def assemble_table(g: pa.Table) -> pa.Table:
+    """One table of (conv_id, turn_idx, role, text, ...) rows → one row per
+    conversation — the shard kernel, reusable wherever a conversation's
+    turns are known to be CO-LOCATED in ``g`` (a key shard, or one
+    unsalted conv-mode lake partition)."""
     if g.num_rows == 0:
         return pa.table({"conv_id": pa.array([], pa.string()),
                          "n_turns": pa.array([], pa.int64()),

@@ -73,13 +73,19 @@ class IncrementalView:
     def __init__(self, lake_dir: str, view_dir: str,
                  agg_fn=conversation_stats_agg,
                  merge_keys=("conv_id",),
-                 merge_spec=None):
+                 merge_spec=None,
+                 empty_table: "pa.Table | None" = None):
         self.lake_dir = lake_dir
         self.view_dir = view_dir
         self.agg_fn = agg_fn
         self.merge_keys = list(merge_keys)
-        self.merge_spec = merge_spec or {
+        # merge_spec="disjoint": the partials partition the key space (a
+        # key lives in exactly one lake partition — e.g. conv_id on an
+        # unsalted conv-mode lake), so read() concatenates instead of
+        # folding; agg_fn's output per partition IS final
+        self.merge_spec = merge_spec if merge_spec is not None else {
             "n_turns": ("n_turns", "sum"), "max_lsn": ("max_lsn", "max")}
+        self.empty_table = empty_table
 
     def refresh(self) -> dict:
         """Bring the view up to the lake's committed state.  Returns
@@ -182,9 +188,62 @@ class IncrementalView:
         files = [os.path.join(self.view_dir, p["view_path"])
                  for p in view_m["partitions"].values()]
         if not files:
+            if self.empty_table is not None:
+                return ray.data.from_arrow(self.empty_table)
             return ray.data.from_arrow(pa.table({
                 **{k: pa.array([], pa.string()) for k in self.merge_keys},
                 **{out: pa.array([], pa.int64())
-                   for out in self.merge_spec}}))
+                   for out in (self.merge_spec if self.merge_spec
+                               != "disjoint" else ())}}))
         parts = ray.data.read_parquet(files)
+        if self.merge_spec == "disjoint":
+            return parts
         return grouped_aggregate(parts, self.merge_keys, self.merge_spec)
+
+
+def transcript_assembly_agg(part: pa.Table) -> pa.Table:
+    """Per-partition transcript assembly for :func:`transcript_view`: on an
+    unsalted conv-mode lake a conversation's turns are partition-local, so
+    each partition's assembled docs are FINAL (disjoint view rows)."""
+    from embulk_filter_timestamp_format_ray.pipelines.transcripts import (
+        assemble_table,
+    )
+
+    return assemble_table(part.select(["conv_id", "turn_idx", "role",
+                                       "text"]))
+
+
+class TranscriptView(IncrementalView):
+    """Incrementally-maintained transcript materialization: the CDC lake's
+    conversations as assembled documents (conv_id, n_turns, transcript),
+    refreshed at delta cost — a micro-batch that touches k partitions
+    re-assembles k partitions' conversations, not the corpus.  This is the
+    lake→training-corpus bridge kept continuously fresh.
+
+    Requires an unsalted CONV-mode lake (the layout that makes a
+    conversation partition-local); anything else is refused at refresh
+    time, because a conversation split across partitions would assemble
+    as two half documents.  For turn-mode/salted lakes use
+    ``transcripts.assemble_conversations`` (one key-shard shuffle)."""
+
+    def refresh(self) -> dict:
+        cfg = mf.read_manifest(self.lake_dir).get("partition_config")
+        if cfg is not None and (cfg.get("partition_mode") != "conv"
+                                or cfg.get("salt_keys")):
+            raise ValueError(
+                "transcript_view needs an unsalted conv-mode lake (a "
+                "conversation must be partition-local); this lake's "
+                f"layout is {cfg!r}.  Assemble via "
+                "transcripts.assemble_conversations instead.")
+        return super().refresh()
+
+
+def transcript_view(lake_dir: str, view_dir: str) -> "TranscriptView":
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "n_turns": pa.array([], pa.int64()),
+                      "transcript": pa.array([], pa.string())})
+    return TranscriptView(lake_dir, view_dir,
+                          agg_fn=transcript_assembly_agg,
+                          merge_keys=("conv_id",),
+                          merge_spec="disjoint",
+                          empty_table=empty)

@@ -38,6 +38,18 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--resume", action="store_true",
                     help="skip events at/below the committed low-watermark")
+    ap.add_argument("--partition-mode", choices=("turn", "conv"),
+                    default="turn",
+                    help="fresh-lake partition key: (conv,turn) hash or "
+                         "conv hash (conv keeps a conversation "
+                         "partition-local — required by "
+                         "--transcripts-view); an existing lake's "
+                         "committed mode is adopted")
+    ap.add_argument("--transcripts-view", action="store_true",
+                    help="maintain the incremental transcript "
+                         "materialization (assembled documents refreshed "
+                         "at delta cost) after each micro-batch; needs a "
+                         "conv-mode unsalted lake")
     ap.add_argument("--view", action="store_true",
                     help="maintain the incremental per-conversation stats "
                          "view after each micro-batch (<lake>_view)")
@@ -218,6 +230,7 @@ def main() -> None:
                 return 2
             pipe = CDCPipeline(args.lake,
                                num_partitions=args.partitions or 128,
+                               partition_mode=args.partition_mode,
                                dlq=args.dlq)
 
         def poison(ds):
@@ -362,6 +375,15 @@ def main() -> None:
 
             view = IncrementalView(args.lake,
                                    args.lake.rstrip("/") + "_view")
+        tview = None
+        tview_refreshes = []
+        if args.transcripts_view:
+            from embulk_filter_timestamp_format_ray.pipelines.views import (
+                transcript_view,
+            )
+
+            tview = transcript_view(args.lake,
+                                    args.lake.rstrip("/") + "_tview")
         if args.tail_dir is not None:
             from embulk_filter_timestamp_format_ray.sources.tailer import (
                 tail_directory,
@@ -484,6 +506,8 @@ def main() -> None:
             quarantined += stats.get("events_quarantined", 0)
             if view is not None:
                 view_refreshes.append(view.refresh()["recomputed"])
+            if tview is not None:
+                tview_refreshes.append(tview.refresh()["recomputed"])
         elapsed = time.perf_counter() - t0
         if pregen_dir is not None:
             import shutil
@@ -510,6 +534,9 @@ def main() -> None:
         if view is not None:
             out["view_rows"] = view.read().count()
             out["view_recomputed_per_batch"] = view_refreshes
+        if tview is not None:
+            out["view_docs"] = tview.read().count()
+            out["tview_recomputed_per_batch"] = tview_refreshes
         if args.sync_to:
             out["sync"] = pipe.sync_changes(args.sync_to)
         if args.evolve_lang_from is not None:
