@@ -2761,9 +2761,26 @@ class CDCPipeline:
             # default payload), so downstream column selects still resolve
             return ray.data.from_arrow(_empty_lake_table())
 
+        # union schema across sync generations (footer-only probe): a
+        # consumer that starts shipping an evolved column mid-history has
+        # older directories without it — pad them so every block is
+        # uniform (newest generation wins a column's type)
+        cols: "list[str]" = []
+        types: "dict[str, pa.DataType]" = {}
+        for d in dirs:
+            full_d = os.path.join(out_dir, d)
+            files = sorted(f for f in os.listdir(full_d)
+                           if f.endswith(".parquet"))
+            if not files:
+                continue
+            for f in pq.read_schema(os.path.join(full_d, files[0])):
+                if f.name not in types:
+                    cols.append(f.name)
+                types[f.name] = f.type
+
         def tag(seq: int):
             def f(b: pa.Table) -> pa.Table:
-                return b.append_column(
+                return pad_to_schema(b, cols, types).append_column(
                     "_seq", pa.array(np.full(b.num_rows, seq,
                                              dtype=np.int32)))
             return f

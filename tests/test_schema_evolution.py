@@ -396,6 +396,41 @@ def test_evolve_events_equals_midstream_appearance(ray_session, tmp_path):
     assert a.equals(b.select(a.schema.names))
 
 
+def test_sync_mirror_across_evolution_boundary(ray_session, tmp_path):
+    """A consumer that starts shipping an evolved payload column
+    mid-history folds cleanly: pre-evolution snapshot rows read the
+    column as NULL, post-evolution change rows carry its values."""
+    import ray.data
+
+    full = expected_event_table(800)
+    lo, hi = _split(full, 400)
+    pipe = CDCPipeline(str(tmp_path / "lake"), num_partitions=4)
+    mirror = str(tmp_path / "mirror")
+    pipe.apply(ray.data.from_arrow(lo))
+    assert pipe.sync_changes(mirror)["mode"] == "snapshot"  # core columns
+    pipe.apply(ray.data.from_arrow(_with_lang(hi)))
+    assert pipe.sync_changes(
+        mirror, columns=("role", "text", "tool", "ts", "lang"))["mode"] \
+        == "changes"
+
+    got = pa.concat_tables(
+        [b for b in CDCPipeline.read_sync_mirror(mirror)
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="permissive")
+    exp = pipe.final_state_sorted()
+    assert got.num_rows == exp.num_rows
+    g = {(c, t): l for c, t, l in zip(got.column("conv_id").to_pylist(),
+                                      got.column("turn_idx").to_pylist(),
+                                      got.column("lang").to_pylist())}
+    for c, t, lsn, lang in zip(exp.column("conv_id").to_pylist(),
+                               exp.column("turn_idx").to_pylist(),
+                               exp.column("lsn").to_pylist(),
+                               exp.column("lang").to_pylist()):
+        # mirror winners whose post-image shipped in the change window
+        # carry lang; snapshot-era rows read NULL
+        assert g[(c, t)] == (lang if lsn >= 400 else None), (c, t)
+
+
 def test_dlq_reprocess_preserves_extras(ray_session, tmp_path):
     import ray.data
 
