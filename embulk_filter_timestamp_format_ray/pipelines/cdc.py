@@ -1080,7 +1080,7 @@ class DeltaWriter:
 
 
 def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
-                table_col: str = "table") -> "dict[str, dict]":
+                table_col: str = "table", delta: bool = False) -> "dict[str, dict]":
     """Multi-table / multi-tenant fan-out: route ONE mixed change stream
     into N independent lakes in a single normalize + composite-pid
     exchange pass — the Debezium-server-fans-into-topics shape, with each
@@ -1104,6 +1104,9 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
     * The shared normalize pass requires identical epoch_specs /
       stop_on_invalid across tables; dlq pipelines are refused (quarantine
       per lake with separate applies).
+    * ``delta=True`` commits merge-on-read delta files per lake instead of
+      base merges (apply_delta's cost model — the steady-state shape for a
+      multi-tenant micro-batch tail); compact each lake on its own cadence.
     """
     if not pipelines:
         raise ValueError("pipelines must name at least one table")
@@ -1172,7 +1175,8 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
             return out.append_column("_pid", pa.array([], pa.int32()))
         return pa.concat_tables(parts, promote_options="permissive")
 
-    appliers = {t: MergeApplier(
+    applier_cls = DeltaWriter if delta else MergeApplier
+    appliers = {t: applier_cls(
         pipelines[t].lake_dir, txn_id,
         {int(pid): m for pid, m in manifests[t]["partitions"].items()})
         for t in names}
@@ -1212,11 +1216,24 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
             lineage = list(prev.get("lineage", []))
             lineage.append({"txn": txn_id,
                             "events_applied": int(r["events_applied"])})
-            partitions[pid] = {
-                "path": r["path"], "rows": int(r["rows"]),
-                "last_applied_lsn": int(r["last_applied_lsn"]),
-                "lineage": lineage[-16:],
-            }
+            if delta:
+                # merge-on-read commit: base untouched, delta appended
+                deltas = list(prev.get("deltas", []))
+                deltas.append({"txn": txn_id, "path": r["path"],
+                               "rows": int(r["rows"])})
+                partitions[pid] = {
+                    "path": prev.get("path"),
+                    "rows": int(prev.get("rows", 0)),
+                    "last_applied_lsn": int(r["last_applied_lsn"]),
+                    "lineage": lineage[-16:],
+                    "deltas": deltas,
+                }
+            else:
+                partitions[pid] = {
+                    "path": r["path"], "rows": int(r["rows"]),
+                    "last_applied_lsn": int(r["last_applied_lsn"]),
+                    "lineage": lineage[-16:],
+                }
             total += int(r["events_applied"])
         new_manifest = {
             "version": manifest["version"] + 1,

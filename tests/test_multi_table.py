@@ -108,6 +108,41 @@ def test_multi_incremental_chunks_advance_watermarks(ray_session, tmp_path):
         assert pipes[t].resume_lsn() > 0
 
 
+def test_multi_delta_mode_matches_base_mode(ray_session, tmp_path):
+    """delta=True fan-out commits merge-on-read delta files per lake; the
+    folded state equals base-mode fan-out, and per-lake compaction clears
+    the backlogs without changing state."""
+    import ray.data
+
+    events = _tagged(expected_event_table(1600), "lsn")
+    cut = pa.scalar(800, pa.int64())
+    lo = events.filter(pc.less(events.column("lsn"), cut))
+    hi = events.filter(pc.greater_equal(events.column("lsn"), cut))
+
+    base_pipes = {
+        "a": CDCPipeline(str(tmp_path / "base_a"), num_partitions=4),
+        "b": CDCPipeline(str(tmp_path / "base_b"), num_partitions=4),
+    }
+    apply_multi(ray.data.from_arrow(lo), base_pipes)
+    apply_multi(ray.data.from_arrow(hi), base_pipes)
+
+    delta_pipes = {
+        "a": CDCPipeline(str(tmp_path / "delta_a"), num_partitions=4),
+        "b": CDCPipeline(str(tmp_path / "delta_b"), num_partitions=4),
+    }
+    apply_multi(ray.data.from_arrow(lo), delta_pipes)  # base seed
+    stats = apply_multi(ray.data.from_arrow(hi), delta_pipes, delta=True)
+    assert all(s["events_applied"] > 0 for s in stats.values())
+    for t in ("a", "b"):
+        assert mf.has_deltas(mf.read_manifest(delta_pipes[t].lake_dir))
+        assert delta_pipes[t].final_state_sorted().equals(
+            base_pipes[t].final_state_sorted())
+        delta_pipes[t].compact_deltas()
+        assert not mf.has_deltas(mf.read_manifest(delta_pipes[t].lake_dir))
+        assert delta_pipes[t].final_state_sorted().equals(
+            base_pipes[t].final_state_sorted())
+
+
 def test_multi_refuses_bad_config(ray_session, tmp_path):
     import ray.data
 
