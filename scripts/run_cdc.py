@@ -323,7 +323,8 @@ def main() -> None:
                 conv_delete_permille=args.conv_delete_permille)).map_batches(
                     tagged, batch_format="pyarrow", zero_copy_batch=True)
             t0 = time.perf_counter()
-            stats = apply_multi(ev, {"even": pipe, "odd": other})
+            stats = apply_multi(ev, {"even": pipe, "odd": other},
+                                delta=args.delta)
             print(json.dumps({
                 "events": args.events,
                 "sec": round(time.perf_counter() - t0, 3),
@@ -403,10 +404,16 @@ def main() -> None:
                     follow_directory,
                 )
 
-                # with --sync-to, ship changes downstream after every
-                # non-empty poll — a continuously-mirroring CDC daemon
-                on_commit = ((lambda _s: pipe.sync_changes(args.sync_to))
-                             if args.sync_to else None)
+                # with --sync-to / --transcripts-view, ship changes and
+                # refresh the materialization after every non-empty poll —
+                # a continuously-mirroring CDC daemon
+                def on_commit(_s):
+                    if args.sync_to:
+                        pipe.sync_changes(args.sync_to)
+                    if tview is not None:
+                        tview.refresh()
+                if not args.sync_to and tview is None:
+                    on_commit = None
                 commits = follow_directory(
                     pipe, args.tail_dir,
                     poll_interval=args.poll_interval,
@@ -436,6 +443,9 @@ def main() -> None:
                 out["compact"] = pipe.compact_deltas()
             if args.sync_to:
                 out["sync"] = pipe.sync_changes(args.sync_to)
+            if tview is not None:
+                tview.refresh()  # final catch-up (covers the no-follow path)
+                out["view_docs"] = tview.read().count()
             # read AFTER the inline compactions / --compact / --sync-to so
             # the reported version is the manifest's actual head
             out["lake_version"] = mf_version(pipe)
