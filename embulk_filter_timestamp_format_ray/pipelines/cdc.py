@@ -1272,6 +1272,22 @@ def carry_lsn_ceiling(manifest: dict, new_manifest: dict) -> None:
         new_manifest["lsn_ceiling"] = int(ceil)
 
 
+def _vanished_txn_input(exc) -> bool:
+    """True when ``exc`` (usually a RayTaskError wrapping the real cause)
+    is a FileNotFoundError on a lake ``txn-*`` file.  That file was live in
+    the manifest this writer read, then a CONCURRENT commit superseded it
+    and ``gc_orphan_txns`` collected it once it rotated out of the retained
+    history window — i.e. a :class:`state.manifest.CommitConflict` observed
+    at READ time instead of at the manifest swap (the stale writer's swap
+    would have conflicted anyway).  Writer retry loops treat it exactly
+    like CommitConflict: re-read the fresh manifest, whose files are live.
+    Observed in the wild as a ~1-in-10 flake of the two-concurrent-
+    followers test: a base merge's delta inputs vanished under the racing
+    follower's faster commit+compaction cadence."""
+    s = repr(exc)
+    return "FileNotFoundError" in s and "txn-" in s
+
+
 class CDCPipeline:
     """End-to-end apply: events Dataset → exactly-once lake commit."""
 
@@ -1440,7 +1456,10 @@ class CDCPipeline:
                         self, events_ds,
                         exchange=None if exchange == "actor" else exchange)
                 return self._apply_dataset(events_ds)
-            except mf.CommitConflict:
+            except Exception as e:
+                if not isinstance(e, mf.CommitConflict) \
+                        and not _vanished_txn_input(e):
+                    raise
                 if attempt == max_commit_retries:
                     raise
                 logger.warning(
@@ -1491,7 +1510,10 @@ class CDCPipeline:
                 else:
                     res = self._apply_dataset(events_ds, _delta=True)
                 break
-            except mf.CommitConflict:
+            except Exception as e:
+                if not isinstance(e, mf.CommitConflict) \
+                        and not _vanished_txn_input(e):
+                    raise
                 if attempt == max_commit_retries:
                     raise
                 logger.warning(
@@ -1794,10 +1816,21 @@ class CDCPipeline:
                     ("pid", pa.int64()), ("path", pa.string()),
                     ("rows", pa.int64())]))
 
-            rows = ray.data.from_items(
-                items, override_num_blocks=len(items)).map_batches(
-                    compact_part, batch_format="pyarrow",
-                    zero_copy_batch=True).take_all()
+            try:
+                rows = ray.data.from_items(
+                    items, override_num_blocks=len(items)).map_batches(
+                        compact_part, batch_format="pyarrow",
+                        zero_copy_batch=True).take_all()
+            except Exception as e:
+                # a concurrent commit + GC can collect our delta inputs
+                # mid-fold — a CommitConflict observed at read time
+                if attempt == max_commit_retries or not _vanished_txn_input(e):
+                    raise
+                logger.warning(
+                    "compaction inputs on %s vanished under a concurrent "
+                    "commit; retrying against the fresh manifest (%d/%d)",
+                    self.lake_dir, attempt + 1, max_commit_retries)
+                continue
             partitions = dict(manifest["partitions"])
             folded_files = sum(len(p["deltas"]) for p in todo.values())
             for r in rows:
@@ -1916,10 +1949,21 @@ class CDCPipeline:
                     ("pid", pa.int64()), ("path", pa.string()),
                     ("rows", pa.int64()), ("schema_ipc", pa.string())]))
 
-            rows = ray.data.from_items(
-                items, override_num_blocks=len(items)).map_batches(
-                    transform_part, batch_format="pyarrow",
-                    zero_copy_batch=True).take_all()
+            try:
+                rows = ray.data.from_items(
+                    items, override_num_blocks=len(items)).map_batches(
+                        transform_part, batch_format="pyarrow",
+                        zero_copy_batch=True).take_all()
+            except Exception as e:
+                # a concurrent commit + GC can collect our fold inputs
+                # mid-rewrite — a CommitConflict observed at read time
+                if attempt == max_commit_retries or not _vanished_txn_input(e):
+                    raise
+                logger.warning(
+                    "transform inputs on %s vanished under a concurrent "
+                    "commit; retrying against the fresh manifest (%d/%d)",
+                    self.lake_dir, attempt + 1, max_commit_retries)
+                continue
             partitions = dict(manifest["partitions"])
             for r in rows:
                 pid = str(r["pid"])
@@ -2358,7 +2402,10 @@ class CDCPipeline:
                     ray.data.from_arrow(events), _reprocess=True)
                 stats["events_seen"] = events.num_rows
                 return stats
-            except mf.CommitConflict:
+            except Exception as e:
+                if not isinstance(e, mf.CommitConflict) \
+                        and not _vanished_txn_input(e):
+                    raise
                 if attempt == max_commit_retries:
                     raise
                 logger.warning(

@@ -1186,3 +1186,52 @@ def test_bootstrap_then_repartition_then_tail(ray_session,
     assert pipe.final_state_sorted().drop_columns(["lsn"]).equals(
         ref.final_state_sorted().drop_columns(["lsn"]))
     assert pipe.fsck()["violations"] == []
+
+
+def test_apply_retries_when_concurrent_gc_collects_inputs(
+        ray_session, tmp_path_factory, monkeypatch):
+    """Reader-vs-GC race (the two-concurrent-followers flake): a writer
+    snapshots the manifest, then a CONCURRENT commit supersedes its input
+    files and gc_orphan_txns collects them once they rotate out of retained
+    history — the merge tasks hit FileNotFoundError on a ``txn-*`` path.
+    That is a CommitConflict observed at read time, and apply() must retry
+    against the fresh manifest instead of surfacing the task error."""
+    import copy
+
+    import pyarrow.compute as pc
+    import ray.data  # noqa: F401  (Dataset ops below)
+
+    lake = str(tmp_path_factory.mktemp("lake_stale_gc"))
+    pipe = CDCPipeline(lake, num_partitions=4, time_travel_retain=0)
+    ev = change_events(N_EVENTS, seed=42, parallelism=4)
+    cut = pa.scalar(N_EVENTS // 2, pa.int64())
+    pipe.apply_delta(ev.map_batches(
+        lambda b: b.filter(pc.less(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    stale = copy.deepcopy(mf.read_manifest(lake))
+    delta_paths = [os.path.join(lake, d["path"])
+                   for p in stale["partitions"].values()
+                   for d in p.get("deltas", [])]
+    assert delta_paths
+    pipe.compact_deltas()
+    # retain=0: the compaction's auto-GC collected the folded delta files,
+    # so the stale manifest now references vanished inputs
+    assert not any(os.path.exists(p) for p in delta_paths)
+
+    real = mf.read_manifest
+    fed = {"stale": False}
+
+    def stale_first(lake_dir, *a, **k):
+        if not fed["stale"] \
+                and os.path.abspath(lake_dir) == os.path.abspath(lake):
+            fed["stale"] = True
+            return copy.deepcopy(stale)
+        return real(lake_dir, *a, **k)
+
+    monkeypatch.setattr(mf, "read_manifest", stale_first)
+    stats = pipe.apply(ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("lsn"), cut)),
+        batch_format="pyarrow", zero_copy_batch=True))
+    assert fed["stale"]  # attempt 1 really ran against the stale manifest
+    assert stats["events_applied"] > 0
+    _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N_EVENTS))
