@@ -446,6 +446,39 @@ def q_cdc_dlq(sf_dir: str):
         ["lsn", "conv_id", "turn_idx", "dlq_reason"]).aggregate([])
 
 
+def q_cdc_constraints(sf_dir: str):
+    """Commit-time expectations (pipelines/constraints.py — Delta-style
+    CHECK constraints) under the drop tier: the deterministic 20k-event
+    binlog is applied with ``role:in:user,assistant,system`` committed on
+    the lake, so every tool-role upsert is dropped at normalization (post
+    role-rename, the same spot the reference's C10 stop_on_invalid_record
+    surface acts — TimestampFormatFilterPlugin.java:64, third tier).
+    Final lake state == the flagship argmax-LSN fold over the stream MINUS
+    the violating upserts (deletes are payload-free and exempt), which is
+    what the SQL oracle computes."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_constr_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32, constraints=(
+        parse_constraint("role:in:user,assistant,system"),))
+    pipe.apply(change_events(20_000, seed=42, parallelism=16))
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"graft_cdc_constr_out_{run}")
+    pipe.write_sorted(out_dir)
+    final = ray.data.read_parquet(out_dir)
+    return final.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_heal(sf_dir: str):
     """Self-healing DLQ loop, end to end: the 20k-event binlog is poisoned
     in THREE bands (changegen.poison_batch, permille=20 + unknown-epoch
@@ -2613,6 +2646,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_dlq": q_cdc_dlq,
+        "cdc_constraints": q_cdc_constraints,
         "cdc_heal": q_cdc_heal,
         "cdc_tail": q_cdc_tail,
         "cdc_bootstrap": q_cdc_bootstrap,
@@ -2831,6 +2865,21 @@ def oracle_sql() -> "dict[str, str]":
             "else 'unparseable_ts' end as dlq_reason "
             f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet') "
             "where (lsn & 1023) < 20",
+        # Commit-time expectations, drop tier: the flagship fold over the
+        # stream minus tool-role upserts (the committed in_set constraint
+        # checks POST-rename roles; deletes are payload-free and exempt)
+        "cdc_constraints":
+            "with ev as (select lsn, op, conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "kept as (select * from ev where op <> 'upsert' "
+            "or role in ('user', 'assistant', 'system')), "
+            "ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            "from kept) "
+            "select conv_id, turn_idx, role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
         # Self-heal: the two unhealable poison bands (lsn&1023 < 20) stay
         # quarantined; everything else — including the healed epoch-7 band
         # (20–29) — lands in the lake, so the fold simply excludes band<20

@@ -208,9 +208,13 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
             f"(P={exchange.num_partitions}); this pipeline is "
             f"{pipeline.lake_dir!r} (P={pipeline.num_partitions})")
 
+    # same expectation tiers as the dataset exchange (dlq is refused on
+    # this path, so violations abort or drop — never quarantine)
+    constraints = pipeline.effective_constraints(manifest)
     ds = events_ds.map_batches(
         NormalizeStage(pipeline.epoch_specs, low_watermark=low,
-                       stop_on_invalid=pipeline.stop_on_invalid),
+                       stop_on_invalid=pipeline.stop_on_invalid,
+                       constraints=constraints),
         batch_format="pyarrow", zero_copy_batch=True)
     # Must route identically to CDCPipeline.apply: same mode + salting, or a
     # second apply on a conv-mode lake sends keys to fresh pids and prior
@@ -266,6 +270,10 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
         # here would orphan the dlq parquet files for GC once the retained
         # history rotates (every other manifest writer preserves it)
         new_manifest["dlq"] = manifest["dlq"]
+    if constraints:
+        # expectations are durable lake properties (see CDCPipeline.
+        # _apply_dataset): record the enforced set on every commit
+        new_manifest["constraints"] = [c.to_json() for c in constraints]
     from embulk_filter_timestamp_format_ray.pipelines.cdc import (
         carry_lsn_ceiling,
     )

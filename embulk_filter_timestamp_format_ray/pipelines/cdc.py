@@ -44,6 +44,10 @@ import pyarrow.parquet as pq
 
 from embulk_filter_timestamp_format_ray.config import ColumnConfig, TaskConfig
 from embulk_filter_timestamp_format_ray.functions.casts import CastError
+from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+    carry_constraints,
+    constraints_from_manifest,
+)
 from embulk_filter_timestamp_format_ray.sources.changegen import (
     EPOCH1_FORMAT,
     EPOCH2_FORMAT,
@@ -106,13 +110,18 @@ class NormalizeStage:
     row with a ``dlq_reason`` (invalid_envelope / unknown_epoch /
     unparseable_ts) so the pipeline can quarantine it — including events
     from a schema epoch that has no configured spec yet, the operational
-    case that would otherwise abort the whole stream."""
+    case that would otherwise abort the whole stream.
+
+    ``constraints`` (pipelines/constraints.py) run POST-normalization —
+    after role renames and ts parsing — under the same three tiers:
+    abort / drop-with-warning / quarantine with ``constraint:<name>``."""
 
     def __init__(self, epoch_specs: "dict[int, ColumnConfig] | None" = None,
                  role_renames: "dict[str, str] | None" = None,
                  low_watermark: int = -1,
                  stop_on_invalid: bool = False,
-                 dlq: bool = False):
+                 dlq: bool = False,
+                 constraints: "tuple" = ()):
         if dlq and stop_on_invalid:
             raise ValueError("dlq and stop_on_invalid are contradictory "
                              "error policies")
@@ -123,6 +132,14 @@ class NormalizeStage:
         self.low_watermark = low_watermark
         self.stop_on_invalid = stop_on_invalid
         self.dlq = dlq
+        self.constraints = tuple(constraints or ())
+        if len(self.constraints) > 120:
+            raise ValueError("at most 120 constraints (int8 reason codes)")
+        # dlq reason codes: 0 clean, 1-3 fixed tiers, 4+i constraint i
+        self._reasons = pa.array(
+            [None, "invalid_envelope", "unknown_epoch", "unparseable_ts",
+             *(f"constraint:{c.name}" for c in self.constraints)],
+            pa.string())
         self._kernels: "dict[int, ColumnKernel] | None" = None
 
     def _kernel(self, epoch: int) -> ColumnKernel:
@@ -260,6 +277,28 @@ class NormalizeStage:
             "ts": ts,
             **extra_cols,
         }
+        # ---- commit-time expectations (post-normalization: constraints see
+        # renamed roles, parsed ts); same abort / drop / quarantine tiers
+        drop_mask = None
+        if self.constraints:
+            ctable = pa.table(cols)
+            for i, c in enumerate(self.constraints):
+                viol = c.violations(ctable)
+                n_v = int(viol.sum())
+                if not n_v:
+                    continue
+                if self.stop_on_invalid:
+                    raise CastError(
+                        f"{n_v} change event(s) violate constraint "
+                        f"{c.name} on column {c.column!r}")
+                if self.dlq:
+                    codes[viol & (codes == 0)] = 4 + i
+                else:
+                    logger.warning(
+                        "dropping %d change event(s) violating "
+                        "constraint %s", n_v, c.name)
+                    drop_mask = viol if drop_mask is None \
+                        else (drop_mask | viol)
         if self.dlq:
             code_arr = pa.array(codes)
             clean = pc.equal(code_arr, 0)
@@ -272,8 +311,11 @@ class NormalizeStage:
             epoch_col = batch.column("schema_epoch").cast(pa.int32())
             cols["schema_epoch"] = pc.if_else(
                 clean, pa.scalar(None, pa.int32()), epoch_col)
-            cols["dlq_reason"] = pc.take(_DLQ_REASONS, code_arr)
-        return pa.table(cols)
+            cols["dlq_reason"] = pc.take(self._reasons, code_arr)
+        out = pa.table(cols)
+        if drop_mask is not None:
+            out = out.filter(pa.array(~drop_mask))
+        return out
 
     def _empty_out(self, batch: pa.Table) -> pa.Table:
         cols = {
@@ -1139,8 +1181,15 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
         by_turn=(pipelines[t].partition_mode == "turn"),
         salt_keys=pipelines[t].salt_keys,
         salt_factor=pipelines[t].salt_factor) for t in names}
-    normalize = NormalizeStage(first.epoch_specs, low_watermark=low,
-                               stop_on_invalid=first.stop_on_invalid)
+    # constraints are PER LAKE (each table adopts / replaces its own
+    # committed set), so normalization runs one stage per table subset —
+    # route() already splits the batch per table before normalizing
+    normalizers = {t: NormalizeStage(
+        first.epoch_specs, low_watermark=low,
+        stop_on_invalid=first.stop_on_invalid,
+        constraints=pipelines[t].effective_constraints(manifests[t]))
+        for t in names}
+    normalize = normalizers[names[0]]  # _empty_out shape (shared schema)
     combiner = PreMergeCombiner()
     idx_of = {t: i for i, t in enumerate(names)}
     known = pa.array(names)
@@ -1161,7 +1210,7 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
             sub = batch.filter(pc.equal(tags, t))
             if sub.num_rows == 0:
                 continue
-            sub = normalize(sub.drop_columns([table_col]))
+            sub = normalizers[t](sub.drop_columns([table_col]))
             if sub.num_rows == 0:
                 continue
             sub = combiner(stages[t](sub))
@@ -1246,6 +1295,10 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
         }
         if manifest.get("dlq"):
             new_manifest["dlq"] = manifest["dlq"]
+        # each lake records ITS enforced expectations (durable properties)
+        if normalizers[t].constraints:
+            new_manifest["constraints"] = [
+                c.to_json() for c in normalizers[t].constraints]
         carry_lsn_ceiling(manifest, new_manifest)
         mf.commit_manifest(pipelines[t].lake_dir, new_manifest,
                            retain_history=pipelines[t].time_travel_retain,
@@ -1301,7 +1354,8 @@ class CDCPipeline:
                  salt_factor: int = 8,
                  time_travel_retain: int = mf.DEFAULT_RETAIN_HISTORY,
                  dlq: bool = False,
-                 auto_compact_deltas: "int | None" = None):
+                 auto_compact_deltas: "int | None" = None,
+                 constraints: "tuple | list | None" = None):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.epoch_specs = epoch_specs
@@ -1352,6 +1406,11 @@ class CDCPipeline:
         if auto_compact_deltas is not None and auto_compact_deltas < 1:
             raise ValueError("auto_compact_deltas must be ≥ 1")
         self.auto_compact_deltas = auto_compact_deltas
+        # commit-time expectations (pipelines/constraints.py).  None =
+        # adopt whatever the lake manifest has committed (constraints are
+        # durable lake properties); an explicit tuple/list REPLACES the
+        # committed set on the next apply (empty tuple drops them).
+        self.constraints = None if constraints is None else tuple(constraints)
         # test seam: called between merge and commit (OCC interleaving tests)
         self._pre_commit_hook = None
 
@@ -1414,6 +1473,15 @@ class CDCPipeline:
                     f"to merge under a different partition layout (would "
                     f"silently duplicate keys). Recreate the lake or match "
                     f"the committed config.")
+
+    def effective_constraints(self, manifest: "dict") -> "tuple":
+        """The constraint set this apply enforces: the pipeline's explicit
+        list when given, else the lake's committed one (durability — a
+        maintenance or tail job never has to restate the expectations the
+        lake was created with)."""
+        if self.constraints is not None:
+            return self.constraints
+        return constraints_from_manifest(manifest)
 
     def resume_lsn(self) -> int:
         """Global low-watermark: a binlog tailer can seek to `resume_lsn()+1`
@@ -1549,18 +1617,21 @@ class CDCPipeline:
             applier = MergeApplier(self.lake_dir, txn_id, partition_meta,
                                    replay_filter=not _reprocess)
 
+        constraints = self.effective_constraints(manifest)
         norm_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
         if self.normalize_concurrency is not None:
             ds = events_ds.map_batches(
                 NormalizeStage,
                 fn_constructor_kwargs=dict(
                     epoch_specs=self.epoch_specs, low_watermark=low,
-                    stop_on_invalid=self.stop_on_invalid, dlq=self.dlq),
+                    stop_on_invalid=self.stop_on_invalid, dlq=self.dlq,
+                    constraints=constraints),
                 concurrency=self.normalize_concurrency, **norm_kwargs)
         else:
             normalize = NormalizeStage(self.epoch_specs, low_watermark=low,
                                        stop_on_invalid=self.stop_on_invalid,
-                                       dlq=self.dlq)
+                                       dlq=self.dlq,
+                                       constraints=constraints)
             ds = events_ds.map_batches(normalize, **norm_kwargs)
         if self.dlq:
             # quarantined rows (possibly NULL conv_id/turn_idx) must not hit
@@ -1652,6 +1723,10 @@ class CDCPipeline:
         }
         if dlq_entries:
             new_manifest["dlq"] = dlq_entries
+        # expectations are durable lake properties: record the enforced set
+        # (an explicit pipeline list replaces the committed one; empty drops)
+        if constraints:
+            new_manifest["constraints"] = [c.to_json() for c in constraints]
         carry_lsn_ceiling(manifest, new_manifest)
         if self._pre_commit_hook is not None:
             self._pre_commit_hook()  # test seam: interleave a competing commit
@@ -1743,6 +1818,7 @@ class CDCPipeline:
             # quarantine files are layout-independent (append-only, never
             # keyed) — carry them across the repartition untouched
             new_manifest["dlq"] = manifest["dlq"]
+        carry_constraints(manifest, new_manifest)
         # Watermarks reset to the global LOW (the only sound value — a new
         # partition mixes keys from old partitions with different
         # watermarks), but the rows legitimately carry lsns up to the old
@@ -1856,6 +1932,7 @@ class CDCPipeline:
             }
             if manifest.get("dlq"):
                 new_manifest["dlq"] = manifest["dlq"]
+            carry_constraints(manifest, new_manifest)
             carry_lsn_ceiling(manifest, new_manifest)
             if self._pre_commit_hook is not None:
                 self._pre_commit_hook()  # test seam: interleave a commit
@@ -1989,6 +2066,7 @@ class CDCPipeline:
             }
             if manifest.get("dlq"):
                 new_manifest["dlq"] = manifest["dlq"]
+            carry_constraints(manifest, new_manifest)
             carry_lsn_ceiling(manifest, new_manifest)
             if self._pre_commit_hook is not None:
                 self._pre_commit_hook()  # test seam
@@ -2110,6 +2188,12 @@ class CDCPipeline:
             **merge_schema_entries(manifest, [
                 r.get("schema_ipc") or "" for r in rows]),
         }
+        if self.constraints:
+            # snapshot rows bypass normalization (they are trusted table
+            # state, not binlog events) — the bootstrap only RECORDS the
+            # expectations so the stream tail that follows enforces them
+            new_manifest["constraints"] = [
+                c.to_json() for c in self.constraints]
         mf.commit_manifest(self.lake_dir, new_manifest,
                            retain_history=self.time_travel_retain,
                            expected_version=0)
@@ -2899,7 +2983,14 @@ class CDCPipeline:
         * **ordering** (WARNING tier, not a violation): base and delta
           files sorted by the merge key — reads stay correct without it,
           but point-lookup row-group pruning loses selectivity; lakes
-          written before the uniform-ordering change surface here.
+          written before the uniform-ordering change surface here;
+        * **constraints**: the manifest's committed expectations
+          (pipelines/constraints.py) re-checked against each partition's
+          FOLDED live state — ingest enforces them on events, but
+          ``transform_lake`` (whose contract guards keys/lsns, not
+          values) or a pre-constraint backlog can smuggle violations into
+          committed files.  ``not_null`` is skipped here: widen-only
+          evolution legitimately reads NULL for pre-evolution rows.
 
         Returns ``{"partitions_checked": n, "rows_checked": n,
         "violations": [...], "warnings": [...]}`` — an empty violations
@@ -2918,6 +3009,7 @@ class CDCPipeline:
         # until every watermark ratchets past it (carry_lsn_ceiling)
         ceiling = int(manifest.get("lsn_ceiling", -1))
         allowed_types = _manifest_types(manifest)
+        constraints = constraints_from_manifest(manifest)
         items = []
         for pid, p in manifest["partitions"].items():
             if not p.get("path") and not p.get("deltas"):
@@ -2991,6 +3083,8 @@ class CDCPipeline:
                                      "another partition under the "
                                      "committed layout")
 
+                base = None
+                deltas = []
                 if row["base"]:
                     base = pq.read_table(os.path.join(lake_dir, row["base"]))
                     rows_seen += base.num_rows
@@ -2998,7 +3092,19 @@ class CDCPipeline:
                 for d in row["deltas"]:
                     t = pq.read_table(os.path.join(lake_dir, d))
                     rows_seen += t.num_rows
+                    deltas.append(t)
                     check_file(t, f"delta file {os.path.basename(d)}")
+                if constraints and (base is not None or deltas):
+                    # committed expectations re-checked on the folded live
+                    # view (no ``op`` column → value kinds only, not_null
+                    # skipped — see Constraint.violations)
+                    live = fold_partition_state(base, deltas)
+                    for c in constraints:
+                        n_v = int(c.violations(live).sum())
+                        if n_v:
+                            probs.append(
+                                f"{n_v} live row(s) violate committed "
+                                f"constraint {c.name}")
                 out.append({"pid": pid, "rows": rows_seen,
                             "violations": "; ".join(probs),
                             "warnings": "; ".join(warns)})
@@ -3071,6 +3177,10 @@ class CDCPipeline:
             "delta_files": delta_files,
             "delta_rows": delta_rows,
             "retained_versions": len(mf.list_versions(self.lake_dir)),
+            # committed commit-time expectations (constraint names; the
+            # full specs live in the manifest)
+            "constraints": [c.get("name", "")
+                            for c in manifest.get("constraints", [])],
         }
 
     def _manifest_dataset(self, manifest: "dict", columns=None):

@@ -1,0 +1,211 @@
+"""Commit-time data-quality constraints (Delta-Lake-style CHECK
+expectations) for the CDC lake.
+
+A :class:`Constraint` is a small declarative check over the NORMALIZED
+change event (so role renames and ts parsing have already happened when it
+runs — a ``ts between`` constraint sees the parsed timestamp, a ``role
+in_set`` constraint sees the unified enum).  Enforcement lives in
+``NormalizeStage`` and follows the same three error tiers as the
+reference's C10 surface (``stop_on_invalid_record``,
+/root/reference/src/main/java/org/embulk/filter/timestamp_format/
+TimestampFormatFilterPlugin.java:64, extended one tier like the DLQ):
+
+* ``stop_on_invalid=True``  → the batch aborts on the first violation;
+* default                   → violating events are DROPPED with a warning;
+* ``dlq=True``              → violating events are QUARANTINED with reason
+  ``constraint:<name>`` — healable by relaxing the constraint on the
+  pipeline handle and running ``reprocess_dlq()``.
+
+Semantics (SQL CHECK + CDC op scoping):
+
+* a NULL value PASSES every value constraint (``in_set`` / ``between`` /
+  ``matches``) — standard SQL CHECK semantics, which also makes patch
+  events ("NULL = unchanged") and pre-evolution padding behave correctly
+  for free;
+* ``not_null`` is checked only on full-payload upserts: a patch that
+  leaves the column unchanged asserts nothing about it;
+* payload-free ops (``delete`` / ``delete_conv``) are exempt from every
+  check — the merge ignores their value columns anyway.
+
+Constraints are DURABLE lake properties, not job flags: the first
+constrained apply records them in the manifest, and any later writer
+constructed without an explicit ``constraints=`` argument adopts the
+committed list (pass an explicit empty tuple to drop them).  ``fsck``
+re-checks the value-kind constraints against every partition's FOLDED
+live state (``not_null`` is ingest-scoped: evolution padding legitimately
+reads NULL), catching violations smuggled in by ``transform_lake`` — whose
+contract guards keys and lsns, not values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: ops that carry a full value payload — ``not_null`` applies only here
+UPSERT_OPS = ("upsert",)
+#: ops that carry no value payload at all — exempt from every check
+PAYLOAD_FREE_OPS = ("delete", "delete_conv")
+
+KINDS = ("not_null", "in_set", "between", "matches")
+
+
+def _bound_scalar(v: str, typ: pa.DataType) -> pa.Scalar:
+    """Cast a between-bound string to the column's type lazily.  A bare
+    zone-less timestamp bound against a tz-aware column reads as UTC (the
+    lake's canonical zone, functions/zones.py precedence)."""
+    if pa.types.is_timestamp(typ) and typ.tz is not None:
+        try:
+            return pa.scalar(v).cast(typ)
+        except pa.lib.ArrowInvalid:
+            naive = pa.scalar(v).cast(pa.timestamp(typ.unit))
+            return pc.assume_timezone(naive, typ.tz)
+    return pa.scalar(v).cast(typ)
+
+
+@dataclasses.dataclass(frozen=True)
+class Constraint:
+    """One declarative check on one column of the normalized event."""
+
+    column: str
+    kind: str
+    values: "tuple[str, ...]" = ()      # in_set membership
+    lo: "str | None" = None             # between bounds (inclusive), cast
+    hi: "str | None" = None             # to the column's Arrow type lazily
+    name: str = ""
+
+    def __post_init__(self):
+        if self.kind not in KINDS:
+            raise ValueError(f"unknown constraint kind {self.kind!r}; "
+                             f"one of {KINDS}")
+        if self.kind == "in_set" and not self.values:
+            raise ValueError(f"in_set constraint on {self.column!r} needs "
+                             "at least one value")
+        if self.kind == "between" and self.lo is None and self.hi is None:
+            raise ValueError(f"between constraint on {self.column!r} needs "
+                             "a lo and/or hi bound")
+        if self.kind == "matches":
+            if not self.values or len(self.values) != 1:
+                raise ValueError(f"matches constraint on {self.column!r} "
+                                 "needs exactly one regex")
+            try:
+                re.compile(self.values[0])  # fail fast on a bad pattern
+            except re.error as e:
+                raise ValueError(f"matches constraint on {self.column!r}: "
+                                 f"bad regex {self.values[0]!r}: {e}") from e
+        if not self.name:
+            object.__setattr__(self, "name", f"{self.column}_{self.kind}")
+
+    # ------------------------------------------------------------- evaluate
+    def _value_violations(self, col) -> "pa.BooleanArray":
+        """Per-row violation of the VALUE rule alone (no op scoping).
+        NULL passes everything except not_null (SQL CHECK semantics)."""
+        if self.kind == "not_null":
+            return pc.is_null(col)
+        valid = pc.is_valid(col)
+        if self.kind == "in_set":
+            ok = pc.is_in(col, value_set=pa.array(list(self.values),
+                                                  type=col.type))
+        elif self.kind == "between":
+            ok = pa.array(np.ones(len(col), dtype=bool))
+            if self.lo is not None:
+                ok = pc.and_(ok, pc.greater_equal(
+                    col, _bound_scalar(self.lo, col.type)))
+            if self.hi is not None:
+                ok = pc.and_(ok, pc.less_equal(
+                    col, _bound_scalar(self.hi, col.type)))
+        else:  # matches
+            ok = pc.match_substring_regex(col, self.values[0])
+        return pc.and_(valid, pc.invert(pc.fill_null(ok, True)))
+
+    def violations(self, table: pa.Table) -> np.ndarray:
+        """Boolean violation mask over ``table`` (True = row violates).
+
+        ``table`` is a normalized-event table when it has an ``op`` column
+        (op scoping applies); a folded lake-state table otherwise (every
+        row is live data — fsck's view, where ``not_null`` is skipped
+        because pre-evolution padding legitimately reads NULL)."""
+        n = table.num_rows
+        if self.column not in table.schema.names:
+            col = pa.nulls(n, pa.string())
+        else:
+            col = table.column(self.column)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_null(col.type):
+                col = col.cast(pa.string())
+        if "op" not in table.schema.names:
+            if self.kind == "not_null":
+                return np.zeros(n, dtype=bool)
+            return np.asarray(self._value_violations(col))
+        op = table.column("op")
+        if self.kind == "not_null":
+            scope = pc.is_in(op, value_set=pa.array(list(UPSERT_OPS)))
+        else:
+            scope = pc.invert(pc.is_in(
+                op, value_set=pa.array(list(PAYLOAD_FREE_OPS))))
+        scope = pc.fill_null(scope, False)
+        return np.asarray(pc.and_(scope, self._value_violations(col)))
+
+    # ----------------------------------------------------------- round-trip
+    def to_json(self) -> dict:
+        out = {"column": self.column, "kind": self.kind, "name": self.name}
+        if self.values:
+            out["values"] = list(self.values)
+        if self.lo is not None:
+            out["lo"] = self.lo
+        if self.hi is not None:
+            out["hi"] = self.hi
+        return out
+
+    @classmethod
+    def from_json(cls, j: dict) -> "Constraint":
+        return cls(column=j["column"], kind=j["kind"],
+                   values=tuple(j.get("values", ())),
+                   lo=j.get("lo"), hi=j.get("hi"), name=j.get("name", ""))
+
+
+def parse_constraint(spec: str) -> Constraint:
+    """CLI surface: ``col:not_null`` | ``col:in:a,b,c`` |
+    ``col:between:lo,hi`` (empty side = unbounded) | ``col:matches:regex``
+    (the regex may itself contain colons/commas)."""
+    parts = spec.split(":", 2)
+    if len(parts) < 2:
+        raise ValueError(f"constraint spec {spec!r}: want col:kind[:args]")
+    column, kind = parts[0].strip(), parts[1].strip()
+    arg = parts[2] if len(parts) == 3 else ""
+    if kind == "not_null":
+        if arg:
+            raise ValueError(f"not_null takes no argument: {spec!r}")
+        return Constraint(column, "not_null")
+    if kind in ("in", "in_set"):
+        vals = tuple(v.strip() for v in arg.split(",") if v.strip())
+        return Constraint(column, "in_set", values=vals)
+    if kind == "between":
+        bounds = arg.split(",")
+        if len(bounds) != 2:
+            raise ValueError(f"between wants lo,hi (either may be empty): "
+                             f"{spec!r}")
+        lo = bounds[0].strip() or None
+        hi = bounds[1].strip() or None
+        return Constraint(column, "between", lo=lo, hi=hi)
+    if kind == "matches":
+        return Constraint(column, "matches", values=(arg,))
+    raise ValueError(f"unknown constraint kind {kind!r} in {spec!r}")
+
+
+def constraints_from_manifest(manifest: dict) -> "tuple[Constraint, ...]":
+    return tuple(Constraint.from_json(j)
+                 for j in manifest.get("constraints", []))
+
+
+def carry_constraints(manifest: dict, new_manifest: dict) -> None:
+    """Maintenance commits (compaction / repartition / transform / fan-out)
+    carry the committed constraint list forward untouched; applies record
+    the pipeline's effective list themselves."""
+    if manifest.get("constraints") and "constraints" not in new_manifest:
+        new_manifest["constraints"] = manifest["constraints"]

@@ -185,6 +185,18 @@ def main() -> None:
                          "throughput measures the ENGINE, not repeated "
                          "stream generation (the generator re-runs per "
                          "batch otherwise)")
+    ap.add_argument("--constraint", action="append", default=[],
+                    metavar="SPEC",
+                    help="commit-time expectation on the normalized event "
+                         "(repeatable): col:not_null | col:in:a,b,c | "
+                         "col:between:lo,hi | col:matches:regex.  Violations "
+                         "drop with a warning, or quarantine under --dlq.  "
+                         "Durable: recorded in the manifest and enforced by "
+                         "every later writer until replaced; omit the flag "
+                         "to adopt the committed set")
+    ap.add_argument("--drop-constraints", action="store_true",
+                    help="replace the lake's committed constraint set with "
+                         "an empty one on the next commit")
     ap.add_argument("--exchange", choices=("dataset", "actor"),
                     default="dataset",
                     help="partition exchange for the merge: 'dataset' = Ray "
@@ -209,11 +221,26 @@ def main() -> None:
             poison_events,
         )
 
+        if args.constraint and args.drop_constraints:
+            raise SystemExit("--constraint and --drop-constraints are "
+                             "contradictory")
+        from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+            parse_constraint,
+        )
+
+        # None = adopt the lake's committed set; an explicit list (or the
+        # empty tuple from --drop-constraints) replaces it on commit
+        constraints = None
+        if args.constraint:
+            constraints = tuple(parse_constraint(s) for s in args.constraint)
+        elif args.drop_constraints:
+            constraints = ()
         try:
             # an existing lake's committed layout is adopted; an EXPLICIT
             # mismatching --partitions is refused (the frozen-layout rule —
             # merging under a different layout silently duplicates keys)
-            pipe = CDCPipeline.from_lake(args.lake, dlq=args.dlq)
+            pipe = CDCPipeline.from_lake(args.lake, dlq=args.dlq,
+                                         constraints=constraints)
             if args.partitions is not None \
                     and args.partitions != pipe.num_partitions:
                 raise SystemExit(
@@ -231,7 +258,8 @@ def main() -> None:
             pipe = CDCPipeline(args.lake,
                                num_partitions=args.partitions or 128,
                                partition_mode=args.partition_mode,
-                               dlq=args.dlq)
+                               dlq=args.dlq,
+                               constraints=constraints)
 
         def poison(ds):
             # with --heal-dlq, a third poison band carries a valid-but-
