@@ -479,6 +479,37 @@ def q_cdc_constraints(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_retention(sf_dir: str):
+    """Distributed DELETE WHERE (pipelines/cdc.py delete_where — the
+    retention/TTL tier, SQL DELETE analog): the 20k-event binlog is
+    applied, then every live row with ``turn_idx >= 30`` is removed as one
+    exactly-once fold→filter→rewrite commit (no tombstones, watermarks
+    unchanged, delta backlogs folded).  Final lake state == the flagship
+    argmax-LSN fold restricted to surviving turn indexes, which is what
+    the SQL oracle computes."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_ret_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(change_events(20_000, seed=42, parallelism=16))
+    expired = parse_constraint("turn_idx:between:30,")
+    pipe.delete_where(expired.matches)
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_cdc_ret_out_{run}")
+    pipe.write_sorted(out_dir)
+    final = ray.data.read_parquet(out_dir)
+    return final.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_heal(sf_dir: str):
     """Self-healing DLQ loop, end to end: the 20k-event binlog is poisoned
     in THREE bands (changegen.poison_batch, permille=20 + unknown-epoch
@@ -2647,6 +2678,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_dlq": q_cdc_dlq,
         "cdc_constraints": q_cdc_constraints,
+        "cdc_retention": q_cdc_retention,
         "cdc_heal": q_cdc_heal,
         "cdc_tail": q_cdc_tail,
         "cdc_bootstrap": q_cdc_bootstrap,
@@ -2880,6 +2912,17 @@ def oracle_sql() -> "dict[str, str]":
             "from kept) "
             "select conv_id, turn_idx, role, text, tool, lsn "
             "from ranked where rn = 1 and op <> 'delete'",
+        # DELETE WHERE turn_idx >= 30 on folded state: the flagship fold
+        # restricted to surviving turn indexes (turn_idx is part of the
+        # merge key, so pre- vs post-fold filtering is equivalent)
+        "cdc_retention":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete' and turn_idx < 30",
         # Self-heal: the two unhealable poison bands (lsn&1023 < 20) stay
         # quarantined; everything else — including the healed epoch-7 band
         # (20–29) — lands in the lake, so the fold simply excludes band<20

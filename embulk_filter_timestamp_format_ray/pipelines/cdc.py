@@ -1980,6 +1980,80 @@ class CDCPipeline:
         * Time travel: the pre-transform version stays readable within
           ``time_travel_retain``; ``rollback`` undoes a bad transform.
         """
+        def checked(state: pa.Table, pid: int) -> pa.Table:
+            out = fn(state)
+            _check_transform_contract(state, out, pid)
+            return out
+
+        res = self._rewrite_lake(checked, "transform",
+                                 max_commit_retries=max_commit_retries)
+        if res is None:
+            return {"version": mf.read_manifest(self.lake_dir)
+                    .get("version", 0),
+                    "partitions_transformed": 0, "rows": 0}
+        return {"txn": res["txn"], "version": res["version"],
+                "partitions_transformed": res["partitions"],
+                "rows": res["rows"]}
+
+    def delete_where(self, predicate, max_commit_retries: int = 2) -> "dict":
+        """Distributed DELETE WHERE (retention / TTL / row-level erasure):
+        remove every live row ``predicate`` selects, as ONE exactly-once
+        commit — the generalization of the conversation tombstone to
+        arbitrary predicates (SQL ``DELETE WHERE``; the retention job that
+        drops rows past their TTL on a 100-TB lake).
+
+        ``predicate``: Arrow table (one partition's FOLDED live state) →
+        boolean mask (numpy or pyarrow, True = delete).  Evaluated
+        distributed, one fold→filter→rewrite task per partition with data.
+
+        Semantics:
+
+        * survivors are byte-identical — only removal; value edits go
+          through ``transform_lake``, inserts through the binlog;
+        * watermarks unchanged (no binlog events applied); rewritten
+          partitions' delta backlogs fold and clear (a delete_where is
+          also a compaction by construction);
+        * NO tombstones are written: a deleted key is simply absent, so a
+          LATER event (lsn above the watermark) legitimately re-inserts
+          it, while replays at or below the watermark stay pruned as
+          always.  Use conversation tombstones (``delete_conv``) when
+          later replays of the key must stay dead (GDPR erasure);
+        * the change feed (fold diff between versions) reports the removed
+          rows as deletes; the pre-delete version stays time-travel
+          readable within ``time_travel_retain`` and ``rollback`` restores
+          it (retention + time travel interact exactly as in Delta: the
+          rows are gone from HEAD, not from retained history).
+        """
+        def drop(state: pa.Table, pid: int) -> pa.Table:
+            mask = np.asarray(predicate(state))
+            if mask.dtype != np.bool_ or mask.shape != (state.num_rows,):
+                raise ValueError(
+                    f"delete_where predicate must return a boolean mask of "
+                    f"length {state.num_rows} for partition {pid}; got "
+                    f"dtype {mask.dtype}, shape {mask.shape}")
+            return state.filter(pa.array(~mask))
+
+        res = self._rewrite_lake(drop, "delete",
+                                 max_commit_retries=max_commit_retries)
+        if res is None:
+            return {"version": mf.read_manifest(self.lake_dir)
+                    .get("version", 0),
+                    "partitions_rewritten": 0, "rows": 0, "rows_deleted": 0}
+        return {"txn": res["txn"], "version": res["version"],
+                "partitions_rewritten": res["partitions"],
+                "rows": res["rows"],
+                "rows_deleted": res["rows_before"] - res["rows"]}
+
+    def _rewrite_lake(self, state_fn, lineage_flag: str,
+                      max_commit_retries: int = 2) -> "dict | None":
+        """Shared machinery for the maintenance ops that rewrite live
+        state in place (``transform_lake`` / ``delete_where``): one
+        fold→``state_fn(state, pid)``→rewrite task per partition with
+        data, then ONE OCC manifest commit that clears the folded delta
+        lists and leaves watermarks unchanged.  Returns None when the lake
+        has no data, else ``{txn, version, partitions, rows, rows_before}``.
+        Retries the whole pass when a concurrent commit + GC collects the
+        fold inputs mid-rewrite, or when the commit loses the OCC race."""
         import ray.data
 
         for attempt in range(max_commit_retries + 1):
@@ -1988,8 +2062,7 @@ class CDCPipeline:
             todo = {pid: p for pid, p in manifest["partitions"].items()
                     if p.get("path") or p.get("deltas")}
             if not todo:
-                return {"version": manifest.get("version", 0),
-                        "partitions_transformed": 0, "rows": 0}
+                return None
             txn_id = uuid.uuid4().hex[:12]
             lake_dir = self.lake_dir
             types = _manifest_types(manifest)
@@ -1998,7 +2071,7 @@ class CDCPipeline:
                       if p.get("deltas") else []}
                      for pid, p in todo.items()]
 
-            def transform_part(batch: pa.Table) -> pa.Table:
+            def rewrite_part(batch: pa.Table) -> pa.Table:
                 outs = []
                 for row in batch.to_pylist():  # metadata tier (≤P rows)
                     base = pq.read_table(
@@ -2007,8 +2080,7 @@ class CDCPipeline:
                     deltas = [pq.read_table(os.path.join(lake_dir, d))
                               for d in row["deltas"]]
                     state = fold_partition_state(base, deltas, types=types)
-                    out = fn(state)
-                    _check_transform_contract(state, out, row["pid"])
+                    out = state_fn(state, row["pid"])
                     rel = ""
                     if out.num_rows:
                         out = sort_by_merge_key(out)
@@ -2021,15 +2093,17 @@ class CDCPipeline:
                                        row_group_size=LAKE_ROW_GROUP_ROWS)
                     outs.append({"pid": row["pid"], "path": rel,
                                  "rows": out.num_rows,
+                                 "rows_before": state.num_rows,
                                  "schema_ipc": extras_schema_b64(out)})
                 return pa.Table.from_pylist(outs, schema=pa.schema([
                     ("pid", pa.int64()), ("path", pa.string()),
-                    ("rows", pa.int64()), ("schema_ipc", pa.string())]))
+                    ("rows", pa.int64()), ("rows_before", pa.int64()),
+                    ("schema_ipc", pa.string())]))
 
             try:
                 rows = ray.data.from_items(
                     items, override_num_blocks=len(items)).map_batches(
-                        transform_part, batch_format="pyarrow",
+                        rewrite_part, batch_format="pyarrow",
                         zero_copy_batch=True).take_all()
             except Exception as e:
                 # a concurrent commit + GC can collect our fold inputs
@@ -2037,9 +2111,10 @@ class CDCPipeline:
                 if attempt == max_commit_retries or not _vanished_txn_input(e):
                     raise
                 logger.warning(
-                    "transform inputs on %s vanished under a concurrent "
+                    "%s inputs on %s vanished under a concurrent "
                     "commit; retrying against the fresh manifest (%d/%d)",
-                    self.lake_dir, attempt + 1, max_commit_retries)
+                    lineage_flag, self.lake_dir,
+                    attempt + 1, max_commit_retries)
                 continue
             partitions = dict(manifest["partitions"])
             for r in rows:
@@ -2047,7 +2122,7 @@ class CDCPipeline:
                 prev = partitions[pid]
                 lineage = list(prev.get("lineage", []))
                 lineage.append({"txn": txn_id, "events_applied": 0,
-                                "transform": True})
+                                lineage_flag: True})
                 partitions[pid] = {
                     "path": r["path"] or None, "rows": int(r["rows"]),
                     "last_applied_lsn": int(prev.get("last_applied_lsn",
@@ -2078,15 +2153,17 @@ class CDCPipeline:
                 if attempt == max_commit_retries:
                     raise
                 logger.warning(
-                    "concurrent commit during transform on %s; retrying "
+                    "concurrent commit during %s on %s; retrying "
                     "against the fresh manifest (%d/%d)",
-                    self.lake_dir, attempt + 1, max_commit_retries)
+                    lineage_flag, self.lake_dir,
+                    attempt + 1, max_commit_retries)
                 continue
             if self.auto_gc:
                 mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
             return {"txn": txn_id, "version": new_manifest["version"],
-                    "partitions_transformed": len(rows),
-                    "rows": sum(int(r["rows"]) for r in rows)}
+                    "partitions": len(rows),
+                    "rows": sum(int(r["rows"]) for r in rows),
+                    "rows_before": sum(int(r["rows_before"]) for r in rows)}
 
     def bootstrap(self, snapshot_ds, snapshot_lsn: int) -> "dict":
         """Initial load → stream handoff (the Debezium snapshot pattern):

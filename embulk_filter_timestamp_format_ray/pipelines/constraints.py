@@ -151,6 +151,27 @@ class Constraint:
         scope = pc.fill_null(scope, False)
         return np.asarray(pc.and_(scope, self._value_violations(col)))
 
+    def matches(self, table: pa.Table) -> np.ndarray:
+        """Boolean mask of rows whose column value SATISFIES the value
+        rule (no op scoping; NULL never matches; ``not_null`` matches
+        non-null rows).  This is the row-selection surface — e.g.
+        ``delete_where``'s CLI spec: ``role:in:tool`` selects tool rows,
+        ``ts:between:,2024-01-01`` selects rows at or before a retention
+        cutoff."""
+        n = table.num_rows
+        if self.column not in table.schema.names:
+            return np.zeros(n, dtype=bool)
+        col = table.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        valid = pc.is_valid(col)
+        if self.kind == "not_null":
+            return np.asarray(valid)
+        return np.asarray(pc.and_(valid,
+                                  pc.invert(self._value_violations(col))))
+
     # ----------------------------------------------------------- round-trip
     def to_json(self) -> dict:
         out = {"column": self.column, "kind": self.kind, "name": self.name}

@@ -197,6 +197,14 @@ def main() -> None:
     ap.add_argument("--drop-constraints", action="store_true",
                     help="replace the lake's committed constraint set with "
                          "an empty one on the next commit")
+    ap.add_argument("--delete-where", action="append", default=[],
+                    metavar="SPEC",
+                    help="distributed DELETE (retention/TTL): remove live "
+                         "rows matching the spec (same grammar as "
+                         "--constraint; repeatable = OR) as one exactly-"
+                         "once commit — e.g. ts:between:,2024-01-01 drops "
+                         "rows at or before the cutoff.  Standalone with "
+                         "--events 0; no tombstones, watermarks unchanged")
     ap.add_argument("--exchange", choices=("dataset", "actor"),
                     default="dataset",
                     help="partition exchange for the merge: 'dataset' = Ray "
@@ -383,6 +391,22 @@ def main() -> None:
             print(json.dumps({"lake": args.lake, "repartition": res,
                               "rows": pipe.read_lake().count()}))
             return
+        if args.delete_where:
+            import numpy as _np
+
+            specs = [parse_constraint(s) for s in args.delete_where]
+
+            def selected(state):
+                m = _np.zeros(state.num_rows, dtype=bool)
+                for c in specs:
+                    m |= c.matches(state)
+                return m
+
+            res = pipe.delete_where(selected)
+            print(json.dumps({"lake": args.lake, "delete_where":
+                              args.delete_where, **res}))
+            if args.events == 0:
+                return
         if args.rollback_to is not None:
             res = pipe.rollback(args.rollback_to)
             print(json.dumps({"lake": args.lake, "rollback": res,
