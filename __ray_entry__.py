@@ -479,6 +479,42 @@ def q_cdc_constraints(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_enriched(sf_dir: str):
+    """Ingest-time dimension enrichment (the Debezium → enrich → sink
+    shape): the raw change stream is broadcast-joined (stages/relational.py
+    broadcast_join — dim shipped ONCE via ray.put, probed per batch)
+    against a small role→channel dimension BEFORE apply; the enriched
+    column rides through normalization as an evolved event column and
+    widens the lake schema (widen-only evolution), so final state carries
+    it with no lake-side code.  Oracle: the flagship argmax-LSN fold with
+    the dimension applied as a CASE over the renamed role."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.sources.changegen import change_events
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        broadcast_join,
+    )
+
+    dim = pa.table({
+        "role": ["human", "user", "ai", "assistant", "system", "tool"],
+        "channel": ["web", "web", "model", "model", "platform", "platform"],
+    })
+    run = uuid.uuid4().hex[:8]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_enr_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    ev = broadcast_join(change_events(20_000, seed=42, parallelism=16),
+                        dim, on="role", how="left outer")
+    pipe.apply(ev)
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_cdc_enr_out_{run}")
+    pipe.write_sorted(out_dir)
+    final = ray.data.read_parquet(out_dir)
+    return final.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "channel",
+                            "text", "tool", "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_retention(sf_dir: str):
     """Distributed DELETE WHERE (pipelines/cdc.py delete_where — the
     retention/TTL tier, SQL DELETE analog): the 20k-event binlog is
@@ -2679,6 +2715,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_dlq": q_cdc_dlq,
         "cdc_constraints": q_cdc_constraints,
         "cdc_retention": q_cdc_retention,
+        "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
         "cdc_tail": q_cdc_tail,
         "cdc_bootstrap": q_cdc_bootstrap,
@@ -2912,6 +2949,21 @@ def oracle_sql() -> "dict[str, str]":
             "from kept) "
             "select conv_id, turn_idx, role, text, tool, lsn "
             "from ranked where rn = 1 and op <> 'delete'",
+        # Ingest enrichment: the dimension is a pure function of role, so
+        # the fold + a CASE over the renamed role replays the broadcast
+        # join (delete winners are excluded before channel matters)
+        "cdc_enriched":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "renamed as (select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete') "
+            "select conv_id, turn_idx, role, "
+            "case when role = 'user' then 'web' "
+            "when role = 'assistant' then 'model' "
+            "else 'platform' end as channel, text, tool, lsn from renamed",
         # DELETE WHERE turn_idx >= 30 on folded state: the flagship fold
         # restricted to surviving turn indexes (turn_idx is part of the
         # merge key, so pre- vs post-fold filtering is equivalent)
