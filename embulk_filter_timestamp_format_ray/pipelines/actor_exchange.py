@@ -32,6 +32,7 @@ import ray
 from embulk_filter_timestamp_format_ray.pipelines.cdc import (
     LAKE_ROW_GROUP_ROWS,
     MergeApplier,
+    _count_fresh_deletes,
     extras_schema_b64,
     fold_partition_state,
     merge_partition_table,
@@ -111,6 +112,7 @@ class PartitionBufferActor:
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": new_wm, "events_applied": applied,
                 "events_seen": delta.num_rows,
+                "deletes_seen": _count_fresh_deletes(delta, watermark),
                 "schema_ipc": extras_schema_b64(state),
             })
         self.buffers.clear()
@@ -229,6 +231,7 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
     ds = ds.map_batches(exchange.push_stage(), batch_format="pyarrow")
     ds.count()  # drain the push stage
     rows = exchange.finalize(txn_id, partition_meta, delta_mode=delta)
+    pipeline._check_delete_guard(rows)
 
     partitions = dict(manifest["partitions"])
     total_applied = 0

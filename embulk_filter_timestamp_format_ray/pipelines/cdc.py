@@ -949,6 +949,27 @@ def merge_partition_table(delta: pa.Table, prior: "pa.Table | None",
     return live.select(cols), new_watermark, applied
 
 
+class MassDeleteError(ValueError):
+    """Raised by the mass-delete circuit breaker (``max_delete_fraction``)
+    BEFORE the manifest swap — the staged txn files are orphaned and GC
+    reclaims them; nothing commits."""
+
+
+def _count_fresh_deletes(delta: pa.Table, watermark: int) -> int:
+    """Tombstone input for the mass-delete guard: delete-op events above
+    the replay watermark (post-combine winners — the rows that can
+    actually remove state)."""
+    if delta.num_rows == 0:
+        return 0
+    is_del = pc.is_in(delta.column("op"),
+                      value_set=pa.array(["delete", CONV_DELETE_OP]))
+    fresh = pc.greater(delta.column("lsn"),
+                       pa.scalar(watermark, pa.int64()))
+    n = pc.sum(pc.cast(pc.and_(pc.fill_null(is_del, False), fresh),
+                       pa.int64())).as_py()
+    return int(n or 0)
+
+
 class MergeApplier:
     """Per-partition stateful merge applier used via
     ``groupby("_pid").map_groups`` (each group = one partition's delta).
@@ -1020,6 +1041,8 @@ class MergeApplier:
             "pid": pid, "path": rel, "rows": state.num_rows,
             "last_applied_lsn": new_watermark, "events_applied": applied,
             "events_seen": delta.num_rows,
+            "deletes_seen": _count_fresh_deletes(
+                delta, watermark if self.replay_filter else -1),
             "schema_ipc": extras_schema_b64(state),
         })
 
@@ -1028,10 +1051,12 @@ class MergeApplier:
         schema = pa.schema([
             ("pid", pa.int64()), ("path", pa.string()), ("rows", pa.int64()),
             ("last_applied_lsn", pa.int64()), ("events_applied", pa.int64()),
-            ("events_seen", pa.int64()), ("schema_ipc", pa.string()),
+            ("events_seen", pa.int64()), ("deletes_seen", pa.int64()),
+            ("schema_ipc", pa.string()),
         ])
         if row is not None:
             row.setdefault("schema_ipc", "")
+            row.setdefault("deletes_seen", 0)
         rows = [row] if row else []
         return pa.Table.from_pylist(rows, schema=schema)
 
@@ -1081,6 +1106,7 @@ def write_delta_file(lake_dir: str, txn_id: str, pid: int, watermark: int,
         "pid": pid, "path": rel, "rows": winners.num_rows,
         "last_applied_lsn": new_watermark, "events_applied": applied,
         "events_seen": delta.num_rows,
+        "deletes_seen": _count_fresh_deletes(delta, watermark),
         "schema_ipc": extras_schema_b64(winners),
     }
 
@@ -1248,6 +1274,11 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
     rows = ds.groupby("_pid").map_groups(
         merge_group, batch_format="pyarrow").take_all()
 
+    # mass-delete guards run for EVERY lake before ANY lake commits (no
+    # partial fan-out where one tenant committed and another refused)
+    for t in names:
+        pipelines[t]._check_delete_guard(
+            [r for r in rows if r["table"] == t])
     out: "dict[str, dict]" = {}
     for t in names:
         mine = [r for r in rows if r["table"] == t]
@@ -1355,7 +1386,8 @@ class CDCPipeline:
                  time_travel_retain: int = mf.DEFAULT_RETAIN_HISTORY,
                  dlq: bool = False,
                  auto_compact_deltas: "int | None" = None,
-                 constraints: "tuple | list | None" = None):
+                 constraints: "tuple | list | None" = None,
+                 max_delete_fraction: "float | None" = None):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.epoch_specs = epoch_specs
@@ -1411,6 +1443,12 @@ class CDCPipeline:
         # durable lake properties); an explicit tuple/list REPLACES the
         # committed set on the next apply (empty tuple drops them).
         self.constraints = None if constraints is None else tuple(constraints)
+        # mass-delete circuit breaker: refuse a commit whose tombstone share
+        # exceeds this fraction of applied events (None = off)
+        if max_delete_fraction is not None \
+                and not (0.0 < max_delete_fraction <= 1.0):
+            raise ValueError("max_delete_fraction must be in (0, 1]")
+        self.max_delete_fraction = max_delete_fraction
         # test seam: called between merge and commit (OCC interleaving tests)
         self._pre_commit_hook = None
 
@@ -1482,6 +1520,36 @@ class CDCPipeline:
         if self.constraints is not None:
             return self.constraints
         return constraints_from_manifest(manifest)
+
+    def _check_delete_guard(self, rows) -> None:
+        """Mass-delete circuit breaker: abort BEFORE the manifest swap when
+        tombstones exceed ``max_delete_fraction`` of this commit's applied
+        events — the classic CDC accident (an upstream TRUNCATE, a bad
+        producer filter, a replayed erasure job) becomes a refused commit
+        instead of an emptied lake; the staged txn files are orphaned and
+        GC reclaims them.  Intentional purges: raise/clear the threshold on
+        an explicit pipeline, or use ``delete_where`` (which bypasses the
+        binlog entirely).
+
+        Conversation tombstones are REPLICATED to every partition by
+        design, so each erasure counts once per partition here — the guard
+        is deliberately MORE sensitive to erasure storms than to row
+        deletes."""
+        if self.max_delete_fraction is None:
+            return
+        applied = dels = 0
+        for r in rows:
+            if int(r["pid"]) == DLQ_PID:
+                continue
+            applied += int(r["events_applied"])
+            d = r["deletes_seen"] if "deletes_seen" in r else 0
+            dels += int(d or 0)
+        if applied and dels / applied > self.max_delete_fraction:
+            raise MassDeleteError(
+                f"refusing to commit to {self.lake_dir!r}: {dels}/{applied} "
+                f"applied events are tombstones ({dels / applied:.1%} > "
+                f"max_delete_fraction={self.max_delete_fraction}); raise "
+                f"the threshold or purge via delete_where if intentional")
 
     def resume_lsn(self) -> int:
         """Global low-watermark: a binlog tailer can seek to `resume_lsn()+1`
@@ -1661,6 +1729,7 @@ class CDCPipeline:
 
         results = ds.groupby("_pid").map_groups(merge_partition, batch_format="pyarrow")
         rows = results.take_all()  # tiny: ≤ num_partitions manifest rows
+        self._check_delete_guard(rows)
 
         # ---- driver-side atomic commit (write-then-manifest-swap)
         partitions = dict(manifest["partitions"])

@@ -197,6 +197,12 @@ def main() -> None:
     ap.add_argument("--drop-constraints", action="store_true",
                     help="replace the lake's committed constraint set with "
                          "an empty one on the next commit")
+    ap.add_argument("--max-delete-fraction", type=float, default=None,
+                    metavar="F",
+                    help="mass-delete circuit breaker: refuse any commit "
+                         "whose tombstone share exceeds F of applied events "
+                         "(an upstream TRUNCATE / bad producer filter "
+                         "becomes a refused commit, not an emptied lake)")
     ap.add_argument("--delete-where", action="append", default=[],
                     metavar="SPEC",
                     help="distributed DELETE (retention/TTL): remove live "
@@ -247,8 +253,9 @@ def main() -> None:
             # an existing lake's committed layout is adopted; an EXPLICIT
             # mismatching --partitions is refused (the frozen-layout rule —
             # merging under a different layout silently duplicates keys)
-            pipe = CDCPipeline.from_lake(args.lake, dlq=args.dlq,
-                                         constraints=constraints)
+            pipe = CDCPipeline.from_lake(
+                args.lake, dlq=args.dlq, constraints=constraints,
+                max_delete_fraction=args.max_delete_fraction)
             if args.partitions is not None \
                     and args.partitions != pipe.num_partitions:
                 raise SystemExit(
@@ -267,7 +274,8 @@ def main() -> None:
                                num_partitions=args.partitions or 128,
                                partition_mode=args.partition_mode,
                                dlq=args.dlq,
-                               constraints=constraints)
+                               constraints=constraints,
+                               max_delete_fraction=args.max_delete_fraction)
 
         def poison(ds):
             # with --heal-dlq, a third poison band carries a valid-but-
@@ -610,6 +618,17 @@ def main() -> None:
         # the reported version is the manifest's actual head
         out["lake_version"] = mf_version(pipe)
         print(json.dumps(out))
+    except Exception as e:
+        from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+            MassDeleteError,
+        )
+
+        if not isinstance(e, MassDeleteError):
+            raise
+        # a refused commit is an OPERATIONAL outcome, not a crash: one
+        # parseable line + a distinct exit code for the scheduler
+        print(json.dumps({"lake": args.lake, "refused": str(e)}))
+        return 3
     finally:
         ray.shutdown()
 
