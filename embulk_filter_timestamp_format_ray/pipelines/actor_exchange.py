@@ -93,14 +93,17 @@ class PartitionBufferActor:
             prior = None
             if meta.get("path"):
                 prior = pq.read_table(os.path.join(self.lake_dir, meta["path"]))
-            if meta.get("deltas"):
-                # fold pending merge-on-read delta files into the prior
-                # state first — this base merge clears the partition's
-                # delta list at commit, so dropping them here would lose
-                # committed rows
+            if meta.get("deltas") or meta.get("dvs"):
+                # fold pending merge-on-read delta files AND deletion
+                # vectors into the prior state first — this base merge
+                # clears the partition's delta and dv lists at commit, so
+                # dropping them here would lose committed rows / resurrect
+                # dv-deleted ones
                 pend = [pq.read_table(os.path.join(self.lake_dir, d["path"]))
-                        for d in meta["deltas"]]
-                prior = fold_partition_state(prior, pend)
+                        for d in meta.get("deltas", [])]
+                dvs = [pq.read_table(os.path.join(self.lake_dir, d["path"]))
+                       for d in meta.get("dvs", [])]
+                prior = fold_partition_state(prior, pend, dvs=dvs)
             state, new_wm, applied = merge_partition_table(delta, prior, watermark)
             state = sort_by_merge_key(state)
             rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
@@ -242,7 +245,8 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
         lineage.append({"txn": txn_id, "events_applied": int(r["events_applied"])})
         if delta:
             # merge-on-read commit: base untouched, delta file appended
-            # (same bookkeeping as CDCPipeline._apply_dataset's delta branch)
+            # (same bookkeeping as CDCPipeline._apply_dataset's delta
+            # branch); pending deletion vectors carry
             deltas = list(prev.get("deltas", []))
             deltas.append({"txn": txn_id, "path": r["path"],
                            "rows": int(r["rows"])})
@@ -251,6 +255,7 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
                 "last_applied_lsn": int(r["last_applied_lsn"]),
                 "lineage": lineage[-16:],
                 "deltas": deltas,
+                **({"dvs": prev["dvs"]} if prev.get("dvs") else {}),
             }
         else:
             partitions[pid] = {

@@ -507,8 +507,52 @@ def _union_types(tables) -> "dict[str, pa.DataType]":
     return types
 
 
+def _dv_keep_mask(tbl: pa.Table, dvs: "list[pa.Table]") -> "np.ndarray":
+    """Deletion-vector pre-filter mask (True = keep): drop every row whose
+    (conv_id, turn_idx) appears in a dv key file with ``row.lsn <= the
+    key's max dv lsn``.  A dv entry records the FOLDED victim row's lsn at
+    delete time, so this drops exactly the run the delete folded — a later
+    event (higher lsn) legitimately survives and re-inserts the key, which
+    is the same contract as the rewrite-mode ``delete_where``.  Fully
+    vectorized: shared dictionary over conv ids, fused (conv, turn) int64
+    key, per-key max via sort+reduce, membership via searchsorted."""
+    dv = pa.concat_tables(
+        [d.select(["conv_id", "turn_idx", "lsn"]) for d in dvs
+         if d.num_rows], promote_options="none") if dvs else None
+    if dv is None or dv.num_rows == 0 or tbl.num_rows == 0:
+        return np.ones(tbl.num_rows, dtype=bool)
+    # one dictionary spanning both sides so indices are comparable
+    both = pa.concat_arrays([
+        tbl.column("conv_id").combine_chunks().cast(pa.string()),
+        dv.column("conv_id").combine_chunks().cast(pa.string())])
+    enc = pc.dictionary_encode(both)
+    idx = np.asarray(enc.indices.cast(pa.int64()))
+    conv_t, conv_d = idx[:tbl.num_rows], idx[tbl.num_rows:]
+    turn_t = np.asarray(tbl.column("turn_idx").cast(pa.int64()))
+    turn_d = np.asarray(dv.column("turn_idx").cast(pa.int64()))
+    t_min = min(int(turn_t.min()), int(turn_d.min()))
+    span = max(int(turn_t.max()), int(turn_d.max())) - t_min + 1
+    fused_t = conv_t * span + (turn_t - t_min)
+    fused_d = conv_d * span + (turn_d - t_min)
+    lsn_d = np.asarray(dv.column("lsn").cast(pa.int64()))
+    # per-dv-key max lsn: lexsort by (key, lsn), keep each run's last (dv
+    # tables are delete-sized — no need for the fused-key fast path, whose
+    # key*span multiply could overflow on pathological lsn ranges)
+    order = np.lexsort((lsn_d, fused_d))
+    k_s, l_s = fused_d[order], lsn_d[order]
+    last = np.ones(len(k_s), dtype=bool)
+    last[:-1] = k_s[:-1] != k_s[1:]
+    keys, maxes = k_s[last], l_s[last]
+    pos = np.searchsorted(keys, fused_t)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    hit = keys[pos_c] == fused_t
+    lsn_t = np.asarray(tbl.column("lsn").cast(pa.int64()))
+    return ~(hit & (lsn_t <= maxes[pos_c]))
+
+
 def fold_partition_state(base: "pa.Table | None", deltas: "list[pa.Table]",
-                         columns=None, types=None) -> pa.Table:
+                         columns=None, types=None,
+                         dvs: "list[pa.Table] | None" = None) -> pa.Table:
     """Fold one partition's committed BASE state with its pending DELTA
     files into live state (the merge-on-read counterpart of a base merge):
     base rows are live upserts; delta rows carry op+lsn; max-LSN winner per
@@ -519,7 +563,14 @@ def fold_partition_state(base: "pa.Table | None", deltas: "list[pa.Table]",
     include the merge key + lsn); callers like the change-data-feed fold
     only (conv_id, turn_idx, lsn).  With ``columns=None`` the fold spans
     the UNION of the inputs' columns — under widen-only schema evolution a
-    base or delta file that predates a column reads it as NULL."""
+    base or delta file that predates a column reads it as NULL.
+
+    ``dvs``: pending deletion-vector key files (conv_id, turn_idx, lsn) from
+    ``delete_where(mode='dv')`` — applied as a PRE-merge filter (every input
+    row at a dv key with lsn ≤ the dv lsn drops), which reproduces exactly
+    the state a rewrite-mode delete would have left before folding, so
+    patch/tombstone semantics and fold≡compaction bit-equality carry over
+    unchanged."""
     if columns is not None:
         cols = list(columns)
     else:
@@ -536,6 +587,12 @@ def fold_partition_state(base: "pa.Table | None", deltas: "list[pa.Table]",
     if not parts:
         return _empty_lake_table(cols, types)
     merged = pa.concat_tables(parts, promote_options="permissive")
+    if dvs:
+        keep = _dv_keep_mask(merged, dvs)
+        if not keep.all():
+            merged = merged.filter(pa.array(keep))
+        if merged.num_rows == 0:
+            return _empty_lake_table(cols, types)
     winners = keep_last_per_key(merged)
     # live = everything but tombstones: an all-patch key (possible only
     # when base is pruned away or the key never had a base row) is a
@@ -1016,14 +1073,17 @@ class MergeApplier:
         prior_path = meta.get("path")
         if prior_path:
             prior = pq.read_table(os.path.join(self.lake_dir, prior_path))
-        if meta.get("deltas"):
-            # pending merge-on-read delta files (apply_delta commits): fold
-            # them into the prior state here — this base merge then both
-            # applies the new events AND compacts the backlog (the commit
-            # clears the partition's delta list)
+        if meta.get("deltas") or meta.get("dvs"):
+            # pending merge-on-read delta files (apply_delta commits) and
+            # deletion vectors (delete_where mode='dv'): fold them into the
+            # prior state here — this base merge then both applies the new
+            # events AND compacts the backlog (the commit clears the
+            # partition's delta and dv lists)
             pend = [pq.read_table(os.path.join(self.lake_dir, d["path"]))
-                    for d in meta["deltas"]]
-            prior = fold_partition_state(prior, pend)
+                    for d in meta.get("deltas", [])]
+            dvs = [pq.read_table(os.path.join(self.lake_dir, d["path"]))
+                   for d in meta.get("dvs", [])]
+            prior = fold_partition_state(prior, pend, dvs=dvs)
         delta = decode_shuffle_encoding(group.drop_columns(["_pid"]))
         state, new_watermark, applied = merge_partition_table(
             delta, prior, watermark, replay_filter=self.replay_filter)
@@ -1297,7 +1357,8 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
             lineage.append({"txn": txn_id,
                             "events_applied": int(r["events_applied"])})
             if delta:
-                # merge-on-read commit: base untouched, delta appended
+                # merge-on-read commit: base untouched, delta appended,
+                # pending deletion vectors carry (never drop silently)
                 deltas = list(prev.get("deltas", []))
                 deltas.append({"txn": txn_id, "path": r["path"],
                                "rows": int(r["rows"])})
@@ -1307,6 +1368,7 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
                     "last_applied_lsn": int(r["last_applied_lsn"]),
                     "lineage": lineage[-16:],
                     "deltas": deltas,
+                    **({"dvs": prev["dvs"]} if prev.get("dvs") else {}),
                 }
             else:
                 partitions[pid] = {
@@ -1354,6 +1416,85 @@ def carry_lsn_ceiling(manifest: dict, new_manifest: dict) -> None:
                for p in new_manifest["partitions"].values()), default=-1)
     if low < int(ceil):
         new_manifest["lsn_ceiling"] = int(ceil)
+
+
+#: arrow schema for per-partition metadata work items — from_items infers
+#: list<null> for blocks whose path lists happen to be all-empty, and the
+#: mixed-type concat then warns/misbehaves; an explicit schema removes the
+#: inference entirely
+_META_ITEM_FIELDS = (("pid", pa.int64()), ("base", pa.string()),
+                     ("deltas", pa.list_(pa.string())),
+                     ("dvs", pa.list_(pa.string())))
+
+
+def _meta_items_dataset(items: "list[dict]", extra_fields=()):
+    """One single-row Arrow block per metadata item (pid/base/deltas/dvs
+    [+extras]) with explicit types — the driver-side source for the
+    per-partition maintenance/fold tasks (≤P rows total)."""
+    import ray.data
+
+    schema = pa.schema([*_META_ITEM_FIELDS, *extra_fields])
+    tbl = pa.Table.from_pylist(items, schema=schema)
+    return ray.data.from_arrow([tbl.slice(i, 1)
+                                for i in range(tbl.num_rows)])
+
+
+def _delete_mask(predicate, state: pa.Table, pid: int) -> "np.ndarray":
+    """Validate a delete_where predicate's output into a boolean numpy
+    mask (True = delete) — shared by the rewrite and dv tiers."""
+    mask = np.asarray(predicate(state))
+    if mask.dtype != np.bool_ or mask.shape != (state.num_rows,):
+        raise ValueError(
+            f"delete_where predicate must return a boolean mask of "
+            f"length {state.num_rows} for partition {pid}; got "
+            f"dtype {mask.dtype}, shape {mask.shape}")
+    return mask
+
+
+def _footer_ranges(lake_dir: str, rel_paths: "list[str]",
+                   columns: "list[str]") -> "dict[str, tuple | None]":
+    """Per-column value range across the files' parquet FOOTERS only (no
+    data pages read): ``None`` = statistics unavailable somewhere (the
+    caller must stay conservative), ``()`` = the column holds no non-null
+    value in any file, else an inclusive ``(min, max)`` of python values.
+    A file that predates an evolved column contributes all-NULL (widen-only
+    evolution) — i.e. nothing."""
+    spans: "dict[str, list]" = {c: [] for c in columns}
+    unknown: "set[str]" = set()
+    for rel in rel_paths:
+        pf = pq.ParquetFile(os.path.join(lake_dir, rel))
+        md = pf.metadata
+        for c in columns:
+            if c in unknown:
+                continue
+            idx = pf.schema_arrow.get_field_index(c)
+            if idx == -1:
+                continue  # pre-evolution file: column reads as NULL
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                st = group.column(idx).statistics
+                if st is not None and st.null_count == group.num_rows:
+                    continue  # no non-null values in this group
+                if st is None or not st.has_min_max:
+                    unknown.add(c)
+                    break
+                spans[c].append((st.min, st.max))
+    out: "dict[str, tuple | None]" = {}
+    for c in columns:
+        if c in unknown:
+            out[c] = None
+        elif not spans[c]:
+            out[c] = ()
+        else:
+            out[c] = (min(lo for lo, _ in spans[c]),
+                      max(hi for _, hi in spans[c]))
+    return out
+
+
+def _prune_possible(constraints, ranges: "dict[str, tuple | None]") -> bool:
+    """OR'd delete specs: the partition can hold a matching row iff ANY
+    spec's value rule is satisfiable within its column's footer range."""
+    return any(c.range_possible(ranges.get(c.column)) for c in constraints)
 
 
 def _vanished_txn_input(exc) -> bool:
@@ -1750,7 +1891,9 @@ class CDCPipeline:
             if _delta:
                 # merge-on-read commit: base untouched, delta file appended,
                 # watermark ratchets (pure-replay groups return no row at
-                # all, so prev state simply persists for them)
+                # all, so prev state simply persists for them); pending
+                # deletion vectors CARRY — dropping them here would
+                # resurrect dv-deleted rows on the next fold
                 deltas = list(prev.get("deltas", []))
                 deltas.append({"txn": txn_id, "path": r["path"],
                                "rows": int(r["rows"])})
@@ -1759,10 +1902,11 @@ class CDCPipeline:
                     "last_applied_lsn": int(r["last_applied_lsn"]),
                     "lineage": lineage[-16:],
                     "deltas": deltas,
+                    **({"dvs": prev["dvs"]} if prev.get("dvs") else {}),
                 }
             else:
-                # base merge: deltas (if any) were folded into the new base
-                # by MergeApplier, so the partition's delta list clears here
+                # base merge: deltas and dvs (if any) were folded into the
+                # new base by MergeApplier, so both lists clear here
                 partitions[pid] = {
                     "path": r["path"], "rows": int(r["rows"]),
                     "last_applied_lsn": int(r["last_applied_lsn"]),
@@ -1927,14 +2071,16 @@ class CDCPipeline:
             manifest = mf.read_manifest(self.lake_dir)
             self.check_manifest_compat(manifest)
             todo = {pid: p for pid, p in manifest["partitions"].items()
-                    if p.get("deltas")}
+                    if p.get("deltas") or p.get("dvs")}
             if not todo:
                 return {"version": manifest.get("version", 0),
-                        "partitions_compacted": 0, "delta_files_folded": 0}
+                        "partitions_compacted": 0, "delta_files_folded": 0,
+                        "dv_files_folded": 0}
             txn_id = uuid.uuid4().hex[:12]
             lake_dir = self.lake_dir
             items = [{"pid": int(pid), "base": p.get("path") or "",
-                      "deltas": [d["path"] for d in p["deltas"]]}
+                      "deltas": [d["path"] for d in p.get("deltas", [])],
+                      "dvs": [d["path"] for d in p.get("dvs", [])]}
                      for pid, p in todo.items()]
 
             def compact_part(batch: pa.Table) -> pa.Table:
@@ -1945,7 +2091,9 @@ class CDCPipeline:
                         if row["base"] else None
                     deltas = [pq.read_table(os.path.join(lake_dir, d))
                               for d in row["deltas"]]
-                    state = fold_partition_state(base, deltas)
+                    dvs = [pq.read_table(os.path.join(lake_dir, d))
+                           for d in row["dvs"]]
+                    state = fold_partition_state(base, deltas, dvs=dvs)
                     rel = ""
                     if state.num_rows:
                         state = sort_by_merge_key(state)
@@ -1962,10 +2110,9 @@ class CDCPipeline:
                     ("rows", pa.int64())]))
 
             try:
-                rows = ray.data.from_items(
-                    items, override_num_blocks=len(items)).map_batches(
-                        compact_part, batch_format="pyarrow",
-                        zero_copy_batch=True).take_all()
+                rows = _meta_items_dataset(items).map_batches(
+                    compact_part, batch_format="pyarrow",
+                    zero_copy_batch=True).take_all()
             except Exception as e:
                 # a concurrent commit + GC can collect our delta inputs
                 # mid-fold — a CommitConflict observed at read time
@@ -1977,7 +2124,9 @@ class CDCPipeline:
                     self.lake_dir, attempt + 1, max_commit_retries)
                 continue
             partitions = dict(manifest["partitions"])
-            folded_files = sum(len(p["deltas"]) for p in todo.values())
+            folded_files = sum(len(p.get("deltas", []))
+                               for p in todo.values())
+            folded_dvs = sum(len(p.get("dvs", [])) for p in todo.values())
             for r in rows:
                 pid = str(r["pid"])
                 prev = partitions[pid]
@@ -2021,7 +2170,8 @@ class CDCPipeline:
                 mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
             return {"txn": txn_id, "version": new_manifest["version"],
                     "partitions_compacted": len(rows),
-                    "delta_files_folded": folded_files}
+                    "delta_files_folded": folded_files,
+                    "dv_files_folded": folded_dvs}
 
     def transform_lake(self, fn, max_commit_retries: int = 2) -> "dict":
         """Distributed UPDATE / backfill: rewrite every partition's LIVE
@@ -2064,7 +2214,9 @@ class CDCPipeline:
                 "partitions_transformed": res["partitions"],
                 "rows": res["rows"]}
 
-    def delete_where(self, predicate, max_commit_retries: int = 2) -> "dict":
+    def delete_where(self, predicate, max_commit_retries: int = 2,
+                     mode: str = "rewrite",
+                     prune: "list | None" = None) -> "dict":
         """Distributed DELETE WHERE (retention / TTL / row-level erasure):
         remove every live row ``predicate`` selects, as ONE exactly-once
         commit — the generalization of the conversation tombstone to
@@ -2073,56 +2225,221 @@ class CDCPipeline:
 
         ``predicate``: Arrow table (one partition's FOLDED live state) →
         boolean mask (numpy or pyarrow, True = delete).  Evaluated
-        distributed, one fold→filter→rewrite task per partition with data.
+        distributed, one fold→filter task per partition with data.
 
-        Semantics:
+        ``mode='rewrite'`` (default) rewrites each affected partition's
+        survivors; ``mode='dv'`` writes a DELETION VECTOR instead — a small
+        (conv_id, turn_idx, lsn) key file the folds subtract at read time —
+        so the commit cost is ∝ deleted rows, not partition size (the
+        Delta-deletion-vector cost model; the next base merge / compaction
+        of the partition folds it away).  Final state is identical across
+        modes.
+
+        ``prune``: optional list of :class:`~..pipelines.constraints.
+        Constraint` specs (OR'd, normally the ones the predicate was built
+        from) — partitions whose parquet footer min/max statistics prove no
+        row can match are SKIPPED without reading a data byte (file-skipping
+        for deletes; at 100 TB a time-correlated TTL sweep then touches only
+        the old partitions).
+
+        Semantics (both modes):
 
         * survivors are byte-identical — only removal; value edits go
           through ``transform_lake``, inserts through the binlog;
         * watermarks unchanged (no binlog events applied); rewritten
-          partitions' delta backlogs fold and clear (a delete_where is
-          also a compaction by construction);
-        * NO tombstones are written: a deleted key is simply absent, so a
-          LATER event (lsn above the watermark) legitimately re-inserts
-          it, while replays at or below the watermark stay pruned as
-          always.  Use conversation tombstones (``delete_conv``) when
-          later replays of the key must stay dead (GDPR erasure);
+          partitions' delta backlogs fold and clear (a rewrite-mode
+          delete_where is also a compaction by construction; dv mode
+          leaves the backlog in place and subtracts at fold);
+        * NO tombstones are written: a deleted key is simply absent (a dv
+          entry pins the victim's lsn, so only rows at or below it drop),
+          and a LATER event (lsn above the watermark) legitimately
+          re-inserts it, while replays at or below the watermark stay
+          pruned as always.  Use conversation tombstones (``delete_conv``)
+          when later replays of the key must stay dead (GDPR erasure);
         * the change feed (fold diff between versions) reports the removed
           rows as deletes; the pre-delete version stays time-travel
           readable within ``time_travel_retain`` and ``rollback`` restores
           it (retention + time travel interact exactly as in Delta: the
           rows are gone from HEAD, not from retained history).
         """
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"delete_where mode must be 'rewrite' or "
+                             f"'dv', not {mode!r}")
+        if mode == "dv":
+            return self._delete_where_dv(predicate, prune=prune,
+                                         max_commit_retries=max_commit_retries)
+
         def drop(state: pa.Table, pid: int) -> pa.Table:
-            mask = np.asarray(predicate(state))
-            if mask.dtype != np.bool_ or mask.shape != (state.num_rows,):
-                raise ValueError(
-                    f"delete_where predicate must return a boolean mask of "
-                    f"length {state.num_rows} for partition {pid}; got "
-                    f"dtype {mask.dtype}, shape {mask.shape}")
+            mask = _delete_mask(predicate, state, pid)
             return state.filter(pa.array(~mask))
 
         res = self._rewrite_lake(drop, "delete",
-                                 max_commit_retries=max_commit_retries)
+                                 max_commit_retries=max_commit_retries,
+                                 prune=prune, skip_unchanged=True)
         if res is None:
             return {"version": mf.read_manifest(self.lake_dir)
                     .get("version", 0),
-                    "partitions_rewritten": 0, "rows": 0, "rows_deleted": 0}
+                    "partitions_rewritten": 0, "rows": 0, "rows_deleted": 0,
+                    "partitions_skipped": 0}
         return {"txn": res["txn"], "version": res["version"],
                 "partitions_rewritten": res["partitions"],
                 "rows": res["rows"],
-                "rows_deleted": res["rows_before"] - res["rows"]}
+                "rows_deleted": res["rows_before"] - res["rows"],
+                "partitions_skipped": res.get("skipped", 0)}
+
+    def _delete_where_dv(self, predicate, prune=None,
+                         max_commit_retries: int = 2) -> "dict":
+        """delete_where's merge-on-read tier: write per-partition deletion
+        vectors instead of rewriting survivors (see :meth:`delete_where`).
+        One fold→mask→write-keys task per non-pruned partition, ONE OCC
+        manifest commit appending each affected partition's ``dvs`` entry.
+        Zero matches lake-wide → nothing commits, version unchanged."""
+        import ray.data
+
+        for attempt in range(max_commit_retries + 1):
+            manifest = mf.read_manifest(self.lake_dir)
+            self.check_manifest_compat(manifest)
+            todo = {pid: p for pid, p in manifest["partitions"].items()
+                    if p.get("path") or p.get("deltas")}
+            version = int(manifest.get("version", 0))
+            if not todo:
+                return {"version": version, "partitions_deleted": 0,
+                        "rows_deleted": 0, "partitions_skipped": 0}
+            txn_id = uuid.uuid4().hex[:12]
+            lake_dir = self.lake_dir
+            types = _manifest_types(manifest)
+            items = [{"pid": int(pid), "base": p.get("path") or "",
+                      "deltas": [d["path"] for d in p.get("deltas", [])],
+                      "dvs": [d["path"] for d in p.get("dvs", [])]}
+                     for pid, p in todo.items()]
+
+            def dv_part(batch: pa.Table) -> pa.Table:
+                outs = []
+                for row in batch.to_pylist():  # metadata tier (≤P rows)
+                    files = [p for p in [row["base"], *row["deltas"]] if p]
+                    if prune is not None and not _prune_possible(
+                            prune, _footer_ranges(lake_dir, files, [
+                                c.column for c in prune])):
+                        outs.append({"pid": row["pid"], "path": "",
+                                     "rows": 0, "skipped": True})
+                        continue
+                    base = pq.read_table(
+                        os.path.join(lake_dir, row["base"])) \
+                        if row["base"] else None
+                    deltas = [pq.read_table(os.path.join(lake_dir, d))
+                              for d in row["deltas"]]
+                    dvs = [pq.read_table(os.path.join(lake_dir, d))
+                           for d in row["dvs"]]
+                    state = fold_partition_state(base, deltas, types=types,
+                                                 dvs=dvs)
+                    mask = _delete_mask(predicate, state, row["pid"])
+                    n = int(mask.sum())
+                    rel = ""
+                    if n:
+                        # the dv records the FOLDED victim's lsn: the fold
+                        # pre-filter drops exactly rows at (key, lsn ≤ dv
+                        # lsn), so a later event still re-inserts the key
+                        keys = state.filter(pa.array(mask)).select(
+                            ["conv_id", "turn_idx", "lsn"])
+                        keys = sort_by_merge_key(keys)
+                        rel = os.path.join(
+                            f"txn-{txn_id}",
+                            f"dv-{row['pid']:05d}.parquet")
+                        full = os.path.join(lake_dir, rel)
+                        os.makedirs(os.path.dirname(full), exist_ok=True)
+                        pq.write_table(keys, full, compression="zstd",
+                                       row_group_size=LAKE_ROW_GROUP_ROWS)
+                    outs.append({"pid": row["pid"], "path": rel,
+                                 "rows": n, "skipped": False})
+                return pa.Table.from_pylist(outs, schema=pa.schema([
+                    ("pid", pa.int64()), ("path", pa.string()),
+                    ("rows", pa.int64()), ("skipped", pa.bool_())]))
+
+            try:
+                rows = _meta_items_dataset(items).map_batches(
+                    dv_part, batch_format="pyarrow",
+                    zero_copy_batch=True).take_all()
+            except Exception as e:
+                if attempt == max_commit_retries or not _vanished_txn_input(e):
+                    raise
+                logger.warning(
+                    "dv-delete inputs on %s vanished under a concurrent "
+                    "commit; retrying against the fresh manifest (%d/%d)",
+                    lake_dir, attempt + 1, max_commit_retries)
+                continue
+            skipped = sum(1 for r in rows if r["skipped"])
+            hits = [r for r in rows if r["path"]]
+            if not hits:
+                # nothing matched anywhere: commit nothing (idempotent)
+                return {"version": version, "partitions_deleted": 0,
+                        "rows_deleted": 0, "partitions_skipped": skipped}
+            partitions = dict(manifest["partitions"])
+            for r in hits:
+                pid = str(r["pid"])
+                prev = partitions[pid]
+                lineage = list(prev.get("lineage", []))
+                lineage.append({"txn": txn_id, "events_applied": 0,
+                                "delete_dv": True})
+                entry = dict(prev)
+                entry["dvs"] = [*prev.get("dvs", []),
+                                {"txn": txn_id, "path": r["path"],
+                                 "rows": int(r["rows"])}]
+                entry["lineage"] = lineage[-16:]
+                partitions[pid] = entry
+            new_manifest = {
+                "version": version + 1,
+                "partitions": partitions,
+                "num_partitions": self.num_partitions,
+                "partition_config": self.partition_config(),
+                "last_txn": txn_id,
+                # a dv never changes the schema
+                **schema_entries_of(manifest),
+            }
+            if manifest.get("dlq"):
+                new_manifest["dlq"] = manifest["dlq"]
+            carry_constraints(manifest, new_manifest)
+            carry_lsn_ceiling(manifest, new_manifest)
+            if self._pre_commit_hook is not None:
+                self._pre_commit_hook()  # test seam
+            try:
+                mf.commit_manifest(self.lake_dir, new_manifest,
+                                   retain_history=self.time_travel_retain,
+                                   expected_version=version)
+            except mf.CommitConflict:
+                if attempt == max_commit_retries:
+                    raise
+                logger.warning(
+                    "concurrent commit during dv-delete on %s; retrying "
+                    "against the fresh manifest (%d/%d)",
+                    lake_dir, attempt + 1, max_commit_retries)
+                continue
+            if self.auto_gc:
+                mf.gc_orphan_txns(self.lake_dir, keep_txns={txn_id})
+            return {"txn": txn_id, "version": new_manifest["version"],
+                    "partitions_deleted": len(hits),
+                    "rows_deleted": sum(int(r["rows"]) for r in hits),
+                    "partitions_skipped": skipped}
 
     def _rewrite_lake(self, state_fn, lineage_flag: str,
-                      max_commit_retries: int = 2) -> "dict | None":
+                      max_commit_retries: int = 2,
+                      prune=None, skip_unchanged: bool = False) -> "dict | None":
         """Shared machinery for the maintenance ops that rewrite live
         state in place (``transform_lake`` / ``delete_where``): one
         fold→``state_fn(state, pid)``→rewrite task per partition with
         data, then ONE OCC manifest commit that clears the folded delta
         lists and leaves watermarks unchanged.  Returns None when the lake
-        has no data, else ``{txn, version, partitions, rows, rows_before}``.
-        Retries the whole pass when a concurrent commit + GC collects the
-        fold inputs mid-rewrite, or when the commit loses the OCC race."""
+        has no data, else ``{txn, version, partitions, rows, rows_before,
+        skipped}``.  Retries the whole pass when a concurrent commit + GC
+        collects the fold inputs mid-rewrite, or when the commit loses the
+        OCC race.
+
+        ``prune``: OR'd Constraint list — partitions whose parquet footer
+        stats prove no row can match are skipped UNREAD (delete_where
+        only).  ``skip_unchanged``: leave a partition untouched when
+        ``state_fn`` returned the same row count AND it had no pending
+        deltas/dvs to fold — sound only for pure row-removal
+        (delete_where), where an equal count implies an identical table; a
+        transform may edit values count-free."""
         import ray.data
 
         for attempt in range(max_commit_retries + 1):
@@ -2136,20 +2453,37 @@ class CDCPipeline:
             lake_dir = self.lake_dir
             types = _manifest_types(manifest)
             items = [{"pid": int(pid), "base": p.get("path") or "",
-                      "deltas": [d["path"] for d in p["deltas"]]
-                      if p.get("deltas") else []}
+                      "deltas": [d["path"] for d in p.get("deltas", [])],
+                      "dvs": [d["path"] for d in p.get("dvs", [])]}
                      for pid, p in todo.items()]
 
             def rewrite_part(batch: pa.Table) -> pa.Table:
                 outs = []
+                skip_row = {"path": "", "rows": 0, "rows_before": 0,
+                            "schema_ipc": "", "skipped": True}
                 for row in batch.to_pylist():  # metadata tier (≤P rows)
+                    files = [p for p in [row["base"], *row["deltas"]] if p]
+                    if prune is not None and not _prune_possible(
+                            prune, _footer_ranges(lake_dir, files, [
+                                c.column for c in prune])):
+                        outs.append({"pid": row["pid"], **skip_row})
+                        continue
                     base = pq.read_table(
                         os.path.join(lake_dir, row["base"])) \
                         if row["base"] else None
                     deltas = [pq.read_table(os.path.join(lake_dir, d))
                               for d in row["deltas"]]
-                    state = fold_partition_state(base, deltas, types=types)
+                    dvs = [pq.read_table(os.path.join(lake_dir, d))
+                           for d in row["dvs"]]
+                    state = fold_partition_state(base, deltas, types=types,
+                                                 dvs=dvs)
                     out = state_fn(state, row["pid"])
+                    if (skip_unchanged and out.num_rows == state.num_rows
+                            and not row["deltas"] and not row["dvs"]):
+                        # pure removal with zero victims and nothing to
+                        # fold: a rewrite would be byte-identical
+                        outs.append({"pid": row["pid"], **skip_row})
+                        continue
                     rel = ""
                     if out.num_rows:
                         out = sort_by_merge_key(out)
@@ -2163,17 +2497,17 @@ class CDCPipeline:
                     outs.append({"pid": row["pid"], "path": rel,
                                  "rows": out.num_rows,
                                  "rows_before": state.num_rows,
-                                 "schema_ipc": extras_schema_b64(out)})
+                                 "schema_ipc": extras_schema_b64(out),
+                                 "skipped": False})
                 return pa.Table.from_pylist(outs, schema=pa.schema([
                     ("pid", pa.int64()), ("path", pa.string()),
                     ("rows", pa.int64()), ("rows_before", pa.int64()),
-                    ("schema_ipc", pa.string())]))
+                    ("schema_ipc", pa.string()), ("skipped", pa.bool_())]))
 
             try:
-                rows = ray.data.from_items(
-                    items, override_num_blocks=len(items)).map_batches(
-                        rewrite_part, batch_format="pyarrow",
-                        zero_copy_batch=True).take_all()
+                rows = _meta_items_dataset(items).map_batches(
+                    rewrite_part, batch_format="pyarrow",
+                    zero_copy_batch=True).take_all()
             except Exception as e:
                 # a concurrent commit + GC can collect our fold inputs
                 # mid-rewrite — a CommitConflict observed at read time
@@ -2185,6 +2519,14 @@ class CDCPipeline:
                     lineage_flag, self.lake_dir,
                     attempt + 1, max_commit_retries)
                 continue
+            skipped = sum(1 for r in rows if r["skipped"])
+            rows = [r for r in rows if not r["skipped"]]
+            if not rows:
+                # every partition pruned / unchanged: commit nothing
+                return {"txn": None,
+                        "version": int(manifest.get("version", 0)),
+                        "partitions": 0, "rows": 0, "rows_before": 0,
+                        "skipped": skipped}
             partitions = dict(manifest["partitions"])
             for r in rows:
                 pid = str(r["pid"])
@@ -2232,7 +2574,8 @@ class CDCPipeline:
             return {"txn": txn_id, "version": new_manifest["version"],
                     "partitions": len(rows),
                     "rows": sum(int(r["rows"]) for r in rows),
-                    "rows_before": sum(int(r["rows_before"]) for r in rows)}
+                    "rows_before": sum(int(r["rows_before"]) for r in rows),
+                    "skipped": skipped}
 
     def bootstrap(self, snapshot_ds, snapshot_lsn: int) -> "dict":
         """Initial load → stream handoff (the Debezium snapshot pattern):
@@ -2678,6 +3021,11 @@ class CDCPipeline:
                 "delta_rows": sum(int(d.get("rows", 0))
                                   for p in parts.values()
                                   for d in p.get("deltas", [])),
+                "dv_files": sum(len(p.get("dvs", []))
+                                for p in parts.values()),
+                "dv_rows": sum(int(d.get("rows", 0))
+                               for p in parts.values()
+                               for d in p.get("dvs", [])),
                 "dlq_rows": sum(int(d.get("rows", 0))
                                 for d in m.get("dlq", [])),
                 "watermark_min": min(wms, default=-1),
@@ -2784,10 +3132,12 @@ class CDCPipeline:
                              f"lake schema is {manifest_schema_columns(m_to)}")
 
         def signature(m: "dict") -> "dict[str, tuple]":
-            # partition state identity = base path + ordered delta paths
-            # (a delta commit changes state without touching the base path)
+            # partition state identity = base path + ordered delta paths +
+            # ordered dv paths (a delta commit or a dv delete changes
+            # state without touching the base path)
             return {p: (meta.get("path"),
-                        tuple(d["path"] for d in meta.get("deltas", [])))
+                        tuple(d["path"] for d in meta.get("deltas", [])),
+                        tuple(d["path"] for d in meta.get("dvs", [])))
                     for p, meta in m["partitions"].items()}
 
         p_from, p_to = signature(m_from), signature(m_to)
@@ -2803,7 +3153,9 @@ class CDCPipeline:
             per-partition fold otherwise (also whenever an evolved payload
             column is requested — files may predate it and need padding)."""
             if (evolved_payload
-                    or any(sig.get(p, (None, ()))[1] for p in changed)):
+                    or any(sig.get(p, (None, (), ()))[1]
+                           or sig.get(p, (None, (), ()))[2]
+                           for p in changed)):
                 return self._fold_dataset(m, columns=diff_cols, pids=changed,
                                           types=types)
             files = [os.path.join(self.lake_dir, sig[p][0])
@@ -3162,6 +3514,7 @@ class CDCPipeline:
                 continue
             items.append({"pid": int(pid), "base": p.get("path") or "",
                           "deltas": [d["path"] for d in p.get("deltas", [])],
+                          "dvs": [d["path"] for d in p.get("dvs", [])],
                           "watermark": max(
                               int(p.get("last_applied_lsn", -1)), ceiling)})
         if not items:
@@ -3240,11 +3593,21 @@ class CDCPipeline:
                     rows_seen += t.num_rows
                     deltas.append(t)
                     check_file(t, f"delta file {os.path.basename(d)}")
+                dvs = []
+                for d in row["dvs"]:
+                    t = pq.read_table(os.path.join(lake_dir, d))
+                    rows_seen += t.num_rows
+                    dvs.append(t)
+                    # dv key files obey the same invariants as data files
+                    # (schema-subset, in-file key uniqueness, lsn ≤
+                    # watermark — a dv references APPLIED rows only —
+                    # routing under the committed layout, sorted order)
+                    check_file(t, f"dv file {os.path.basename(d)}")
                 if constraints and (base is not None or deltas):
                     # committed expectations re-checked on the folded live
                     # view (no ``op`` column → value kinds only, not_null
                     # skipped — see Constraint.violations)
-                    live = fold_partition_state(base, deltas)
+                    live = fold_partition_state(base, deltas, dvs=dvs)
                     for c in constraints:
                         n_v = int(c.violations(live).sum())
                         if n_v:
@@ -3258,8 +3621,8 @@ class CDCPipeline:
                 ("pid", pa.int64()), ("rows", pa.int64()),
                 ("violations", pa.string()), ("warnings", pa.string())]))
 
-        rows = ray.data.from_items(
-            items, override_num_blocks=len(items)).map_batches(
+        rows = _meta_items_dataset(
+            items, extra_fields=(("watermark", pa.int64()),)).map_batches(
                 check_part, batch_format="pyarrow",
                 zero_copy_batch=True).take_all()
         violations = [{"pid": int(r["pid"]), "problems": r["violations"]}
@@ -3286,10 +3649,11 @@ class CDCPipeline:
         parts = manifest.get("partitions", {})
         rows = [int(p.get("rows", 0)) for p in parts.values()]
         watermarks = [int(p.get("last_applied_lsn", -1)) for p in parts.values()]
-        delta_files = delta_rows = 0
+        delta_files = delta_rows = dv_files = dv_rows = 0
         sizes = []
         for p in parts.values():
-            for entry in [{"path": p.get("path")}, *p.get("deltas", [])]:
+            for entry in [{"path": p.get("path")}, *p.get("deltas", []),
+                          *p.get("dvs", [])]:
                 path = entry.get("path")
                 if not path:
                     continue
@@ -3301,6 +3665,8 @@ class CDCPipeline:
             delta_files += len(p.get("deltas", []))
             delta_rows += sum(int(d.get("rows", 0))
                               for d in p.get("deltas", []))
+            dv_files += len(p.get("dvs", []))
+            dv_rows += sum(int(d.get("rows", 0)) for d in p.get("dvs", []))
         total_rows = sum(rows)
         n = len(parts)
         mean_rows = (total_rows / n) if n else 0.0
@@ -3322,6 +3688,10 @@ class CDCPipeline:
             # compact_deltas (read amplification grows with this count)
             "delta_files": delta_files,
             "delta_rows": delta_rows,
+            # pending deletion vectors (delete_where mode='dv'); folded
+            # away by the next base merge / compaction of each partition
+            "dv_files": dv_files,
+            "dv_rows": dv_rows,
             "retained_versions": len(mf.list_versions(self.lake_dir)),
             # committed commit-time expectations (constraint names; the
             # full specs live in the manifest)
@@ -3340,16 +3710,17 @@ class CDCPipeline:
                 raise ValueError(f"unknown lake column(s) {bad}; "
                                  f"lake schema is {mcols}")
             columns = list(columns)
-        if len(mcols) > len(LAKE_COLUMNS) and not mf.has_deltas(manifest):
+        if len(mcols) > len(LAKE_COLUMNS) \
+                and not mf.has_deltas(manifest) and not mf.has_dvs(manifest):
             # evolved lake: base files written before a column widened the
             # schema predate it — the per-partition fold path pads them
             # with NULLs (plain read_parquet would fail on the mixed
             # schemas); partitions without deltas skip the fold itself
             return self._fold_dataset(manifest, columns=columns)
-        if mf.has_deltas(manifest):
-            # pending delta commits: every read folds base+deltas per
-            # partition (merge-on-read) — no shuffle, the manifest already
-            # names each partition's file set
+        if mf.has_deltas(manifest) or mf.has_dvs(manifest):
+            # pending delta commits / deletion vectors: every read folds
+            # base+deltas minus dvs per partition (merge-on-read) — no
+            # shuffle, the manifest already names each partition's file set
             if columns is None:
                 return self._fold_dataset(manifest)
             # the fold needs the merge key + lsn; read those, drop after
@@ -3393,7 +3764,8 @@ class CDCPipeline:
             if not p.get("path") and not p.get("deltas"):
                 continue
             items.append({"pid": int(pid), "base": p.get("path") or "",
-                          "deltas": [d["path"] for d in p.get("deltas", [])]})
+                          "deltas": [d["path"] for d in p.get("deltas", [])],
+                          "dvs": [d["path"] for d in p.get("dvs", [])]})
         if not items:
             return ray.data.from_arrow(_empty_lake_table(cols, types))
 
@@ -3409,27 +3781,28 @@ class CDCPipeline:
             # work stays vectorized inside fold_partition_state
             for row in batch.to_pylist():
                 base = read_padded(row["base"], cols) if row["base"] else None
-                if not row["deltas"]:
-                    # no pending deltas: the base IS the live state — skip
-                    # the fold's sort entirely (the evolved-schema read
-                    # path routes here for every clean partition)
+                if not row["deltas"] and not row["dvs"]:
+                    # no pending deltas/dvs: the base IS the live state —
+                    # skip the fold's sort entirely (the evolved-schema
+                    # read path routes here for every clean partition)
                     if base is not None and base.num_rows:
                         outs.append(base)
                     continue
                 deltas = [read_padded(d, ["op", *cols])
                           for d in row["deltas"]]
+                dvs = [pq.read_table(os.path.join(lake_dir, d))
+                       for d in row["dvs"]]
                 folded = fold_partition_state(base, deltas, columns=cols,
-                                              types=types)
+                                              types=types, dvs=dvs)
                 if folded.num_rows:
                     outs.append(folded)
             if not outs:
                 return _empty_lake_table(cols, types)
             return pa.concat_tables(outs, promote_options="permissive")
 
-        return ray.data.from_items(
-            items, override_num_blocks=len(items)).map_batches(
-                fold_files, batch_format="pyarrow",
-                zero_copy_batch=True)
+        return _meta_items_dataset(items).map_batches(
+            fold_files, batch_format="pyarrow",
+            zero_copy_batch=True)
 
     def export_formatted(self, out_dir: str, to_format: str = "%Y-%m-%d %H:%M:%S.%6N %z",
                          to_timezone: str = "UTC") -> None:
@@ -3470,15 +3843,20 @@ class CDCPipeline:
 
         def load(meta: "dict") -> "pa.Table | None":
             # point-lookup tier: read base + pending deltas and fold (the
-            # merge-on-read contract holds for every read path)
+            # merge-on-read contract holds for every read path); the
+            # conv_id equality filter commutes with the dv pre-filter
+            # because both are merge-key-scoped
             base = pq.read_table(os.path.join(self.lake_dir, meta["path"]),
                                  filters=flt) \
                 if meta.get("path") else None
-            if meta.get("deltas"):
+            if meta.get("deltas") or meta.get("dvs"):
                 pend = [pq.read_table(os.path.join(self.lake_dir, d["path"]),
                                       filters=flt)
-                        for d in meta["deltas"]]
-                return fold_partition_state(base, pend)
+                        for d in meta.get("deltas", [])]
+                dvs = [pq.read_table(os.path.join(self.lake_dir, d["path"]),
+                                     filters=flt)
+                       for d in meta.get("dvs", [])]
+                return fold_partition_state(base, pend, dvs=dvs)
             return base
 
         if self.partition_mode == "conv":

@@ -67,6 +67,35 @@ def _bound_scalar(v: str, typ: pa.DataType) -> pa.Scalar:
     return pa.scalar(v).cast(typ)
 
 
+def _coerce_like(v: str, sample):
+    """Coerce a constraint bound/member string to the python type of a
+    parquet-footer statistic value so the two compare (range pruning).
+    Raises TypeError/ValueError when no sound coercion exists — the caller
+    treats that as un-prunable."""
+    import datetime as _dt
+
+    if isinstance(sample, bool):  # before int: bool is an int subclass
+        raise TypeError("no range pruning over booleans")
+    if isinstance(sample, int):
+        return int(v)
+    if isinstance(sample, float):
+        return float(v)
+    if isinstance(sample, _dt.datetime):
+        out = _dt.datetime.fromisoformat(str(v))
+        if sample.tzinfo is not None and out.tzinfo is None:
+            # zone-less bound against a tz-aware stat reads as UTC — the
+            # same precedence rule as _bound_scalar
+            out = out.replace(tzinfo=_dt.timezone.utc)
+        elif sample.tzinfo is None and out.tzinfo is not None:
+            out = out.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return out
+    if isinstance(sample, str):
+        return str(v)
+    if isinstance(sample, bytes):
+        return str(v).encode()
+    raise TypeError(f"cannot coerce bound {v!r} to {type(sample)}")
+
+
 @dataclasses.dataclass(frozen=True)
 class Constraint:
     """One declarative check on one column of the normalized event."""
@@ -171,6 +200,36 @@ class Constraint:
             return np.asarray(valid)
         return np.asarray(pc.and_(valid,
                                   pc.invert(self._value_violations(col))))
+
+    def range_possible(self, rng) -> bool:
+        """Can ANY value in the footer-stats range ``rng`` satisfy this
+        constraint's value rule?  The partition-pruning surface for
+        ``delete_where``: ``rng`` is ``None`` when stats are unavailable
+        (must stay conservative → True), ``()`` when the column holds no
+        non-null value in any file (NULL never matches → False), else an
+        inclusive ``(min, max)`` pair of python values from the parquet
+        footers.  Coercion failures and un-prunable kinds (``matches``)
+        return True — a false "possible" only costs the fold the stats
+        would have skipped, a false "impossible" would lose deletes."""
+        if rng is None:
+            return True
+        if rng == ():
+            return False
+        lo, hi = rng
+        if self.kind in ("not_null", "matches"):
+            return True
+        try:
+            if self.kind == "between":
+                if self.lo is not None and hi < _coerce_like(self.lo, lo):
+                    return False
+                if self.hi is not None and lo > _coerce_like(self.hi, lo):
+                    return False
+                return True
+            # in_set: possible iff any member falls inside [lo, hi]
+            return any(lo <= _coerce_like(v, lo) <= hi
+                       for v in self.values)
+        except (TypeError, ValueError):
+            return True
 
     # ----------------------------------------------------------- round-trip
     def to_json(self) -> dict:

@@ -100,13 +100,15 @@ class IncrementalView:
         for pid, part in lake_m["partitions"].items():
             base = part.get("path") or ""
             deltas = [d["path"] for d in part.get("deltas", [])]
+            dvs = [d["path"] for d in part.get("dvs", [])]
             if not base and not deltas:
                 continue
-            # partition version = base path + ordered pending delta paths:
-            # a delta commit (apply_delta) changes live state WITHOUT
-            # touching the base path, so the base path alone under-detects
-            # staleness on a merge-on-read lake
-            src = "|".join([base, *deltas])
+            # partition version = base path + ordered pending delta paths +
+            # ordered dv paths: a delta commit (apply_delta) or a dv delete
+            # (delete_where mode='dv') changes live state WITHOUT touching
+            # the base path, so the base path alone under-detects staleness
+            # on a merge-on-read lake
+            src = "|".join([base, *deltas, *dvs])
             prev = view_m["partitions"].get(pid)
             if prev and prev["src_path"] == src \
                     and os.path.exists(os.path.join(self.view_dir,
@@ -114,7 +116,7 @@ class IncrementalView:
                 fresh_parts[pid] = prev
             else:
                 stale.append({"pid": pid, "src": src,
-                              "base": base, "deltas": deltas})
+                              "base": base, "deltas": deltas, "dvs": dvs})
         # dropped = partitions that left the LAKE, not ones merely rewritten
         dropped = sum(1 for pid in view_m["partitions"]
                       if pid not in lake_m["partitions"])
@@ -134,10 +136,12 @@ class IncrementalView:
                     base = pq.read_table(
                         os.path.join(lake_dir, item["base"])) \
                         if item["base"] else None
-                    if item["deltas"]:
+                    if item["deltas"] or item["dvs"]:
                         pend = [pq.read_table(os.path.join(lake_dir, d))
                                 for d in item["deltas"]]
-                        part = fold_partition_state(base, pend)
+                        dvs = [pq.read_table(os.path.join(lake_dir, d))
+                               for d in item["dvs"]]
+                        part = fold_partition_state(base, pend, dvs=dvs)
                     else:
                         part = base
                     view = agg_fn(part)
@@ -154,7 +158,15 @@ class IncrementalView:
                                           pa.string()),
                 })
 
-            status = ray.data.from_items(stale) \
+            # explicit schema: from_items would infer list<null> for blocks
+            # whose delta/dv lists are all empty and the concat then warns
+            stale_tbl = pa.Table.from_pylist(stale, schema=pa.schema([
+                ("pid", pa.string()), ("src", pa.string()),
+                ("base", pa.string()),
+                ("deltas", pa.list_(pa.string())),
+                ("dvs", pa.list_(pa.string()))]))
+            status = ray.data.from_arrow(
+                [stale_tbl.slice(i, 1) for i in range(stale_tbl.num_rows)]) \
                 .map_batches(recompute, batch_size=1,
                              batch_format="pyarrow").take_all()
             for row in status:  # ≤ num_partitions rows

@@ -198,13 +198,30 @@ def has_deltas(manifest: "dict[str, Any]") -> bool:
     return any(p.get("deltas") for p in manifest["partitions"].values())
 
 
+def partition_dv_files(manifest: "dict[str, Any]") -> "list[str]":
+    """Pending deletion-vector key files across all partitions (appended by
+    ``CDCPipeline.delete_where(mode='dv')``; folded away — survivors
+    rewritten, list cleared — by any base merge / compaction / rewrite that
+    touches the partition)."""
+    out = []
+    for p in manifest["partitions"].values():
+        out.extend(d["path"] for d in p.get("dvs", []) if d.get("path"))
+    return out
+
+
+def has_dvs(manifest: "dict[str, Any]") -> bool:
+    return any(p.get("dvs") for p in manifest["partitions"].values())
+
+
 def data_files(manifest: "dict[str, Any]") -> "list[str]":
     """Every data file the manifest references: partition base files,
-    pending delta files, and dead-letter quarantine files (GC liveness
-    treats all as live; table reads must fold base+deltas and must exclude
-    quarantine files so quarantined rows never leak into lake state)."""
-    return partition_files(manifest) + partition_delta_files(manifest) + [
-        d["path"] for d in manifest.get("dlq", []) if d.get("path")]
+    pending delta files, pending deletion-vector files, and dead-letter
+    quarantine files (GC liveness treats all as live; table reads must fold
+    base+deltas minus dvs and must exclude quarantine files so quarantined
+    rows never leak into lake state)."""
+    return (partition_files(manifest) + partition_delta_files(manifest)
+            + partition_dv_files(manifest)
+            + [d["path"] for d in manifest.get("dlq", []) if d.get("path")])
 
 
 def gc_orphan_txns(lake_dir: str, keep_txns: "set[str]",

@@ -210,7 +210,16 @@ def main() -> None:
                          "--constraint; repeatable = OR) as one exactly-"
                          "once commit — e.g. ts:between:,2024-01-01 drops "
                          "rows at or before the cutoff.  Standalone with "
-                         "--events 0; no tombstones, watermarks unchanged")
+                         "--events 0; no tombstones, watermarks unchanged; "
+                         "partitions whose parquet footer stats prove no "
+                         "match are skipped unread")
+    ap.add_argument("--delete-mode", choices=("rewrite", "dv"),
+                    default="rewrite",
+                    help="--delete-where tier: 'rewrite' rewrites each "
+                         "affected partition's survivors; 'dv' writes a "
+                         "deletion vector (small key file subtracted at "
+                         "read time, folded away by the next compaction) — "
+                         "commit cost ∝ deleted rows, not partition size")
     ap.add_argument("--exchange", choices=("dataset", "actor"),
                     default="dataset",
                     help="partition exchange for the merge: 'dataset' = Ray "
@@ -410,9 +419,11 @@ def main() -> None:
                     m |= c.matches(state)
                 return m
 
-            res = pipe.delete_where(selected)
+            res = pipe.delete_where(selected, mode=args.delete_mode,
+                                    prune=specs)
             print(json.dumps({"lake": args.lake, "delete_where":
-                              args.delete_where, **res}))
+                              args.delete_where,
+                              "delete_mode": args.delete_mode, **res}))
             if args.events == 0:
                 return
         if args.rollback_to is not None:
