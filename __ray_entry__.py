@@ -546,6 +546,49 @@ def q_cdc_retention(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_retention_dv(sf_dir: str):
+    """Deletion-vector DELETE (pipelines/cdc.py delete_where mode='dv' —
+    the merge-on-read tier of the retention sweep, Delta's
+    deletion-vector cost model): the 20k-event binlog lands half as a
+    base merge and half as a pending delta backlog, then every live row
+    with ``turn_idx >= 30`` is removed by writing per-partition
+    (conv_id, turn_idx, lsn) KEY files — commit cost ∝ deleted rows, not
+    partition size; bases and the delta backlog stay untouched.  The
+    lake is read while the vectors are still PENDING, so the result
+    proves the fold subtracts them at read time (prune= also exercises
+    footer-stats file skipping).  Final state == the rewrite-mode
+    delete == the flagship argmax-LSN fold restricted to surviving turn
+    indexes, which is what the SQL oracle computes."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES,
+                                        "cdc_events_20000.parquet"))
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_retdv_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(
+        events.filter(pc.less(events.column("lsn"), cut))))
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(events.column("lsn"), cut))))
+    expired = parse_constraint("turn_idx:between:30,")
+    pipe.delete_where(expired.matches, mode="dv", prune=[expired])
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"graft_cdc_retdv_out_{run}")
+    pipe.write_sorted(out_dir)
+    final = ray.data.read_parquet(out_dir)
+    return final.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "lsn"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_heal(sf_dir: str):
     """Self-healing DLQ loop, end to end: the 20k-event binlog is poisoned
     in THREE bands (changegen.poison_batch, permille=20 + unknown-epoch
@@ -2715,6 +2758,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_dlq": q_cdc_dlq,
         "cdc_constraints": q_cdc_constraints,
         "cdc_retention": q_cdc_retention,
+        "cdc_retention_dv": q_cdc_retention_dv,
         "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
         "cdc_tail": q_cdc_tail,
@@ -2968,6 +3012,17 @@ def oracle_sql() -> "dict[str, str]":
         # restricted to surviving turn indexes (turn_idx is part of the
         # merge key, so pre- vs post-fold filtering is equivalent)
         "cdc_retention":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete' and turn_idx < 30",
+        # Deletion-vector tier: identical semantics to the rewrite-mode
+        # retention sweep (the dv is a read-time subtraction, not a new
+        # state) — the lake is read with the vectors still pending
+        "cdc_retention_dv":
             "with ranked as (select *, row_number() over "
             "(partition by conv_id, turn_idx order by lsn desc) as rn "
             f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
