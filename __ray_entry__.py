@@ -589,6 +589,42 @@ def q_cdc_retention_dv(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_pruned_read(sf_dir: str):
+    """Predicate-pushdown lake read (pipelines/cdc.py read_lake(where=) —
+    the SELECT ... WHERE analog of delete_where's prune machinery): the
+    20k-event binlog lands half as a base merge and half as a pending
+    delta backlog, then the lake is read with an AND'd constraint list
+    (turn_idx BETWEEN 5 AND 40, role IN (user, assistant)) and the scan
+    pruned to 4 of the 7 lake columns.  Each fold task first checks the
+    partition's parquet FOOTER min/max stats and skips the partition
+    unread when any spec is provably unsatisfiable — at 100 TB a
+    time-banded analytics read touches only overlapping files.  Result
+    == the flagship argmax-LSN fold post-filtered by the same predicate,
+    which is what the SQL oracle computes."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES,
+                                        "cdc_events_20000.parquet"))
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_pread_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(
+        events.filter(pc.less(events.column("lsn"), cut))))
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(events.column("lsn"), cut))))
+    specs = [parse_constraint("turn_idx:between:5,40"),
+             parse_constraint("role:in:user,assistant")]
+    return pipe.read_lake(columns=["conv_id", "turn_idx", "role", "lsn"],
+                          where=specs)
+
+
 def q_cdc_heal(sf_dir: str):
     """Self-healing DLQ loop, end to end: the 20k-event binlog is poisoned
     in THREE bands (changegen.poison_batch, permille=20 + unknown-epoch
@@ -2759,6 +2795,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_constraints": q_cdc_constraints,
         "cdc_retention": q_cdc_retention,
         "cdc_retention_dv": q_cdc_retention_dv,
+        "cdc_pruned_read": q_cdc_pruned_read,
         "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
         "cdc_tail": q_cdc_tail,
@@ -3030,6 +3067,20 @@ def oracle_sql() -> "dict[str, str]":
             "case role when 'human' then 'user' when 'ai' then 'assistant' "
             "else role end as role, text, tool, lsn "
             "from ranked where rn = 1 and op <> 'delete' and turn_idx < 30",
+        # Predicate-pushdown read: the flagship fold post-filtered by the
+        # AND'd where specs, projected to the 4 requested columns (the
+        # footer-stats skip is a pure optimization — same rows)
+        "cdc_pruned_read":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "folded as (select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, lsn "
+            "from ranked where rn = 1 and op <> 'delete') "
+            "select conv_id, turn_idx, role, lsn from folded "
+            "where turn_idx between 5 and 40 "
+            "and role in ('user', 'assistant')",
         # Self-heal: the two unhealable poison bands (lsn&1023 < 20) stay
         # quarantined; everything else — including the healed epoch-7 band
         # (20–29) — lands in the lake, so the fold simply excludes band<20

@@ -2775,15 +2775,23 @@ class CDCPipeline:
 
     # -------------------------------------------------------------- reads
 
-    def read_lake(self, columns: "list[str] | None" = None):
+    def read_lake(self, columns: "list[str] | None" = None,
+                  where: "list | None" = None):
         """Committed lake state as a streaming Dataset (manifest-scoped).
 
         ``columns`` prunes the scan at the parquet reader (and the
         merge-on-read fold) — at lake scale a 2-column analytics read must
         not ship all 7 columns out of storage.  The fold internally keeps
-        the merge key + lsn and drops them again before returning."""
+        the merge key + lsn and drops them again before returning.
+
+        ``where``: AND'd :class:`~.constraints.Constraint` list evaluated
+        on folded live state with SQL semantics (NULL never matches);
+        partitions whose parquet footer min/max stats prove no row can
+        match are skipped without reading a data byte — at 100 TB a
+        time-banded analytics read touches only the partitions whose
+        files overlap the band."""
         return self._manifest_dataset(mf.read_manifest(self.lake_dir),
-                                      columns=columns)
+                                      columns=columns, where=where)
 
     def read_merged(self, pending_ds):
         """Merge-on-read view: committed base + an UNCOMMITTED pending
@@ -2987,14 +2995,16 @@ class CDCPipeline:
                     self.lake_dir, attempt + 1, max_commit_retries)
 
     def read_lake_at(self, version: int,
-                     columns: "list[str] | None" = None):
+                     columns: "list[str] | None" = None,
+                     where: "list | None" = None):
         """Time travel: the lake as of manifest ``version`` (Delta-style
         VERSION AS OF).  Readable for the current version and any retained
         history snapshot (``time_travel_retain`` bounds the window; GC keeps
         every snapshot-referenced txn file alive — state/manifest.py).
-        ``columns`` prunes like :meth:`read_lake`."""
+        ``columns`` and ``where`` prune like :meth:`read_lake`."""
         return self._manifest_dataset(
-            mf.read_manifest_at(self.lake_dir, version), columns=columns)
+            mf.read_manifest_at(self.lake_dir, version), columns=columns,
+            where=where)
 
     def versions(self) -> "list[int]":
         """Manifest versions currently readable via ``read_lake_at``."""
@@ -3699,7 +3709,7 @@ class CDCPipeline:
                             for c in manifest.get("constraints", [])],
         }
 
-    def _manifest_dataset(self, manifest: "dict", columns=None):
+    def _manifest_dataset(self, manifest: "dict", columns=None, where=None):
         import ray.data
 
         mcols = manifest_schema_columns(manifest)
@@ -3710,6 +3720,23 @@ class CDCPipeline:
                 raise ValueError(f"unknown lake column(s) {bad}; "
                                  f"lake schema is {mcols}")
             columns = list(columns)
+        if where:
+            # predicate-pushdown read: always the per-partition fold path
+            # (it owns the footer-stats pruning + post-fold mask); the fold
+            # additionally needs the where columns — read them, drop after.
+            # A where column the lake lacks is NOT read (it cannot be);
+            # NULL never matches, so those partitions prune to empty.
+            out_cols = columns if columns is not None else mcols
+            need = list(dict.fromkeys(
+                [*out_cols, *[c.column for c in where if c.column in types],
+                 "conv_id", "turn_idx", "lsn"]))
+            ds = self._fold_dataset(manifest, columns=need, where=where)
+            if need == list(out_cols):
+                return ds
+            sel = list(out_cols)
+            return ds.map_batches(lambda b: b.select(sel),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
         if len(mcols) > len(LAKE_COLUMNS) \
                 and not mf.has_deltas(manifest) and not mf.has_dvs(manifest):
             # evolved lake: base files written before a column widened the
@@ -3740,7 +3767,7 @@ class CDCPipeline:
         return ray.data.read_parquet(files, columns=columns)
 
     def _fold_dataset(self, manifest: "dict", columns=None, pids=None,
-                      types=None):
+                      types=None, where=None):
         """Streaming merge-on-read scan: one fold task per partition reads
         that partition's base + delta files and emits its live state — the
         file→partition mapping comes from the manifest, so NO shuffle is
@@ -3750,7 +3777,15 @@ class CDCPipeline:
         any partition has pending deltas); ``pids`` restricts to a
         partition subset (change-data-feed).  Files that predate an evolved
         column are read without it (footer-level column intersection, so
-        the scan still prunes) and padded with NULLs."""
+        the scan still prunes) and padded with NULLs.
+
+        ``where``: AND'd Constraint list — each task first checks the
+        partition's parquet FOOTER min/max stats against every spec and
+        skips the partition unread when any spec is provably
+        unsatisfiable (file-skipping for reads; dv key files are excluded
+        from the ranges since they only ever REMOVE rows), then applies
+        the exact conjunctive mask on the folded live state (SQL
+        semantics: NULL never matches)."""
         import ray.data
 
         cols = (list(columns) if columns is not None
@@ -3768,6 +3803,7 @@ class CDCPipeline:
                           "dvs": [d["path"] for d in p.get("dvs", [])]})
         if not items:
             return ray.data.from_arrow(_empty_lake_table(cols, types))
+        where_cols = sorted({c.column for c in where}) if where else []
 
         def read_padded(rel: str, want: "list[str]") -> pa.Table:
             path = os.path.join(lake_dir, rel)
@@ -3775,16 +3811,31 @@ class CDCPipeline:
             t = pq.read_table(path, columns=[c for c in want if c in have])
             return pad_to_schema(t, want, types)
 
+        def apply_where(state: "pa.Table | None") -> "pa.Table | None":
+            if not where or state is None or state.num_rows == 0:
+                return state
+            mask = np.ones(state.num_rows, dtype=bool)
+            for c in where:
+                mask &= c.matches(state)
+            return state.filter(pa.array(mask))
+
         def fold_files(batch: pa.Table) -> pa.Table:
             outs = []
             # metadata-tier loop: ≤ num_partitions rows total, data-tier
             # work stays vectorized inside fold_partition_state
             for row in batch.to_pylist():
+                if where:
+                    files = [p for p in [row["base"], *row["deltas"]] if p]
+                    ranges = _footer_ranges(lake_dir, files, where_cols)
+                    if not all(c.range_possible(ranges.get(c.column))
+                               for c in where):
+                        continue  # footer stats prove no row can match
                 base = read_padded(row["base"], cols) if row["base"] else None
                 if not row["deltas"] and not row["dvs"]:
                     # no pending deltas/dvs: the base IS the live state —
                     # skip the fold's sort entirely (the evolved-schema
                     # read path routes here for every clean partition)
+                    base = apply_where(base)
                     if base is not None and base.num_rows:
                         outs.append(base)
                     continue
@@ -3794,6 +3845,7 @@ class CDCPipeline:
                        for d in row["dvs"]]
                 folded = fold_partition_state(base, deltas, columns=cols,
                                               types=types, dvs=dvs)
+                folded = apply_where(folded)
                 if folded.num_rows:
                     outs.append(folded)
             if not outs:
