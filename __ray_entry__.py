@@ -625,6 +625,40 @@ def q_cdc_pruned_read(sf_dir: str):
                           where=specs)
 
 
+def q_cdc_clustered_read(sf_dir: str):
+    """Durable clustering + zone-map pruned read (pipelines/cdc.py
+    set_clustering — Delta OPTIMIZE ZORDER's role as a COMMITTED layout
+    property): the 20k-event binlog is applied, the lake is re-clustered
+    by ``ts`` (one exactly-once rewrite; every later base writer keeps
+    the order), then a ~20%-selectivity time band is read via
+    read_lake(where=[ts band]) — on the clustered layout the band's rows
+    are contiguous, so the zone-map read opens only the row groups whose
+    footer stats overlap the band.  Result == the flagship argmax-LSN
+    fold restricted to the band, which the SQL oracle computes with an
+    epoch-aware ts parse (the three binlog ts formats)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES,
+                                        "cdc_events_20000.parquet"))
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_clus_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(events))
+    pipe.set_clustering(["ts"])
+    # whole-second bounds with ≥780µs clearance from every fixture row,
+    # so the ns-resolution lake and the µs-resolution oracle agree
+    specs = [parse_constraint(
+        "ts:between:2024-01-01T02:12:56,2024-01-01T03:19:24")]
+    return pipe.read_lake(columns=["conv_id", "turn_idx", "role", "lsn"],
+                          where=specs)
+
+
 def q_cdc_heal(sf_dir: str):
     """Self-healing DLQ loop, end to end: the 20k-event binlog is poisoned
     in THREE bands (changegen.poison_batch, permille=20 + unknown-epoch
@@ -2796,6 +2830,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_retention": q_cdc_retention,
         "cdc_retention_dv": q_cdc_retention_dv,
         "cdc_pruned_read": q_cdc_pruned_read,
+        "cdc_clustered_read": q_cdc_clustered_read,
         "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
         "cdc_tail": q_cdc_tail,
@@ -3081,6 +3116,25 @@ def oracle_sql() -> "dict[str, str]":
             "select conv_id, turn_idx, role, lsn from folded "
             "where turn_idx between 5 and 40 "
             "and role in ('user', 'assistant')",
+        # Clustered zone-map read: the flagship fold restricted to a ts
+        # band; the binlog's ts_raw needs the epoch-aware parse (epoch 0
+        # = epoch-ms digits; epochs 1/2 = rendered strings, first 6
+        # fractional digits suffice at whole-second bounds)
+        "cdc_clustered_read":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "folded as (select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, lsn, "
+            "case when schema_epoch = 0 then "
+            "epoch_ms(cast(ts_raw as bigint)) "
+            "else strptime(substr(ts_raw, 1, 26), "
+            "'%Y-%m-%d %H:%M:%S.%f') end as ts "
+            "from ranked where rn = 1 and op <> 'delete') "
+            "select conv_id, turn_idx, role, lsn from folded "
+            "where ts between timestamp '2024-01-01 02:12:56' "
+            "and timestamp '2024-01-01 03:19:24'",
         # Self-heal: the two unhealable poison bands (lsn&1023 < 20) stay
         # quarantined; everything else — including the healed epoch-7 band
         # (20–29) — lands in the lake, so the fold simply excludes band<20

@@ -176,7 +176,8 @@ def run_queries(sf_dir: str) -> dict:
              "ann_ivf", "ann_ivf_quantized", "multimodal_decode_png",
              "dedup_incremental", "cdc_schema_evolution", "cdc_backfill",
              "cdc_multi_table", "cdc_constraints", "cdc_retention",
-             "cdc_enriched", "cdc_retention_dv"]
+             "cdc_enriched", "cdc_retention_dv", "cdc_pruned_read",
+             "cdc_clustered_read"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session

@@ -38,6 +38,7 @@ from embulk_filter_timestamp_format_ray.pipelines.cdc import (
     merge_partition_table,
     merge_schema_entries,
     sort_by_merge_key,
+    sort_lake_file,
 )
 
 
@@ -64,7 +65,8 @@ class PartitionBufferActor:
             self.buffers.setdefault(pid, []).append(table)
 
     def finalize(self, txn_id: str, partition_meta: dict,
-                 delta_mode: bool = False) -> "list[dict]":
+                 delta_mode: bool = False,
+                 cluster_by=None) -> "list[dict]":
         self.txn_id = txn_id
         self.partition_meta = partition_meta
         if delta_mode:
@@ -105,7 +107,7 @@ class PartitionBufferActor:
                        for d in meta.get("dvs", [])]
                 prior = fold_partition_state(prior, pend, dvs=dvs)
             state, new_wm, applied = merge_partition_table(delta, prior, watermark)
-            state = sort_by_merge_key(state)
+            state = sort_lake_file(state, cluster_by)
             rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)
@@ -166,13 +168,14 @@ class ActorExchange:
         return push
 
     def finalize(self, txn_id: str, partition_meta: dict,
-                 delta_mode: bool = False) -> "list[dict]":
+                 delta_mode: bool = False,
+                 cluster_by=None) -> "list[dict]":
         out = []
         for rows in ray.get([
                 a.finalize.remote(txn_id, {
                     pid: m for pid, m in partition_meta.items()
                     if pid % self.num_actors == i
-                }, delta_mode=delta_mode)
+                }, delta_mode=delta_mode, cluster_by=cluster_by)
                 for i, a in enumerate(self.actors)]):
             out.extend(rows)
         return out
@@ -233,7 +236,8 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
                         zero_copy_batch=True)
     ds = ds.map_batches(exchange.push_stage(), batch_format="pyarrow")
     ds.count()  # drain the push stage
-    rows = exchange.finalize(txn_id, partition_meta, delta_mode=delta)
+    rows = exchange.finalize(txn_id, partition_meta, delta_mode=delta,
+                             cluster_by=manifest.get("cluster_by"))
     pipeline._check_delete_guard(rows)
 
     partitions = dict(manifest["partitions"])
@@ -283,10 +287,12 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
         # _apply_dataset): record the enforced set on every commit
         new_manifest["constraints"] = [c.to_json() for c in constraints]
     from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+        carry_cluster_by,
         carry_lsn_ceiling,
     )
 
     carry_lsn_ceiling(manifest, new_manifest)
+    carry_cluster_by(manifest, new_manifest)
     mf.commit_manifest(pipeline.lake_dir, new_manifest,
                        retain_history=pipeline.time_travel_retain,
                        expected_version=manifest["version"])

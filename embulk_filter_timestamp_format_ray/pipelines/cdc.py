@@ -881,6 +881,48 @@ def is_merge_key_sorted(tbl: pa.Table) -> bool:
     return pc.all(ok).as_py() is True
 
 
+def _cluster_sort_keys(cluster_by, names) -> "list[tuple[str, str]]":
+    """Effective sort spec for a clustered base file: the cluster columns
+    (ascending), then the merge key as tiebreak — a TOTAL order, since
+    merge keys are unique within a file.  Columns the table lacks (a
+    pre-evolution fold) are skipped; their rows are all-NULL anyway."""
+    keys = [(c, "ascending") for c in cluster_by
+            if c not in ("conv_id", "turn_idx") and c in names]
+    keys += [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    return keys
+
+
+def sort_lake_file(tbl: pa.Table, cluster_by=None) -> pa.Table:
+    """BASE-file on-disk ordering: merge-key order by default; when the
+    lake has a committed ``cluster_by`` (see ``set_clustering``), the
+    cluster columns first with the merge key as tiebreak — so row-group
+    min/max zone maps become selective for the clustered columns (a
+    ts-banded ``read_lake(where=...)`` opens only overlapping groups).
+    Delta and dv-key files always stay merge-key sorted (transient; the
+    fold re-sorts anyway)."""
+    if not cluster_by:
+        return sort_by_merge_key(tbl)
+    if tbl.num_rows <= 1:
+        return tbl
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=_cluster_sort_keys(cluster_by, tbl.schema.names)))
+
+
+def is_lake_file_sorted(tbl: pa.Table, cluster_by=None) -> bool:
+    """fsck's ordering probe, clustering-aware.  The clustered check uses
+    ``sort_indices == arange``: the effective key set is a total order
+    (unique merge keys break every tie), so an already-sorted table sorts
+    to the identity permutation regardless of sort stability."""
+    if not cluster_by:
+        return is_merge_key_sorted(tbl)
+    if tbl.num_rows <= 1:
+        return True
+    idx = pc.sort_indices(
+        tbl, sort_keys=_cluster_sort_keys(cluster_by, tbl.schema.names))
+    return bool(np.array_equal(np.asarray(idx),
+                               np.arange(tbl.num_rows, dtype=np.int64)))
+
+
 class PreMergeCombiner:
     """map_batches combiner applied after partitioning, before the shuffle:
     per block, keep only each key's winner (tombstones included), then
@@ -1045,12 +1087,14 @@ class MergeApplier:
 
     def __init__(self, lake_dir: str, txn_id: str,
                  partition_meta: "dict[int, dict]",
-                 replay_filter: bool = True):
+                 replay_filter: bool = True, cluster_by=None):
         self.lake_dir = lake_dir
         self.txn_id = txn_id
         self.partition_meta = partition_meta  # pid -> {path, last_applied_lsn}
         # False only for DLQ reprocessing (see merge_partition_table)
         self.replay_filter = replay_filter
+        # committed base-file layout (set_clustering); None = merge-key
+        self.cluster_by = tuple(cluster_by) if cluster_by else None
 
     #: soft cap: a merge group beyond this is a sign num_partitions is too
     #: small for the data volume (state file rewrite cost grows linearly)
@@ -1087,11 +1131,11 @@ class MergeApplier:
         delta = decode_shuffle_encoding(group.drop_columns(["_pid"]))
         state, new_watermark, applied = merge_partition_table(
             delta, prior, watermark, replay_filter=self.replay_filter)
-        # lexicographic key order on disk (keep_last_per_key leaves
-        # dictionary-index order): keeps conv_id row-group statistics
-        # selective for the point-lookup predicate pushdown, and makes
-        # every lake writer's file ordering identical (fsck checks it)
-        state = sort_by_merge_key(state)
+        # on-disk order (keep_last_per_key leaves dictionary-index order):
+        # merge key by default — selective conv_id row-group stats for the
+        # point-lookup pushdown — or the committed cluster_by layout; fsck
+        # checks whichever is committed
+        state = sort_lake_file(state, self.cluster_by)
         rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
         full = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
@@ -1310,11 +1354,17 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
             return out.append_column("_pid", pa.array([], pa.int32()))
         return pa.concat_tables(parts, promote_options="permissive")
 
-    applier_cls = DeltaWriter if delta else MergeApplier
-    appliers = {t: applier_cls(
-        pipelines[t].lake_dir, txn_id,
-        {int(pid): m for pid, m in manifests[t]["partitions"].items()})
-        for t in names}
+    if delta:
+        appliers = {t: DeltaWriter(
+            pipelines[t].lake_dir, txn_id,
+            {int(pid): m for pid, m in manifests[t]["partitions"].items()})
+            for t in names}
+    else:
+        appliers = {t: MergeApplier(
+            pipelines[t].lake_dir, txn_id,
+            {int(pid): m for pid, m in manifests[t]["partitions"].items()},
+            cluster_by=manifests[t].get("cluster_by"))
+            for t in names}
 
     def merge_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -1393,6 +1443,7 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
             new_manifest["constraints"] = [
                 c.to_json() for c in normalizers[t].constraints]
         carry_lsn_ceiling(manifest, new_manifest)
+        carry_cluster_by(manifest, new_manifest)
         mf.commit_manifest(pipelines[t].lake_dir, new_manifest,
                            retain_history=pipelines[t].time_travel_retain,
                            expected_version=manifest["version"])
@@ -1416,6 +1467,14 @@ def carry_lsn_ceiling(manifest: dict, new_manifest: dict) -> None:
                for p in new_manifest["partitions"].values()), default=-1)
     if low < int(ceil):
         new_manifest["lsn_ceiling"] = int(ceil)
+
+
+def carry_cluster_by(manifest: dict, new_manifest: dict) -> None:
+    """``cluster_by`` is a durable layout property like the partition
+    config: every commit carries it forward (set/cleared only by
+    ``set_clustering``'s own commit, which writes the key explicitly)."""
+    if manifest.get("cluster_by") and "cluster_by" not in new_manifest:
+        new_manifest["cluster_by"] = list(manifest["cluster_by"])
 
 
 #: arrow schema for per-partition metadata work items — from_items infers
@@ -1495,6 +1554,41 @@ def _prune_possible(constraints, ranges: "dict[str, tuple | None]") -> bool:
     """OR'd delete specs: the partition can hold a matching row iff ANY
     spec's value rule is satisfiable within its column's footer range."""
     return any(c.range_possible(ranges.get(c.column)) for c in constraints)
+
+
+def _matching_row_groups(pf: "pq.ParquetFile", constraints) -> "list[int]":
+    """Row-group indexes whose footer min/max stats admit every AND'd
+    constraint — zone-map skipping WITHIN a file, the tier below
+    ``_footer_ranges``'s whole-partition pruning.  Conservative like
+    ``range_possible``: missing stats keep the group; a column the file
+    lacks reads all-NULL (widen-only evolution) and can never match, so
+    any group fails that constraint.  Only sound on tables that ARE live
+    state (a clean partition's base): pre-fold row-group pruning on a
+    versioned table could drop a key's newest version and resurrect an
+    older matching one."""
+    md = pf.metadata
+    keep: "list[int]" = []
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        ok = True
+        for c in constraints:
+            idx = pf.schema_arrow.get_field_index(c.column)
+            if idx == -1:
+                rng: "tuple | None" = ()
+            else:
+                st = grp.column(idx).statistics
+                if st is not None and st.null_count == grp.num_rows:
+                    rng = ()
+                elif st is None or not st.has_min_max:
+                    rng = None
+                else:
+                    rng = (st.min, st.max)
+            if not c.range_possible(rng):
+                ok = False
+                break
+        if ok:
+            keep.append(rg)
+    return keep
 
 
 def _vanished_txn_input(exc) -> bool:
@@ -1824,7 +1918,8 @@ class CDCPipeline:
             applier = DeltaWriter(self.lake_dir, txn_id, partition_meta)
         else:
             applier = MergeApplier(self.lake_dir, txn_id, partition_meta,
-                                   replay_filter=not _reprocess)
+                                   replay_filter=not _reprocess,
+                                   cluster_by=manifest.get("cluster_by"))
 
         constraints = self.effective_constraints(manifest)
         norm_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
@@ -1941,6 +2036,7 @@ class CDCPipeline:
         if constraints:
             new_manifest["constraints"] = [c.to_json() for c in constraints]
         carry_lsn_ceiling(manifest, new_manifest)
+        carry_cluster_by(manifest, new_manifest)
         if self._pre_commit_hook is not None:
             self._pre_commit_hook()  # test seam: interleave a competing commit
         mf.commit_manifest(self.lake_dir, new_manifest,
@@ -1979,13 +2075,14 @@ class CDCPipeline:
                                by_turn=(self.partition_mode == "turn"),
                                salt_keys=new_salt, salt_factor=new_sf)
         lake_dir = self.lake_dir
+        cluster = manifest.get("cluster_by")
 
         def write_partition(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
                 return MergeApplier._result(None)
             pid = int(group.column("_pid")[0].as_py())
             state = group.drop_columns(["_pid"])
-            state = sort_by_merge_key(state)
+            state = sort_lake_file(state, cluster)
             rel = os.path.join(f"txn-{txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(lake_dir, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)
@@ -2078,6 +2175,7 @@ class CDCPipeline:
                         "dv_files_folded": 0}
             txn_id = uuid.uuid4().hex[:12]
             lake_dir = self.lake_dir
+            cluster = manifest.get("cluster_by")
             items = [{"pid": int(pid), "base": p.get("path") or "",
                       "deltas": [d["path"] for d in p.get("deltas", [])],
                       "dvs": [d["path"] for d in p.get("dvs", [])]}
@@ -2096,7 +2194,7 @@ class CDCPipeline:
                     state = fold_partition_state(base, deltas, dvs=dvs)
                     rel = ""
                     if state.num_rows:
-                        state = sort_by_merge_key(state)
+                        state = sort_lake_file(state, cluster)
                         rel = os.path.join(f"txn-{txn_id}",
                                            f"part-{row['pid']:05d}.parquet")
                         full = os.path.join(lake_dir, rel)
@@ -2152,6 +2250,7 @@ class CDCPipeline:
                 new_manifest["dlq"] = manifest["dlq"]
             carry_constraints(manifest, new_manifest)
             carry_lsn_ceiling(manifest, new_manifest)
+            carry_cluster_by(manifest, new_manifest)
             if self._pre_commit_hook is not None:
                 self._pre_commit_hook()  # test seam: interleave a commit
             try:
@@ -2213,6 +2312,70 @@ class CDCPipeline:
         return {"txn": res["txn"], "version": res["version"],
                 "partitions_transformed": res["partitions"],
                 "rows": res["rows"]}
+
+    def set_clustering(self, columns,
+                       max_commit_retries: int = 2) -> "dict":
+        """Durable base-file clustering (the role of Delta's OPTIMIZE
+        ZORDER, but as a COMMITTED layout property instead of a decaying
+        maintenance pass): record ``cluster_by`` in the manifest and
+        rewrite every partition's base in (cluster columns, merge-key
+        tiebreak) order as ONE exactly-once commit.  From then on EVERY
+        base writer — merge, compaction, repartition, transform, both
+        exchanges, fan-out — emits that order, so the layout never decays
+        under new commits and row-group zone maps stay selective for the
+        clustered columns: a ts-clustered lake answers
+        ``read_lake(where=[ts band])`` opening only overlapping row
+        groups.  Tradeoff: conv_id row-group stats widen, so point-lookup
+        pruning (``read_conversation``) degrades to partition-level —
+        cluster analytics-heavy lakes, not point-lookup-heavy ones.
+
+        ``columns=()`` clears the property and restores merge-key order
+        (also a full rewrite).  Pure reorder: watermarks, row counts and
+        live state are unchanged; time travel to the pre-cluster version
+        still reads, rollback restores the old layout property with the
+        snapshot.  Empty lake: the property commits metadata-only and the
+        first apply writes clustered bases directly."""
+        cols = tuple(columns or ())
+        if any(not isinstance(c, str) for c in cols):
+            raise ValueError("cluster_by must be column names")
+        manifest = mf.read_manifest(self.lake_dir)
+        self.check_manifest_compat(manifest)
+        known = manifest_schema_columns(manifest)
+        bad = [c for c in cols if c not in known]
+        if bad:
+            raise ValueError(f"unknown cluster column(s) {bad}; "
+                             f"lake schema is {known}")
+        res = self._rewrite_lake(
+            lambda state, pid: state, "cluster",
+            max_commit_retries=max_commit_retries,
+            cluster_override=(cols or None),
+            manifest_extra={"cluster_by": list(cols)})
+        if res is None:
+            # no data yet: record the layout property metadata-only; the
+            # first apply's MergeApplier adopts it from the manifest
+            new_manifest = {
+                "version": manifest["version"] + 1,
+                "partitions": dict(manifest.get("partitions", {})),
+                "num_partitions": self.num_partitions,
+                "partition_config": self.partition_config(),
+                "last_txn": manifest.get("last_txn"),
+                **schema_entries_of(manifest),
+            }
+            if manifest.get("dlq"):
+                new_manifest["dlq"] = manifest["dlq"]
+            carry_constraints(manifest, new_manifest)
+            carry_lsn_ceiling(manifest, new_manifest)
+            if cols:
+                new_manifest["cluster_by"] = list(cols)
+            mf.commit_manifest(self.lake_dir, new_manifest,
+                               retain_history=self.time_travel_retain,
+                               expected_version=manifest["version"])
+            return {"txn": None, "version": new_manifest["version"],
+                    "partitions": 0, "rows": 0,
+                    "cluster_by": list(cols)}
+        return {"txn": res["txn"], "version": res["version"],
+                "partitions": res["partitions"], "rows": res["rows"],
+                "cluster_by": list(cols)}
 
     def delete_where(self, predicate, max_commit_retries: int = 2,
                      mode: str = "rewrite",
@@ -2399,6 +2562,7 @@ class CDCPipeline:
                 new_manifest["dlq"] = manifest["dlq"]
             carry_constraints(manifest, new_manifest)
             carry_lsn_ceiling(manifest, new_manifest)
+            carry_cluster_by(manifest, new_manifest)
             if self._pre_commit_hook is not None:
                 self._pre_commit_hook()  # test seam
             try:
@@ -2420,9 +2584,14 @@ class CDCPipeline:
                     "rows_deleted": sum(int(r["rows"]) for r in hits),
                     "partitions_skipped": skipped}
 
+    #: sentinel: _rewrite_lake adopts the manifest's committed cluster_by
+    _ADOPT_CLUSTER = object()
+
     def _rewrite_lake(self, state_fn, lineage_flag: str,
                       max_commit_retries: int = 2,
-                      prune=None, skip_unchanged: bool = False) -> "dict | None":
+                      prune=None, skip_unchanged: bool = False,
+                      cluster_override=_ADOPT_CLUSTER,
+                      manifest_extra: "dict | None" = None) -> "dict | None":
         """Shared machinery for the maintenance ops that rewrite live
         state in place (``transform_lake`` / ``delete_where``): one
         fold→``state_fn(state, pid)``→rewrite task per partition with
@@ -2439,7 +2608,14 @@ class CDCPipeline:
         ``state_fn`` returned the same row count AND it had no pending
         deltas/dvs to fold — sound only for pure row-removal
         (delete_where), where an equal count implies an identical table; a
-        transform may edit values count-free."""
+        transform may edit values count-free.
+
+        ``cluster_override``: base-file sort order for the rewrite —
+        defaults to adopting the manifest's committed ``cluster_by``
+        (set_clustering passes the NEW order it is committing).
+        ``manifest_extra``: extra top-level keys merged into the committed
+        manifest (set_clustering records/clears ``cluster_by`` here, in
+        the SAME atomic commit as the rewrite)."""
         import ray.data
 
         for attempt in range(max_commit_retries + 1):
@@ -2452,6 +2628,9 @@ class CDCPipeline:
             txn_id = uuid.uuid4().hex[:12]
             lake_dir = self.lake_dir
             types = _manifest_types(manifest)
+            cluster = (manifest.get("cluster_by")
+                       if cluster_override is self._ADOPT_CLUSTER
+                       else cluster_override)
             items = [{"pid": int(pid), "base": p.get("path") or "",
                       "deltas": [d["path"] for d in p.get("deltas", [])],
                       "dvs": [d["path"] for d in p.get("dvs", [])]}
@@ -2486,7 +2665,7 @@ class CDCPipeline:
                         continue
                     rel = ""
                     if out.num_rows:
-                        out = sort_by_merge_key(out)
+                        out = sort_lake_file(out, cluster)
                         rel = os.path.join(
                             f"txn-{txn_id}",
                             f"part-{row['pid']:05d}.parquet")
@@ -2554,6 +2733,15 @@ class CDCPipeline:
                 new_manifest["dlq"] = manifest["dlq"]
             carry_constraints(manifest, new_manifest)
             carry_lsn_ceiling(manifest, new_manifest)
+            carry_cluster_by(manifest, new_manifest)
+            if manifest_extra:
+                # explicit layout keys override the carried ones (falsy
+                # values DELETE the key — set_clustering(()) clears)
+                for k, v in manifest_extra.items():
+                    if v:
+                        new_manifest[k] = v
+                    else:
+                        new_manifest.pop(k, None)
             if self._pre_commit_hook is not None:
                 self._pre_commit_hook()  # test seam
             try:
@@ -3518,6 +3706,7 @@ class CDCPipeline:
         ceiling = int(manifest.get("lsn_ceiling", -1))
         allowed_types = _manifest_types(manifest)
         constraints = constraints_from_manifest(manifest)
+        cluster = manifest.get("cluster_by")
         items = []
         for pid, p in manifest["partitions"].items():
             if not p.get("path") and not p.get("deltas"):
@@ -3539,7 +3728,8 @@ class CDCPipeline:
                 warns = []
                 rows_seen = 0
 
-                def check_file(t: pa.Table, what: str):
+                def check_file(t: pa.Table, what: str,
+                               base_order: bool = False):
                     if not t.num_rows:
                         return
                     # schema: widen-only evolution means every on-disk
@@ -3558,7 +3748,15 @@ class CDCPipeline:
                             probs.append(
                                 f"column {f.name!r} in {what} has type "
                                 f"{f.type}, committed schema says {want}")
-                    if not is_merge_key_sorted(t):
+                    # base files follow the committed layout (merge key,
+                    # or cluster_by when set); delta/dv files are always
+                    # merge-key sorted (transient — the fold re-sorts)
+                    if base_order and cluster:
+                        if not is_lake_file_sorted(t, cluster):
+                            warns.append(
+                                f"{what} not sorted by committed "
+                                f"cluster_by {list(cluster)}")
+                    elif not is_merge_key_sorted(t):
                         warns.append(f"{what} not sorted by merge key")
                     # uniqueness within the file: every writer runs
                     # keep_last_per_key first, so an in-file duplicate
@@ -3597,7 +3795,7 @@ class CDCPipeline:
                 if row["base"]:
                     base = pq.read_table(os.path.join(lake_dir, row["base"]))
                     rows_seen += base.num_rows
-                    check_file(base, "base file")
+                    check_file(base, "base file", base_order=True)
                 for d in row["deltas"]:
                     t = pq.read_table(os.path.join(lake_dir, d))
                     rows_seen += t.num_rows
@@ -3707,6 +3905,8 @@ class CDCPipeline:
             # full specs live in the manifest)
             "constraints": [c.get("name", "")
                             for c in manifest.get("constraints", [])],
+            # committed base-file layout (set_clustering); [] = merge key
+            "cluster_by": list(manifest.get("cluster_by", [])),
         }
 
     def _manifest_dataset(self, manifest: "dict", columns=None, where=None):
@@ -3824,18 +4024,39 @@ class CDCPipeline:
             # metadata-tier loop: ≤ num_partitions rows total, data-tier
             # work stays vectorized inside fold_partition_state
             for row in batch.to_pylist():
+                clean = not row["deltas"] and not row["dvs"]
+                if where and clean:
+                    # zone-map read: a clean partition's base IS the live
+                    # state (one row per key), so dropping a row group can
+                    # never resurrect an older version — read only the
+                    # groups whose footer stats admit every spec (the
+                    # whole-file skip is the keep-nothing case)
+                    if not row["base"]:
+                        continue
+                    pf = pq.ParquetFile(os.path.join(lake_dir, row["base"]))
+                    keep = _matching_row_groups(pf, where)
+                    if not keep:
+                        continue
+                    have = set(pf.schema_arrow.names)
+                    t = pf.read_row_groups(
+                        keep, columns=[c for c in cols if c in have])
+                    base = apply_where(pad_to_schema(t, cols, types))
+                    if base is not None and base.num_rows:
+                        outs.append(base)
+                    continue
                 if where:
+                    # versioned inputs (pending deltas/dvs): prune at the
+                    # whole-partition tier only, fold, then mask exact
                     files = [p for p in [row["base"], *row["deltas"]] if p]
                     ranges = _footer_ranges(lake_dir, files, where_cols)
                     if not all(c.range_possible(ranges.get(c.column))
                                for c in where):
                         continue  # footer stats prove no row can match
                 base = read_padded(row["base"], cols) if row["base"] else None
-                if not row["deltas"] and not row["dvs"]:
+                if clean:
                     # no pending deltas/dvs: the base IS the live state —
                     # skip the fold's sort entirely (the evolved-schema
                     # read path routes here for every clean partition)
-                    base = apply_where(base)
                     if base is not None and base.num_rows:
                         outs.append(base)
                     continue

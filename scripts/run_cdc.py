@@ -81,6 +81,14 @@ def main() -> None:
                          "count (distributed read -> reshuffle -> commit; "
                          "the escape hatch when partitions outgrow a merge "
                          "task), then apply nothing")
+    ap.add_argument("--cluster-by", default=None, metavar="COLS",
+                    help="set the lake's durable base-file clustering "
+                         "(comma-separated columns, e.g. 'ts'): one "
+                         "exactly-once rewrite in (cluster cols, merge "
+                         "key) order; every later writer keeps it, so "
+                         "banded reads prune row groups. 'none' clears "
+                         "back to merge-key order. Maintenance only "
+                         "(--events 0), applies nothing")
     ap.add_argument("--fanout-to", default=None, metavar="DIR",
                     help="multi-table routing demo (apply_multi): tag the "
                          "generated stream by conv-id parity and fan it "
@@ -407,6 +415,12 @@ def main() -> None:
             res = pipe.repartition_lake(args.repartition_to)
             print(json.dumps({"lake": args.lake, "repartition": res,
                               "rows": pipe.read_lake().count()}))
+            return
+        if args.cluster_by is not None:
+            cols = () if args.cluster_by.lower() in ("none", "") else \
+                tuple(c.strip() for c in args.cluster_by.split(","))
+            res = pipe.set_clustering(cols)
+            print(json.dumps({"lake": args.lake, "cluster": res}))
             return
         if args.delete_where:
             import numpy as _np

@@ -14,6 +14,8 @@ Contract under test:
   columns are dropped after filtering
 """
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -119,6 +121,81 @@ def test_where_null_never_matches(ray_session, tmp_path):
     got = _collect(pipe.read_lake(where=[
         parse_constraint("tool:not_null")]))
     assert got.num_rows == full.num_rows - n_null
+
+
+def _rewrite_bases_small_row_groups(pipe, rows_per_group=64):
+    """Rewrite every base file IN PLACE with small row groups (same rows,
+    same order, same path — the manifest records paths + row counts, not
+    byte sizes) so zone-map tests see multi-group files at fixture scale."""
+    import pyarrow.parquet as pq
+
+    from embulk_filter_timestamp_format_ray.state import manifest as mf
+
+    manifest = mf.read_manifest(pipe.lake_dir)
+    paths = []
+    for p in manifest["partitions"].values():
+        if p.get("path"):
+            full = os.path.join(pipe.lake_dir, p["path"])
+            t = pq.read_table(full)
+            pq.write_table(t, full, compression="zstd",
+                           row_group_size=rows_per_group)
+            paths.append(full)
+    return paths
+
+
+def test_matching_row_groups_zone_map(ray_session, tmp_path):
+    """The per-file zone map: merge-key-sorted bases give selective
+    conv_id ranges per row group; the helper keeps exactly the groups a
+    conv-band can touch, keeps everything for un-prunable kinds, and
+    keeps nothing for a column the file lacks."""
+    import pyarrow.parquet as pq
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+        _matching_row_groups,
+    )
+
+    pipe = _lake(tmp_path)
+    paths = _rewrite_bases_small_row_groups(pipe, rows_per_group=64)
+    multi = [p for p in paths
+             if pq.ParquetFile(p).metadata.num_row_groups > 1]
+    assert multi, "fixture lake should yield multi-row-group bases"
+    pruned_somewhere = False
+    for path in multi:
+        pf = pq.ParquetFile(path)
+        n = pf.metadata.num_row_groups
+        # a one-conversation point band: sorted bases localize it
+        first_conv = pf.read_row_group(0, columns=["conv_id"]) \
+            .column("conv_id")[0].as_py()
+        keep = _matching_row_groups(
+            pf, [parse_constraint(f"conv_id:in:{first_conv}")])
+        assert keep and 0 in keep
+        if len(keep) < n:
+            pruned_somewhere = True
+        # un-prunable kind: conservative, keeps every group
+        assert _matching_row_groups(
+            pf, [parse_constraint("text:matches:x")]) == list(range(n))
+        # column the file lacks: NULL never matches, keeps nothing
+        assert _matching_row_groups(
+            pf, [parse_constraint("lang:in:en")]) == []
+    assert pruned_somewhere, "conv band should skip groups in sorted bases"
+
+
+def test_where_read_equals_post_filter_multi_row_group(ray_session,
+                                                       tmp_path):
+    """End to end over multi-row-group bases: the zone-map read (clean
+    partitions route through row-group pruning) returns exactly the
+    post-filtered state, including a band that straddles group
+    boundaries."""
+    pipe = _lake(tmp_path, n=2000)
+    _rewrite_bases_small_row_groups(pipe, rows_per_group=64)
+    full = _collect(pipe.read_lake())
+    lo, hi = "conv-00000002", "conv-00000007"
+    specs = [parse_constraint(f"conv_id:between:{lo},{hi}"),
+             parse_constraint("turn_idx:between:,35")]
+    expected = full.filter(pa.array(_mask(specs, full)))
+    assert 0 < expected.num_rows < full.num_rows
+    got = _collect(pipe.read_lake(where=specs))
+    assert got.equals(expected)
 
 
 def test_where_on_evolved_column_skips_pre_evolution_rows(
