@@ -659,6 +659,39 @@ def q_cdc_clustered_read(sf_dir: str):
                           where=specs)
 
 
+def q_cdc_count(sf_dir: str):
+    """COUNT(*) aggregate pushdown (pipelines/cdc.py count_rows): the
+    20k-event binlog lands half base / half pending delta backlog, then
+    the lake is counted twice — total (manifest row counts for clean
+    partitions + a key-columns-only fold for the delta-backlogged ones;
+    payload bytes never leave storage) and under a turn_idx band (the
+    pruned-fold count, shipping only key + where columns).  Both equal
+    the SQL oracle's COUNT(*) over the flagship fold."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES,
+                                        "cdc_events_20000.parquet"))
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_count_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(
+        events.filter(pc.less(events.column("lsn"), cut))))
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(events.column("lsn"), cut))))
+    n_total = pipe.count_rows()
+    n_band = pipe.count_rows(
+        where=[parse_constraint("turn_idx:between:5,40")])
+    return pa.table({"n_total": pa.array([n_total], pa.int64()),
+                     "n_band": pa.array([n_band], pa.int64())})
+
+
 def q_cdc_heal(sf_dir: str):
     """Self-healing DLQ loop, end to end: the 20k-event binlog is poisoned
     in THREE bands (changegen.poison_batch, permille=20 + unknown-epoch
@@ -2831,6 +2864,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_retention_dv": q_cdc_retention_dv,
         "cdc_pruned_read": q_cdc_pruned_read,
         "cdc_clustered_read": q_cdc_clustered_read,
+        "cdc_count": q_cdc_count,
         "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
         "cdc_tail": q_cdc_tail,
@@ -3135,6 +3169,17 @@ def oracle_sql() -> "dict[str, str]":
             "select conv_id, turn_idx, role, lsn from folded "
             "where ts between timestamp '2024-01-01 02:12:56' "
             "and timestamp '2024-01-01 03:19:24'",
+        # COUNT(*) pushdown: both counts over the flagship fold (the
+        # manifest/metadata shortcut is a pure optimization — same rows)
+        "cdc_count":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "folded as (select turn_idx "
+            "from ranked where rn = 1 and op <> 'delete') "
+            "select count(*) as n_total, "
+            "count(*) filter (where turn_idx between 5 and 40) as n_band "
+            "from folded",
         # Self-heal: the two unhealable poison bands (lsn&1023 < 20) stay
         # quarantined; everything else — including the healed epoch-7 band
         # (20–29) — lands in the lake, so the fold simply excludes band<20

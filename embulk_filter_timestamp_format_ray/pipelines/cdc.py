@@ -2981,6 +2981,40 @@ class CDCPipeline:
         return self._manifest_dataset(mf.read_manifest(self.lake_dir),
                                       columns=columns, where=where)
 
+    def count_rows(self, where: "list | None" = None) -> int:
+        """COUNT(*) with aggregate pushdown.
+
+        Without ``where``: clean partitions (no pending deltas/dvs — the
+        100-TB steady state) are counted from the MANIFEST alone (every
+        base writer records its row count at commit), so the common case
+        reads zero data bytes; only dirty partitions fold, and that fold
+        reads just the merge key + lsn, never the payload columns.
+
+        With ``where`` (AND'd Constraint list, SQL semantics): the same
+        pruned fold as ``read_lake(where=...)`` — partition- and
+        row-group-level footer skipping — but the scan ships ONLY the
+        merge key, lsn, and the where columns; text/payload never leaves
+        storage just to be counted."""
+        manifest = mf.read_manifest(self.lake_dir)
+        self.check_manifest_compat(manifest)
+        key_cols = ["conv_id", "turn_idx", "lsn"]
+        if where:
+            types = _manifest_types(manifest)
+            need = list(dict.fromkeys(
+                [*key_cols,
+                 *[c.column for c in where if c.column in types]]))
+            return self._fold_dataset(manifest, columns=need,
+                                      where=where).count()
+        dirty = {pid for pid, p in manifest["partitions"].items()
+                 if p.get("deltas") or p.get("dvs")}  # manifest string keys
+        clean_total = sum(int(p.get("rows", 0))
+                          for pid, p in manifest["partitions"].items()
+                          if pid not in dirty)
+        if not dirty:
+            return clean_total
+        return clean_total + self._fold_dataset(
+            manifest, columns=key_cols, pids=dirty).count()
+
     def read_merged(self, pending_ds):
         """Merge-on-read view: committed base + an UNCOMMITTED pending
         change stream overlaid at read time — the state ``apply(pending_ds)``

@@ -198,6 +198,30 @@ def test_where_read_equals_post_filter_multi_row_group(ray_session,
     assert got.equals(expected)
 
 
+@pytest.mark.parametrize("shape", ["clean", "delta", "dv"])
+def test_count_rows_equals_read_count(ray_session, tmp_path, shape):
+    pipe = _lake(tmp_path, delta_tail=(shape == "delta"),
+                 dv=(shape == "dv"))
+    full = _collect(pipe.read_lake())
+    assert pipe.count_rows() == full.num_rows
+    specs = [parse_constraint("turn_idx:between:5,40")]
+    assert pipe.count_rows(where=specs) == int(_mask(specs, full).sum())
+    assert pipe.count_rows(where=[parse_constraint("lang:in:en")]) == 0
+
+
+def test_count_rows_clean_lake_is_metadata_only(ray_session, tmp_path):
+    """On a lake with no pending deltas/dvs the count must come from the
+    manifest alone — no fold dataset is ever constructed."""
+    pipe = _lake(tmp_path)
+    full = _collect(pipe.read_lake())
+
+    def boom(*a, **k):
+        raise AssertionError("clean-lake count_rows must not fold")
+
+    pipe._fold_dataset = boom
+    assert pipe.count_rows() == full.num_rows
+
+
 def test_where_on_evolved_column_skips_pre_evolution_rows(
         ray_session, tmp_path):
     import ray.data
