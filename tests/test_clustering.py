@@ -184,6 +184,75 @@ def _matching_groups_total(pipe, specs) -> "tuple[int, int]":
     return matched, total
 
 
+def test_changefeed_across_clustering_is_empty(ray_session, tmp_path):
+    """A clustering rewrite is a pure reorder: the CDF's equal-lsn pairs
+    are rewrite survivors and must emit NOTHING (DESIGN #44 pairwise
+    audit — a maintenance op must not masquerade as data change)."""
+    import ray.data
+
+    pipe = _lake(tmp_path, n=1500)
+    v1 = mf.read_manifest(pipe.lake_dir)["version"]
+    pipe.set_clustering(["ts"])
+    v2 = mf.read_manifest(pipe.lake_dir)["version"]
+    chg = pipe.lake_changes(v1, v2)
+    assert chg.count() == 0
+    # and a REAL change after the rewrite still surfaces
+    ev = expected_event_table(1600)
+    pipe.apply(ray.data.from_arrow(ev.slice(1500)))
+    v3 = mf.read_manifest(pipe.lake_dir)["version"]
+    assert pipe.lake_changes(v2, v3).count() > 0
+
+
+def test_sync_across_clustering_ships_nothing(ray_session,
+                                              tmp_path_factory):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_clus_sync"))
+    out = str(tmp_path_factory.mktemp("clus_sync_out"))
+    ev = expected_event_table(1800)
+    pipe = CDCPipeline(lake, num_partitions=4)
+    pipe.apply(ray.data.from_arrow(ev.slice(0, 1200)))
+    s1 = pipe.sync_changes(out)
+    assert s1["mode"] == "snapshot"
+    pipe.set_clustering(["ts"])
+    s2 = pipe.sync_changes(out)  # cursor advances over the reorder
+    assert s2["rows"] == 0
+    # later real changes still mirror exactly
+    pipe.apply(ray.data.from_arrow(ev.slice(1200)))
+    s3 = pipe.sync_changes(out)
+    assert s3["rows"] > 0
+    mirror = CDCPipeline.read_sync_mirror(out)
+    got = _collect(mirror)
+    want = _collect(pipe.read_lake())
+    cols = sorted(want.schema.names)
+    keys = [(c, "ascending") for c in cols]
+    assert got.select(cols).sort_by(keys) \
+        .equals(want.select(cols).sort_by(keys))
+
+
+def test_incremental_view_stays_exact_across_clustering(ray_session,
+                                                        tmp_path):
+    from embulk_filter_timestamp_format_ray.pipelines.views import (
+        IncrementalView,
+    )
+
+    def snap(view):
+        t = pa.concat_tables(
+            [b for b in view.read().iter_batches(batch_format="pyarrow")],
+            promote_options="permissive")
+        return t.sort_by([(c, "ascending") for c in t.schema.names])
+
+    pipe = _lake(tmp_path, n=1500)
+    view = IncrementalView(pipe.lake_dir, str(tmp_path / "view"))
+    view.refresh()
+    before = snap(view)
+    pipe.set_clustering(["ts"])
+    # base paths changed → signatures stale → recompute, same answer
+    res = view.refresh()
+    assert res["recomputed"] > 0
+    assert snap(view).equals(before)
+
+
 def test_clustered_zone_maps_prune_ts_bands(ray_session, tmp_path):
     n = 4000
     plain = _lake(tmp_path, name="plain", n=n)
