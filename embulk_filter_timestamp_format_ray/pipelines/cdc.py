@@ -344,7 +344,13 @@ LAKE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
 # ~one group per file regardless of how large a partition grows (pyarrow's
 # default 1Mi-row groups would make a 50M-row partition file prune 50x
 # worse)
-LAKE_ROW_GROUP_ROWS = 131_072
+#: rows per parquet row group in every lake file — the zone-map pruning
+#: granule (read_lake(where=...) skips row groups by footer stats, so a
+#: smaller granule prunes tighter at the cost of more footer entries and
+#: slightly worse compression).  Env-overridable for experiments; in the
+#: local test mode Ray workers inherit the driver's environment.
+LAKE_ROW_GROUP_ROWS = int(os.environ.get("GRAFT_LAKE_ROW_GROUP_ROWS",
+                                         131_072))
 
 _LAKE_FIELD_TYPES = {
     "conv_id": pa.string(), "turn_idx": pa.int32(), "role": pa.string(),
