@@ -39,6 +39,7 @@ from embulk_filter_timestamp_format_ray.pipelines.cdc import (
     merge_schema_entries,
     sort_by_merge_key,
     sort_lake_file,
+    cluster_spec_of,
 )
 
 
@@ -237,7 +238,7 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
     ds = ds.map_batches(exchange.push_stage(), batch_format="pyarrow")
     ds.count()  # drain the push stage
     rows = exchange.finalize(txn_id, partition_meta, delta_mode=delta,
-                             cluster_by=manifest.get("cluster_by"))
+                             cluster_by=cluster_spec_of(manifest))
     pipeline._check_delete_guard(rows)
 
     partitions = dict(manifest["partitions"])

@@ -887,31 +887,114 @@ def is_merge_key_sorted(tbl: pa.Table) -> bool:
     return pc.all(ok).as_py() is True
 
 
+def cluster_spec_of(manifest: "dict"):
+    """The committed clustering as the value every base writer threads to
+    ``sort_lake_file``: ``None`` (merge-key order), a column list
+    (lexicographic), or a dict ``{"columns", "mode": "zorder", "bounds"}``
+    (bit-interleaved Z-order with the quantization bounds FROZEN at
+    ``set_clustering`` time — like the IVF index's frozen centroids, a
+    re-derived quantization would silently re-place every existing
+    file's rows)."""
+    cols = manifest.get("cluster_by")
+    if not cols:
+        return None
+    if manifest.get("cluster_mode") == "zorder":
+        return {"columns": list(cols), "mode": "zorder",
+                "bounds": {c: (float(b[0]), float(b[1]))
+                           for c, b in manifest["cluster_bounds"].items()}}
+    return list(cols)
+
+
 def _cluster_sort_keys(cluster_by, names) -> "list[tuple[str, str]]":
-    """Effective sort spec for a clustered base file: the cluster columns
-    (ascending), then the merge key as tiebreak — a TOTAL order, since
-    merge keys are unique within a file.  Columns the table lacks (a
-    pre-evolution fold) are skipped; their rows are all-NULL anyway."""
+    """Effective sort spec for a lex-clustered base file: the cluster
+    columns (ascending), then the merge key as tiebreak — a TOTAL order,
+    since merge keys are unique within a file.  Columns the table lacks
+    (a pre-evolution fold) are skipped; their rows are all-NULL anyway."""
     keys = [(c, "ascending") for c in cluster_by
             if c not in ("conv_id", "turn_idx") and c in names]
     keys += [("conv_id", "ascending"), ("turn_idx", "ascending")]
     return keys
 
 
+def _zorder_bound_f64(v) -> float:
+    """A footer-stat bound as the float64 the z-quantizer uses (datetime
+    → epoch ns; 16-bit quantization makes the f64 precision loss on
+    ns-scale ints irrelevant)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return v.timestamp() * 1e9
+    return float(v)
+
+
+def _zorder_column_f64(tbl: pa.Table, col: str) -> "np.ndarray":
+    """A cluster column as float64 for quantization (timestamp → epoch
+    ns; NULL / missing column → NaN, which quantizes to bucket 0 so null
+    rows cluster together at the front)."""
+    if col not in tbl.schema.names:
+        return np.full(tbl.num_rows, np.nan)
+    c = tbl.column(col)
+    if pa.types.is_timestamp(c.type):
+        c = c.cast(pa.int64())
+    # safe=False: epoch-ns int64 exceeds float64's 2^53 exact range; the
+    # precision loss is far below the 16-bit quantization granularity
+    return np.asarray(
+        c.cast(pa.float64(), safe=False).to_numpy(zero_copy_only=False),
+        dtype=np.float64)
+
+
+def _zorder_key(tbl: pa.Table, columns, bounds) -> "np.ndarray":
+    """Vectorized Z-value per row: each column rank-quantized to 16 bits
+    within its FROZEN [lo, hi] (values outside clamp — later ingest may
+    drift past the bounds; the order stays total and valid, only the
+    tail buckets saturate), then bit-interleaved LSB-first across
+    columns.  ≤4 columns fit a uint64."""
+    n = tbl.num_rows
+    k = len(columns)
+    quant = []
+    for col in columns:
+        lo, hi = bounds[col]
+        v = _zorder_column_f64(tbl, col)
+        span = hi - lo
+        r = np.zeros(n) if span <= 0 else (v - lo) / span
+        r = np.clip(np.nan_to_num(r, nan=0.0), 0.0, 1.0)
+        quant.append((r * 65535.0).astype(np.uint64))
+    z = np.zeros(n, dtype=np.uint64)
+    one = np.uint64(1)
+    for bit in range(16):
+        for j, q in enumerate(quant):
+            z |= ((q >> np.uint64(bit)) & one) << np.uint64(bit * k + j)
+    return z
+
+
+def _with_sort_view(tbl: pa.Table, cluster):
+    """(table-for-sorting, sort keys) for a cluster spec — zorder appends
+    a transient ``_z`` column (dropped by the caller via index take)."""
+    if isinstance(cluster, dict):
+        z = _zorder_key(tbl, cluster["columns"], cluster["bounds"])
+        view = tbl.append_column("_z", pa.array(z, pa.uint64()))
+        return view, [("_z", "ascending"), ("conv_id", "ascending"),
+                      ("turn_idx", "ascending")]
+    return tbl, _cluster_sort_keys(cluster, tbl.schema.names)
+
+
 def sort_lake_file(tbl: pa.Table, cluster_by=None) -> pa.Table:
     """BASE-file on-disk ordering: merge-key order by default; when the
     lake has a committed ``cluster_by`` (see ``set_clustering``), the
-    cluster columns first with the merge key as tiebreak — so row-group
-    min/max zone maps become selective for the clustered columns (a
-    ts-banded ``read_lake(where=...)`` opens only overlapping groups).
-    Delta and dv-key files always stay merge-key sorted (transient; the
-    fold re-sorts anyway)."""
+    cluster order — lexicographic columns or interleaved Z-order — with
+    the merge key as tiebreak, so row-group min/max zone maps become
+    selective for the clustered columns (a ts-banded
+    ``read_lake(where=...)`` opens only overlapping groups).  Delta and
+    dv-key files always stay merge-key sorted (transient; the fold
+    re-sorts anyway)."""
     if not cluster_by:
         return sort_by_merge_key(tbl)
     if tbl.num_rows <= 1:
         return tbl
-    return tbl.take(pc.sort_indices(
-        tbl, sort_keys=_cluster_sort_keys(cluster_by, tbl.schema.names)))
+    view, keys = _with_sort_view(tbl, cluster_by)
+    return tbl.take(pc.sort_indices(view, sort_keys=keys))
 
 
 def is_lake_file_sorted(tbl: pa.Table, cluster_by=None) -> bool:
@@ -923,8 +1006,8 @@ def is_lake_file_sorted(tbl: pa.Table, cluster_by=None) -> bool:
         return is_merge_key_sorted(tbl)
     if tbl.num_rows <= 1:
         return True
-    idx = pc.sort_indices(
-        tbl, sort_keys=_cluster_sort_keys(cluster_by, tbl.schema.names))
+    view, keys = _with_sort_view(tbl, cluster_by)
+    idx = pc.sort_indices(view, sort_keys=keys)
     return bool(np.array_equal(np.asarray(idx),
                                np.arange(tbl.num_rows, dtype=np.int64)))
 
@@ -1100,7 +1183,8 @@ class MergeApplier:
         # False only for DLQ reprocessing (see merge_partition_table)
         self.replay_filter = replay_filter
         # committed base-file layout (set_clustering); None = merge-key
-        self.cluster_by = tuple(cluster_by) if cluster_by else None
+        # list = lex order, dict = zorder spec (see cluster_spec_of)
+        self.cluster_by = cluster_by or None
 
     #: soft cap: a merge group beyond this is a sign num_partitions is too
     #: small for the data volume (state file rewrite cost grows linearly)
@@ -1369,7 +1453,7 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
         appliers = {t: MergeApplier(
             pipelines[t].lake_dir, txn_id,
             {int(pid): m for pid, m in manifests[t]["partitions"].items()},
-            cluster_by=manifests[t].get("cluster_by"))
+            cluster_by=cluster_spec_of(manifests[t]))
             for t in names}
 
     def merge_group(group: pa.Table) -> pa.Table:
@@ -1476,11 +1560,15 @@ def carry_lsn_ceiling(manifest: dict, new_manifest: dict) -> None:
 
 
 def carry_cluster_by(manifest: dict, new_manifest: dict) -> None:
-    """``cluster_by`` is a durable layout property like the partition
-    config: every commit carries it forward (set/cleared only by
-    ``set_clustering``'s own commit, which writes the key explicitly)."""
+    """``cluster_by`` (+ zorder mode/frozen bounds) is a durable layout
+    property like the partition config: every commit carries it forward
+    (set/cleared only by ``set_clustering``'s own commit, which writes
+    the keys explicitly)."""
     if manifest.get("cluster_by") and "cluster_by" not in new_manifest:
         new_manifest["cluster_by"] = list(manifest["cluster_by"])
+        for k in ("cluster_mode", "cluster_bounds"):
+            if manifest.get(k):
+                new_manifest[k] = manifest[k]
 
 
 #: arrow schema for per-partition metadata work items — from_items infers
@@ -1925,7 +2013,7 @@ class CDCPipeline:
         else:
             applier = MergeApplier(self.lake_dir, txn_id, partition_meta,
                                    replay_filter=not _reprocess,
-                                   cluster_by=manifest.get("cluster_by"))
+                                   cluster_by=cluster_spec_of(manifest))
 
         constraints = self.effective_constraints(manifest)
         norm_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
@@ -2081,7 +2169,7 @@ class CDCPipeline:
                                by_turn=(self.partition_mode == "turn"),
                                salt_keys=new_salt, salt_factor=new_sf)
         lake_dir = self.lake_dir
-        cluster = manifest.get("cluster_by")
+        cluster = cluster_spec_of(manifest)
 
         def write_partition(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
@@ -2181,7 +2269,7 @@ class CDCPipeline:
                         "dv_files_folded": 0}
             txn_id = uuid.uuid4().hex[:12]
             lake_dir = self.lake_dir
-            cluster = manifest.get("cluster_by")
+            cluster = cluster_spec_of(manifest)
             items = [{"pid": int(pid), "base": p.get("path") or "",
                       "deltas": [d["path"] for d in p.get("deltas", [])],
                       "dvs": [d["path"] for d in p.get("dvs", [])]}
@@ -2319,7 +2407,7 @@ class CDCPipeline:
                 "partitions_transformed": res["partitions"],
                 "rows": res["rows"]}
 
-    def set_clustering(self, columns,
+    def set_clustering(self, columns, mode: str = "lex",
                        max_commit_retries: int = 2) -> "dict":
         """Durable base-file clustering (the role of Delta's OPTIMIZE
         ZORDER, but as a COMMITTED layout property instead of a decaying
@@ -2335,15 +2423,32 @@ class CDCPipeline:
         pruning (``read_conversation``) degrades to partition-level —
         cluster analytics-heavy lakes, not point-lookup-heavy ones.
 
+        ``mode="zorder"``: multi-column interleaved Z-order instead of
+        lexicographic — each column is rank-quantized to 16 bits within
+        bounds FROZEN from the lake's parquet footer stats at set time
+        (re-deriving them later would silently re-place every file's
+        rows — the frozen-centroid rule), then bit-interleaved, so zone
+        maps stay selective for EVERY clustered column, not just the
+        first.  Numeric / timestamp columns only; later values outside
+        the frozen bounds clamp (the order stays total, tail buckets
+        saturate — re-run set_clustering to re-freeze).
+
         ``columns=()`` clears the property and restores merge-key order
         (also a full rewrite).  Pure reorder: watermarks, row counts and
         live state are unchanged; time travel to the pre-cluster version
         still reads, rollback restores the old layout property with the
         snapshot.  Empty lake: the property commits metadata-only and the
-        first apply writes clustered bases directly."""
+        first apply writes clustered bases directly (lex only — zorder
+        needs data to freeze bounds)."""
         cols = tuple(columns or ())
         if any(not isinstance(c, str) for c in cols):
             raise ValueError("cluster_by must be column names")
+        if mode not in ("lex", "zorder"):
+            raise ValueError(f"unknown clustering mode {mode!r}; "
+                             "use 'lex' or 'zorder'")
+        if mode == "zorder" and not (1 <= len(cols) <= 4):
+            raise ValueError("zorder takes 1-4 columns (16 bits each "
+                             "interleaved into a uint64 key)")
         manifest = mf.read_manifest(self.lake_dir)
         self.check_manifest_compat(manifest)
         known = manifest_schema_columns(manifest)
@@ -2351,11 +2456,46 @@ class CDCPipeline:
         if bad:
             raise ValueError(f"unknown cluster column(s) {bad}; "
                              f"lake schema is {known}")
+        extra: "dict" = {"cluster_by": list(cols), "cluster_mode": "",
+                         "cluster_bounds": ""}
+        override = cols or None
+        if cols and mode == "zorder":
+            types = _manifest_types(manifest)
+            bad_t = [c for c in cols
+                     if not (pa.types.is_integer(types[c])
+                             or pa.types.is_floating(types[c])
+                             or pa.types.is_timestamp(types[c]))]
+            if bad_t:
+                raise ValueError(
+                    f"zorder columns must be numeric or timestamp; "
+                    f"{bad_t} are {[str(types[c]) for c in bad_t]}")
+            files = [p for part in manifest["partitions"].values()
+                     for p in [part.get("path"),
+                               *[d["path"] for d in part.get("deltas", [])]]
+                     if p]
+            if not files:
+                raise ValueError("zorder needs committed data to freeze "
+                                 "its quantization bounds; apply first")
+            ranges = _footer_ranges(self.lake_dir, files, list(cols))
+            bounds: "dict[str, list]" = {}
+            for c in cols:
+                rng = ranges.get(c)
+                if not rng:
+                    raise ValueError(
+                        f"column {c!r} has no usable footer statistics "
+                        f"to freeze zorder bounds (range={rng!r})")
+                bounds[c] = [_zorder_bound_f64(rng[0]),
+                             _zorder_bound_f64(rng[1])]
+            extra = {"cluster_by": list(cols), "cluster_mode": "zorder",
+                     "cluster_bounds": bounds}
+            override = {"columns": list(cols), "mode": "zorder",
+                        "bounds": {c: (b[0], b[1])
+                                   for c, b in bounds.items()}}
         res = self._rewrite_lake(
             lambda state, pid: state, "cluster",
             max_commit_retries=max_commit_retries,
-            cluster_override=(cols or None),
-            manifest_extra={"cluster_by": list(cols)})
+            cluster_override=override,
+            manifest_extra=extra)
         if res is None:
             # no data yet: record the layout property metadata-only; the
             # first apply's MergeApplier adopts it from the manifest
@@ -2634,7 +2774,7 @@ class CDCPipeline:
             txn_id = uuid.uuid4().hex[:12]
             lake_dir = self.lake_dir
             types = _manifest_types(manifest)
-            cluster = (manifest.get("cluster_by")
+            cluster = (cluster_spec_of(manifest)
                        if cluster_override is self._ADOPT_CLUSTER
                        else cluster_override)
             items = [{"pid": int(pid), "base": p.get("path") or "",
@@ -3746,7 +3886,7 @@ class CDCPipeline:
         ceiling = int(manifest.get("lsn_ceiling", -1))
         allowed_types = _manifest_types(manifest)
         constraints = constraints_from_manifest(manifest)
-        cluster = manifest.get("cluster_by")
+        cluster = cluster_spec_of(manifest)
         items = []
         for pid, p in manifest["partitions"].items():
             if not p.get("path") and not p.get("deltas"):
@@ -3793,9 +3933,12 @@ class CDCPipeline:
                     # merge-key sorted (transient — the fold re-sorts)
                     if base_order and cluster:
                         if not is_lake_file_sorted(t, cluster):
+                            desc = (f"zorder{cluster['columns']}"
+                                    if isinstance(cluster, dict)
+                                    else list(cluster))
                             warns.append(
                                 f"{what} not sorted by committed "
-                                f"cluster_by {list(cluster)}")
+                                f"cluster_by {desc}")
                     elif not is_merge_key_sorted(t):
                         warns.append(f"{what} not sorted by merge key")
                     # uniqueness within the file: every writer runs
@@ -3947,6 +4090,8 @@ class CDCPipeline:
                             for c in manifest.get("constraints", [])],
             # committed base-file layout (set_clustering); [] = merge key
             "cluster_by": list(manifest.get("cluster_by", [])),
+            "cluster_mode": manifest.get("cluster_mode", "lex")
+            if manifest.get("cluster_by") else "",
         }
 
     def _manifest_dataset(self, manifest: "dict", columns=None, where=None):

@@ -89,6 +89,13 @@ def main() -> None:
                          "banded reads prune row groups. 'none' clears "
                          "back to merge-key order. Maintenance only "
                          "(--events 0), applies nothing")
+    ap.add_argument("--cluster-mode", default="lex",
+                    choices=["lex", "zorder"],
+                    help="with --cluster-by: lexicographic (default) or "
+                         "interleaved zorder (numeric/timestamp columns; "
+                         "quantization bounds frozen from footer stats at "
+                         "set time, so EVERY clustered column's zone maps "
+                         "stay selective)")
     ap.add_argument("--fanout-to", default=None, metavar="DIR",
                     help="multi-table routing demo (apply_multi): tag the "
                          "generated stream by conv-id parity and fan it "
@@ -419,7 +426,7 @@ def main() -> None:
         if args.cluster_by is not None:
             cols = () if args.cluster_by.lower() in ("none", "") else \
                 tuple(c.strip() for c in args.cluster_by.split(","))
-            res = pipe.set_clustering(cols)
+            res = pipe.set_clustering(cols, mode=args.cluster_mode)
             print(json.dumps({"lake": args.lake, "cluster": res}))
             return
         if args.delete_where:

@@ -175,6 +175,13 @@ def _rewrite_bases_small_row_groups(pipe, rows_per_group=64):
                        row_group_size=rows_per_group)
 
 
+def _mask(specs, t: pa.Table) -> np.ndarray:
+    m = np.ones(t.num_rows, dtype=bool)
+    for c in specs:
+        m &= c.matches(t)
+    return m
+
+
 def _matching_groups_total(pipe, specs) -> "tuple[int, int]":
     matched = total = 0
     for path in _base_paths(pipe):
@@ -251,6 +258,70 @@ def test_incremental_view_stays_exact_across_clustering(ray_session,
     res = view.refresh()
     assert res["recomputed"] > 0
     assert snap(view).equals(before)
+
+
+def test_zorder_pure_reorder_and_writers_keep_it(ray_session, tmp_path):
+    import ray.data
+
+    n = 1500
+    ev = expected_event_table(n)
+    pipe = CDCPipeline(str(tmp_path / "lake"), num_partitions=4)
+    pipe.apply(ray.data.from_arrow(ev.slice(0, 1000)))
+    before = _collect(pipe.read_lake())
+    res = pipe.set_clustering(["ts", "turn_idx"], mode="zorder")
+    assert res["cluster_by"] == ["ts", "turn_idx"]
+    manifest = mf.read_manifest(pipe.lake_dir)
+    assert manifest["cluster_mode"] == "zorder"
+    assert set(manifest["cluster_bounds"]) == {"ts", "turn_idx"}
+    assert _collect(pipe.read_lake()).equals(before)
+    _fsck_clean(pipe)
+    # later base merge + compaction keep the zorder layout (fsck's
+    # ordering tier recomputes z under the committed frozen bounds)
+    pipe.apply(ray.data.from_arrow(ev.slice(1000, 300)))
+    pipe.apply_delta(ray.data.from_arrow(ev.slice(1300)))
+    pipe.compact_deltas()
+    _fsck_clean(pipe)
+    # clearing restores merge-key order and drops the zorder keys
+    pipe.set_clustering(())
+    m2 = mf.read_manifest(pipe.lake_dir)
+    assert "cluster_mode" not in m2 and "cluster_bounds" not in m2
+    _fsck_clean(pipe)
+
+
+def test_zorder_refusals(ray_session, tmp_path):
+    pipe = _lake(tmp_path, n=300, partitions=2)
+    with pytest.raises(ValueError, match="numeric or timestamp"):
+        pipe.set_clustering(["role"], mode="zorder")
+    with pytest.raises(ValueError, match="unknown clustering mode"):
+        pipe.set_clustering(["ts"], mode="hilbert")
+    empty = CDCPipeline(str(tmp_path / "empty"), num_partitions=2)
+    with pytest.raises(ValueError, match="freeze"):
+        empty.set_clustering(["ts"], mode="zorder")
+
+
+def test_zorder_prunes_on_every_clustered_column(ray_session, tmp_path):
+    """The point of zorder over lex: a band on the SECOND clustered
+    column alone still prunes row groups (lex only helps prefixes)."""
+    n = 4000
+    lex = _lake(tmp_path, name="lex", n=n)
+    lex.set_clustering(["ts", "turn_idx"])
+    zo = _lake(tmp_path, name="zo", n=n)
+    zo.set_clustering(["ts", "turn_idx"], mode="zorder")
+    _rewrite_bases_small_row_groups(lex)
+    _rewrite_bases_small_row_groups(zo)
+    # narrow band on turn_idx ONLY (the non-prefix column)
+    specs = [parse_constraint("turn_idx:between:10,14")]
+    m_lex, t_lex = _matching_groups_total(lex, specs)
+    m_zo, t_zo = _matching_groups_total(zo, specs)
+    assert t_lex > 4 and t_zo > 4
+    assert m_lex == t_lex  # lex can't prune a non-prefix band
+    assert m_zo < t_zo
+    # exact results on both layouts
+    full = _collect(lex.read_lake())
+    expected = full.filter(pa.array(_mask(specs, full)))
+    assert 0 < expected.num_rows < full.num_rows
+    for pipe in (lex, zo):
+        assert _collect(pipe.read_lake(where=specs)).equals(expected)
 
 
 def test_clustered_zone_maps_prune_ts_bands(ray_session, tmp_path):
