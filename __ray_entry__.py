@@ -659,6 +659,37 @@ def q_cdc_clustered_read(sf_dir: str):
                           where=specs)
 
 
+def q_cdc_zorder_read(sf_dir: str):
+    """Z-order clustering + zone-map pruned read (pipelines/cdc.py
+    set_clustering(mode='zorder')): the 20k-event binlog is applied, the
+    lake is re-clustered by interleaved (ts, turn_idx) Z-order —
+    quantization bounds frozen from footer stats at set time — then a
+    narrow band on turn_idx ALONE is read via read_lake(where=...).
+    turn_idx is the NON-PREFIX clustered column: lexicographic (ts,
+    turn_idx) order can't prune this band at all, but the bit-interleaved
+    key localizes both columns, so the zone-map read skips row groups for
+    either.  Result == the flagship argmax-LSN fold restricted to the
+    band (the layout is a pure optimization)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES,
+                                        "cdc_events_20000.parquet"))
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_zo_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(events))
+    pipe.set_clustering(["ts", "turn_idx"], mode="zorder")
+    specs = [parse_constraint("turn_idx:between:10,14")]
+    return pipe.read_lake(columns=["conv_id", "turn_idx", "role", "lsn"],
+                          where=specs)
+
+
 def q_cdc_count(sf_dir: str):
     """COUNT(*) aggregate pushdown (pipelines/cdc.py count_rows): the
     20k-event binlog lands half base / half pending delta backlog, then
@@ -2864,6 +2895,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_retention_dv": q_cdc_retention_dv,
         "cdc_pruned_read": q_cdc_pruned_read,
         "cdc_clustered_read": q_cdc_clustered_read,
+        "cdc_zorder_read": q_cdc_zorder_read,
         "cdc_count": q_cdc_count,
         "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
@@ -3169,6 +3201,18 @@ def oracle_sql() -> "dict[str, str]":
             "select conv_id, turn_idx, role, lsn from folded "
             "where ts between timestamp '2024-01-01 02:12:56' "
             "and timestamp '2024-01-01 03:19:24'",
+        # Z-order zone-map read: the flagship fold restricted to a band
+        # on the NON-PREFIX clustered column (the layout — lex or zorder
+        # — is a pure optimization; same rows either way)
+        "cdc_zorder_read":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, lsn "
+            "from ranked where rn = 1 and op <> 'delete' "
+            "and turn_idx between 10 and 14",
         # COUNT(*) pushdown: both counts over the flagship fold (the
         # manifest/metadata shortcut is a pure optimization — same rows)
         "cdc_count":
