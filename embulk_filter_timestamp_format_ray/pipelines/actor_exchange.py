@@ -30,16 +30,14 @@ import pyarrow.parquet as pq
 import ray
 
 from embulk_filter_timestamp_format_ray.pipelines.cdc import (
-    LAKE_ROW_GROUP_ROWS,
     MergeApplier,
     _count_fresh_deletes,
+    cluster_spec_of,
     extras_schema_b64,
     fold_partition_state,
     merge_partition_table,
     merge_schema_entries,
-    sort_by_merge_key,
-    sort_lake_file,
-    cluster_spec_of,
+    write_base_file,
 )
 
 
@@ -108,12 +106,9 @@ class PartitionBufferActor:
                        for d in meta.get("dvs", [])]
                 prior = fold_partition_state(prior, pend, dvs=dvs)
             state, new_wm, applied = merge_partition_table(delta, prior, watermark)
-            state = sort_lake_file(state, cluster_by)
             rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(self.lake_dir, rel)
-            os.makedirs(os.path.dirname(full), exist_ok=True)
-            pq.write_table(state, full, compression="zstd",
-                           row_group_size=LAKE_ROW_GROUP_ROWS)
+            state = write_base_file(state, full, cluster_by)
             rows.append({
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": new_wm, "events_applied": applied,

@@ -53,6 +53,7 @@ from embulk_filter_timestamp_format_ray.sources.changegen import (
     EPOCH2_FORMAT,
     EPOCH2_TZ,
     ROLE_RENAMES_EPOCH2,
+    splitmix64,
 )
 from embulk_filter_timestamp_format_ray.stages.partition import PartitionStage
 from embulk_filter_timestamp_format_ray.stages.timestamp_format import ColumnKernel
@@ -1012,6 +1013,169 @@ def is_lake_file_sorted(tbl: pa.Table, cluster_by=None) -> bool:
                                np.arange(tbl.num_rows, dtype=np.int64)))
 
 
+# ------------------------------------------------- bloom point-lookup sidecar
+#
+# Clustering trades away conv_id zone-map selectivity (the documented
+# set_clustering cost: a clustered row group's conv_id min/max spans most of
+# the partition, so a point lookup reads the whole base file).  The sidecar
+# buys it back: beside every CLUSTERED base file the writer drops
+# ``part-NNNNN.bloom`` — one small Bloom filter of the DISTINCT conv_ids per
+# row group (~2 bytes/key at 16 bits/key, k=4 → ~0.24% false-positive rate).
+# ``read_conversation`` probes the sidecar (a few KB) and reads only the
+# matching row groups; a false positive admits one extra group, a missing or
+# stale sidecar falls back to the plain filtered read — never wrong, only
+# slower.  Merge-key-sorted bases don't get one (their conv_id zone maps are
+# already selective).  Hashing is the lake's durable routing hash
+# (hash_strings_dict → splitmix64), the same environment contract the
+# committed partition layout already relies on.
+
+BLOOM_SIDECAR_K = 4
+_BLOOM_SIDECAR_SEED = 9090
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_MIN_BITS = 512
+
+
+def bloom_sidecar_path(path: str) -> str:
+    """``.../part-00003.parquet`` → ``.../part-00003.bloom`` (NOT a
+    ``.parquet`` suffix: sync/mirror consumers glob ``*.parquet``)."""
+    if path.endswith(".parquet"):
+        return path[: -len(".parquet")] + ".bloom"
+    return path + ".bloom"
+
+
+def _sidecar_hash(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    from embulk_filter_timestamp_format_ray.stages.partition import (
+        hash_strings_dict,
+    )
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(pa.string())
+    return splitmix64(hash_strings_dict(arr), _BLOOM_SIDECAR_SEED)
+
+
+def _bloom_words(h_uniq: np.ndarray) -> "tuple[int, np.ndarray]":
+    """(n_bits, uint64 word bitmap) for one row group's distinct-key
+    hashes — n_bits sized to ~16 bits/key, power of two."""
+    n_bits = _BLOOM_MIN_BITS
+    while n_bits < _BLOOM_BITS_PER_KEY * max(len(h_uniq), 1):
+        n_bits <<= 1
+    words = np.zeros(n_bits >> 6, dtype=np.uint64)
+    for i in range(BLOOM_SIDECAR_K):
+        idx = splitmix64(h_uniq, _BLOOM_SIDECAR_SEED + 1 + i) \
+            % np.uint64(n_bits)
+        np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return n_bits, words
+
+
+def write_bloom_sidecar(full: str, tbl: pa.Table,
+                        granule: int = None) -> None:
+    """Per-row-group conv_id Bloom sidecar for a base file about to be
+    written with ``row_group_size=granule`` (groups are exact
+    granule-sized slices, so slicing here reproduces them)."""
+    granule = granule or LAKE_ROW_GROUP_ROWS
+    h_all = _sidecar_hash(tbl.column("conv_id"))
+    n_bits_rows, words_rows = [], []
+    for start in range(0, tbl.num_rows, granule):
+        n_bits, words = _bloom_words(np.unique(h_all[start:start + granule]))
+        n_bits_rows.append(n_bits)
+        words_rows.append(words)
+    sidecar = pa.table({
+        "n_bits": pa.array(n_bits_rows, pa.int64()),
+        "words": pa.array([w.tolist() for w in words_rows],
+                          pa.list_(pa.uint64())),
+    }).replace_schema_metadata({"k": str(BLOOM_SIDECAR_K),
+                                "column": "conv_id"})
+    pq.write_table(sidecar, bloom_sidecar_path(full), compression="zstd")
+
+
+def bloom_candidate_groups(full: str, conv_id: str,
+                           num_row_groups: int) -> "list[int] | None":
+    """Row-group indices of ``full`` that MAY contain ``conv_id`` per its
+    sidecar; ``None`` = no usable sidecar (absent, unreadable, or stale —
+    group count drifted from the parquet footer), read everything."""
+    sc = bloom_sidecar_path(full)
+    try:
+        t = pq.read_table(sc)
+    except (OSError, pa.ArrowInvalid):
+        return None
+    if t.num_rows != num_row_groups:
+        return None  # file was rewritten out-of-band; stale sidecar
+    h = _sidecar_hash(pa.array([conv_id], pa.string()))
+    n_bits = np.asarray(t.column("n_bits"))
+    wcol = t.column("words").combine_chunks()
+    out = []
+    for g in range(t.num_rows):
+        nb = np.uint64(n_bits[g])
+        words = np.asarray(wcol[g].values, dtype=np.uint64)
+        hit = True
+        for i in range(BLOOM_SIDECAR_K):
+            idx = splitmix64(h, _BLOOM_SIDECAR_SEED + 1 + i) % nb
+            if not (words[int(idx[0]) >> 6]
+                    >> (idx[0] & np.uint64(63))) & np.uint64(1):
+                hit = False
+                break
+        if hit:
+            out.append(g)
+    return out
+
+
+def audit_bloom_sidecar(full: str, tbl: pa.Table) -> "tuple":
+    """fsck's sidecar tier for one CLUSTERED base file → (violation,
+    warning), at most one non-None.  Missing sidecar → warning (legacy
+    clustered lake: point lookups fall back to full-file reads — slow,
+    not wrong; the next rewrite heals it).  Stale group count → warning
+    (an out-of-band rewrite; reads detect and ignore it).  A FALSE
+    NEGATIVE → violation: ``read_conversation`` would silently skip rows
+    of that conversation."""
+    sc_path = bloom_sidecar_path(full)
+    if not os.path.exists(sc_path):
+        return None, ("clustered base has no bloom sidecar (point lookups "
+                      "read the whole file; rewrite/compact to heal)")
+    md = pq.ParquetFile(full).metadata
+    sc = pq.read_table(sc_path)
+    if sc.num_rows != md.num_row_groups:
+        return None, (f"bloom sidecar is stale ({sc.num_rows} groups "
+                      f"recorded, file has {md.num_row_groups}) — ignored "
+                      "by reads; rewrite/compact to heal")
+    h_all = _sidecar_hash(tbl.column("conv_id"))
+    nbits = np.asarray(sc.column("n_bits"))
+    wcol = sc.column("words").combine_chunks()
+    start = 0
+    for g in range(md.num_row_groups):
+        n = md.row_group(g).num_rows
+        h = np.unique(h_all[start:start + n])
+        start += n
+        nb = np.uint64(nbits[g])
+        words = np.asarray(wcol[g].values, dtype=np.uint64)
+        ok = np.ones(len(h), dtype=bool)
+        for i in range(BLOOM_SIDECAR_K):
+            idx = splitmix64(h, _BLOOM_SIDECAR_SEED + 1 + i) % nb
+            ok &= (words[(idx >> np.uint64(6)).astype(np.int64)]
+                   >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        if not ok.all():
+            return (f"bloom sidecar has {int((~ok).sum())} false "
+                    f"negative(s) in row group {g} — point lookups would "
+                    "silently miss those conversations", None)
+    return None, None
+
+
+def write_base_file(state: pa.Table, full: str, cluster) -> pa.Table:
+    """THE base-file write: committed on-disk order (merge key or the
+    cluster spec), zstd parquet at the lake granule, and — for clustered
+    files only — the conv_id Bloom sidecar beside it.  Returns the sorted
+    table (callers reuse it for schema/row accounting)."""
+    state = sort_lake_file(state, cluster)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    pq.write_table(state, full, compression="zstd",
+                   row_group_size=LAKE_ROW_GROUP_ROWS)
+    if cluster and state.num_rows:
+        write_bloom_sidecar(full, state)
+    return state
+
+
 class PreMergeCombiner:
     """map_batches combiner applied after partitioning, before the shuffle:
     per block, keep only each key's winner (tombstones included), then
@@ -1223,14 +1387,11 @@ class MergeApplier:
             delta, prior, watermark, replay_filter=self.replay_filter)
         # on-disk order (keep_last_per_key leaves dictionary-index order):
         # merge key by default — selective conv_id row-group stats for the
-        # point-lookup pushdown — or the committed cluster_by layout; fsck
-        # checks whichever is committed
-        state = sort_lake_file(state, self.cluster_by)
+        # point-lookup pushdown — or the committed cluster_by layout (plus
+        # its bloom sidecar); fsck checks whichever is committed
         rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
         full = os.path.join(self.lake_dir, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(state, full, compression="zstd",
-                           row_group_size=LAKE_ROW_GROUP_ROWS)
+        state = write_base_file(state, full, self.cluster_by)
         return self._result({
             "pid": pid, "path": rel, "rows": state.num_rows,
             "last_applied_lsn": new_watermark, "events_applied": applied,
@@ -2176,12 +2337,9 @@ class CDCPipeline:
                 return MergeApplier._result(None)
             pid = int(group.column("_pid")[0].as_py())
             state = group.drop_columns(["_pid"])
-            state = sort_lake_file(state, cluster)
             rel = os.path.join(f"txn-{txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(lake_dir, rel)
-            os.makedirs(os.path.dirname(full), exist_ok=True)
-            pq.write_table(state, full, compression="zstd",
-                           row_group_size=LAKE_ROW_GROUP_ROWS)
+            state = write_base_file(state, full, cluster)
             return MergeApplier._result({
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": low, "events_applied": 0,
@@ -2288,13 +2446,10 @@ class CDCPipeline:
                     state = fold_partition_state(base, deltas, dvs=dvs)
                     rel = ""
                     if state.num_rows:
-                        state = sort_lake_file(state, cluster)
                         rel = os.path.join(f"txn-{txn_id}",
                                            f"part-{row['pid']:05d}.parquet")
                         full = os.path.join(lake_dir, rel)
-                        os.makedirs(os.path.dirname(full), exist_ok=True)
-                        pq.write_table(state, full, compression="zstd",
-                           row_group_size=LAKE_ROW_GROUP_ROWS)
+                        state = write_base_file(state, full, cluster)
                     outs.append({"pid": row["pid"], "path": rel,
                                  "rows": state.num_rows})
                 return pa.Table.from_pylist(outs, schema=pa.schema([
@@ -2811,14 +2966,11 @@ class CDCPipeline:
                         continue
                     rel = ""
                     if out.num_rows:
-                        out = sort_lake_file(out, cluster)
                         rel = os.path.join(
                             f"txn-{txn_id}",
                             f"part-{row['pid']:05d}.parquet")
                         full = os.path.join(lake_dir, rel)
-                        os.makedirs(os.path.dirname(full), exist_ok=True)
-                        pq.write_table(out, full, compression="zstd",
-                                       row_group_size=LAKE_ROW_GROUP_ROWS)
+                        out = write_base_file(out, full, cluster)
                     outs.append({"pid": row["pid"], "path": rel,
                                  "rows": out.num_rows,
                                  "rows_before": state.num_rows,
@@ -3160,6 +3312,72 @@ class CDCPipeline:
             return clean_total
         return clean_total + self._fold_dataset(
             manifest, columns=key_cols, pids=dirty).count()
+
+    #: aggregate_lake's function table — Ray Data's distributed aggregates
+    #: (per-block partials + tiny combine; only scalars reach the driver)
+    _AGG_FNS = ("min", "max", "sum", "count")
+
+    def aggregate_lake(self, aggs: "dict[str, tuple[str | None, str]]",
+                       where: "list | None" = None) -> "dict":
+        """MIN/MAX/SUM/COUNT(*) pushdown over the folded live state.
+
+        ``aggs`` maps output names to ``(column, fn)`` with fn in
+        ``min | max | sum | count`` (count ignores its column —
+        COUNT(*)).  The scan is the same pruned fold as
+        ``read_lake(where=...)`` — partitions and row groups whose footer
+        stats prove no match are skipped unread — but ships ONLY the
+        merge keys, the where columns, and the aggregated columns;
+        payload text never leaves storage to be aggregated.  Aggregation
+        itself is Ray's distributed per-block partial + combine, so the
+        driver receives scalars, never rows.
+
+        A pure-COUNT call without ``where`` short-circuits to
+        ``count_rows`` (manifest-only on clean partitions — zero data
+        bytes).  SQL NULL semantics: min/max/sum ignore NULLs; an empty
+        selection yields None (count 0)."""
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        manifest = mf.read_manifest(self.lake_dir)
+        self.check_manifest_compat(manifest)
+        types = _manifest_types(manifest)
+        for name, (col, fn) in aggs.items():
+            if fn not in self._AGG_FNS:
+                raise ValueError(f"unknown aggregate {fn!r} for {name!r}; "
+                                 f"use one of {self._AGG_FNS}")
+            if fn != "count" and col not in types:
+                raise ValueError(f"unknown aggregate column {col!r} for "
+                                 f"{name!r}; lake schema is "
+                                 f"{sorted(types)}")
+        if not where and all(fn == "count" for _, fn in aggs.values()):
+            n = self.count_rows()
+            return {name: n for name in aggs}
+        key_cols = ["conv_id", "turn_idx", "lsn"]
+        need = list(dict.fromkeys(
+            [*key_cols,
+             *[c.column for c in (where or []) if c.column in types],
+             *[col for col, fn in aggs.values() if fn != "count"]]))
+        ds = self._fold_dataset(manifest, columns=need, where=where)
+        ctors = {"min": Min, "max": Max, "sum": Sum}
+        specs, keys = [], []
+        seen: "dict[tuple, str]" = {}
+        for name, (col, fn) in aggs.items():
+            sig = (col, fn) if fn != "count" else (None, "count")
+            if sig in seen:
+                keys.append((name, seen[sig]))
+                continue
+            res_key = "count()" if fn == "count" else f"{fn}({col})"
+            specs.append(Count() if fn == "count" else ctors[fn](col))
+            seen[sig] = res_key
+            keys.append((name, res_key))
+        res = ds.aggregate(*specs) or {}
+        out = {}
+        for name, res_key in keys:
+            v = res.get(res_key)
+            if hasattr(v, "item"):  # numpy scalar → plain python
+                v = v.item()
+            _, fn = aggs[name]
+            out[name] = 0 if fn == "count" and v is None else v
+        return out
 
     def read_merged(self, pending_ds):
         """Merge-on-read view: committed base + an UNCOMMITTED pending
@@ -3976,9 +4194,16 @@ class CDCPipeline:
                 base = None
                 deltas = []
                 if row["base"]:
-                    base = pq.read_table(os.path.join(lake_dir, row["base"]))
+                    base_full = os.path.join(lake_dir, row["base"])
+                    base = pq.read_table(base_full)
                     rows_seen += base.num_rows
                     check_file(base, "base file", base_order=True)
+                    if cluster and base.num_rows:
+                        v, w = audit_bloom_sidecar(base_full, base)
+                        if v:
+                            probs.append(v)
+                        if w:
+                            warns.append(w)
                 for d in row["deltas"]:
                     t = pq.read_table(os.path.join(lake_dir, d))
                     rows_seen += t.num_rows
@@ -4296,17 +4521,31 @@ class CDCPipeline:
         # parquet predicate pushdown: every lake file (base AND delta) is
         # written sorted by (conv_id, turn_idx), so conv_id row-group
         # statistics prune to ~one row group per file — the equality filter
-        # selects whole merge-key groups, so it commutes with the fold
+        # selects whole merge-key groups, so it commutes with the fold.
+        # CLUSTERED bases scatter a conversation across groups (conv_id
+        # stats widen); their bloom sidecar restores group-level pruning.
         flt = [("conv_id", "==", conv_id)]
+        clustered = bool(manifest.get("cluster_by"))
+
+        def load_base(rel: str) -> "pa.Table | None":
+            full = os.path.join(self.lake_dir, rel)
+            if clustered:
+                pf = pq.ParquetFile(full)
+                cands = bloom_candidate_groups(
+                    full, conv_id, pf.metadata.num_row_groups)
+                if cands is not None:
+                    if not cands:
+                        return pf.schema_arrow.empty_table()
+                    t = pf.read_row_groups(cands)
+                    return t.filter(pc.equal(t.column("conv_id"), conv_id))
+            return pq.read_table(full, filters=flt)
 
         def load(meta: "dict") -> "pa.Table | None":
             # point-lookup tier: read base + pending deltas and fold (the
             # merge-on-read contract holds for every read path); the
             # conv_id equality filter commutes with the dv pre-filter
             # because both are merge-key-scoped
-            base = pq.read_table(os.path.join(self.lake_dir, meta["path"]),
-                                 filters=flt) \
-                if meta.get("path") else None
+            base = load_base(meta["path"]) if meta.get("path") else None
             if meta.get("deltas") or meta.get("dvs"):
                 pend = [pq.read_table(os.path.join(self.lake_dir, d["path"]),
                                       filters=flt)
