@@ -659,6 +659,52 @@ def q_cdc_clustered_read(sf_dir: str):
                           where=specs)
 
 
+def q_cdc_aggregate_pushdown(sf_dir: str):
+    """MIN/MAX/SUM/COUNT(*) aggregate pushdown (pipelines/cdc.py
+    aggregate_lake): the 20k-event binlog lands half base / half pending
+    delta backlog, then the lake is aggregated twice — unfiltered
+    (column-pruned fold: only turn_idx/lsn + merge keys leave storage,
+    never text) and under a turn_idx band (the pruned fold skips
+    non-overlapping partitions/row groups by footer stats).  Distributed
+    per-block partials; the driver receives scalars.  Both equal the SQL
+    aggregates over the flagship fold."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES,
+                                        "cdc_events_20000.parquet"))
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_agg_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(
+        events.filter(pc.less(events.column("lsn"), cut))))
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(events.column("lsn"), cut))))
+    full = pipe.aggregate_lake({
+        "n_total": (None, "count"),
+        "min_turn": ("turn_idx", "min"),
+        "max_turn": ("turn_idx", "max"),
+        "sum_lsn": ("lsn", "sum"),
+    })
+    band = pipe.aggregate_lake(
+        {"n_band": (None, "count"), "band_sum_lsn": ("lsn", "sum")},
+        where=[parse_constraint("turn_idx:between:5,40")])
+    return pa.table({
+        "n_total": pa.array([full["n_total"]], pa.int64()),
+        "min_turn": pa.array([full["min_turn"]], pa.int64()),
+        "max_turn": pa.array([full["max_turn"]], pa.int64()),
+        "sum_lsn": pa.array([full["sum_lsn"]], pa.int64()),
+        "n_band": pa.array([band["n_band"]], pa.int64()),
+        "band_sum_lsn": pa.array([band["band_sum_lsn"]], pa.int64()),
+    })
+
+
 def q_cdc_zorder_read(sf_dir: str):
     """Z-order clustering + zone-map pruned read (pipelines/cdc.py
     set_clustering(mode='zorder')): the 20k-event binlog is applied, the
@@ -1569,6 +1615,33 @@ def q_cdc_point_lookup(sf_dir: str):
     lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_pt_{run}")
     pipe = CDCPipeline(lake, num_partitions=32)
     pipe.apply(change_events(20_000, seed=42, parallelism=16))
+    tbl = pipe.read_conversation("conv-00000003")
+    return tbl.select(["conv_id", "turn_idx", "role", "text", "tool",
+                       "lsn"])
+
+
+def q_cdc_point_lookup_clustered(sf_dir: str):
+    """Point lookup on a CLUSTERED lake via the bloom sidecar
+    (pipelines/cdc.py write_bloom_sidecar / bloom_candidate_groups):
+    clustering by ts scatters a conversation across row groups (its
+    conv_id zone maps widen to the whole file), so read_conversation
+    probes the per-row-group Bloom sidecar written beside every clustered
+    base and reads only the candidate groups — partition pruning AND
+    row-group pruning survive the analytics-friendly layout.  Same answer
+    as cdc_point_lookup (the sidecar is a pure read optimization); the
+    20k fixture is used so the oracle matches the other cdc_* rows."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES,
+                                        "cdc_events_20000.parquet"))
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_ptc_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(events))
+    pipe.set_clustering(["ts"])
     tbl = pipe.read_conversation("conv-00000003")
     return tbl.select(["conv_id", "turn_idx", "role", "text", "tool",
                        "lsn"])
@@ -2896,6 +2969,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_pruned_read": q_cdc_pruned_read,
         "cdc_clustered_read": q_cdc_clustered_read,
         "cdc_zorder_read": q_cdc_zorder_read,
+        "cdc_aggregate_pushdown": q_cdc_aggregate_pushdown,
         "cdc_count": q_cdc_count,
         "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
@@ -2937,6 +3011,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "chunk_documents": q_chunk_documents,
         "transcripts_to_training": q_transcripts_to_training,
         "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_point_lookup_clustered": q_cdc_point_lookup_clustered,
         "distinct_event_types": q_distinct_event_types,
         "topk_docs_per_source": q_topk_docs_per_source,
         "corpus_prep": q_corpus_prep,
@@ -3213,6 +3288,23 @@ def oracle_sql() -> "dict[str, str]":
             "else role end as role, lsn "
             "from ranked where rn = 1 and op <> 'delete' "
             "and turn_idx between 10 and 14",
+        # MIN/MAX/SUM/COUNT pushdown: SQL aggregates over the flagship
+        # fold (column pruning / footer skipping are pure optimizations);
+        # duckdb SUM(bigint) is hugeint — cast back to match the int64
+        "cdc_aggregate_pushdown":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "folded as (select turn_idx, lsn "
+            "from ranked where rn = 1 and op <> 'delete') "
+            "select count(*) as n_total, "
+            "cast(min(turn_idx) as bigint) as min_turn, "
+            "cast(max(turn_idx) as bigint) as max_turn, "
+            "cast(sum(lsn) as bigint) as sum_lsn, "
+            "count(*) filter (where turn_idx between 5 and 40) as n_band, "
+            "cast(sum(lsn) filter (where turn_idx between 5 and 40) "
+            "as bigint) as band_sum_lsn "
+            "from folded",
         # COUNT(*) pushdown: both counts over the flagship fold (the
         # manifest/metadata shortcut is a pure optimization — same rows)
         "cdc_count":
@@ -3594,6 +3686,17 @@ def oracle_sql() -> "dict[str, str]":
             "from x",
         # Point lookup == the flagship fold restricted to one conversation
         "cdc_point_lookup":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet') "
+            "where conv_id = 'conv-00000003') "
+            "select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, tool, lsn "
+            "from ranked where rn = 1 and op <> 'delete'",
+        # Clustered point lookup: the bloom sidecar is a pure read
+        # optimization — identical semantics to cdc_point_lookup
+        "cdc_point_lookup_clustered":
             "with ranked as (select *, row_number() over "
             "(partition by conv_id, turn_idx order by lsn desc) as rn "
             f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet') "
