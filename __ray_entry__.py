@@ -659,6 +659,40 @@ def q_cdc_clustered_read(sf_dir: str):
                           where=specs)
 
 
+def q_cdc_text_search(sf_dir: str):
+    """Token skip index (pipelines/cdc.py set_text_index + the has_token
+    constraint kind): the 20k-event binlog lands half base / half pending
+    delta, the lake commits a durable text_index on ``text`` (per-row-
+    group Bloom sidecars of distinct split-on-space tokens beside every
+    base), then ``read_lake(where=[text:has_token:merge])`` returns the
+    rows whose text contains the token 'merge' — clean partitions open
+    only sidecar-admitted row groups (min/max zone maps can never prove
+    token absence), dirty ones fold then mask exact.  Oracle: the
+    flagship fold filtered by list_contains(string_split(text,' '),...)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES,
+                                        "cdc_events_20000.parquet"))
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_txt_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(
+        events.filter(pc.less(events.column("lsn"), cut))))
+    pipe.set_text_index("text")
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(events.column("lsn"), cut))))
+    specs = [parse_constraint("text:has_token:merge")]
+    return pipe.read_lake(columns=["conv_id", "turn_idx", "role", "text",
+                                   "lsn"], where=specs)
+
+
 def q_cdc_aggregate_pushdown(sf_dir: str):
     """MIN/MAX/SUM/COUNT(*) aggregate pushdown (pipelines/cdc.py
     aggregate_lake): the 20k-event binlog lands half base / half pending
@@ -2970,6 +3004,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_clustered_read": q_cdc_clustered_read,
         "cdc_zorder_read": q_cdc_zorder_read,
         "cdc_aggregate_pushdown": q_cdc_aggregate_pushdown,
+        "cdc_text_search": q_cdc_text_search,
         "cdc_count": q_cdc_count,
         "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
@@ -3288,6 +3323,20 @@ def oracle_sql() -> "dict[str, str]":
             "else role end as role, lsn "
             "from ranked where rn = 1 and op <> 'delete' "
             "and turn_idx between 10 and 14",
+        # Token search: the flagship fold filtered by exact split-on-space
+        # token membership (the sidecar skip index is a pure optimization
+        # — same rows); NULL text never matches
+        "cdc_text_search":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "folded as (select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, lsn "
+            "from ranked where rn = 1 and op <> 'delete') "
+            "select conv_id, turn_idx, role, text, lsn from folded "
+            "where coalesce(list_contains(string_split(text, ' '), "
+            "'merge'), false)",
         # MIN/MAX/SUM/COUNT pushdown: SQL aggregates over the flagship
         # fold (column pruning / footer skipping are pure optimizations);
         # duckdb SUM(bigint) is hugeint — cast back to match the int64

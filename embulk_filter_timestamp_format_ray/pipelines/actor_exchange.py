@@ -33,6 +33,7 @@ from embulk_filter_timestamp_format_ray.pipelines.cdc import (
     MergeApplier,
     _count_fresh_deletes,
     cluster_spec_of,
+    text_index_of,
     extras_schema_b64,
     fold_partition_state,
     merge_partition_table,
@@ -65,7 +66,8 @@ class PartitionBufferActor:
 
     def finalize(self, txn_id: str, partition_meta: dict,
                  delta_mode: bool = False,
-                 cluster_by=None) -> "list[dict]":
+                 cluster_by=None,
+                 text_index=None) -> "list[dict]":
         self.txn_id = txn_id
         self.partition_meta = partition_meta
         if delta_mode:
@@ -108,7 +110,8 @@ class PartitionBufferActor:
             state, new_wm, applied = merge_partition_table(delta, prior, watermark)
             rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(self.lake_dir, rel)
-            state = write_base_file(state, full, cluster_by)
+            state = write_base_file(state, full, cluster_by,
+                                    token_col=text_index)
             rows.append({
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": new_wm, "events_applied": applied,
@@ -165,13 +168,15 @@ class ActorExchange:
 
     def finalize(self, txn_id: str, partition_meta: dict,
                  delta_mode: bool = False,
-                 cluster_by=None) -> "list[dict]":
+                 cluster_by=None,
+                 text_index=None) -> "list[dict]":
         out = []
         for rows in ray.get([
                 a.finalize.remote(txn_id, {
                     pid: m for pid, m in partition_meta.items()
                     if pid % self.num_actors == i
-                }, delta_mode=delta_mode, cluster_by=cluster_by)
+                }, delta_mode=delta_mode, cluster_by=cluster_by,
+                   text_index=text_index)
                 for i, a in enumerate(self.actors)]):
             out.extend(rows)
         return out
@@ -233,7 +238,8 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
     ds = ds.map_batches(exchange.push_stage(), batch_format="pyarrow")
     ds.count()  # drain the push stage
     rows = exchange.finalize(txn_id, partition_meta, delta_mode=delta,
-                             cluster_by=cluster_spec_of(manifest))
+                             cluster_by=cluster_spec_of(manifest),
+                             text_index=text_index_of(manifest))
     pipeline._check_delete_guard(rows)
 
     partitions = dict(manifest["partitions"])

@@ -1031,6 +1031,7 @@ def is_lake_file_sorted(tbl: pa.Table, cluster_by=None) -> bool:
 
 BLOOM_SIDECAR_K = 4
 _BLOOM_SIDECAR_SEED = 9090
+_TOKEN_SIDECAR_SEED = 9191
 _BLOOM_BITS_PER_KEY = 16
 _BLOOM_MIN_BITS = 512
 
@@ -1043,7 +1044,16 @@ def bloom_sidecar_path(path: str) -> str:
     return path + ".bloom"
 
 
-def _sidecar_hash(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+def token_sidecar_path(path: str) -> str:
+    """``.../part-00003.parquet`` → ``.../part-00003.tokens`` — the text
+    skip-index sibling of ``bloom_sidecar_path``."""
+    if path.endswith(".parquet"):
+        return path[: -len(".parquet")] + ".tokens"
+    return path + ".tokens"
+
+
+def _sidecar_hash(arr: "pa.Array | pa.ChunkedArray",
+                  seed: int = _BLOOM_SIDECAR_SEED) -> np.ndarray:
     from embulk_filter_timestamp_format_ray.stages.partition import (
         hash_strings_dict,
     )
@@ -1052,10 +1062,10 @@ def _sidecar_hash(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
         arr = arr.combine_chunks()
     if pa.types.is_dictionary(arr.type):
         arr = arr.cast(pa.string())
-    return splitmix64(hash_strings_dict(arr), _BLOOM_SIDECAR_SEED)
+    return splitmix64(hash_strings_dict(arr), seed)
 
 
-def _bloom_words(h_uniq: np.ndarray) -> "tuple[int, np.ndarray]":
+def _bloom_words(h_uniq: np.ndarray, seed: int) -> "tuple[int, np.ndarray]":
     """(n_bits, uint64 word bitmap) for one row group's distinct-key
     hashes — n_bits sized to ~16 bits/key, power of two."""
     n_bits = _BLOOM_MIN_BITS
@@ -1063,11 +1073,29 @@ def _bloom_words(h_uniq: np.ndarray) -> "tuple[int, np.ndarray]":
         n_bits <<= 1
     words = np.zeros(n_bits >> 6, dtype=np.uint64)
     for i in range(BLOOM_SIDECAR_K):
-        idx = splitmix64(h_uniq, _BLOOM_SIDECAR_SEED + 1 + i) \
-            % np.uint64(n_bits)
+        idx = splitmix64(h_uniq, seed + 1 + i) % np.uint64(n_bits)
         np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
                          np.uint64(1) << (idx & np.uint64(63)))
     return n_bits, words
+
+
+def _write_sidecar(sc_path: str, per_group_hashes: "list[np.ndarray]",
+                   seed: int, column: str) -> None:
+    n_bits_rows, words_rows = [], []
+    for h in per_group_hashes:
+        n_bits, words = _bloom_words(h, seed)
+        n_bits_rows.append(n_bits)
+        words_rows.append(words)
+    sidecar = pa.table({
+        "n_bits": pa.array(n_bits_rows, pa.int64()),
+        "words": pa.array([w.tolist() for w in words_rows],
+                          pa.list_(pa.uint64())),
+    }).replace_schema_metadata({"k": str(BLOOM_SIDECAR_K), "column": column})
+    pq.write_table(sidecar, sc_path, compression="zstd")
+
+
+def _group_slices(n_rows: int, granule: int) -> "list[tuple[int, int]]":
+    return [(s, min(granule, n_rows - s)) for s in range(0, n_rows, granule)]
 
 
 def write_bloom_sidecar(full: str, tbl: pa.Table,
@@ -1077,102 +1105,167 @@ def write_bloom_sidecar(full: str, tbl: pa.Table,
     granule-sized slices, so slicing here reproduces them)."""
     granule = granule or LAKE_ROW_GROUP_ROWS
     h_all = _sidecar_hash(tbl.column("conv_id"))
-    n_bits_rows, words_rows = [], []
-    for start in range(0, tbl.num_rows, granule):
-        n_bits, words = _bloom_words(np.unique(h_all[start:start + granule]))
-        n_bits_rows.append(n_bits)
-        words_rows.append(words)
-    sidecar = pa.table({
-        "n_bits": pa.array(n_bits_rows, pa.int64()),
-        "words": pa.array([w.tolist() for w in words_rows],
-                          pa.list_(pa.uint64())),
-    }).replace_schema_metadata({"k": str(BLOOM_SIDECAR_K),
-                                "column": "conv_id"})
-    pq.write_table(sidecar, bloom_sidecar_path(full), compression="zstd")
+    _write_sidecar(bloom_sidecar_path(full),
+                   [np.unique(h_all[s:s + n])
+                    for s, n in _group_slices(tbl.num_rows, granule)],
+                   _BLOOM_SIDECAR_SEED, "conv_id")
 
 
-def bloom_candidate_groups(full: str, conv_id: str,
-                           num_row_groups: int) -> "list[int] | None":
-    """Row-group indices of ``full`` that MAY contain ``conv_id`` per its
-    sidecar; ``None`` = no usable sidecar (absent, unreadable, or stale —
-    group count drifted from the parquet footer), read everything."""
-    sc = bloom_sidecar_path(full)
+def _group_token_hashes(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Distinct-token hashes of one row group's text slice: vectorized
+    split-on-single-space (the ``has_token`` tokenizer), flatten, hash,
+    unique."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        col = col.cast(pa.string())
+    toks = pc.split_pattern(pc.drop_null(col), " ").flatten()
+    if not len(toks):
+        return np.empty(0, dtype=np.uint64)
+    toks = pc.unique(toks)  # dedupe before hashing — groups repeat tokens
+    return np.unique(_sidecar_hash(toks, _TOKEN_SIDECAR_SEED))
+
+
+def write_token_sidecar(full: str, tbl: pa.Table, column: str,
+                        granule: int = None) -> None:
+    """Per-row-group token Bloom sidecar (the committed ``text_index``
+    property): distinct split-on-space tokens of ``column`` per group —
+    the skip index behind ``has_token`` reads."""
+    granule = granule or LAKE_ROW_GROUP_ROWS
+    col = tbl.column(column)
+    _write_sidecar(token_sidecar_path(full),
+                   [_group_token_hashes(col.slice(s, n))
+                    for s, n in _group_slices(tbl.num_rows, granule)],
+                   _TOKEN_SIDECAR_SEED, column)
+
+
+def _candidate_groups(sc_path: str, h_keys: np.ndarray,
+                      num_row_groups: int,
+                      seed: int) -> "list[int] | None":
+    """Row-group indices whose sidecar bloom admits EVERY key hash;
+    ``None`` = no usable sidecar (absent, unreadable, or stale — group
+    count drifted from the parquet footer), read everything."""
     try:
-        t = pq.read_table(sc)
+        t = pq.read_table(sc_path)
     except (OSError, pa.ArrowInvalid):
         return None
     if t.num_rows != num_row_groups:
         return None  # file was rewritten out-of-band; stale sidecar
-    h = _sidecar_hash(pa.array([conv_id], pa.string()))
     n_bits = np.asarray(t.column("n_bits"))
     wcol = t.column("words").combine_chunks()
     out = []
     for g in range(t.num_rows):
         nb = np.uint64(n_bits[g])
         words = np.asarray(wcol[g].values, dtype=np.uint64)
-        hit = True
+        hit = np.ones(len(h_keys), dtype=bool)
         for i in range(BLOOM_SIDECAR_K):
-            idx = splitmix64(h, _BLOOM_SIDECAR_SEED + 1 + i) % nb
-            if not (words[int(idx[0]) >> 6]
-                    >> (idx[0] & np.uint64(63))) & np.uint64(1):
-                hit = False
-                break
-        if hit:
+            idx = splitmix64(h_keys, seed + 1 + i) % nb
+            hit &= (words[(idx >> np.uint64(6)).astype(np.int64)]
+                    >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        if hit.all():
             out.append(g)
     return out
 
 
-def audit_bloom_sidecar(full: str, tbl: pa.Table) -> "tuple":
-    """fsck's sidecar tier for one CLUSTERED base file → (violation,
-    warning), at most one non-None.  Missing sidecar → warning (legacy
-    clustered lake: point lookups fall back to full-file reads — slow,
-    not wrong; the next rewrite heals it).  Stale group count → warning
-    (an out-of-band rewrite; reads detect and ignore it).  A FALSE
-    NEGATIVE → violation: ``read_conversation`` would silently skip rows
-    of that conversation."""
-    sc_path = bloom_sidecar_path(full)
+def bloom_candidate_groups(full: str, conv_id: str,
+                           num_row_groups: int) -> "list[int] | None":
+    """Row-group indices of ``full`` that MAY contain ``conv_id`` per its
+    conv sidecar (see ``_candidate_groups`` for the None contract)."""
+    h = _sidecar_hash(pa.array([conv_id], pa.string()))
+    return _candidate_groups(bloom_sidecar_path(full), h,
+                             num_row_groups, _BLOOM_SIDECAR_SEED)
+
+
+def token_candidate_groups(full: str, tokens: "list[str]",
+                           num_row_groups: int) -> "list[int] | None":
+    """Row-group indices of ``full`` that MAY contain EVERY token (AND'd
+    ``has_token`` specs) per its token sidecar."""
+    h = _sidecar_hash(pa.array(list(tokens), pa.string()),
+                      _TOKEN_SIDECAR_SEED)
+    return _candidate_groups(token_sidecar_path(full), h,
+                             num_row_groups, _TOKEN_SIDECAR_SEED)
+
+
+def _audit_sidecar(full: str, sc_path: str, group_hashes_fn, seed: int,
+                   what: str, miss_verb: str) -> "tuple":
+    """Shared fsck sidecar audit → (violation, warning), at most one
+    non-None.  Missing sidecar → warning (legacy file: reads fall back to
+    full-file scans — slow, not wrong; the next rewrite heals it).  Stale
+    group count → warning (an out-of-band rewrite; reads detect and
+    ignore it).  A FALSE NEGATIVE → violation: pruned reads would
+    silently skip matching rows."""
     if not os.path.exists(sc_path):
-        return None, ("clustered base has no bloom sidecar (point lookups "
-                      "read the whole file; rewrite/compact to heal)")
+        return None, (f"base has no {what} sidecar ({miss_verb} read the "
+                      "whole file; rewrite/compact to heal)")
     md = pq.ParquetFile(full).metadata
     sc = pq.read_table(sc_path)
     if sc.num_rows != md.num_row_groups:
-        return None, (f"bloom sidecar is stale ({sc.num_rows} groups "
+        return None, (f"{what} sidecar is stale ({sc.num_rows} groups "
                       f"recorded, file has {md.num_row_groups}) — ignored "
                       "by reads; rewrite/compact to heal")
-    h_all = _sidecar_hash(tbl.column("conv_id"))
     nbits = np.asarray(sc.column("n_bits"))
     wcol = sc.column("words").combine_chunks()
     start = 0
     for g in range(md.num_row_groups):
         n = md.row_group(g).num_rows
-        h = np.unique(h_all[start:start + n])
+        h = group_hashes_fn(start, n)
         start += n
         nb = np.uint64(nbits[g])
         words = np.asarray(wcol[g].values, dtype=np.uint64)
         ok = np.ones(len(h), dtype=bool)
         for i in range(BLOOM_SIDECAR_K):
-            idx = splitmix64(h, _BLOOM_SIDECAR_SEED + 1 + i) % nb
+            idx = splitmix64(h, seed + 1 + i) % nb
             ok &= (words[(idx >> np.uint64(6)).astype(np.int64)]
                    >> (idx & np.uint64(63))) & np.uint64(1) != 0
         if not ok.all():
-            return (f"bloom sidecar has {int((~ok).sum())} false "
-                    f"negative(s) in row group {g} — point lookups would "
-                    "silently miss those conversations", None)
+            return (f"{what} sidecar has {int((~ok).sum())} false "
+                    f"negative(s) in row group {g} — {miss_verb} would "
+                    "silently miss matching rows", None)
     return None, None
 
 
-def write_base_file(state: pa.Table, full: str, cluster) -> pa.Table:
+def audit_bloom_sidecar(full: str, tbl: pa.Table) -> "tuple":
+    """fsck's conv-sidecar tier for one CLUSTERED base file."""
+    h_all = _sidecar_hash(tbl.column("conv_id"))
+    return _audit_sidecar(
+        full, bloom_sidecar_path(full),
+        lambda s, n: np.unique(h_all[s:s + n]),
+        _BLOOM_SIDECAR_SEED, "bloom", "point lookups")
+
+
+def audit_token_sidecar(full: str, tbl: pa.Table, column: str) -> "tuple":
+    """fsck's token-sidecar tier for one base file of a lake with a
+    committed ``text_index``."""
+    col = tbl.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return _audit_sidecar(
+        full, token_sidecar_path(full),
+        lambda s, n: _group_token_hashes(col.slice(s, n)),
+        _TOKEN_SIDECAR_SEED, "token", "has_token reads")
+
+
+def text_index_of(manifest: "dict") -> "str | None":
+    """The committed token-skip-index column (``set_text_index``), or
+    None — a durable layout property like ``cluster_by``."""
+    return manifest.get("text_index") or None
+
+
+def write_base_file(state: pa.Table, full: str, cluster,
+                    token_col: "str | None" = None) -> pa.Table:
     """THE base-file write: committed on-disk order (merge key or the
-    cluster spec), zstd parquet at the lake granule, and — for clustered
-    files only — the conv_id Bloom sidecar beside it.  Returns the sorted
-    table (callers reuse it for schema/row accounting)."""
+    cluster spec), zstd parquet at the lake granule, plus the committed
+    sidecars — the conv_id Bloom for clustered files, the token skip
+    index when the lake has a ``text_index``.  Returns the sorted table
+    (callers reuse it for schema/row accounting)."""
     state = sort_lake_file(state, cluster)
     os.makedirs(os.path.dirname(full), exist_ok=True)
     pq.write_table(state, full, compression="zstd",
                    row_group_size=LAKE_ROW_GROUP_ROWS)
     if cluster and state.num_rows:
         write_bloom_sidecar(full, state)
+    if token_col and state.num_rows and token_col in state.schema.names:
+        write_token_sidecar(full, state, token_col)
     return state
 
 
@@ -1340,7 +1433,8 @@ class MergeApplier:
 
     def __init__(self, lake_dir: str, txn_id: str,
                  partition_meta: "dict[int, dict]",
-                 replay_filter: bool = True, cluster_by=None):
+                 replay_filter: bool = True, cluster_by=None,
+                 text_index: "str | None" = None):
         self.lake_dir = lake_dir
         self.txn_id = txn_id
         self.partition_meta = partition_meta  # pid -> {path, last_applied_lsn}
@@ -1349,6 +1443,8 @@ class MergeApplier:
         # committed base-file layout (set_clustering); None = merge-key
         # list = lex order, dict = zorder spec (see cluster_spec_of)
         self.cluster_by = cluster_by or None
+        # committed token skip index column (set_text_index), or None
+        self.text_index = text_index or None
 
     #: soft cap: a merge group beyond this is a sign num_partitions is too
     #: small for the data volume (state file rewrite cost grows linearly)
@@ -1391,7 +1487,8 @@ class MergeApplier:
         # its bloom sidecar); fsck checks whichever is committed
         rel = os.path.join(f"txn-{self.txn_id}", f"part-{pid:05d}.parquet")
         full = os.path.join(self.lake_dir, rel)
-        state = write_base_file(state, full, self.cluster_by)
+        state = write_base_file(state, full, self.cluster_by,
+                                token_col=self.text_index)
         return self._result({
             "pid": pid, "path": rel, "rows": state.num_rows,
             "last_applied_lsn": new_watermark, "events_applied": applied,
@@ -1614,7 +1711,8 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
         appliers = {t: MergeApplier(
             pipelines[t].lake_dir, txn_id,
             {int(pid): m for pid, m in manifests[t]["partitions"].items()},
-            cluster_by=cluster_spec_of(manifests[t]))
+            cluster_by=cluster_spec_of(manifests[t]),
+            text_index=text_index_of(manifests[t]))
             for t in names}
 
     def merge_group(group: pa.Table) -> pa.Table:
@@ -1721,15 +1819,17 @@ def carry_lsn_ceiling(manifest: dict, new_manifest: dict) -> None:
 
 
 def carry_cluster_by(manifest: dict, new_manifest: dict) -> None:
-    """``cluster_by`` (+ zorder mode/frozen bounds) is a durable layout
-    property like the partition config: every commit carries it forward
-    (set/cleared only by ``set_clustering``'s own commit, which writes
-    the keys explicitly)."""
+    """``cluster_by`` (+ zorder mode/frozen bounds) and ``text_index``
+    are durable layout properties like the partition config: every commit
+    carries them forward (set/cleared only by ``set_clustering`` /
+    ``set_text_index``'s own commits, which write the keys explicitly)."""
     if manifest.get("cluster_by") and "cluster_by" not in new_manifest:
         new_manifest["cluster_by"] = list(manifest["cluster_by"])
         for k in ("cluster_mode", "cluster_bounds"):
             if manifest.get(k):
                 new_manifest[k] = manifest[k]
+    if manifest.get("text_index") and "text_index" not in new_manifest:
+        new_manifest["text_index"] = manifest["text_index"]
 
 
 #: arrow schema for per-partition metadata work items — from_items infers
@@ -2174,7 +2274,8 @@ class CDCPipeline:
         else:
             applier = MergeApplier(self.lake_dir, txn_id, partition_meta,
                                    replay_filter=not _reprocess,
-                                   cluster_by=cluster_spec_of(manifest))
+                                   cluster_by=cluster_spec_of(manifest),
+                                   text_index=text_index_of(manifest))
 
         constraints = self.effective_constraints(manifest)
         norm_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
@@ -2331,6 +2432,7 @@ class CDCPipeline:
                                salt_keys=new_salt, salt_factor=new_sf)
         lake_dir = self.lake_dir
         cluster = cluster_spec_of(manifest)
+        token_col = text_index_of(manifest)
 
         def write_partition(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
@@ -2339,7 +2441,8 @@ class CDCPipeline:
             state = group.drop_columns(["_pid"])
             rel = os.path.join(f"txn-{txn_id}", f"part-{pid:05d}.parquet")
             full = os.path.join(lake_dir, rel)
-            state = write_base_file(state, full, cluster)
+            state = write_base_file(state, full, cluster,
+                                    token_col=token_col)
             return MergeApplier._result({
                 "pid": pid, "path": rel, "rows": state.num_rows,
                 "last_applied_lsn": low, "events_applied": 0,
@@ -2428,6 +2531,7 @@ class CDCPipeline:
             txn_id = uuid.uuid4().hex[:12]
             lake_dir = self.lake_dir
             cluster = cluster_spec_of(manifest)
+            token_col = text_index_of(manifest)
             items = [{"pid": int(pid), "base": p.get("path") or "",
                       "deltas": [d["path"] for d in p.get("deltas", [])],
                       "dvs": [d["path"] for d in p.get("dvs", [])]}
@@ -2449,7 +2553,8 @@ class CDCPipeline:
                         rel = os.path.join(f"txn-{txn_id}",
                                            f"part-{row['pid']:05d}.parquet")
                         full = os.path.join(lake_dir, rel)
-                        state = write_base_file(state, full, cluster)
+                        state = write_base_file(state, full, cluster,
+                                                token_col=token_col)
                     outs.append({"pid": row["pid"], "path": rel,
                                  "rows": state.num_rows})
                 return pa.Table.from_pylist(outs, schema=pa.schema([
@@ -2666,6 +2771,8 @@ class CDCPipeline:
                 new_manifest["dlq"] = manifest["dlq"]
             carry_constraints(manifest, new_manifest)
             carry_lsn_ceiling(manifest, new_manifest)
+            if manifest.get("text_index"):
+                new_manifest["text_index"] = manifest["text_index"]
             if cols:
                 new_manifest["cluster_by"] = list(cols)
             mf.commit_manifest(self.lake_dir, new_manifest,
@@ -2677,6 +2784,74 @@ class CDCPipeline:
         return {"txn": res["txn"], "version": res["version"],
                 "partitions": res["partitions"], "rows": res["rows"],
                 "cluster_by": list(cols)}
+
+    def set_text_index(self, column: "str | None",
+                       max_commit_retries: int = 2) -> "dict":
+        """Durable token skip index (the role of a ClickHouse ``tokenbf``
+        data-skipping index, as a COMMITTED layout property): every later
+        base writer drops a per-row-group Bloom sidecar of ``column``'s
+        distinct split-on-space tokens beside the parquet, and
+        ``read_lake(where=[Constraint(kind='has_token')])`` reads only the
+        row groups whose sidecar admits every AND'd token — min/max zone
+        maps can never prune token membership, so without the index a
+        token search scans every text byte.
+
+        Setting the property is ONE exactly-once whole-lake rewrite (the
+        same machinery as set_clustering) so existing bases gain sidecars
+        immediately; ``column=None`` clears it (pure metadata — stale
+        ``.tokens`` files beside old bases are simply never consulted and
+        GC with their txn dirs).  Composes with clustering: the two
+        sidecars are independent files.  Empty lake: metadata-only commit
+        adopted by the first apply."""
+        if column is not None and not isinstance(column, str):
+            raise ValueError("text_index column must be a column name or "
+                             "None")
+        manifest = mf.read_manifest(self.lake_dir)
+        self.check_manifest_compat(manifest)
+        if column:
+            types = _manifest_types(manifest)
+            known = manifest_schema_columns(manifest)
+            if known and column not in types:
+                raise ValueError(f"unknown text_index column {column!r}; "
+                                 f"lake schema is {known}")
+            if known and not pa.types.is_string(types[column]):
+                raise ValueError(
+                    f"text_index column must be a string column; "
+                    f"{column!r} is {types[column]}")
+        res = self._rewrite_lake(
+            lambda state, pid: state, "textindex",
+            max_commit_retries=max_commit_retries,
+            text_override=(column or None),
+            manifest_extra={"text_index": column or ""})
+        if res is None:
+            # no data yet: record the property metadata-only; the first
+            # apply's MergeApplier adopts it from the manifest
+            new_manifest = {
+                "version": manifest["version"] + 1,
+                "partitions": dict(manifest.get("partitions", {})),
+                "num_partitions": self.num_partitions,
+                "partition_config": self.partition_config(),
+                "last_txn": manifest.get("last_txn"),
+                **schema_entries_of(manifest),
+            }
+            if manifest.get("dlq"):
+                new_manifest["dlq"] = manifest["dlq"]
+            carry_constraints(manifest, new_manifest)
+            carry_lsn_ceiling(manifest, new_manifest)
+            carry_cluster_by(manifest, new_manifest)
+            if column:
+                new_manifest["text_index"] = column
+            else:
+                new_manifest.pop("text_index", None)
+            mf.commit_manifest(self.lake_dir, new_manifest,
+                               retain_history=self.time_travel_retain,
+                               expected_version=manifest["version"])
+            return {"txn": None, "version": new_manifest["version"],
+                    "partitions": 0, "rows": 0,
+                    "text_index": column or ""}
+        return {"txn": res["txn"], "version": res["version"],
+                "partitions": res["partitions"], "rows": res["rows"],
+                "text_index": column or ""}
 
     def delete_where(self, predicate, max_commit_retries: int = 2,
                      mode: str = "rewrite",
@@ -2887,11 +3062,13 @@ class CDCPipeline:
 
     #: sentinel: _rewrite_lake adopts the manifest's committed cluster_by
     _ADOPT_CLUSTER = object()
+    _ADOPT_TEXT = object()
 
     def _rewrite_lake(self, state_fn, lineage_flag: str,
                       max_commit_retries: int = 2,
                       prune=None, skip_unchanged: bool = False,
                       cluster_override=_ADOPT_CLUSTER,
+                      text_override=_ADOPT_TEXT,
                       manifest_extra: "dict | None" = None) -> "dict | None":
         """Shared machinery for the maintenance ops that rewrite live
         state in place (``transform_lake`` / ``delete_where``): one
@@ -2932,6 +3109,9 @@ class CDCPipeline:
             cluster = (cluster_spec_of(manifest)
                        if cluster_override is self._ADOPT_CLUSTER
                        else cluster_override)
+            token_col = (text_index_of(manifest)
+                         if text_override is self._ADOPT_TEXT
+                         else text_override)
             items = [{"pid": int(pid), "base": p.get("path") or "",
                       "deltas": [d["path"] for d in p.get("deltas", [])],
                       "dvs": [d["path"] for d in p.get("dvs", [])]}
@@ -2970,7 +3150,8 @@ class CDCPipeline:
                             f"txn-{txn_id}",
                             f"part-{row['pid']:05d}.parquet")
                         full = os.path.join(lake_dir, rel)
-                        out = write_base_file(out, full, cluster)
+                        out = write_base_file(out, full, cluster,
+                                              token_col=token_col)
                     outs.append({"pid": row["pid"], "path": rel,
                                  "rows": out.num_rows,
                                  "rows_before": state.num_rows,
@@ -4105,6 +4286,7 @@ class CDCPipeline:
         allowed_types = _manifest_types(manifest)
         constraints = constraints_from_manifest(manifest)
         cluster = cluster_spec_of(manifest)
+        text_idx = text_index_of(manifest)
         items = []
         for pid, p in manifest["partitions"].items():
             if not p.get("path") and not p.get("deltas"):
@@ -4200,6 +4382,14 @@ class CDCPipeline:
                     check_file(base, "base file", base_order=True)
                     if cluster and base.num_rows:
                         v, w = audit_bloom_sidecar(base_full, base)
+                        if v:
+                            probs.append(v)
+                        if w:
+                            warns.append(w)
+                    if (text_idx and base.num_rows
+                            and text_idx in base.schema.names):
+                        v, w = audit_token_sidecar(base_full, base,
+                                                   text_idx)
                         if v:
                             probs.append(v)
                         if w:
@@ -4317,6 +4507,8 @@ class CDCPipeline:
             "cluster_by": list(manifest.get("cluster_by", [])),
             "cluster_mode": manifest.get("cluster_mode", "lex")
             if manifest.get("cluster_by") else "",
+            # committed token skip index (set_text_index); "" = none
+            "text_index": manifest.get("text_index", ""),
         }
 
     def _manifest_dataset(self, manifest: "dict", columns=None, where=None):
@@ -4414,6 +4606,12 @@ class CDCPipeline:
         if not items:
             return ray.data.from_arrow(_empty_lake_table(cols, types))
         where_cols = sorted({c.column for c in where}) if where else []
+        # has_token specs on the committed text_index column prune via the
+        # token-bloom sidecar (min/max stats can't prove token absence)
+        text_idx = text_index_of(manifest)
+        idx_tokens = sorted({c.values[0] for c in (where or [])
+                             if c.kind == "has_token"
+                             and c.column == text_idx}) if text_idx else []
 
         def read_padded(rel: str, want: "list[str]") -> pa.Table:
             path = os.path.join(lake_dir, rel)
@@ -4443,8 +4641,16 @@ class CDCPipeline:
                     # whole-file skip is the keep-nothing case)
                     if not row["base"]:
                         continue
-                    pf = pq.ParquetFile(os.path.join(lake_dir, row["base"]))
+                    base_full = os.path.join(lake_dir, row["base"])
+                    pf = pq.ParquetFile(base_full)
                     keep = _matching_row_groups(pf, where)
+                    if keep and idx_tokens:
+                        tk = token_candidate_groups(
+                            base_full, idx_tokens,
+                            pf.metadata.num_row_groups)
+                        if tk is not None:  # usable sidecar: intersect
+                            tk_set = set(tk)
+                            keep = [g for g in keep if g in tk_set]
                     if not keep:
                         continue
                     have = set(pf.schema_arrow.names)

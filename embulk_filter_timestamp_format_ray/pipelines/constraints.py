@@ -51,7 +51,7 @@ UPSERT_OPS = ("upsert",)
 #: ops that carry no value payload at all — exempt from every check
 PAYLOAD_FREE_OPS = ("delete", "delete_conv")
 
-KINDS = ("not_null", "in_set", "between", "matches")
+KINDS = ("not_null", "in_set", "between", "matches", "has_token")
 
 
 def _bound_scalar(v: str, typ: pa.DataType) -> pa.Scalar:
@@ -126,6 +126,14 @@ class Constraint:
             except re.error as e:
                 raise ValueError(f"matches constraint on {self.column!r}: "
                                  f"bad regex {self.values[0]!r}: {e}") from e
+        if self.kind == "has_token":
+            if not self.values or len(self.values) != 1 or not self.values[0]:
+                raise ValueError(f"has_token constraint on {self.column!r} "
+                                 "needs exactly one non-empty token")
+            if " " in self.values[0]:
+                raise ValueError(f"has_token token {self.values[0]!r} "
+                                 "contains a space — it could never be a "
+                                 "single split-on-space token")
         if not self.name:
             object.__setattr__(self, "name", f"{self.column}_{self.kind}")
 
@@ -147,6 +155,15 @@ class Constraint:
             if self.hi is not None:
                 ok = pc.and_(ok, pc.less_equal(
                     col, _bound_scalar(self.hi, col.type)))
+        elif self.kind == "has_token":
+            # token membership under split-on-single-space semantics,
+            # exactly SQL's list_contains(string_split(col, ' '), tok):
+            # tok ∈ split(s, ' ')  ⇔  ' '+s+' ' contains ' '+tok+' '
+            # (tok is guaranteed non-empty and space-free)
+            if not pa.types.is_string(col.type):
+                col = col.cast(pa.string())
+            padded = pc.binary_join_element_wise(" ", col, " ", "")
+            ok = pc.match_substring(padded, f" {self.values[0]} ")
         else:  # matches
             ok = pc.match_substring_regex(col, self.values[0])
         return pc.and_(valid, pc.invert(pc.fill_null(ok, True)))
@@ -216,7 +233,9 @@ class Constraint:
         if rng == ():
             return False
         lo, hi = rng
-        if self.kind in ("not_null", "matches"):
+        if self.kind in ("not_null", "matches", "has_token"):
+            # min/max string stats can't prove token absence — has_token
+            # pruning happens at the token-bloom sidecar tier instead
             return True
         try:
             if self.kind == "between":
@@ -275,6 +294,8 @@ def parse_constraint(spec: str) -> Constraint:
         return Constraint(column, "between", lo=lo, hi=hi)
     if kind == "matches":
         return Constraint(column, "matches", values=(arg,))
+    if kind == "has_token":
+        return Constraint(column, "has_token", values=(arg,))
     raise ValueError(f"unknown constraint kind {kind!r} in {spec!r}")
 
 

@@ -96,6 +96,14 @@ def main() -> None:
                          "quantization bounds frozen from footer stats at "
                          "set time, so EVERY clustered column's zone maps "
                          "stay selective)")
+    ap.add_argument("--text-index", default=None, metavar="COL",
+                    help="durable token skip index: every base write drops "
+                         "a per-row-group Bloom of COL's split-on-space "
+                         "tokens, so has_token reads (e.g. --delete-where "
+                         "text:has_token:word, read_lake where specs) open "
+                         "only candidate row groups. 'none' clears. "
+                         "Maintenance only (--events 0), one exactly-once "
+                         "rewrite")
     ap.add_argument("--fanout-to", default=None, metavar="DIR",
                     help="multi-table routing demo (apply_multi): tag the "
                          "generated stream by conv-id parity and fan it "
@@ -428,6 +436,12 @@ def main() -> None:
                 tuple(c.strip() for c in args.cluster_by.split(","))
             res = pipe.set_clustering(cols, mode=args.cluster_mode)
             print(json.dumps({"lake": args.lake, "cluster": res}))
+            return
+        if args.text_index is not None:
+            col = None if args.text_index.lower() in ("none", "") else \
+                args.text_index.strip()
+            res = pipe.set_text_index(col)
+            print(json.dumps({"lake": args.lake, "text_index": res}))
             return
         if args.delete_where:
             import numpy as _np
