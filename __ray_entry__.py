@@ -693,6 +693,75 @@ def q_cdc_text_search(sf_dir: str):
                                    "lsn"], where=specs)
 
 
+def _vec_search_queries(n: int = 3, dim: int = 8) -> "np.ndarray":
+    """Deterministic full-precision query vectors shared by the Ray query
+    and the SQL oracle's literals (splitmix64 lanes, same recipe as the
+    fixture's embedding column but a disjoint seed)."""
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        _u01,
+        splitmix64,
+    )
+
+    qid = np.arange(n, dtype=np.int64) + 101
+    lanes = qid[:, None] * np.int64(dim) + np.arange(dim, dtype=np.int64)
+    return _u01(splitmix64(lanes.reshape(-1), 11)).reshape(n, dim) * 2.0 - 1.0
+
+
+def q_cdc_vector_search(sf_dir: str):
+    """Incrementally-maintained vector index over the lake
+    (pipelines/vector_view.py VectorIndexView): the 20k-event binlog (with
+    a deterministic embedding value column) lands half base / half delta;
+    the view builds at the base version, then REFRESHES from the change
+    feed alone (upserts append to frozen-centroid lists, updates/deletes
+    become LSN-bounded tombstones) — never re-reading the lake.  The
+    search probes all lists (nprobe = n_centroids ⇒ exact), so the SQL
+    brute-force cosine top-k over the folded live state is the oracle."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.vector_view import (
+        VectorIndexView,
+    )
+
+    return _cdc_vector_search(quantized=False)
+
+
+def q_cdc_vector_search_quantized(sf_dir: str):
+    """Quantized storage tier of the lake vector view: the index stores
+    int8 q + scale_ppm (~4× less disk — at 100 TB the embedding column IS
+    the dataset) and the probe dequantizes per batch.  The int8 round trip
+    is deterministic IEEE double arithmetic, so the SQL oracle replays it
+    over the folded live state and brute-forces the dequantized ranking."""
+    return _cdc_vector_search(quantized=True)
+
+
+def _cdc_vector_search(quantized: bool):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.vector_view import (
+        VectorIndexView,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    events = pq.read_table(os.path.join(_FIXTURES,
+                                        "cdc_vec_events_20000.parquet"))
+    cut = pa.scalar(10_000, pa.int64())
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_vec_{run}")
+    pipe = CDCPipeline(lake, num_partitions=32)
+    pipe.apply(ray.data.from_arrow(
+        events.filter(pc.less(events.column("lsn"), cut))))
+    view = VectorIndexView(pipe, os.path.join(lake, "_vector_view"),
+                           n_centroids=8, quantized=quantized)
+    view.build()
+    pipe.apply_delta(ray.data.from_arrow(
+        events.filter(pc.greater_equal(events.column("lsn"), cut))))
+    view.refresh()
+    return view.search(_vec_search_queries(), k=10, nprobe=8)
+
+
 def q_cdc_aggregate_pushdown(sf_dir: str):
     """MIN/MAX/SUM/COUNT(*) aggregate pushdown (pipelines/cdc.py
     aggregate_lake): the 20k-event binlog lands half base / half pending
@@ -3005,6 +3074,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_zorder_read": q_cdc_zorder_read,
         "cdc_aggregate_pushdown": q_cdc_aggregate_pushdown,
         "cdc_text_search": q_cdc_text_search,
+        "cdc_vector_search": q_cdc_vector_search,
+        "cdc_vector_search_quantized": q_cdc_vector_search_quantized,
         "cdc_count": q_cdc_count,
         "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
@@ -3337,6 +3408,57 @@ def oracle_sql() -> "dict[str, str]":
             "select conv_id, turn_idx, role, text, lsn from folded "
             "where coalesce(list_contains(string_split(text, ' '), "
             "'merge'), false)",
+        # Vector search: brute-force cosine top-k over the folded live
+        # state (the IVF layout, change-feed refresh and tombstones are
+        # pure optimizations — nprobe=all makes the probe exact); query
+        # vectors inlined as full-precision double literals
+        "cdc_vector_search":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_vec_events_20000.parquet')), "
+            "folded as (select conv_id, turn_idx, embedding "
+            "from ranked where rn = 1 and op <> 'delete'), "
+            "q(query_id, qe) as (values " + ", ".join(
+                f"(cast({i} as bigint), [{', '.join(repr(float(x)) for x in row)}]"
+                "::double[])"
+                for i, row in enumerate(_vec_search_queries())) + "), "
+            "scored as (select q.query_id, f.conv_id, f.turn_idx, "
+            "row_number() over (partition by q.query_id order by "
+            "list_cosine_similarity(q.qe, f.embedding) desc, "
+            "f.conv_id, f.turn_idx) as rank from q cross join folded f) "
+            "select query_id, conv_id, turn_idx, rank from scored "
+            "where rank <= 10",
+        # Quantized vector search: the same fold, then DuckDB replays the
+        # int8 round trip bit-for-bit (same IEEE double ops as
+        # _to_quantized_batch / dequantize_embeddings_batch, incl. the
+        # per-component float32 cast) and ranks over the DEQUANTIZED
+        # corpus; queries stay un-quantized, exactly like the Ray path
+        "cdc_vector_search_quantized":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_vec_events_20000.parquet')), "
+            "folded as (select conv_id, turn_idx, embedding "
+            "from ranked where rn = 1 and op <> 'delete'), "
+            "s as (select conv_id, turn_idx, embedding, "
+            "list_max(list_transform(embedding, x -> abs(x))) as ma "
+            "from folded), "
+            "d as (select conv_id, turn_idx, "
+            "list_transform(generate_series(1, len(embedding)), i -> "
+            "((greatest(least(floor(127 * embedding[i] / (case when ma = 0 "
+            "then 1 else ma end) + 0.5), 127), -127) / 127.0) * "
+            "(floor(ma * 1000000 + 0.5) / 1000000.0))::float) as emb "
+            "from s), "
+            "q(query_id, qe) as (values " + ", ".join(
+                f"(cast({i} as bigint), [{', '.join(repr(float(x)) for x in row)}]"
+                "::double[])"
+                for i, row in enumerate(_vec_search_queries())) + "), "
+            "scored as (select q.query_id, d.conv_id, d.turn_idx, "
+            "row_number() over (partition by q.query_id order by "
+            "list_cosine_similarity(q.qe, list_transform(d.emb, "
+            "x -> x::double)) desc, d.conv_id, d.turn_idx) as rank "
+            "from q cross join d) "
+            "select query_id, conv_id, turn_idx, rank from scored "
+            "where rank <= 10",
         # MIN/MAX/SUM/COUNT pushdown: SQL aggregates over the flagship
         # fold (column pruning / footer skipping are pure optimizations);
         # duckdb SUM(bigint) is hugeint — cast back to match the int64

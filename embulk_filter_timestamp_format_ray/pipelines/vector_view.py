@@ -1,0 +1,582 @@
+"""Incrementally-maintained vector index over a CDC lake (the "vector
+search on your live table" tier a RAG / training-data platform pairs with
+CDC ingest — Lance/Milvus's role, rebuilt on the lake's own change feed).
+
+``VectorIndexView`` materializes a centroid-partitioned (IVF) index of one
+``list<double>`` lake column and keeps it current at CHANGE-FEED COST:
+
+* ``build()`` trains seeded k-means-lite centroids on a sample, assigns
+  every live row inside ``map_batches`` (centroids broadcast via
+  ``ray.put``) and writes hive-partitioned parquet per centroid list —
+  one streaming pass over the lake, no shuffle (each block fans its rows
+  into its lists' files locally).  The centroids are FROZEN into the view
+  manifest: the physical layout is the contract (same reasoning as the
+  lake's committed partition config and the z-order quantization bounds),
+  so later refreshes place vectors identically on any topology.
+* ``refresh()`` reads ``CDCPipeline.lake_changes(cursor, head)`` — cost ∝
+  the DELTA, not the lake — appends inserted/updated vectors to their
+  frozen-centroid lists as NEW files, and records per-key LSN-bounded
+  TOMBSTONES for updates/deletes (an update may move a key to a different
+  list, so the stale row cannot be dropped in place without reading it;
+  the tombstone kills it at probe time wherever it lives).
+* ``search()`` probes only the ``nprobe`` nearest lists' files (read
+  pruning, never a corpus scan), subtracts the tombstones (broadcast once
+  — they are change-feed-sized between compactions), and reduces exact
+  per-batch local top-k candidates, ``(-cosine, conv_id, turn_idx)``
+  tie-broken.
+* ``compact()`` folds appends + tombstones per list back into one base
+  file per list (the LSM fold — bounded read amplification).
+
+Tombstone rule (one live row per key, proof by induction over refreshes):
+an index row (key, lsn) is DEAD iff some tombstone (key, bound) has
+``lsn < bound``.  Updates emit ``bound = post-image lsn`` (kills every
+older row, never the new one); deletes emit ``bound = pre-image lsn + 1``
+(kills the row, never a later re-insert — lake LSNs are globally
+monotone).  Every superseded row is covered by its superseder's tombstone,
+so after filtering, each key has at most one live row and the view equals
+``read_lake`` state exactly (pinned against a fresh rebuild in
+tests/test_vector_view.py).
+
+Crash safety mirrors the lake: each build/refresh/compact writes its files
+under a fresh ``gen-NNNNNN/`` directory, then swaps ``view_manifest.json``
+atomically (``state/manifest.py`` sidecar-rename).  A crash mid-generation
+leaves unreferenced orphans; the previous manifest stays authoritative.
+
+Reference analog: none (the reference is a single-column filter); this is
+the similarity-search tier SURVEY.md's LLM-pipeline mandate adds, composed
+with the CDC lake's exactly-once versioning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from embulk_filter_timestamp_format_ray.stages.ann import (
+    _normalize,
+    embeddings_to_matrix,
+    train_centroids,
+)
+from embulk_filter_timestamp_format_ray.state import manifest as mf
+
+VIEW_MANIFEST = "view_manifest.json"
+KEY_COLUMNS = ("conv_id", "turn_idx")
+_UPSERT_TYPES = ("insert", "update")
+
+
+def _read_view_manifest(index_dir: str) -> "dict | None":
+    path = os.path.join(index_dir, VIEW_MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _gen_dir(index_dir: str, gen: int) -> str:
+    return os.path.join(index_dir, f"gen-{gen:06d}")
+
+
+def _list_parquet_files(root: str) -> "dict[int, list[str]]":
+    """{ivf_list: [relpaths under index_dir]} for one generation's
+    hive-partitioned vectors dir (metadata-tier listing: ≤ n_centroids
+    directories)."""
+    out: "dict[int, list[str]]" = {}
+    vdir = os.path.join(root, "vectors")
+    if not os.path.isdir(vdir):
+        return out
+    for part in sorted(os.listdir(vdir)):
+        if not part.startswith("ivf_list="):
+            continue
+        c = int(part.split("=", 1)[1])
+        pdir = os.path.join(vdir, part)
+        out[c] = [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                  if f.endswith(".parquet")]
+    return out
+
+
+class _AssignStage:
+    """map_batches callable: append each row's frozen-centroid list id
+    (centroids broadcast once via ``ray.put``; stages.ann.IVFAssignStage
+    with the vector column name parameterized)."""
+
+    def __init__(self, centroids_ref, col: str):
+        self.centroids_ref = centroids_ref
+        self.col = col
+        self._c = None
+
+    def _centroids(self) -> np.ndarray:
+        if self._c is None:
+            c = self.centroids_ref
+            try:
+                import ray
+
+                if isinstance(c, ray.ObjectRef):
+                    c = ray.get(c)
+            except Exception:
+                pass
+            self._c = np.asarray(c, dtype=np.float64)
+        return self._c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_list",
+                                       pa.array([], pa.int64()))
+        x = _normalize(embeddings_to_matrix(batch, col=self.col))
+        assign = np.argmax(x @ self._centroids().T, axis=1)
+        return batch.append_column("ivf_list",
+                                   pa.array(assign.astype(np.int64)))
+
+
+class _TombstoneFilter:
+    """map_batches callable: drop index rows killed by a tombstone
+    (``row.lsn < bound`` for the row's key).  The tombstone table is
+    broadcast ONCE via ``ray.put`` (change-feed-sized between
+    compactions); the probe is one order-preserving pandas merge per
+    batch — vectorized, no per-row lookups."""
+
+    def __init__(self, tomb_ref):
+        self.tomb_ref = tomb_ref
+        self._tomb = None
+
+    def _tombstones(self):
+        if self._tomb is None:
+            t = self.tomb_ref
+            try:
+                import ray
+
+                if isinstance(t, ray.ObjectRef):
+                    t = ray.get(t)
+            except Exception:
+                pass
+            self._tomb = t.to_pandas()
+        return self._tomb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tomb = self._tombstones()
+        if not len(tomb):
+            return batch
+        keys = batch.select(list(KEY_COLUMNS) + ["lsn"]).to_pandas()
+        merged = keys.merge(tomb, on=list(KEY_COLUMNS), how="left",
+                            sort=False)
+        bound = merged["bound"].to_numpy()
+        lsn = merged["lsn"].to_numpy()
+        dead = np.nan_to_num(bound, nan=-np.inf) > lsn
+        return batch.filter(pa.array(~dead))
+
+
+class _LocalTopK:
+    """Per-batch combiner: each query's local exact top-k candidates over
+    the batch (composite-key variant of stages.ann._BatchTopK)."""
+
+    def __init__(self, queries_ref, k: int, col: str):
+        self.queries_ref = queries_ref
+        self.k = k
+        self.col = col
+        self._q = None
+
+    def _queries(self) -> np.ndarray:
+        if self._q is None:
+            q = self.queries_ref
+            try:
+                import ray
+
+                if isinstance(q, ray.ObjectRef):
+                    q = ray.get(q)
+            except Exception:
+                pass
+            self._q = _normalize(np.asarray(q, dtype=np.float64))
+        return self._q
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = self._queries()
+        if batch.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "cosine": pa.array([], pa.float64()),
+            })
+        x = _normalize(embeddings_to_matrix(batch, col=self.col))
+        sim = q @ x.T
+        k = min(self.k, sim.shape[1])
+        idx = np.argpartition(-sim, kth=k - 1, axis=1)[:, :k]
+        take = pa.array(idx.reshape(-1).astype(np.int64))
+        rows = batch.select(list(KEY_COLUMNS)).take(take)
+        return pa.table({
+            "query_id": pa.array(
+                np.repeat(np.arange(sim.shape[0], dtype=np.int64), k)),
+            "conv_id": rows.column("conv_id"),
+            "turn_idx": rows.column("turn_idx"),
+            "cosine": pa.array(
+                np.take_along_axis(sim, idx, axis=1).reshape(-1)),
+        })
+
+
+def _to_quantized_batch(batch: pa.Table, col: str) -> pa.Table:
+    """Swap the float vector column for its int8 storage form (q +
+    scale_ppm — stages.ann.quantize_embeddings_batch's arithmetic), keeping
+    every other column: ~4× less disk, and at 100 TB the embedding column
+    IS the dataset."""
+    x = embeddings_to_matrix(batch, col)
+    ma = np.abs(x).max(axis=1) if x.size else np.zeros(batch.num_rows)
+    safe = np.where(ma == 0.0, 1.0, ma)
+    q = np.clip(np.floor(127.0 * x / safe[:, None] + 0.5),
+                -127, 127).astype(np.int8)
+    n, dim = q.shape
+    out = batch.drop_columns([col])
+    out = out.append_column("q", pa.FixedSizeListArray.from_arrays(
+        pa.array(q.reshape(-1), pa.int8()), dim))
+    return out.append_column(
+        "scale_ppm",
+        pa.array(np.floor(ma * 1_000_000 + 0.5).astype(np.int64)))
+
+
+def _from_quantized_batch(batch: pa.Table, col: str) -> pa.Table:
+    """Inverse storage map (x ≈ q/127 × scale, per-component float32 cast
+    — bit-equal to stages.ann.dequantize_embeddings_batch so the SQL
+    oracle replays it)."""
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        dequantize_embeddings_batch,
+    )
+
+    out = dequantize_embeddings_batch(batch, out_col=col)
+    return out.drop_columns(["q", "scale_ppm"])
+
+
+def _is_in_filter(column: str, values: "tuple[str, ...]"):
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(column),
+                        value_set=pa.array(list(values))).fill_null(False)
+        return batch.filter(mask)
+    return f
+
+
+class VectorIndexView:
+    """Centroid-partitioned ANN index over one lake column, maintained
+    incrementally from the lake's change feed (module docstring has the
+    layout + tombstone invariants)."""
+
+    def __init__(self, pipeline, index_dir: str, col: str = "embedding",
+                 n_centroids: int = 16, sample_size: int = 2048,
+                 seed: int = 3, quantized: bool = False):
+        self.pipeline = pipeline
+        self.index_dir = index_dir
+        self.col = col
+        self.n_centroids = n_centroids
+        self.sample_size = sample_size
+        self.seed = seed
+        # storage form decided at build() and COMMITTED in the manifest
+        # (refresh/search/compact read it from there — the layout is the
+        # contract, the constructor arg only matters for the first build)
+        self.quantized = quantized
+
+    # ------------------------------------------------------------ build
+
+    def build(self) -> dict:
+        """Full index build pinned to the lake's CURRENT version (one
+        streaming assign+write pass; the version pin makes a concurrent
+        commit invisible — the next refresh picks it up from the feed)."""
+        import ray
+        import ray.data  # noqa: F401
+
+        if _read_view_manifest(self.index_dir) is not None:
+            raise ValueError(
+                f"{self.index_dir!r} already holds a vector view; "
+                "refresh() maintains it (delete the directory to rebuild)")
+        v = mf.read_manifest(self.pipeline.lake_dir)["version"]
+        cols = [*KEY_COLUMNS, "lsn", self.col]
+        ds = self.pipeline.read_lake_at(v, columns=cols)
+
+        sample_tbl = ds.limit(self.sample_size).to_pandas() \
+            .sort_values(list(KEY_COLUMNS)).reset_index(drop=True)
+        if not len(sample_tbl):
+            raise ValueError("cannot build a vector view over an empty lake")
+        sample = np.stack(sample_tbl[self.col].to_numpy()).astype(np.float64)
+        centroids = train_centroids(sample, self.n_centroids, self.seed)
+
+        gen = 0
+        gdir = _gen_dir(self.index_dir, gen)
+        os.makedirs(os.path.join(gdir, "vectors"), exist_ok=True)
+        cref = ray.put(centroids) if ray.is_initialized() else centroids
+        assigned = ds.map_batches(_AssignStage(cref, self.col),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        if self.quantized:
+            col = self.col
+            assigned = assigned.map_batches(
+                lambda b: _to_quantized_batch(b, col),
+                batch_format="pyarrow", zero_copy_batch=True)
+        assigned.write_parquet(os.path.join(gdir, "vectors"),
+                               partition_cols=["ivf_list"])
+        files = _list_parquet_files(gdir)
+        rows = int(ds.count())
+        self._commit({
+            "generation": gen,
+            "cursor_version": v,
+            "col": self.col,
+            "dim": int(centroids.shape[1]),
+            "n_centroids": int(len(centroids)),
+            "centroids": centroids.tolist(),
+            "quantized": bool(self.quantized),
+            "vector_files": {str(c): [os.path.relpath(p, self.index_dir)
+                                      for p in fs]
+                             for c, fs in files.items()},
+            "tombstone_files": [],
+            "rows_indexed": rows,
+        })
+        return {"built": True, "cursor_version": v, "rows_indexed": rows,
+                "lists": len(files)}
+
+    # ---------------------------------------------------------- refresh
+
+    def refresh(self) -> dict:
+        """Bring the view to the lake's committed head at change-feed cost:
+        upserts append to their frozen-centroid lists, updates/deletes add
+        LSN-bounded tombstones.  Idempotent per version (a no-op when the
+        cursor is current); atomic (manifest swap after all files land)."""
+        import ray
+        import ray.data  # noqa: F401
+
+        m = self._manifest()
+        v_now = mf.read_manifest(self.pipeline.lake_dir)["version"]
+        cursor = m["cursor_version"]
+        if v_now == cursor:
+            return {"appended": 0, "tombstones": 0,
+                    "cursor_version": cursor}
+        # The feed is consumed twice (appends + tombstones); it is
+        # delta-sized — the micro-batch between two commits, not the lake —
+        # so materializing it avoids re-running the manifest-diff lineage
+        # per consumer (DESIGN #31's aggregate-sized exception).
+        feed = self.pipeline.lake_changes(cursor, v_now,
+                                          columns=[self.col]).materialize()
+
+        gen = m["generation"] + 1
+        gdir = _gen_dir(self.index_dir, gen)
+        os.makedirs(gdir, exist_ok=True)
+
+        centroids = np.asarray(m["centroids"], dtype=np.float64)
+        cref = ray.put(centroids) if ray.is_initialized() else centroids
+        ups = feed.map_batches(_is_in_filter("change_type", _UPSERT_TYPES),
+                               batch_format="pyarrow", zero_copy_batch=True)
+        ups = ups.map_batches(
+            lambda b: b.select([*KEY_COLUMNS, "lsn", self.col]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        ups = ups.map_batches(_AssignStage(cref, self.col),
+                              batch_format="pyarrow", zero_copy_batch=True)
+        if m.get("quantized"):
+            col = self.col
+            ups = ups.map_batches(lambda b: _to_quantized_batch(b, col),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        appended = int(ups.count())
+        if appended:
+            ups.write_parquet(os.path.join(gdir, "vectors"),
+                              partition_cols=["ivf_list"])
+
+        def to_tombstones(batch: pa.Table) -> pa.Table:
+            ct = batch.column("change_type")
+            upd = pc.equal(ct, "update")
+            dele = pc.equal(ct, "delete")
+            keep = pc.or_(upd, dele).fill_null(False)
+            b = batch.filter(keep)
+            is_del = pc.equal(b.column("change_type"), "delete")
+            lsn = b.column("lsn").cast(pa.int64())
+            # update: bound = post-image lsn (kills strictly-older rows);
+            # delete: bound = pre-image lsn + 1 (kills the row itself,
+            # never a later re-insert — LSNs are globally monotone)
+            bound = pc.if_else(is_del, pc.add(lsn, pa.scalar(1, pa.int64())),
+                               lsn)
+            return pa.table({
+                "conv_id": b.column("conv_id"),
+                "turn_idx": b.column("turn_idx"),
+                "bound": bound,
+            })
+
+        tombs = feed.map_batches(to_tombstones, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        n_tombs = int(tombs.count())
+        if n_tombs:
+            tombs.write_parquet(os.path.join(gdir, "tombstones"))
+
+        files = _list_parquet_files(gdir)
+        vector_files = {c: list(fs)
+                        for c, fs in m["vector_files"].items()}
+        for c, fs in files.items():
+            vector_files.setdefault(str(c), []).extend(
+                os.path.relpath(p, self.index_dir) for p in fs)
+        tomb_files = list(m["tombstone_files"])
+        tdir = os.path.join(gdir, "tombstones")
+        if os.path.isdir(tdir):
+            tomb_files.extend(
+                os.path.relpath(os.path.join(tdir, f), self.index_dir)
+                for f in sorted(os.listdir(tdir)) if f.endswith(".parquet"))
+        self._commit({**m, "generation": gen, "cursor_version": v_now,
+                      "vector_files": vector_files,
+                      "tombstone_files": tomb_files})
+        return {"appended": appended, "tombstones": n_tombs,
+                "cursor_version": v_now}
+
+    # ----------------------------------------------------------- search
+
+    def search(self, queries, k: int = 10, nprobe: int = 4):
+        """Exact-over-probed-lists cosine top-k: reads ONLY the probed
+        lists' files (columns pruned to keys+lsn+vector), subtracts the
+        broadcast tombstones, per-batch local top-k, tiny final reduce.
+        Returns a Dataset of (query_id, conv_id, turn_idx, rank)."""
+        import ray
+        import ray.data
+
+        m = self._manifest()
+        centroids = np.asarray(m["centroids"], dtype=np.float64)
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        nprobe = min(nprobe, len(centroids))
+        probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+        lists = sorted({int(c) for row in probe for c in row})
+        files = [os.path.join(self.index_dir, rel)
+                 for c in lists for rel in m["vector_files"].get(str(c), [])]
+
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "rank": pa.array([], pa.int64()),
+        })
+        if not files:
+            return ray.data.from_arrow(empty)
+
+        if m.get("quantized"):
+            col = self.col
+            ds = ray.data.read_parquet(
+                files, columns=[*KEY_COLUMNS, "lsn", "q", "scale_ppm"])
+            ds = ds.map_batches(lambda b: _from_quantized_batch(b, col),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+        else:
+            ds = ray.data.read_parquet(
+                files, columns=[*KEY_COLUMNS, "lsn", self.col])
+        tomb = self._tombstone_table(m)
+        if tomb.num_rows:
+            tref = ray.put(tomb) if ray.is_initialized() else tomb
+            ds = ds.map_batches(_TombstoneFilter(tref),
+                                batch_format="pyarrow", zero_copy_batch=True)
+        qref = ray.put(qn) if ray.is_initialized() else qn
+        cand = ds.map_batches(_LocalTopK(qref, k, self.col),
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+        def final_topk(group: pa.Table) -> pa.Table:
+            g = group.drop_columns(
+                [c for c in ("_shard",) if c in group.schema.names])
+            order = pc.sort_indices(g, sort_keys=[
+                ("cosine", "descending"), ("conv_id", "ascending"),
+                ("turn_idx", "ascending")])
+            g = g.take(order).slice(0, k)
+            return pa.table({
+                "query_id": g.column("query_id"),
+                "conv_id": g.column("conv_id"),
+                "turn_idx": g.column("turn_idx"),
+                "rank": pa.array(np.arange(1, g.num_rows + 1)),
+            })
+
+        return cand.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pyarrow")
+
+    # ---------------------------------------------------------- compact
+
+    def compact(self) -> dict:
+        """Fold every list's appends + the pending tombstones into one base
+        file per list (the LSM fold): read amplification and the broadcast
+        tombstone table both reset to zero.  One Ray task per list; atomic
+        manifest swap."""
+        import ray
+        import ray.data
+
+        m = self._manifest()
+        gen = m["generation"] + 1
+        gdir = _gen_dir(self.index_dir, gen)
+        vdir = os.path.join(gdir, "vectors")
+        os.makedirs(vdir, exist_ok=True)
+        tomb = self._tombstone_table(m)
+        index_dir = self.index_dir
+        # compaction folds the STORED form as-is (quantized rows are the
+        # committed truth — no de/re-quantization drift)
+        store_cols = ["q", "scale_ppm"] if m.get("quantized") else [self.col]
+        tref = ray.put(tomb) if ray.is_initialized() else tomb
+        filt = _TombstoneFilter(tref)
+
+        items = pa.table({
+            "ivf_list": pa.array([int(c) for c in m["vector_files"]],
+                                 pa.int64()),
+            "files": pa.array([json.dumps(m["vector_files"][c])
+                               for c in m["vector_files"]], pa.string()),
+        })
+
+        def fold_list(batch: pa.Table) -> pa.Table:
+            rows = []
+            for item in batch.to_pylist():  # metadata-tier (≤ n_centroids)
+                c, rels = item["ivf_list"], json.loads(item["files"])
+                tbls = [pq.read_table(os.path.join(index_dir, r),
+                                      columns=[*KEY_COLUMNS, "lsn",
+                                               *store_cols])
+                        for r in rels]
+                live = filt(pa.concat_tables(tbls)) if tbls else None
+                if live is None or live.num_rows == 0:
+                    rows.append({"ivf_list": c, "path": "", "rows": 0})
+                    continue
+                ldir = os.path.join(vdir, f"ivf_list={c}")
+                os.makedirs(ldir, exist_ok=True)
+                path = os.path.join(ldir, "compact-00000.parquet")
+                pq.write_table(live, path)
+                rows.append({"ivf_list": c,
+                             "path": os.path.relpath(path, index_dir),
+                             "rows": live.num_rows})
+            return pa.Table.from_pylist(rows) if rows else pa.table({
+                "ivf_list": pa.array([], pa.int64()),
+                "path": pa.array([], pa.string()),
+                "rows": pa.array([], pa.int64())})
+
+        folded = ray.data.from_arrow(items).repartition(items.num_rows or 1) \
+            .map_batches(fold_list, batch_format="pyarrow").take_all() \
+            if items.num_rows else []
+        vector_files = {str(r["ivf_list"]): [r["path"]]
+                        for r in folded if r["path"]}
+        rows = sum(int(r["rows"]) for r in folded)
+        self._commit({**m, "generation": gen,
+                      "vector_files": vector_files,
+                      "tombstone_files": [], "rows_indexed": rows})
+        return {"lists": len(vector_files), "rows_indexed": rows,
+                "tombstones_folded": int(tomb.num_rows)}
+
+    # ---------------------------------------------------------- helpers
+
+    def _manifest(self) -> dict:
+        m = _read_view_manifest(self.index_dir)
+        if m is None:
+            raise ValueError(f"{self.index_dir!r} has no vector view; "
+                             "build() it first")
+        if m["col"] != self.col:
+            raise ValueError(f"view indexes column {m['col']!r}, "
+                             f"not {self.col!r}")
+        return m
+
+    def _commit(self, m: dict) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        mf._atomic_write_json(os.path.join(self.index_dir, VIEW_MANIFEST), m)
+
+    def _tombstone_table(self, m: dict) -> pa.Table:
+        """Pending tombstones, folded to ONE row per key (max bound) —
+        change-feed-sized between compactions, safe to broadcast."""
+        schema = pa.schema([("conv_id", pa.string()),
+                            ("turn_idx", pa.int32()),
+                            ("bound", pa.int64())])
+        if not m["tombstone_files"]:
+            return schema.empty_table()
+        t = pa.concat_tables([
+            pq.read_table(os.path.join(self.index_dir, rel))
+            for rel in m["tombstone_files"]]).cast(schema)
+        gb = t.group_by(list(KEY_COLUMNS)).aggregate([("bound", "max")])
+        return gb.rename_columns(["conv_id", "turn_idx", "bound"])

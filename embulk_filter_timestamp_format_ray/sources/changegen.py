@@ -347,3 +347,34 @@ def evolve_events(ds, from_lsn: "int | None"):
         return ds
     return ds.map_batches(lambda b: evolve_batch(b, from_lsn),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embed_batch(batch: pa.Table, dim: int = 8, seed: int = 7) -> pa.Table:
+    """Attach a deterministic ``embedding`` list<double> value column — the
+    traffic shape a vector-indexed lake ingests (each upsert carries its
+    turn's embedding; payload-free tombstones carry NULL).
+
+    Pure function of lsn (replay-safe: a replayed copy is byte-identical;
+    SQL oracles read the same values back from the fixture parquet).  The
+    components are full-precision uniform doubles in [-1, 1) from
+    splitmix64 lanes, so cosine ties between distinct rows are measure-zero
+    — a ranking oracle in another engine's float arithmetic stays stable."""
+    lsn = np.asarray(batch.column("lsn").combine_chunks().cast(pa.int64()))
+    n = len(lsn)
+    lanes = lsn[:, None] * np.int64(dim) + np.arange(dim, dtype=np.int64)
+    vals = _u01(splitmix64(lanes.reshape(-1), seed)) * 2.0 - 1.0
+    op = batch.column("op")
+    is_tomb = np.asarray(pc.is_in(
+        op, value_set=pa.array(["delete", "delete_conv"])).fill_null(False))
+    offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    emb = pa.ListArray.from_arrays(offsets, pa.array(vals, pa.float64()))
+    # a NULL take index yields a NULL list element — the clean way to mask
+    # whole lists (null offsets instead would merge neighbours' values)
+    emb = emb.take(pa.array(np.arange(n, dtype=np.int64), mask=is_tomb))
+    return batch.append_column("embedding", emb)
+
+
+def embed_events(ds, dim: int = 8, seed: int = 7):
+    """Dataset wrapper over :func:`embed_batch`."""
+    return ds.map_batches(lambda b: embed_batch(b, dim, seed),
+                          batch_format="pyarrow", zero_copy_batch=True)

@@ -468,6 +468,21 @@ def main():
     print("cdc convdel events:", evc.num_rows,
           "tombstones:", ops.count("delete_conv"))
 
+    # vector-traffic stream: the standard event table + a deterministic
+    # embedding value column (pure function of lsn; NULL on tombstones) —
+    # the cdc_vector_search oracle brute-forces cosine top-k in SQL over
+    # exactly these values (list_cosine_similarity), so the embedding is
+    # full-precision doubles to keep ranking margins off the float edge
+    from embulk_filter_timestamp_format_ray.sources.changegen import (
+        embed_batch,
+    )
+
+    evv = embed_batch(expected_event_table(CDC_EVENTS, seed=42), dim=8)
+    pq.write_table(evv,
+                   os.path.join(OUT, f"cdc_vec_events_{CDC_EVENTS}.parquet"))
+    print("cdc vec events:", evv.num_rows,
+          "dim:", len(evv.column("embedding")[0].as_py()))
+
 
 if __name__ == "__main__":
     main()

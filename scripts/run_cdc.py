@@ -24,6 +24,20 @@ def mf_version(pipe) -> int:
     return int(mf.read_manifest(pipe.lake_dir).get("version", 0))
 
 
+def _vector_view_sync(pipe, view_dir: str) -> dict:
+    """Build the incremental vector index if it doesn't exist yet, else
+    refresh it from the lake's change feed."""
+    from embulk_filter_timestamp_format_ray.pipelines.vector_view import (
+        VectorIndexView,
+        _read_view_manifest,
+    )
+
+    view = VectorIndexView(pipe, view_dir)
+    if _read_view_manifest(view_dir) is None:
+        return {"vv_action": "built", **view.build()}
+    return {"vv_action": "refreshed", **view.refresh()}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=1_000_000)
@@ -104,6 +118,21 @@ def main() -> None:
                          "only candidate row groups. 'none' clears. "
                          "Maintenance only (--events 0), one exactly-once "
                          "rewrite")
+    ap.add_argument("--embed-dim", type=int, default=0, metavar="D",
+                    help="attach a deterministic D-dim embedding value "
+                         "column to the generated stream (vector-indexed "
+                         "lake traffic; pure function of lsn, NULL on "
+                         "tombstones)")
+    ap.add_argument("--vector-view", default=None, metavar="DIR",
+                    help="maintain an incremental IVF vector index over "
+                         "the lake's embedding column at DIR: built once, "
+                         "then refreshed from the change feed after every "
+                         "commit (appends to frozen-centroid lists + "
+                         "LSN-bounded tombstones).  Standalone with "
+                         "--events 0: build-or-refresh now")
+    ap.add_argument("--vector-compact", action="store_true",
+                    help="with --vector-view: fold the view's appends + "
+                         "tombstones into one base file per centroid list")
     ap.add_argument("--fanout-to", default=None, metavar="DIR",
                     help="multi-table routing demo (apply_multi): tag the "
                          "generated stream by conv-id parity and fan it "
@@ -315,10 +344,14 @@ def main() -> None:
             ds = poison_events(ds, args.poison_permille,
                                unknown_epoch_band=args.heal_dlq)
             from embulk_filter_timestamp_format_ray.sources.changegen import (
+                embed_events,
                 evolve_events,
             )
 
-            return evolve_events(ds, args.evolve_lang_from)
+            ds = evolve_events(ds, args.evolve_lang_from)
+            if args.embed_dim:
+                ds = embed_events(ds, dim=args.embed_dim)
+            return ds
 
         if args.stats:
             print(json.dumps({"lake": args.lake, **pipe.table_stats()}))
@@ -443,6 +476,19 @@ def main() -> None:
             res = pipe.set_text_index(col)
             print(json.dumps({"lake": args.lake, "text_index": res}))
             return
+        if args.vector_view is not None and args.events == 0 \
+                and args.tail_dir is None:
+            res = _vector_view_sync(pipe, args.vector_view)
+            if args.vector_compact:
+                from embulk_filter_timestamp_format_ray.pipelines.vector_view import (  # noqa: E501
+                    VectorIndexView,
+                )
+
+                res["compact"] = VectorIndexView(
+                    pipe, args.vector_view).compact()
+            print(json.dumps({"lake": args.lake,
+                              "vector_view": args.vector_view, **res}))
+            return
         if args.delete_where:
             import numpy as _np
 
@@ -484,6 +530,12 @@ def main() -> None:
                                    args.lake.rstrip("/") + "_view")
         tview = None
         tview_refreshes = []
+        vv_syncs = []
+        if args.vector_view is not None and args.events > 0 \
+                and not args.embed_dim:
+            ap.error("--vector-view over generated traffic needs "
+                     "--embed-dim (the stream must carry an embedding "
+                     "column to index)")
         if args.transcripts_view:
             from embulk_filter_timestamp_format_ray.pipelines.views import (
                 transcript_view,
@@ -624,6 +676,8 @@ def main() -> None:
                 view_refreshes.append(view.refresh()["recomputed"])
             if tview is not None:
                 tview_refreshes.append(tview.refresh()["recomputed"])
+            if args.vector_view is not None:
+                vv_syncs.append(_vector_view_sync(pipe, args.vector_view))
         elapsed = time.perf_counter() - t0
         if pregen_dir is not None:
             import shutil
@@ -653,6 +707,21 @@ def main() -> None:
         if tview is not None:
             out["view_docs"] = tview.read().count()
             out["tview_recomputed_per_batch"] = tview_refreshes
+        if args.vector_view is not None:
+            out["vector_view"] = {
+                "built": sum(1 for s in vv_syncs
+                             if s["vv_action"] == "built"),
+                "appended_per_batch": [s.get("appended", s.get(
+                    "rows_indexed", 0)) for s in vv_syncs],
+                "tombstones": sum(s.get("tombstones", 0) for s in vv_syncs),
+            }
+            if args.vector_compact:
+                from embulk_filter_timestamp_format_ray.pipelines.vector_view import (  # noqa: E501
+                    VectorIndexView,
+                )
+
+                out["vector_view"]["compact"] = VectorIndexView(
+                    pipe, args.vector_view).compact()
         if args.sync_to:
             out["sync"] = pipe.sync_changes(args.sync_to)
         if args.evolve_lang_from is not None:

@@ -1,0 +1,308 @@
+"""Incrementally-maintained vector index over a CDC lake
+(pipelines/vector_view.py VectorIndexView): build assigns live rows to
+frozen k-means centroids; refresh consumes ONLY the change feed (upserts
+append to their lists, updates/deletes add LSN-bounded tombstones);
+search reads only the probed lists' files and subtracts tombstones.
+
+The load-bearing invariant: after any build/refresh/compact sequence, a
+full-probe search equals the same search over a FRESH index built from
+the lake head — i.e. the incremental view never drifts from live state
+(updates that MOVE a key across centroid lists included)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray.data
+
+from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+from embulk_filter_timestamp_format_ray.pipelines.vector_view import (
+    VectorIndexView,
+)
+from embulk_filter_timestamp_format_ray.sources.changegen import (
+    embed_batch,
+    expected_event_table,
+)
+from embulk_filter_timestamp_format_ray.state import manifest as mf
+
+N_EVENTS = 2_000
+N_CENTROIDS = 4
+DIM = 8
+
+
+def _events() -> pa.Table:
+    return embed_batch(expected_event_table(N_EVENTS, seed=42), dim=DIM)
+
+
+def _queries(n=3) -> np.ndarray:
+    rng = np.random.default_rng(9)
+    return rng.standard_normal((n, DIM))
+
+
+def _sorted_rows(ds) -> "list[tuple]":
+    t = pa.Table.from_pylist(ds.take_all()) if ds.count() else None
+    if t is None:
+        return []
+    order = pc.sort_indices(t, sort_keys=[
+        ("query_id", "ascending"), ("rank", "ascending")])
+    t = t.take(order)
+    return list(zip(t.column("query_id").to_pylist(),
+                    t.column("rank").to_pylist(),
+                    t.column("conv_id").to_pylist(),
+                    t.column("turn_idx").to_pylist()))
+
+
+def _fresh_reference(pipe, tmp_path, tag, k=10) -> "list[tuple]":
+    """Search results over a from-scratch index at the lake head."""
+    ref = VectorIndexView(pipe, str(tmp_path / f"ref_{tag}"),
+                          n_centroids=N_CENTROIDS)
+    ref.build()
+    return _sorted_rows(ref.search(_queries(), k=k, nprobe=N_CENTROIDS))
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    ev = _events()
+    cut = pa.scalar(1_000, pa.int64())
+    pipe = CDCPipeline(str(tmp_path / "lake"), num_partitions=8)
+    pipe.apply(ray.data.from_arrow(
+        ev.filter(pc.less(ev.column("lsn"), cut))))
+    return pipe, ev, cut
+
+
+def test_refresh_equals_rebuild(lake, tmp_path):
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS)
+    view.build()
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    res = view.refresh()
+    assert res["appended"] > 0 and res["tombstones"] > 0
+    got = _sorted_rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS))
+    assert got == _fresh_reference(pipe, tmp_path, "a")
+    assert len(got) == 3 * 10
+
+
+def test_refresh_is_noop_when_current(lake, tmp_path):
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS)
+    view.build()
+    res = view.refresh()
+    assert res == {"appended": 0, "tombstones": 0,
+                   "cursor_version": mf.read_manifest(pipe.lake_dir)["version"]}
+
+
+def test_cross_list_update_never_surfaces_stale_vector(lake, tmp_path):
+    """An update that MOVES a key to a different centroid list must kill
+    the old row wherever it lives: query AT the old vector and assert the
+    key only appears via its (far-away) new embedding's ranking."""
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS)
+    view.build()
+
+    # pick a live key from the base half and its current embedding
+    live = pa.Table.from_pylist(pipe.read_lake(
+        columns=["conv_id", "turn_idx", "lsn", "embedding"]).take_all())
+    row = live.slice(0, 1).to_pylist()[0]
+    old_vec = np.asarray(row["embedding"], dtype=np.float64)
+
+    # upsert the SAME key with the opposite embedding (guaranteed to move
+    # lists: its nearest centroid flips sign too)
+    upd = pa.table({
+        "lsn": pa.array([N_EVENTS + 10], pa.int64()),
+        "op": pa.array(["upsert"]),
+        "conv_id": pa.array([row["conv_id"]]),
+        "turn_idx": pa.array([row["turn_idx"]], pa.int32()),
+        "role": pa.array(["user"]),
+        "text": pa.array(["moved"]),
+        "tool": pa.array([None], pa.string()),
+        "ts_raw": pa.array(["0"]),
+        "schema_epoch": pa.array([0], pa.int64()),
+        "embedding": pa.array([(-old_vec).tolist()],
+                              pa.list_(pa.float64())),
+    })
+    pipe.apply_delta(ray.data.from_arrow(upd))
+    view.refresh()
+
+    # query exactly at the OLD vector with k covering everything nearby:
+    # the stale row would rank 1 if it survived
+    got = view.search(old_vec[None, :], k=5, nprobe=N_CENTROIDS).take_all()
+    key = (row["conv_id"], row["turn_idx"])
+    hits = [(r["conv_id"], r["turn_idx"]) for r in got]
+    assert key not in hits
+    assert got == _sorted_tail_ref(pipe, tmp_path, old_vec)
+
+
+def _sorted_tail_ref(pipe, tmp_path, vec):
+    ref = VectorIndexView(pipe, str(tmp_path / "ref_tail"),
+                          n_centroids=N_CENTROIDS)
+    ref.build()
+    return ref.search(vec[None, :], k=5, nprobe=N_CENTROIDS).take_all()
+
+
+def test_delete_then_reinsert(lake, tmp_path):
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS)
+    view.build()
+    live = pa.Table.from_pylist(pipe.read_lake(
+        columns=["conv_id", "turn_idx", "lsn", "embedding"]).take_all())
+    row = live.slice(1, 1).to_pylist()[0]
+    vec = np.asarray(row["embedding"], dtype=np.float64)
+
+    def event(lsn, op, emb):
+        return pa.table({
+            "lsn": pa.array([lsn], pa.int64()),
+            "op": pa.array([op]),
+            "conv_id": pa.array([row["conv_id"]]),
+            "turn_idx": pa.array([row["turn_idx"]], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["x"]),
+            "tool": pa.array([None], pa.string()),
+            "ts_raw": pa.array(["0"]),
+            "schema_epoch": pa.array([0], pa.int64()),
+            "embedding": pa.array([emb], pa.list_(pa.float64())),
+        })
+
+    pipe.apply_delta(ray.data.from_arrow(
+        event(N_EVENTS + 20, "delete", None)))
+    view.refresh()
+    got = view.search(vec[None, :], k=3, nprobe=N_CENTROIDS).take_all()
+    assert (row["conv_id"], row["turn_idx"]) not in \
+        [(r["conv_id"], r["turn_idx"]) for r in got]
+
+    # re-insert with a higher lsn: the delete tombstone must NOT kill it
+    pipe.apply_delta(ray.data.from_arrow(
+        event(N_EVENTS + 30, "upsert", vec.tolist())))
+    view.refresh()
+    got = view.search(vec[None, :], k=3, nprobe=N_CENTROIDS).take_all()
+    assert [(r["conv_id"], r["turn_idx"]) for r in got][0] == \
+        (row["conv_id"], row["turn_idx"])
+
+
+def test_probe_pruning_reads_only_probed_lists(lake, tmp_path):
+    """Rename every NON-probed list's files: a search that prunes reads
+    correctly never notices; reading anything else would crash."""
+    pipe, ev, cut = lake
+    idx = str(tmp_path / "view")
+    view = VectorIndexView(pipe, idx, n_centroids=N_CENTROIDS)
+    view.build()
+    m = json.load(open(os.path.join(idx, "view_manifest.json")))
+    q = _queries(1)
+    cent = np.asarray(m["centroids"])
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probe = int(np.argmax(qn @ cent.T, axis=1)[0])
+    renamed = []
+    for c, rels in m["vector_files"].items():
+        if int(c) == probe:
+            continue
+        for rel in rels:
+            p = os.path.join(idx, rel)
+            os.rename(p, p + ".hidden")
+            renamed.append(p)
+    assert renamed, "every list but one should exist at this scale"
+    got = view.search(q, k=5, nprobe=1).take_all()
+    assert len(got) == 5
+    for p in renamed:
+        os.rename(p + ".hidden", p)
+
+
+def test_compact_folds_and_preserves_results(lake, tmp_path):
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS)
+    view.build()
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    view.refresh()
+    before = _sorted_rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS))
+    res = view.compact()
+    assert res["tombstones_folded"] > 0
+    m = json.load(open(os.path.join(str(tmp_path / "view"),
+                                    "view_manifest.json")))
+    assert m["tombstone_files"] == []
+    assert all(len(fs) == 1 for fs in m["vector_files"].values())
+    after = _sorted_rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS))
+    assert after == before
+    # and a refresh after compaction still composes
+    upd = _events().slice(0, 0)
+    assert view.refresh()["appended"] == 0
+
+
+def test_centroids_frozen_across_refresh(lake, tmp_path):
+    pipe, ev, cut = lake
+    idx = str(tmp_path / "view")
+    view = VectorIndexView(pipe, idx, n_centroids=N_CENTROIDS)
+    view.build()
+    c0 = json.load(open(os.path.join(idx, "view_manifest.json")))["centroids"]
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    view.refresh()
+    c1 = json.load(open(os.path.join(idx, "view_manifest.json")))["centroids"]
+    assert c0 == c1
+
+
+def test_quantized_refresh_equals_quantized_rebuild(lake, tmp_path):
+    """The int8 storage tier: refresh appends quantized rows matching what
+    a from-scratch quantized build would store (the layout choice is
+    committed in the manifest; the refresher adopts it)."""
+    pipe, ev, cut = lake
+    idx = str(tmp_path / "qview")
+    view = VectorIndexView(pipe, idx, n_centroids=N_CENTROIDS,
+                           quantized=True)
+    view.build()
+    m = json.load(open(os.path.join(idx, "view_manifest.json")))
+    assert m["quantized"] is True
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    # a refresher handle WITHOUT the constructor flag still stores int8
+    # (the manifest is the truth)
+    VectorIndexView(pipe, idx, n_centroids=N_CENTROIDS).refresh()
+    got = _sorted_rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS))
+    ref = VectorIndexView(pipe, str(tmp_path / "qref"),
+                          n_centroids=N_CENTROIDS, quantized=True)
+    ref.build()
+    want = _sorted_rows(ref.search(_queries(), k=10, nprobe=N_CENTROIDS))
+    assert got == want
+    # stored files carry q + scale_ppm, never the float column
+    import pyarrow.parquet as pq
+    rel = next(iter(json.load(open(os.path.join(
+        idx, "view_manifest.json")))["vector_files"].values()))[0]
+    names = pq.read_schema(os.path.join(idx, rel)).names
+    assert "q" in names and "scale_ppm" in names and "embedding" not in names
+
+
+def test_quantized_compact_preserves_results(lake, tmp_path):
+    pipe, ev, cut = lake
+    idx = str(tmp_path / "qview")
+    view = VectorIndexView(pipe, idx, n_centroids=N_CENTROIDS,
+                           quantized=True)
+    view.build()
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    view.refresh()
+    before = _sorted_rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS))
+    view.compact()
+    assert _sorted_rows(view.search(_queries(), k=10,
+                                    nprobe=N_CENTROIDS)) == before
+
+
+def test_refusals(lake, tmp_path):
+    pipe, ev, cut = lake
+    idx = str(tmp_path / "view")
+    view = VectorIndexView(pipe, idx, n_centroids=N_CENTROIDS)
+    with pytest.raises(ValueError, match="no vector view"):
+        view.refresh()
+    view.build()
+    with pytest.raises(ValueError, match="already holds"):
+        view.build()
+    other = VectorIndexView(pipe, idx, col="text")
+    with pytest.raises(ValueError, match="indexes column"):
+        other.refresh()
