@@ -551,6 +551,81 @@ class VectorIndexView:
         return {"lists": len(vector_files), "rows_indexed": rows,
                 "tombstones_folded": int(tomb.num_rows)}
 
+    # ----------------------------------------------------------- verify
+
+    def verify(self) -> dict:
+        """Distributed audit (the view's fsck): the view's live rows — all
+        lists, tombstones subtracted — must equal the lake's live state AT
+        THE VIEW CURSOR, per-key lsn included (rows whose vector column is
+        NULL are exempt: they are unindexable by contract).  Both sides
+        stream down to (row count, wraparound sum of a per-row 64-bit key
+        hash); only per-block partials reach the driver, so the check runs
+        at any scale.  A duplicate live row, a lost append, or an
+        under-/over-killing tombstone all shift the sum."""
+        import ray
+        import ray.data
+
+        m = self._manifest()
+        files = [os.path.join(self.index_dir, rel)
+                 for fs in m["vector_files"].values() for rel in fs]
+
+        def digest(ds, null_exempt_col: "str | None"):
+            from embulk_filter_timestamp_format_ray.sources.changegen import (
+                splitmix64,
+            )
+            from embulk_filter_timestamp_format_ray.stages.dedup import (
+                content_hash_batch,
+            )
+
+            def partial(batch: pa.Table) -> pa.Table:
+                if null_exempt_col is not None:
+                    batch = batch.filter(
+                        pc.is_valid(batch.column(null_exempt_col)))
+                if batch.num_rows == 0:
+                    return pa.table({"cnt": pa.array([0], pa.int64()),
+                                     "hsum": pa.array([0], pa.int64())})
+                hc = np.asarray(content_hash_batch(
+                    batch.select(["conv_id"]), text_col="conv_id",
+                    out_col="h").column("h")).astype(np.uint64)
+                ht = splitmix64(np.asarray(
+                    batch.column("turn_idx").cast(pa.int64())), 101)
+                hl = splitmix64(np.asarray(
+                    batch.column("lsn").cast(pa.int64())), 202)
+                row = splitmix64((hc ^ ht ^ hl).astype(np.int64), 303)
+                with np.errstate(over="ignore"):
+                    s = np.int64(np.sum(row, dtype=np.uint64).astype(
+                        np.int64))
+                return pa.table({
+                    "cnt": pa.array([batch.num_rows], pa.int64()),
+                    "hsum": pa.array([int(s)], pa.int64())})
+
+            parts = ds.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True).take_all()
+            cnt = sum(p["cnt"] for p in parts)
+            hsum = 0
+            for p in parts:  # metadata-tier: one row per block
+                hsum = (hsum + p["hsum"]) & ((1 << 64) - 1)
+            return cnt, hsum
+
+        if files:
+            vds = ray.data.read_parquet(files,
+                                        columns=[*KEY_COLUMNS, "lsn"])
+            tomb = self._tombstone_table(m)
+            if tomb.num_rows:
+                tref = ray.put(tomb) if ray.is_initialized() else tomb
+                vds = vds.map_batches(_TombstoneFilter(tref),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            v_cnt, v_sum = digest(vds, None)
+        else:
+            v_cnt, v_sum = 0, 0
+        lds = self.pipeline.read_lake_at(
+            m["cursor_version"], columns=[*KEY_COLUMNS, "lsn", self.col])
+        l_cnt, l_sum = digest(lds, self.col)
+        return {"rows_view": v_cnt, "rows_lake": l_cnt,
+                "cursor_version": m["cursor_version"],
+                "ok": bool(v_cnt == l_cnt and v_sum == l_sum)}
+
     # ---------------------------------------------------------- helpers
 
     def _manifest(self) -> dict:

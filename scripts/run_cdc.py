@@ -133,6 +133,10 @@ def main() -> None:
     ap.add_argument("--vector-compact", action="store_true",
                     help="with --vector-view: fold the view's appends + "
                          "tombstones into one base file per centroid list")
+    ap.add_argument("--vector-verify", action="store_true",
+                    help="with --vector-view: distributed audit that the "
+                         "view's live rows equal the lake state at the "
+                         "view cursor (per-key lsn included)")
     ap.add_argument("--fanout-to", default=None, metavar="DIR",
                     help="multi-table routing demo (apply_multi): tag the "
                          "generated stream by conv-id parity and fan it "
@@ -486,9 +490,17 @@ def main() -> None:
 
                 res["compact"] = VectorIndexView(
                     pipe, args.vector_view).compact()
+            if args.vector_verify:
+                from embulk_filter_timestamp_format_ray.pipelines.vector_view import (  # noqa: E501
+                    VectorIndexView,
+                )
+
+                res["verify"] = VectorIndexView(
+                    pipe, args.vector_view).verify()
             print(json.dumps({"lake": args.lake,
                               "vector_view": args.vector_view, **res}))
-            return
+            return 1 if (args.vector_verify
+                         and not res["verify"]["ok"]) else None
         if args.delete_where:
             import numpy as _np
 

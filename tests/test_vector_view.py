@@ -294,6 +294,28 @@ def test_quantized_compact_preserves_results(lake, tmp_path):
                                     nprobe=N_CENTROIDS)) == before
 
 
+def test_verify_green_then_catches_tamper(lake, tmp_path):
+    pipe, ev, cut = lake
+    idx = str(tmp_path / "view")
+    view = VectorIndexView(pipe, idx, n_centroids=N_CENTROIDS)
+    view.build()
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    view.refresh()
+    rep = view.verify()
+    assert rep["ok"] and rep["rows_view"] == rep["rows_lake"] > 0
+    view.compact()
+    assert view.verify()["ok"]
+    # duplicate one stored row: count and hash-sum both shift
+    import pyarrow.parquet as pq
+    m = json.load(open(os.path.join(idx, "view_manifest.json")))
+    rel = next(iter(m["vector_files"].values()))[0]
+    path = os.path.join(idx, rel)
+    t = pq.read_table(path)
+    pq.write_table(pa.concat_tables([t, t.slice(0, 1)]), path)
+    assert not view.verify()["ok"]
+
+
 def test_refusals(lake, tmp_path):
     pipe, ev, cut = lake
     idx = str(tmp_path / "view")
