@@ -15,10 +15,11 @@ CDC ingest — Lance/Milvus's role, rebuilt on the lake's own change feed).
   so later refreshes place vectors identically on any topology.
 * ``refresh()`` reads ``CDCPipeline.lake_changes(cursor, head)`` — cost ∝
   the DELTA, not the lake — appends inserted/updated vectors to their
-  frozen-centroid lists as NEW files, and records per-key LSN-bounded
-  TOMBSTONES for updates/deletes (an update may move a key to a different
-  list, so the stale row cannot be dropped in place without reading it;
-  the tombstone kills it at probe time wherever it lives).
+  frozen-centroid lists as NEW files, and records per-key
+  GENERATION-BOUNDED tombstones for updates/deletes (an update may move a
+  key to a different list, so the stale row cannot be dropped in place
+  without reading it; the tombstone kills it at probe time wherever it
+  lives).
 * ``search()`` probes only the ``nprobe`` nearest lists' files (read
   pruning, never a corpus scan), subtracts the tombstones (broadcast once
   — they are change-feed-sized between compactions), and reduces exact
@@ -28,14 +29,18 @@ CDC ingest — Lance/Milvus's role, rebuilt on the lake's own change feed).
   file per list (the LSM fold — bounded read amplification).
 
 Tombstone rule (one live row per key, proof by induction over refreshes):
-an index row (key, lsn) is DEAD iff some tombstone (key, bound) has
-``lsn < bound``.  Updates emit ``bound = post-image lsn`` (kills every
-older row, never the new one); deletes emit ``bound = pre-image lsn + 1``
-(kills the row, never a later re-insert — lake LSNs are globally
-monotone).  Every superseded row is covered by its superseder's tombstone,
-so after filtering, each key has at most one live row and the view equals
+every stored row is stamped with the GENERATION (refresh counter) that
+wrote it, and a row is DEAD iff some tombstone (key, gen) has
+``row.gen < gen``.  An update or delete of a key in generation g emits
+tombstone (key, g): it kills every earlier-generation row of the key,
+never the row the same refresh appends (gen == g) and never a later
+re-insert (gen > g).  The change feed emits at most one row per key per
+refresh, so each key has at most one live row and the view equals
 ``read_lake`` state exactly (pinned against a fresh rebuild in
-tests/test_vector_view.py).
+tests/test_vector_view.py).  Generations — unlike LSN bounds — survive a
+lake ROLLBACK: the rollback's change feed restores rows whose lsns move
+BACKWARDS, and a generation stamp still orders the restore after what it
+supersedes (test_refresh_across_rollback).
 
 Crash safety mirrors the lake: each build/refresh/compact writes its files
 under a fresh ``gen-NNNNNN/`` directory, then swaps ``view_manifest.json``
@@ -134,7 +139,7 @@ class _AssignStage:
 
 class _TombstoneFilter:
     """map_batches callable: drop index rows killed by a tombstone
-    (``row.lsn < bound`` for the row's key).  The tombstone table is
+    (``row.gen < gen`` for the row's key).  The tombstone table is
     broadcast ONCE via ``ray.put`` (change-feed-sized between
     compactions); the probe is one order-preserving pandas merge per
     batch — vectorized, no per-row lookups."""
@@ -160,12 +165,12 @@ class _TombstoneFilter:
         tomb = self._tombstones()
         if not len(tomb):
             return batch
-        keys = batch.select(list(KEY_COLUMNS) + ["lsn"]).to_pandas()
+        keys = batch.select(list(KEY_COLUMNS) + ["gen"]).to_pandas()
         merged = keys.merge(tomb, on=list(KEY_COLUMNS), how="left",
                             sort=False)
-        bound = merged["bound"].to_numpy()
-        lsn = merged["lsn"].to_numpy()
-        dead = np.nan_to_num(bound, nan=-np.inf) > lsn
+        bound = merged["tomb_gen"].to_numpy()
+        gen = merged["gen"].to_numpy()
+        dead = np.nan_to_num(bound, nan=-np.inf) > gen
         return batch.filter(pa.array(~dead))
 
 
@@ -248,6 +253,15 @@ def _from_quantized_batch(batch: pa.Table, col: str) -> pa.Table:
     return out.drop_columns(["q", "scale_ppm"])
 
 
+def _stamp_gen(gen: int):
+    """map_batches callable: stamp every row with the generation that
+    writes it (the tombstone rule's ordering stamp)."""
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "gen", pa.array(np.full(batch.num_rows, gen, dtype=np.int64)))
+    return f
+
+
 def _is_in_filter(column: str, values: "tuple[str, ...]"):
     def f(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column(column),
@@ -306,6 +320,9 @@ class VectorIndexView:
         assigned = ds.map_batches(_AssignStage(cref, self.col),
                                   batch_format="pyarrow",
                                   zero_copy_batch=True)
+        assigned = assigned.map_batches(_stamp_gen(gen),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
         if self.quantized:
             col = self.col
             assigned = assigned.map_batches(
@@ -368,6 +385,8 @@ class VectorIndexView:
             batch_format="pyarrow", zero_copy_batch=True)
         ups = ups.map_batches(_AssignStage(cref, self.col),
                               batch_format="pyarrow", zero_copy_batch=True)
+        ups = ups.map_batches(_stamp_gen(gen), batch_format="pyarrow",
+                              zero_copy_batch=True)
         if m.get("quantized"):
             col = self.col
             ups = ups.map_batches(lambda b: _to_quantized_batch(b, col),
@@ -380,21 +399,20 @@ class VectorIndexView:
 
         def to_tombstones(batch: pa.Table) -> pa.Table:
             ct = batch.column("change_type")
-            upd = pc.equal(ct, "update")
-            dele = pc.equal(ct, "delete")
-            keep = pc.or_(upd, dele).fill_null(False)
+            keep = pc.or_(pc.equal(ct, "update"),
+                          pc.equal(ct, "delete")).fill_null(False)
             b = batch.filter(keep)
-            is_del = pc.equal(b.column("change_type"), "delete")
-            lsn = b.column("lsn").cast(pa.int64())
-            # update: bound = post-image lsn (kills strictly-older rows);
-            # delete: bound = pre-image lsn + 1 (kills the row itself,
-            # never a later re-insert — LSNs are globally monotone)
-            bound = pc.if_else(is_del, pc.add(lsn, pa.scalar(1, pa.int64())),
-                               lsn)
+            # the key changed in THIS generation: kill every earlier-
+            # generation row of the key (the same refresh's append — if
+            # any — carries gen == this generation and survives; so does
+            # any later re-insert).  Generation ordering is rollback-proof
+            # where an lsn bound is not: a rollback restores rows whose
+            # lsns move backwards.
             return pa.table({
                 "conv_id": b.column("conv_id"),
                 "turn_idx": b.column("turn_idx"),
-                "bound": bound,
+                "tomb_gen": pa.array(
+                    np.full(b.num_rows, gen, dtype=np.int64)),
             })
 
         tombs = feed.map_batches(to_tombstones, batch_format="pyarrow",
@@ -452,13 +470,13 @@ class VectorIndexView:
         if m.get("quantized"):
             col = self.col
             ds = ray.data.read_parquet(
-                files, columns=[*KEY_COLUMNS, "lsn", "q", "scale_ppm"])
+                files, columns=[*KEY_COLUMNS, "gen", "q", "scale_ppm"])
             ds = ds.map_batches(lambda b: _from_quantized_batch(b, col),
                                 batch_format="pyarrow",
                                 zero_copy_batch=True)
         else:
             ds = ray.data.read_parquet(
-                files, columns=[*KEY_COLUMNS, "lsn", self.col])
+                files, columns=[*KEY_COLUMNS, "gen", self.col])
         tomb = self._tombstone_table(m)
         if tomb.num_rows:
             tref = ray.put(tomb) if ray.is_initialized() else tomb
@@ -520,7 +538,7 @@ class VectorIndexView:
             for item in batch.to_pylist():  # metadata-tier (≤ n_centroids)
                 c, rels = item["ivf_list"], json.loads(item["files"])
                 tbls = [pq.read_table(os.path.join(index_dir, r),
-                                      columns=[*KEY_COLUMNS, "lsn",
+                                      columns=[*KEY_COLUMNS, "lsn", "gen",
                                                *store_cols])
                         for r in rels]
                 live = filt(pa.concat_tables(tbls)) if tbls else None
@@ -608,8 +626,8 @@ class VectorIndexView:
             return cnt, hsum
 
         if files:
-            vds = ray.data.read_parquet(files,
-                                        columns=[*KEY_COLUMNS, "lsn"])
+            vds = ray.data.read_parquet(
+                files, columns=[*KEY_COLUMNS, "lsn", "gen"])
             tomb = self._tombstone_table(m)
             if tomb.num_rows:
                 tref = ray.put(tomb) if ray.is_initialized() else tomb
@@ -643,15 +661,15 @@ class VectorIndexView:
         mf._atomic_write_json(os.path.join(self.index_dir, VIEW_MANIFEST), m)
 
     def _tombstone_table(self, m: dict) -> pa.Table:
-        """Pending tombstones, folded to ONE row per key (max bound) —
-        change-feed-sized between compactions, safe to broadcast."""
+        """Pending tombstones, folded to ONE row per key (max generation)
+        — change-feed-sized between compactions, safe to broadcast."""
         schema = pa.schema([("conv_id", pa.string()),
                             ("turn_idx", pa.int32()),
-                            ("bound", pa.int64())])
+                            ("tomb_gen", pa.int64())])
         if not m["tombstone_files"]:
             return schema.empty_table()
         t = pa.concat_tables([
             pq.read_table(os.path.join(self.index_dir, rel))
             for rel in m["tombstone_files"]]).cast(schema)
-        gb = t.group_by(list(KEY_COLUMNS)).aggregate([("bound", "max")])
-        return gb.rename_columns(["conv_id", "turn_idx", "bound"])
+        gb = t.group_by(list(KEY_COLUMNS)).aggregate([("tomb_gen", "max")])
+        return gb.rename_columns(["conv_id", "turn_idx", "tomb_gen"])

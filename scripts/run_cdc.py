@@ -727,13 +727,16 @@ def main() -> None:
                     "rows_indexed", 0)) for s in vv_syncs],
                 "tombstones": sum(s.get("tombstones", 0) for s in vv_syncs),
             }
-            if args.vector_compact:
+            if args.vector_compact or args.vector_verify:
                 from embulk_filter_timestamp_format_ray.pipelines.vector_view import (  # noqa: E501
                     VectorIndexView,
                 )
 
-                out["vector_view"]["compact"] = VectorIndexView(
-                    pipe, args.vector_view).compact()
+                vv = VectorIndexView(pipe, args.vector_view)
+                if args.vector_compact:
+                    out["vector_view"]["compact"] = vv.compact()
+                if args.vector_verify:
+                    out["vector_view"]["verify"] = vv.verify()
         if args.sync_to:
             out["sync"] = pipe.sync_changes(args.sync_to)
         if args.evolve_lang_from is not None:

@@ -316,6 +316,44 @@ def test_verify_green_then_catches_tamper(lake, tmp_path):
     assert not view.verify()["ok"]
 
 
+def test_refresh_across_rollback(lake, tmp_path):
+    """A lake rollback is just another commit to the change feed: the
+    refresh diff (cursor → post-rollback head) re-kills the rolled-back
+    upserts and re-inserts the restored rows, so the view tracks the
+    RESTORED state exactly."""
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS)
+    view.build()
+    v_base = mf.read_manifest(pipe.lake_dir)["version"]
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    view.refresh()
+    pipe.rollback(v_base)
+    view.refresh()
+    assert view.verify()["ok"]
+    got = _sorted_rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS))
+    assert got == _fresh_reference(pipe, tmp_path, "rb")
+
+
+def test_refresh_across_repartition(lake, tmp_path):
+    """repartition_lake rewrites every file without changing live state —
+    the change feed between the two versions is EMPTY (pinned elsewhere),
+    so a view refresh across it appends nothing and stays verifiable."""
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS)
+    view.build()
+    pipe.repartition_lake(4)
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    pipe2 = CDCPipeline.from_lake(pipe.lake_dir)
+    view2 = VectorIndexView(pipe2, str(tmp_path / "view"),
+                            n_centroids=N_CENTROIDS)
+    res = view2.refresh()
+    assert res["appended"] == 0 and res["tombstones"] == 0
+    assert view2.verify()["ok"]
+
+
 def test_refusals(lake, tmp_path):
     pipe, ev, cut = lake
     idx = str(tmp_path / "view")
