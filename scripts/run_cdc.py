@@ -128,7 +128,7 @@ def main() -> None:
                          "the lake's embedding column at DIR: built once, "
                          "then refreshed from the change feed after every "
                          "commit (appends to frozen-centroid lists + "
-                         "LSN-bounded tombstones).  Standalone with "
+                         "generation-bounded tombstones).  Standalone with "
                          "--events 0: build-or-refresh now")
     ap.add_argument("--vector-compact", action="store_true",
                     help="with --vector-view: fold the view's appends + "
@@ -582,7 +582,10 @@ def main() -> None:
                         pipe.sync_changes(args.sync_to)
                     if tview is not None:
                         tview.refresh()
-                if not args.sync_to and tview is None:
+                    if args.vector_view is not None:
+                        _vector_view_sync(pipe, args.vector_view)
+                if not args.sync_to and tview is None \
+                        and args.vector_view is None:
                     on_commit = None
                 commits = follow_directory(
                     pipe, args.tail_dir,
@@ -616,6 +619,10 @@ def main() -> None:
             if tview is not None:
                 tview.refresh()  # final catch-up (covers the no-follow path)
                 out["view_docs"] = tview.read().count()
+            if args.vector_view is not None:
+                # final catch-up (covers the no-follow path)
+                out["vector_view"] = _vector_view_sync(pipe,
+                                                       args.vector_view)
             # read AFTER the inline compactions / --compact / --sync-to so
             # the reported version is the manifest's actual head
             out["lake_version"] = mf_version(pipe)
