@@ -13,13 +13,16 @@ CDC ingest — Lance/Milvus's role, rebuilt on the lake's own change feed).
   manifest: the physical layout is the contract (same reasoning as the
   lake's committed partition config and the z-order quantization bounds),
   so later refreshes place vectors identically on any topology.
-* ``refresh()`` reads ``CDCPipeline.lake_changes(cursor, head)`` — cost ∝
-  the DELTA, not the lake — appends inserted/updated vectors to their
-  frozen-centroid lists as NEW files, and records per-key
-  GENERATION-BOUNDED tombstones for updates/deletes (an update may move a
-  key to a different list, so the stale row cannot be dropped in place
-  without reading it; the tombstone kills it at probe time wherever it
-  lives).
+* ``refresh()`` appends inserted/updated vectors to their frozen-centroid
+  lists as NEW files and records per-key GENERATION-BOUNDED tombstones for
+  updates/deletes (an update may move a key to a different list, so the
+  stale row cannot be dropped in place without reading it; the tombstone
+  kills it at probe time wherever it lives).  Change source per span:
+  spans that only APPENDED pure-upsert/delete merge-on-read delta files
+  are consumed from those files directly — cost ∝ the MICRO-BATCH — and
+  everything else (compactions, rewrites, rollbacks, patch/erasure
+  semantics) falls back to the exact ``lake_changes`` feed, cost ∝ the
+  changed partitions.
 * ``search()`` probes only the ``nprobe`` nearest lists' files (read
   pruning, never a corpus scan), subtracts the tombstones (broadcast once
   — they are change-feed-sized between compactions), and reduces exact
@@ -222,18 +225,22 @@ class _LocalTopK:
         })
 
 
-def _to_quantized_batch(batch: pa.Table, col: str) -> pa.Table:
+def _to_quantized_batch(batch: pa.Table, col: str, dim: int) -> pa.Table:
     """Swap the float vector column for its int8 storage form (q +
     scale_ppm — stages.ann.quantize_embeddings_batch's arithmetic), keeping
     every other column: ~4× less disk, and at 100 TB the embedding column
-    IS the dataset."""
+    IS the dataset.  ``dim`` is the view's committed dimension — an empty
+    block can't reveal it, and block schemas must stay uniform."""
+    out = batch.drop_columns([col])
+    if batch.num_rows == 0:
+        out = out.append_column("q", pa.FixedSizeListArray.from_arrays(
+            pa.array([], pa.int8()), dim))
+        return out.append_column("scale_ppm", pa.array([], pa.int64()))
     x = embeddings_to_matrix(batch, col)
-    ma = np.abs(x).max(axis=1) if x.size else np.zeros(batch.num_rows)
+    ma = np.abs(x).max(axis=1)
     safe = np.where(ma == 0.0, 1.0, ma)
     q = np.clip(np.floor(127.0 * x / safe[:, None] + 0.5),
                 -127, 127).astype(np.int8)
-    n, dim = q.shape
-    out = batch.drop_columns([col])
     out = out.append_column("q", pa.FixedSizeListArray.from_arrays(
         pa.array(q.reshape(-1), pa.int8()), dim))
     return out.append_column(
@@ -324,9 +331,9 @@ class VectorIndexView:
                                         batch_format="pyarrow",
                                         zero_copy_batch=True)
         if self.quantized:
-            col = self.col
+            col, dim = self.col, int(centroids.shape[1])
             assigned = assigned.map_batches(
-                lambda b: _to_quantized_batch(b, col),
+                lambda b: _to_quantized_batch(b, col, dim),
                 batch_format="pyarrow", zero_copy_batch=True)
         assigned.write_parquet(os.path.join(gdir, "vectors"),
                                partition_cols=["ivf_list"])
@@ -354,8 +361,24 @@ class VectorIndexView:
     def refresh(self) -> dict:
         """Bring the view to the lake's committed head at change-feed cost:
         upserts append to their frozen-centroid lists, updates/deletes add
-        LSN-bounded tombstones.  Idempotent per version (a no-op when the
-        cursor is current); atomic (manifest swap after all files land)."""
+        generation-bounded tombstones.  Idempotent per version (a no-op
+        when the cursor is current); atomic (manifest swap after all files
+        land).
+
+        Two change sources, picked per span:
+
+        * **delta-file fast path** — when the span between cursor and head
+          only APPENDED merge-on-read delta files (base paths, dv lists and
+          the partition set all unchanged) and those files carry only
+          upsert/delete ops, the new files themselves enumerate the
+          changes: cost ∝ the micro-batch, never the lake.  Sound because
+          the low-watermark prune guarantees every delta row's lsn exceeds
+          every base row's lsn in its partition, so the per-key max-lsn
+          delta row IS the live post-image.
+        * **exact change feed** (``lake_changes``) — everything else:
+          compactions, rewrites (delete/transform/clustering), rollbacks,
+          repartitions, patch/delete_conv semantics, schema evolution.
+          Cost ∝ changed partitions' data."""
         import ray
         import ray.data  # noqa: F401
 
@@ -365,58 +388,68 @@ class VectorIndexView:
         if v_now == cursor:
             return {"appended": 0, "tombstones": 0,
                     "cursor_version": cursor}
-        # The feed is consumed twice (appends + tombstones); it is
-        # delta-sized — the micro-batch between two commits, not the lake —
-        # so materializing it avoids re-running the manifest-diff lineage
-        # per consumer (DESIGN #31's aggregate-sized exception).
-        feed = self.pipeline.lake_changes(cursor, v_now,
-                                          columns=[self.col]).materialize()
 
         gen = m["generation"] + 1
         gdir = _gen_dir(self.index_dir, gen)
         os.makedirs(gdir, exist_ok=True)
 
+        pair = self._delta_span_changes(cursor, v_now, gen)
+        source = "delta_files"
+        if pair is None:
+            source = "change_feed"
+            # The feed is consumed twice (appends + tombstones); it is
+            # delta-sized — the span between two commits, not the lake —
+            # so materializing it avoids re-running the manifest-diff
+            # lineage per consumer (DESIGN #31's aggregate-sized
+            # exception).
+            feed = self.pipeline.lake_changes(
+                cursor, v_now, columns=[self.col]).materialize()
+
+            def to_tombstones(batch: pa.Table) -> pa.Table:
+                ct = batch.column("change_type")
+                keep = pc.or_(pc.equal(ct, "update"),
+                              pc.equal(ct, "delete")).fill_null(False)
+                b = batch.filter(keep)
+                # the key changed in THIS generation: kill every earlier-
+                # generation row of the key (the same refresh's append —
+                # if any — carries gen == this generation and survives;
+                # so does any later re-insert).  Generation ordering is
+                # rollback-proof where an lsn bound is not: a rollback
+                # restores rows whose lsns move backwards.
+                return pa.table({
+                    "conv_id": b.column("conv_id"),
+                    "turn_idx": b.column("turn_idx"),
+                    "tomb_gen": pa.array(
+                        np.full(b.num_rows, gen, dtype=np.int64)),
+                })
+
+            ups = feed.map_batches(
+                _is_in_filter("change_type", _UPSERT_TYPES),
+                batch_format="pyarrow", zero_copy_batch=True)
+            ups = ups.map_batches(
+                lambda b: b.select([*KEY_COLUMNS, "lsn", self.col]),
+                batch_format="pyarrow", zero_copy_batch=True)
+            tombs = feed.map_batches(to_tombstones, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        else:
+            ups, tombs = pair
+
         centroids = np.asarray(m["centroids"], dtype=np.float64)
         cref = ray.put(centroids) if ray.is_initialized() else centroids
-        ups = feed.map_batches(_is_in_filter("change_type", _UPSERT_TYPES),
-                               batch_format="pyarrow", zero_copy_batch=True)
-        ups = ups.map_batches(
-            lambda b: b.select([*KEY_COLUMNS, "lsn", self.col]),
-            batch_format="pyarrow", zero_copy_batch=True)
         ups = ups.map_batches(_AssignStage(cref, self.col),
                               batch_format="pyarrow", zero_copy_batch=True)
         ups = ups.map_batches(_stamp_gen(gen), batch_format="pyarrow",
                               zero_copy_batch=True)
         if m.get("quantized"):
-            col = self.col
-            ups = ups.map_batches(lambda b: _to_quantized_batch(b, col),
-                                  batch_format="pyarrow",
-                                  zero_copy_batch=True)
+            col, dim = self.col, int(m["dim"])
+            ups = ups.map_batches(
+                lambda b: _to_quantized_batch(b, col, dim),
+                batch_format="pyarrow", zero_copy_batch=True)
         appended = int(ups.count())
         if appended:
             ups.write_parquet(os.path.join(gdir, "vectors"),
                               partition_cols=["ivf_list"])
 
-        def to_tombstones(batch: pa.Table) -> pa.Table:
-            ct = batch.column("change_type")
-            keep = pc.or_(pc.equal(ct, "update"),
-                          pc.equal(ct, "delete")).fill_null(False)
-            b = batch.filter(keep)
-            # the key changed in THIS generation: kill every earlier-
-            # generation row of the key (the same refresh's append — if
-            # any — carries gen == this generation and survives; so does
-            # any later re-insert).  Generation ordering is rollback-proof
-            # where an lsn bound is not: a rollback restores rows whose
-            # lsns move backwards.
-            return pa.table({
-                "conv_id": b.column("conv_id"),
-                "turn_idx": b.column("turn_idx"),
-                "tomb_gen": pa.array(
-                    np.full(b.num_rows, gen, dtype=np.int64)),
-            })
-
-        tombs = feed.map_batches(to_tombstones, batch_format="pyarrow",
-                                 zero_copy_batch=True)
         n_tombs = int(tombs.count())
         if n_tombs:
             tombs.write_parquet(os.path.join(gdir, "tombstones"))
@@ -437,7 +470,98 @@ class VectorIndexView:
                       "vector_files": vector_files,
                       "tombstone_files": tomb_files})
         return {"appended": appended, "tombstones": n_tombs,
-                "cursor_version": v_now}
+                "cursor_version": v_now, "source": source}
+
+    def _delta_span_changes(self, cursor: int, v_now: int, gen: int):
+        """Delta-file fast path: returns ``(ups, tombs)`` datasets computed
+        from the span's NEW merge-on-read delta files alone (cost ∝ the
+        micro-batch), or None when the span isn't a pure upsert/delete
+        delta-append (then the exact change feed applies).
+
+        Soundness: the low-watermark prune makes every delta row's lsn
+        exceed every base row's lsn in its partition, so the per-key
+        max-lsn row across the new files is the live post-image; a
+        generation tombstone per touched key kills whatever it superseded
+        (including cross-list moves) without reading it."""
+        import ray.data
+
+        from embulk_filter_timestamp_format_ray.stages.relational import (
+            latest_by_key,
+        )
+
+        lake_dir = self.pipeline.lake_dir
+        m_from = mf.read_manifest_at(lake_dir, cursor)
+        m_to = mf.read_manifest_at(lake_dir, v_now)
+        pf = m_from.get("partitions", {})
+        pt = m_to.get("partitions", {})
+        if set(pf) != set(pt):
+            return None
+        new_rels: "list[str]" = []
+        for pid, meta_t in pt.items():
+            meta_f = pf[pid]
+            if meta_f.get("path") != meta_t.get("path"):
+                return None  # base rewritten: compaction/rollback/rewrite
+            df = [d["path"] for d in meta_f.get("deltas", [])]
+            dt = [d["path"] for d in meta_t.get("deltas", [])]
+            if df != dt[:len(df)]:
+                return None  # deltas folded away mid-span
+            if [d["path"] for d in meta_f.get("dvs", [])] != \
+                    [d["path"] for d in meta_t.get("dvs", [])]:
+                return None  # deletion vectors moved
+            new_rels.extend(dt[len(df):])
+        if not new_rels:
+            # metadata-only span (e.g. a constraint commit): live state is
+            # untouched, the cursor just advances
+            empty_ups = ray.data.from_arrow(pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "lsn": pa.array([], pa.int64()),
+                self.col: pa.array([], pa.list_(pa.float64()))}))
+            empty_tombs = ray.data.from_arrow(pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "tomb_gen": pa.array([], pa.int64())}))
+            return empty_ups, empty_tombs
+        files = [os.path.join(lake_dir, r) for r in new_rels]
+        need = {"op", *KEY_COLUMNS, "lsn", self.col}
+        for f in files:  # driver-side footer peek, ≤ span's file count
+            if not need <= set(pq.read_schema(f).names):
+                return None  # e.g. files predating the vector column
+        # micro-batch-sized and consumed by two passes (op scan + winners
+        # fold) — materialize once instead of re-reading the parquet per
+        # consumer (DESIGN #31's aggregate-sized exception)
+        ds = ray.data.read_parquet(
+            files, columns=["op", *KEY_COLUMNS, "lsn", self.col]) \
+            .materialize()
+        ops = {r["op"] for r in ds.map_batches(
+            lambda b: pa.table({"op": b.column("op").unique()}),
+            batch_format="pyarrow", zero_copy_batch=True).take_all()}
+        if not ops <= {"upsert", "delete"}:
+            return None  # patch / delete_conv semantics need the fold
+        # winners: one row per touched key (map-side combined shuffle);
+        # consumed twice (appends + tombstones) → materialize
+        winners = latest_by_key(ds, list(KEY_COLUMNS), "lsn").materialize()
+        col = self.col
+
+        def to_ups(batch: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.equal(batch.column("op"), "upsert"),
+                           pc.is_valid(batch.column(col)))
+            return batch.filter(keep.fill_null(False)).select(
+                [*KEY_COLUMNS, "lsn", col])
+
+        def to_tombs(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "tomb_gen": pa.array(
+                    np.full(batch.num_rows, gen, dtype=np.int64)),
+            })
+
+        ups = winners.map_batches(to_ups, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        tombs = winners.map_batches(to_tombs, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        return ups, tombs
 
     # ----------------------------------------------------------- search
 

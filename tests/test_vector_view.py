@@ -354,6 +354,34 @@ def test_refresh_across_repartition(lake, tmp_path):
     assert view2.verify()["ok"]
 
 
+def test_fast_path_and_patch_fallback(lake, tmp_path):
+    """A pure upsert/delete delta span refreshes from the delta files
+    alone (source=delta_files, cost ∝ micro-batch); a span carrying PATCH
+    events (partial columns — post-image needs the fold) falls back to
+    the exact change feed, and both stay verify-green."""
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS)
+    view.build()
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    res = view.refresh()
+    assert res["source"] == "delta_files"
+    assert view.verify()["ok"]
+
+    evp = embed_batch(expected_event_table(
+        N_EVENTS + 500, seed=42, patch_permille=400), dim=DIM)
+    tail = evp.filter(pc.greater_equal(evp.column("lsn"),
+                                       pa.scalar(N_EVENTS, pa.int64())))
+    assert "patch" in set(tail.column("op").to_pylist())
+    pipe.apply_delta(ray.data.from_arrow(tail))
+    res = view.refresh()
+    assert res["source"] == "change_feed"
+    assert view.verify()["ok"]
+    got = _sorted_rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS))
+    assert got == _fresh_reference(pipe, tmp_path, "patch")
+
+
 def test_refusals(lake, tmp_path):
     pipe, ev, cut = lake
     idx = str(tmp_path / "view")
