@@ -736,11 +736,26 @@ def q_cdc_vector_search_quantized(sf_dir: str):
     return _cdc_vector_search(quantized=True)
 
 
-def _cdc_vector_search(quantized: bool):
+def q_cdc_vector_search_filtered(sf_dir: str):
+    """Filtered vector search (the vector-DB metadata-predicate pattern):
+    the view stores ``role`` as a payload column — carried through build,
+    the delta-file refresh, and compaction — and
+    ``search(where=[role:in:assistant])`` selects BEFORE ranking, so top-k
+    is the best k among assistant turns only, without touching the lake.
+    Oracle: the SQL brute force over the folded live state restricted to
+    role='assistant'."""
+    return _cdc_vector_search(quantized=False, payload_cols=("role",),
+                              where_specs=("role:in:assistant",))
+
+
+def _cdc_vector_search(quantized: bool, payload_cols=(), where_specs=()):
     import pyarrow.parquet as pq
     import ray.data
 
     from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
     from embulk_filter_timestamp_format_ray.pipelines.vector_view import (
         VectorIndexView,
     )
@@ -754,12 +769,14 @@ def _cdc_vector_search(quantized: bool):
     pipe.apply(ray.data.from_arrow(
         events.filter(pc.less(events.column("lsn"), cut))))
     view = VectorIndexView(pipe, os.path.join(lake, "_vector_view"),
-                           n_centroids=8, quantized=quantized)
+                           n_centroids=8, quantized=quantized,
+                           payload_cols=tuple(payload_cols))
     view.build()
     pipe.apply_delta(ray.data.from_arrow(
         events.filter(pc.greater_equal(events.column("lsn"), cut))))
     view.refresh()
-    return view.search(_vec_search_queries(), k=10, nprobe=8)
+    where = [parse_constraint(s) for s in where_specs] or None
+    return view.search(_vec_search_queries(), k=10, nprobe=8, where=where)
 
 
 def q_cdc_aggregate_pushdown(sf_dir: str):
@@ -3076,6 +3093,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_text_search": q_cdc_text_search,
         "cdc_vector_search": q_cdc_vector_search,
         "cdc_vector_search_quantized": q_cdc_vector_search_quantized,
+        "cdc_vector_search_filtered": q_cdc_vector_search_filtered,
         "cdc_count": q_cdc_count,
         "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
@@ -3418,6 +3436,28 @@ def oracle_sql() -> "dict[str, str]":
             f"from read_parquet('{_FIXTURES}/cdc_vec_events_20000.parquet')), "
             "folded as (select conv_id, turn_idx, embedding "
             "from ranked where rn = 1 and op <> 'delete'), "
+            "q(query_id, qe) as (values " + ", ".join(
+                f"(cast({i} as bigint), [{', '.join(repr(float(x)) for x in row)}]"
+                "::double[])"
+                for i, row in enumerate(_vec_search_queries())) + "), "
+            "scored as (select q.query_id, f.conv_id, f.turn_idx, "
+            "row_number() over (partition by q.query_id order by "
+            "list_cosine_similarity(q.qe, f.embedding) desc, "
+            "f.conv_id, f.turn_idx) as rank from q cross join folded f) "
+            "select query_id, conv_id, turn_idx, rank from scored "
+            "where rank <= 10",
+        # Filtered vector search: the same fold restricted to the payload
+        # predicate BEFORE ranking (filter-then-top-k, the vector-DB
+        # metadata-predicate semantics); the stored payload column is a
+        # pure optimization — same rows as filtering the lake
+        "cdc_vector_search_filtered":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_vec_events_20000.parquet')), "
+            "folded as (select conv_id, turn_idx, embedding "
+            "from ranked where rn = 1 and op <> 'delete' "
+            "and (case role when 'human' then 'user' "
+            "when 'ai' then 'assistant' else role end) = 'assistant'), "
             "q(query_id, qe) as (values " + ", ".join(
                 f"(cast({i} as bigint), [{', '.join(repr(float(x)) for x in row)}]"
                 "::double[])"

@@ -25,9 +25,11 @@ CDC ingest — Lance/Milvus's role, rebuilt on the lake's own change feed).
   changed partitions.
 * ``search()`` probes only the ``nprobe`` nearest lists' files (read
   pruning, never a corpus scan), subtracts the tombstones (broadcast once
-  — they are change-feed-sized between compactions), and reduces exact
-  per-batch local top-k candidates, ``(-cosine, conv_id, turn_idx)``
-  tie-broken.
+  — they are change-feed-sized between compactions), optionally applies a
+  metadata predicate over the view's stored ``payload_cols``
+  (filter-then-top-k, the vector-DB pattern — ``where=[Constraint...]``),
+  and reduces exact per-batch local top-k candidates,
+  ``(-cosine, conv_id, turn_idx)`` tie-broken.
 * ``compact()`` folds appends + tombstones per list back into one base
   file per list (the LSM fold — bounded read amplification).
 
@@ -284,13 +286,19 @@ class VectorIndexView:
 
     def __init__(self, pipeline, index_dir: str, col: str = "embedding",
                  n_centroids: int = 16, sample_size: int = 2048,
-                 seed: int = 3, quantized: bool = False):
+                 seed: int = 3, quantized: bool = False,
+                 payload_cols: "tuple[str, ...]" = ()):
         self.pipeline = pipeline
         self.index_dir = index_dir
         self.col = col
         self.n_centroids = n_centroids
         self.sample_size = sample_size
         self.seed = seed
+        # filterable metadata stored IN the index rows (the vector-DB
+        # payload pattern): search(where=[Constraint...]) selects on these
+        # without touching the lake.  Committed at build() like the
+        # storage form.
+        self.payload_cols = tuple(payload_cols)
         # storage form decided at build() and COMMITTED in the manifest
         # (refresh/search/compact read it from there — the layout is the
         # contract, the constructor arg only matters for the first build)
@@ -310,7 +318,11 @@ class VectorIndexView:
                 f"{self.index_dir!r} already holds a vector view; "
                 "refresh() maintains it (delete the directory to rebuild)")
         v = mf.read_manifest(self.pipeline.lake_dir)["version"]
-        cols = [*KEY_COLUMNS, "lsn", self.col]
+        overlap = set(self.payload_cols) & {*KEY_COLUMNS, "lsn", self.col}
+        if overlap:
+            raise ValueError(f"payload_cols overlap index columns: "
+                             f"{sorted(overlap)}")
+        cols = [*KEY_COLUMNS, "lsn", self.col, *self.payload_cols]
         ds = self.pipeline.read_lake_at(v, columns=cols)
 
         sample_tbl = ds.limit(self.sample_size).to_pandas() \
@@ -347,6 +359,7 @@ class VectorIndexView:
             "n_centroids": int(len(centroids)),
             "centroids": centroids.tolist(),
             "quantized": bool(self.quantized),
+            "payload_cols": list(self.payload_cols),
             "vector_files": {str(c): [os.path.relpath(p, self.index_dir)
                                       for p in fs]
                              for c, fs in files.items()},
@@ -394,6 +407,12 @@ class VectorIndexView:
         os.makedirs(gdir, exist_ok=True)
 
         pair = self._delta_span_changes(cursor, v_now, gen)
+        if pair == "noop":
+            # metadata-only span (constraint commit etc.): just advance
+            # the cursor — no files, no generation bump
+            self._commit({**m, "cursor_version": v_now})
+            return {"appended": 0, "tombstones": 0,
+                    "cursor_version": v_now, "source": "metadata_only"}
         source = "delta_files"
         if pair is None:
             source = "change_feed"
@@ -402,8 +421,10 @@ class VectorIndexView:
             # so materializing it avoids re-running the manifest-diff
             # lineage per consumer (DESIGN #31's aggregate-sized
             # exception).
+            payload = tuple(m.get("payload_cols", ()))
             feed = self.pipeline.lake_changes(
-                cursor, v_now, columns=[self.col]).materialize()
+                cursor, v_now,
+                columns=[self.col, *payload]).materialize()
 
             def to_tombstones(batch: pa.Table) -> pa.Table:
                 ct = batch.column("change_type")
@@ -427,7 +448,8 @@ class VectorIndexView:
                 _is_in_filter("change_type", _UPSERT_TYPES),
                 batch_format="pyarrow", zero_copy_batch=True)
             ups = ups.map_batches(
-                lambda b: b.select([*KEY_COLUMNS, "lsn", self.col]),
+                lambda b: b.select([*KEY_COLUMNS, "lsn", self.col,
+                                    *payload]),
                 batch_format="pyarrow", zero_copy_batch=True)
             tombs = feed.map_batches(to_tombstones, batch_format="pyarrow",
                                      zero_copy_batch=True)
@@ -510,20 +532,10 @@ class VectorIndexView:
                 return None  # deletion vectors moved
             new_rels.extend(dt[len(df):])
         if not new_rels:
-            # metadata-only span (e.g. a constraint commit): live state is
-            # untouched, the cursor just advances
-            empty_ups = ray.data.from_arrow(pa.table({
-                "conv_id": pa.array([], pa.string()),
-                "turn_idx": pa.array([], pa.int32()),
-                "lsn": pa.array([], pa.int64()),
-                self.col: pa.array([], pa.list_(pa.float64()))}))
-            empty_tombs = ray.data.from_arrow(pa.table({
-                "conv_id": pa.array([], pa.string()),
-                "turn_idx": pa.array([], pa.int32()),
-                "tomb_gen": pa.array([], pa.int64())}))
-            return empty_ups, empty_tombs
+            return "noop"  # metadata-only span: live state untouched
+        payload = tuple(self._manifest().get("payload_cols", ()))
         files = [os.path.join(lake_dir, r) for r in new_rels]
-        need = {"op", *KEY_COLUMNS, "lsn", self.col}
+        need = {"op", *KEY_COLUMNS, "lsn", self.col, *payload}
         for f in files:  # driver-side footer peek, ≤ span's file count
             if not need <= set(pq.read_schema(f).names):
                 return None  # e.g. files predating the vector column
@@ -531,7 +543,8 @@ class VectorIndexView:
         # fold) — materialize once instead of re-reading the parquet per
         # consumer (DESIGN #31's aggregate-sized exception)
         ds = ray.data.read_parquet(
-            files, columns=["op", *KEY_COLUMNS, "lsn", self.col]) \
+            files,
+            columns=["op", *KEY_COLUMNS, "lsn", self.col, *payload]) \
             .materialize()
         ops = {r["op"] for r in ds.map_batches(
             lambda b: pa.table({"op": b.column("op").unique()}),
@@ -547,7 +560,7 @@ class VectorIndexView:
             keep = pc.and_(pc.equal(batch.column("op"), "upsert"),
                            pc.is_valid(batch.column(col)))
             return batch.filter(keep.fill_null(False)).select(
-                [*KEY_COLUMNS, "lsn", col])
+                [*KEY_COLUMNS, "lsn", col, *payload])
 
         def to_tombs(batch: pa.Table) -> pa.Table:
             return pa.table({
@@ -565,15 +578,30 @@ class VectorIndexView:
 
     # ----------------------------------------------------------- search
 
-    def search(self, queries, k: int = 10, nprobe: int = 4):
+    def search(self, queries, k: int = 10, nprobe: int = 4, where=None):
         """Exact-over-probed-lists cosine top-k: reads ONLY the probed
-        lists' files (columns pruned to keys+lsn+vector), subtracts the
-        broadcast tombstones, per-batch local top-k, tiny final reduce.
-        Returns a Dataset of (query_id, conv_id, turn_idx, rank)."""
+        lists' files (columns pruned to keys+gen+vector plus exactly the
+        payload columns ``where`` touches), subtracts the broadcast
+        tombstones, per-batch local top-k, tiny final reduce.
+
+        ``where``: optional list of ``Constraint`` specs over the view's
+        committed ``payload_cols`` — FILTERED vector search (the vector-DB
+        metadata-predicate pattern): rows are selected BEFORE ranking, so
+        top-k is the best k among matching rows, without touching the
+        lake.  Returns a Dataset of (query_id, conv_id, turn_idx, rank)."""
         import ray
         import ray.data
 
         m = self._manifest()
+        where = list(where or [])
+        stored = set(m.get("payload_cols", []))
+        bad = [c.column for c in where if c.column not in stored]
+        if bad:
+            raise ValueError(
+                f"where column(s) {sorted(set(bad))} are not in the view's "
+                f"payload_cols {sorted(stored)}; rebuild with "
+                f"payload_cols=(...) to filter on them")
+        where_cols = sorted({c.column for c in where})
         centroids = np.asarray(m["centroids"], dtype=np.float64)
         qn = _normalize(np.asarray(queries, dtype=np.float64))
         nprobe = min(nprobe, len(centroids))
@@ -594,18 +622,29 @@ class VectorIndexView:
         if m.get("quantized"):
             col = self.col
             ds = ray.data.read_parquet(
-                files, columns=[*KEY_COLUMNS, "gen", "q", "scale_ppm"])
+                files, columns=[*KEY_COLUMNS, "gen", "q", "scale_ppm",
+                                *where_cols])
             ds = ds.map_batches(lambda b: _from_quantized_batch(b, col),
                                 batch_format="pyarrow",
                                 zero_copy_batch=True)
         else:
             ds = ray.data.read_parquet(
-                files, columns=[*KEY_COLUMNS, "gen", self.col])
+                files, columns=[*KEY_COLUMNS, "gen", self.col,
+                                *where_cols])
         tomb = self._tombstone_table(m)
         if tomb.num_rows:
             tref = ray.put(tomb) if ray.is_initialized() else tomb
             ds = ds.map_batches(_TombstoneFilter(tref),
                                 batch_format="pyarrow", zero_copy_batch=True)
+        if where:
+            def apply_where(batch: pa.Table, _specs=tuple(where)) -> pa.Table:
+                mask = np.ones(batch.num_rows, dtype=bool)
+                for spec in _specs:  # AND'd, like read_lake(where=...)
+                    mask &= spec.matches(batch)
+                return batch.filter(pa.array(mask))
+
+            ds = ds.map_batches(apply_where, batch_format="pyarrow",
+                                zero_copy_batch=True)
         qref = ray.put(qn) if ray.is_initialized() else qn
         cand = ds.map_batches(_LocalTopK(qref, k, self.col),
                               batch_format="pyarrow", zero_copy_batch=True)
@@ -646,7 +685,6 @@ class VectorIndexView:
         index_dir = self.index_dir
         # compaction folds the STORED form as-is (quantized rows are the
         # committed truth — no de/re-quantization drift)
-        store_cols = ["q", "scale_ppm"] if m.get("quantized") else [self.col]
         tref = ray.put(tomb) if ray.is_initialized() else tomb
         filt = _TombstoneFilter(tref)
 
@@ -661,9 +699,9 @@ class VectorIndexView:
             rows = []
             for item in batch.to_pylist():  # metadata-tier (≤ n_centroids)
                 c, rels = item["ivf_list"], json.loads(item["files"])
-                tbls = [pq.read_table(os.path.join(index_dir, r),
-                                      columns=[*KEY_COLUMNS, "lsn", "gen",
-                                               *store_cols])
+                # full-column read: a compaction is a rewrite, and the
+                # stored payload columns must ride through it
+                tbls = [pq.read_table(os.path.join(index_dir, r))
                         for r in rels]
                 live = filt(pa.concat_tables(tbls)) if tbls else None
                 if live is None or live.num_rows == 0:

@@ -382,6 +382,58 @@ def test_fast_path_and_patch_fallback(lake, tmp_path):
     assert got == _fresh_reference(pipe, tmp_path, "patch")
 
 
+def test_filtered_search_payload_cols(lake, tmp_path):
+    """Payload columns ride build → delta-file refresh → compaction, and
+    search(where=[...]) selects BEFORE ranking: top-k is the best k among
+    matching rows only."""
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS,
+                           payload_cols=("role",))
+    view.build()
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    assert view.refresh()["source"] == "delta_files"
+    where = [parse_constraint("role:in:assistant")]
+    got = view.search(_queries(), k=10, nprobe=N_CENTROIDS,
+                      where=where).take_all()
+    assert len(got) == 3 * 10
+
+    # every hit is an assistant turn in the LIVE lake state
+    live = pa.Table.from_pylist(pipe.read_lake(
+        columns=["conv_id", "turn_idx", "role"]).take_all())
+    roles = {(r["conv_id"], r["turn_idx"]): r["role"]
+             for r in live.to_pylist()}
+    assert all(roles[(r["conv_id"], r["turn_idx"])] == "assistant"
+               for r in got)
+
+    # filtering ≠ post-filtering the unfiltered top-k: the filtered list
+    # must contain keys the global top-10 never surfaced
+    plain = view.search(_queries(), k=10, nprobe=N_CENTROIDS).take_all()
+    plain_keys = {(r["query_id"], r["conv_id"], r["turn_idx"])
+                  for r in plain}
+    assert any((r["query_id"], r["conv_id"], r["turn_idx"])
+               not in plain_keys for r in got)
+
+    # payload survives compaction; results identical
+    def rows(res):
+        return sorted((r["query_id"], r["rank"], r["conv_id"],
+                       r["turn_idx"]) for r in res)
+    before = rows(got)
+    view.compact()
+    assert rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS,
+                            where=where).take_all()) == before
+
+    # a where column the view doesn't store is refused loudly
+    with pytest.raises(ValueError, match="payload_cols"):
+        view.search(_queries(), k=3, nprobe=1,
+                    where=[parse_constraint("text:not_null")])
+
+
 def test_refusals(lake, tmp_path):
     pipe, ev, cut = lake
     idx = str(tmp_path / "view")
