@@ -731,6 +731,32 @@ class VectorIndexView:
         return {"lists": len(vector_files), "rows_indexed": rows,
                 "tombstones_folded": int(tomb.num_rows)}
 
+    # --------------------------------------------------------------- gc
+
+    def gc(self) -> dict:
+        """Remove generation files the manifest no longer references —
+        compaction supersedes every earlier generation's files, and a
+        crashed build/refresh leaves a whole orphan gen dir.  Metadata-tier
+        walk (≤ generations × lists files); the manifest is the liveness
+        truth, so this is safe at any time."""
+        m = self._manifest()
+        live = {rel for fs in m["vector_files"].values() for rel in fs}
+        live |= set(m["tombstone_files"])
+        removed = 0
+        for entry in sorted(os.listdir(self.index_dir)):
+            gdir = os.path.join(self.index_dir, entry)
+            if not (entry.startswith("gen-") and os.path.isdir(gdir)):
+                continue
+            for dirpath, _dirs, names in os.walk(gdir, topdown=False):
+                for name in names:
+                    full = os.path.join(dirpath, name)
+                    if os.path.relpath(full, self.index_dir) not in live:
+                        os.remove(full)
+                        removed += 1
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+        return {"files_removed": removed}
+
     # ----------------------------------------------------------- verify
 
     def verify(self) -> dict:

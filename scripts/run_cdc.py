@@ -132,7 +132,9 @@ def main() -> None:
                          "--events 0: build-or-refresh now")
     ap.add_argument("--vector-compact", action="store_true",
                     help="with --vector-view: fold the view's appends + "
-                         "tombstones into one base file per centroid list")
+                         "tombstones into one base file per centroid "
+                         "list, then reclaim the superseded generation "
+                         "files")
     ap.add_argument("--vector-verify", action="store_true",
                     help="with --vector-view: distributed audit that the "
                          "view's live rows equal the lake state at the "
@@ -488,8 +490,9 @@ def main() -> None:
                     VectorIndexView,
                 )
 
-                res["compact"] = VectorIndexView(
-                    pipe, args.vector_view).compact()
+                vvc = VectorIndexView(pipe, args.vector_view)
+                res["compact"] = vvc.compact()
+                res["compact"]["gc"] = vvc.gc()
             if args.vector_verify:
                 from embulk_filter_timestamp_format_ray.pipelines.vector_view import (  # noqa: E501
                     VectorIndexView,
@@ -742,6 +745,7 @@ def main() -> None:
                 vv = VectorIndexView(pipe, args.vector_view)
                 if args.vector_compact:
                     out["vector_view"]["compact"] = vv.compact()
+                    out["vector_view"]["compact"]["gc"] = vv.gc()
                 if args.vector_verify:
                     out["vector_view"]["verify"] = vv.verify()
         if args.sync_to:

@@ -434,6 +434,25 @@ def test_filtered_search_payload_cols(lake, tmp_path):
                     where=[parse_constraint("text:not_null")])
 
 
+def test_gc_reclaims_superseded_generations(lake, tmp_path):
+    pipe, ev, cut = lake
+    idx = str(tmp_path / "view")
+    view = VectorIndexView(pipe, idx, n_centroids=N_CENTROIDS)
+    view.build()
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    view.refresh()
+    before = _sorted_rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS))
+    assert view.gc()["files_removed"] == 0  # everything still referenced
+    view.compact()
+    res = view.gc()
+    assert res["files_removed"] > 0  # pre-compaction generations reclaimed
+    assert view.gc()["files_removed"] == 0  # idempotent
+    assert _sorted_rows(view.search(_queries(), k=10,
+                                    nprobe=N_CENTROIDS)) == before
+    assert view.verify()["ok"]
+
+
 def test_refusals(lake, tmp_path):
     pipe, ev, cut = lake
     idx = str(tmp_path / "view")
