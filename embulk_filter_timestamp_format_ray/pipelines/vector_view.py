@@ -75,8 +75,17 @@ from embulk_filter_timestamp_format_ray.stages.ann import (
 from embulk_filter_timestamp_format_ray.state import manifest as mf
 
 VIEW_MANIFEST = "view_manifest.json"
+VIEW_LOCK = ".view_commit.lock"
 KEY_COLUMNS = ("conv_id", "turn_idx")
 _UPSERT_TYPES = ("insert", "update")
+
+
+class ViewCommitConflict(Exception):
+    """The view manifest advanced between this writer's read and its
+    commit — a concurrent refresher/compactor won the race.  Safe to
+    retry whole: the loser's generation files are unreferenced orphans
+    (``gc()`` reclaims them) and a re-read starts from the fresh
+    manifest."""
 
 
 def _read_view_manifest(index_dir: str) -> "dict | None":
@@ -317,6 +326,7 @@ class VectorIndexView:
             raise ValueError(
                 f"{self.index_dir!r} already holds a vector view; "
                 "refresh() maintains it (delete the directory to rebuild)")
+        build_gen = -1  # commit-time guard: still no manifest / untouched
         v = mf.read_manifest(self.pipeline.lake_dir)["version"]
         overlap = set(self.payload_cols) & {*KEY_COLUMNS, "lsn", self.col}
         if overlap:
@@ -365,7 +375,7 @@ class VectorIndexView:
                              for c, fs in files.items()},
             "tombstone_files": [],
             "rows_indexed": rows,
-        })
+        }, expected_generation=build_gen)
         return {"built": True, "cursor_version": v, "rows_indexed": rows,
                 "lists": len(files)}
 
@@ -410,7 +420,8 @@ class VectorIndexView:
         if pair == "noop":
             # metadata-only span (constraint commit etc.): just advance
             # the cursor — no files, no generation bump
-            self._commit({**m, "cursor_version": v_now})
+            self._commit({**m, "cursor_version": v_now},
+                         expected_generation=m["generation"])
             return {"appended": 0, "tombstones": 0,
                     "cursor_version": v_now, "source": "metadata_only"}
         source = "delta_files"
@@ -490,7 +501,8 @@ class VectorIndexView:
                 for f in sorted(os.listdir(tdir)) if f.endswith(".parquet"))
         self._commit({**m, "generation": gen, "cursor_version": v_now,
                       "vector_files": vector_files,
-                      "tombstone_files": tomb_files})
+                      "tombstone_files": tomb_files},
+                     expected_generation=m["generation"])
         return {"appended": appended, "tombstones": n_tombs,
                 "cursor_version": v_now, "source": source}
 
@@ -727,7 +739,8 @@ class VectorIndexView:
         rows = sum(int(r["rows"]) for r in folded)
         self._commit({**m, "generation": gen,
                       "vector_files": vector_files,
-                      "tombstone_files": [], "rows_indexed": rows})
+                      "tombstone_files": [], "rows_indexed": rows},
+                     expected_generation=m["generation"])
         return {"lists": len(vector_files), "rows_indexed": rows,
                 "tombstones_folded": int(tomb.num_rows)}
 
@@ -844,9 +857,34 @@ class VectorIndexView:
                              f"not {self.col!r}")
         return m
 
-    def _commit(self, m: dict) -> None:
+    def _commit(self, m: dict,
+                expected_generation: "int | None" = None) -> None:
+        """Atomic manifest swap under an exclusive flock (the lake's
+        commit discipline, state/manifest.py).  ``expected_generation``
+        adds optimistic concurrency: if another writer committed a newer
+        generation since this writer read the manifest, raise — the
+        caller's generation files stay unreferenced (gc fodder), never
+        clobbering the winner."""
         os.makedirs(self.index_dir, exist_ok=True)
-        mf._atomic_write_json(os.path.join(self.index_dir, VIEW_MANIFEST), m)
+        with open(os.path.join(self.index_dir, VIEW_LOCK), "w") as lock:
+            try:
+                import fcntl
+
+                fcntl.flock(lock, fcntl.LOCK_EX)
+            except ImportError:  # pragma: no cover - non-POSIX fallback
+                pass
+            if expected_generation is not None:
+                cur = _read_view_manifest(self.index_dir)
+                if cur is not None and \
+                        int(cur["generation"]) != int(expected_generation):
+                    raise ViewCommitConflict(
+                        f"view {self.index_dir!r} is at generation "
+                        f"{cur['generation']}, but this writer read "
+                        f"generation {expected_generation}; a concurrent "
+                        f"writer committed first — re-read and retry "
+                        f"(orphan files are gc()-reclaimable)")
+            mf._atomic_write_json(
+                os.path.join(self.index_dir, VIEW_MANIFEST), m)
 
     def _tombstone_table(self, m: dict) -> pa.Table:
         """Pending tombstones, folded to ONE row per key (max generation)

@@ -453,6 +453,30 @@ def test_gc_reclaims_superseded_generations(lake, tmp_path):
     assert view.verify()["ok"]
 
 
+def test_commit_conflict_refused(lake, tmp_path):
+    """Two writers racing on one view: the loser's commit is refused
+    (its generation files stay as unreferenced gc fodder), never
+    clobbering the winner — the lake's OCC discipline."""
+    from embulk_filter_timestamp_format_ray.pipelines.vector_view import (
+        ViewCommitConflict,
+    )
+
+    pipe, ev, cut = lake
+    idx = str(tmp_path / "view")
+    view = VectorIndexView(pipe, idx, n_centroids=N_CENTROIDS)
+    view.build()
+    m = json.load(open(os.path.join(idx, "view_manifest.json")))
+    # a concurrent writer commits generation+1 behind our back
+    view._commit({**m, "generation": m["generation"] + 1},
+                 expected_generation=m["generation"])
+    with pytest.raises(ViewCommitConflict, match="concurrent writer"):
+        view._commit({**m, "generation": m["generation"] + 1},
+                     expected_generation=m["generation"])
+    # a second build() against the now-existing view is refused too
+    with pytest.raises(ValueError, match="already holds"):
+        view.build()
+
+
 def test_refusals(lake, tmp_path):
     pipe, ev, cut = lake
     idx = str(tmp_path / "view")
