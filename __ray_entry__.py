@@ -765,7 +765,8 @@ def _cdc_vector_search(quantized: bool, payload_cols=(), where_specs=()):
                                         "cdc_vec_events_20000.parquet"))
     cut = pa.scalar(10_000, pa.int64())
     lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_vec_{run}")
-    pipe = CDCPipeline(lake, num_partitions=32)
+    # 16 partitions: the 20k-row fixture is task-overhead-bound at 32
+    pipe = CDCPipeline(lake, num_partitions=16)
     pipe.apply(ray.data.from_arrow(
         events.filter(pc.less(events.column("lsn"), cut))))
     view = VectorIndexView(pipe, os.path.join(lake, "_vector_view"),
