@@ -360,7 +360,10 @@ class VectorIndexView:
         assigned.write_parquet(os.path.join(gdir, "vectors"),
                                partition_cols=["ivf_list"])
         files = _list_parquet_files(gdir)
-        rows = int(ds.count())
+        # row count from the written files' footers — a ds.count() here
+        # would re-scan the whole lake a second time
+        rows = sum(pq.read_metadata(p).num_rows
+                   for fs in files.values() for p in fs)
         self._commit({
             "generation": gen,
             "cursor_version": v,
@@ -751,7 +754,10 @@ class VectorIndexView:
         compaction supersedes every earlier generation's files, and a
         crashed build/refresh leaves a whole orphan gen dir.  Metadata-tier
         walk (≤ generations × lists files); the manifest is the liveness
-        truth, so this is safe at any time."""
+        truth.  Like the lake's GC, run it from the maintenance path, not
+        concurrently with a LIVE writer: an in-flight refresh's
+        not-yet-committed generation files look like orphans (same
+        reasoning as state/manifest.gc_orphan_txns' keep_txns)."""
         m = self._manifest()
         live = {rel for fs in m["vector_files"].values() for rel in fs}
         live |= set(m["tombstone_files"])
