@@ -86,11 +86,18 @@ def main() -> None:
         rng = np.random.default_rng(3)
         q = rng.standard_normal((8, args.dim))
         t0 = time.perf_counter()
-        n_pruned = view.search(q, k=10, nprobe=args.nprobe).count()
+        pruned = view.search(q, k=10, nprobe=args.nprobe).take_all()
         t_pruned = time.perf_counter() - t0
         t0 = time.perf_counter()
-        n_full = view.search(q, k=10, nprobe=args.centroids).count()
+        full = view.search(q, k=10, nprobe=args.centroids).take_all()
         t_full = time.perf_counter() - t0
+        # recall@10 of the pruned probe vs the exact full probe — the
+        # approximation is never silent (no-silent-caps rule)
+        exact = {(r["query_id"], r["conv_id"], r["turn_idx"])
+                 for r in full}
+        hits = sum(1 for r in pruned
+                   if (r["query_id"], r["conv_id"], r["turn_idx"]) in exact)
+        recall = hits / max(len(full), 1)
 
         print(json.dumps({
             "metric": "vector_view_ab",
@@ -104,7 +111,8 @@ def main() -> None:
             "rebuild_over_refresh": round(t_rebuild / t_refresh, 2),
             "search_pruned_sec": round(t_pruned, 3),
             "search_full_sec": round(t_full, 3),
-            "rows_pruned": n_pruned, "rows_full": n_full,
+            "rows_pruned": len(pruned), "rows_full": len(full),
+            "recall_at_10": round(recall, 4),
             "nprobe": args.nprobe,
             "num_cpus": args.num_cpus,
         }))

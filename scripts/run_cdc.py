@@ -24,9 +24,14 @@ def mf_version(pipe) -> int:
     return int(mf.read_manifest(pipe.lake_dir).get("version", 0))
 
 
-def _vector_view_sync(pipe, view_dir: str) -> dict:
+def _vector_view_sync(pipe, view_dir: str,
+                      compact_every: "int | None" = None) -> dict:
     """Build the incremental vector index if it doesn't exist yet, else
-    refresh it from the lake's change feed."""
+    refresh it from the lake's change feed.  ``compact_every``: fold the
+    view (and reclaim superseded generations) whenever the pending
+    tombstone-file backlog reaches that many files — the steady-state
+    daemon's bounded-read-amplification cadence, mirroring the lake's
+    --compact-every."""
     from embulk_filter_timestamp_format_ray.pipelines.vector_view import (
         VectorIndexView,
         _read_view_manifest,
@@ -35,7 +40,13 @@ def _vector_view_sync(pipe, view_dir: str) -> dict:
     view = VectorIndexView(pipe, view_dir)
     if _read_view_manifest(view_dir) is None:
         return {"vv_action": "built", **view.build()}
-    return {"vv_action": "refreshed", **view.refresh()}
+    res = {"vv_action": "refreshed", **view.refresh()}
+    if compact_every:
+        m = _read_view_manifest(view_dir)
+        if len(m.get("tombstone_files", [])) >= compact_every:
+            res["compact"] = view.compact()
+            res["compact"]["gc"] = view.gc()
+    return res
 
 
 def main() -> None:
@@ -135,6 +146,12 @@ def main() -> None:
                          "tombstones into one base file per centroid "
                          "list, then reclaim the superseded generation "
                          "files")
+    ap.add_argument("--vector-compact-every", type=int, default=None,
+                    metavar="N",
+                    help="with --vector-view: auto-fold the view whenever "
+                         "its pending tombstone-file backlog reaches N "
+                         "files (the daemon's bounded-read-amplification "
+                         "cadence)")
     ap.add_argument("--vector-verify", action="store_true",
                     help="with --vector-view: distributed audit that the "
                          "view's live rows equal the lake state at the "
@@ -586,7 +603,8 @@ def main() -> None:
                     if tview is not None:
                         tview.refresh()
                     if args.vector_view is not None:
-                        _vector_view_sync(pipe, args.vector_view)
+                        _vector_view_sync(pipe, args.vector_view,
+                                          args.vector_compact_every)
                 if not args.sync_to and tview is None \
                         and args.vector_view is None:
                     on_commit = None
@@ -624,8 +642,8 @@ def main() -> None:
                 out["view_docs"] = tview.read().count()
             if args.vector_view is not None:
                 # final catch-up (covers the no-follow path)
-                out["vector_view"] = _vector_view_sync(pipe,
-                                                       args.vector_view)
+                out["vector_view"] = _vector_view_sync(
+                    pipe, args.vector_view, args.vector_compact_every)
             # read AFTER the inline compactions / --compact / --sync-to so
             # the reported version is the manifest's actual head
             out["lake_version"] = mf_version(pipe)
@@ -699,7 +717,8 @@ def main() -> None:
             if tview is not None:
                 tview_refreshes.append(tview.refresh()["recomputed"])
             if args.vector_view is not None:
-                vv_syncs.append(_vector_view_sync(pipe, args.vector_view))
+                vv_syncs.append(_vector_view_sync(
+                    pipe, args.vector_view, args.vector_compact_every))
         elapsed = time.perf_counter() - t0
         if pregen_dir is not None:
             import shutil
@@ -736,6 +755,8 @@ def main() -> None:
                 "appended_per_batch": [s.get("appended", s.get(
                     "rows_indexed", 0)) for s in vv_syncs],
                 "tombstones": sum(s.get("tombstones", 0) for s in vv_syncs),
+                "auto_compactions": sum(1 for s in vv_syncs
+                                        if "compact" in s),
             }
             if args.vector_compact or args.vector_verify:
                 from embulk_filter_timestamp_format_ray.pipelines.vector_view import (  # noqa: E501
