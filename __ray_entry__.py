@@ -748,14 +748,42 @@ def q_cdc_vector_search_filtered(sf_dir: str):
                               where_specs=("role:in:assistant",))
 
 
-def _cdc_vector_search(quantized: bool, payload_cols=(), where_specs=()):
+def q_cdc_rag_retrieve(sf_dir: str):
+    """RAG retrieval composition: the vector view returns top-5 KEYS per
+    query (probe-pruned index, no payload duplication), then ONE pruned
+    lake read (conv_id in_set → footer/zone-map partition pruning)
+    fetches those turns' role+text from the primary store — the standard
+    index-for-keys / table-for-payload retrieval path.  Oracle: brute-
+    force cosine ranking joined back to the folded live payload."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        Constraint,
+    )
+
+    view, pipe = _build_vector_lake()
+    hits = pa.Table.from_pylist(
+        view.search(_vec_search_queries(), k=5, nprobe=8).take_all())
+    convs = sorted(set(hits.column("conv_id").to_pylist()))
+    spec = Constraint("conv_id", "in_set", values=tuple(convs))
+    payload = pa.Table.from_pylist(pipe.read_lake(
+        columns=["conv_id", "turn_idx", "role", "text"],
+        where=[spec]).take_all())
+    # driver-side join: hits are k×queries rows (tiny); payload is the
+    # matched conversations' turns
+    out = hits.join(payload, keys=["conv_id", "turn_idx"],
+                    join_type="inner")
+    order = pc.sort_indices(out, sort_keys=[("query_id", "ascending"),
+                                            ("rank", "ascending")])
+    return ray.data.from_arrow(out.take(order).select(
+        ["query_id", "rank", "conv_id", "turn_idx", "role", "text"]))
+
+
+def _build_vector_lake(quantized: bool = False, payload_cols=()):
     import pyarrow.parquet as pq
     import ray.data
 
     from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
-    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
-        parse_constraint,
-    )
     from embulk_filter_timestamp_format_ray.pipelines.vector_view import (
         VectorIndexView,
     )
@@ -776,6 +804,16 @@ def _cdc_vector_search(quantized: bool, payload_cols=(), where_specs=()):
     pipe.apply_delta(ray.data.from_arrow(
         events.filter(pc.greater_equal(events.column("lsn"), cut))))
     view.refresh()
+    return view, pipe
+
+
+def _cdc_vector_search(quantized: bool, payload_cols=(), where_specs=()):
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    view, _pipe = _build_vector_lake(quantized=quantized,
+                                     payload_cols=payload_cols)
     where = [parse_constraint(s) for s in where_specs] or None
     return view.search(_vec_search_queries(), k=10, nprobe=8, where=where)
 
@@ -3095,6 +3133,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_vector_search": q_cdc_vector_search,
         "cdc_vector_search_quantized": q_cdc_vector_search_quantized,
         "cdc_vector_search_filtered": q_cdc_vector_search_filtered,
+        "cdc_rag_retrieve": q_cdc_rag_retrieve,
         "cdc_count": q_cdc_count,
         "cdc_enriched": q_cdc_enriched,
         "cdc_heal": q_cdc_heal,
@@ -3447,6 +3486,26 @@ def oracle_sql() -> "dict[str, str]":
             "f.conv_id, f.turn_idx) as rank from q cross join folded f) "
             "select query_id, conv_id, turn_idx, rank from scored "
             "where rank <= 10",
+        # RAG retrieval: top-5 keys by cosine per query, joined back to
+        # the folded live payload (role normalized like every lake read)
+        "cdc_rag_retrieve":
+            "with ranked as (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_vec_events_20000.parquet')), "
+            "folded as (select conv_id, turn_idx, "
+            "case role when 'human' then 'user' when 'ai' then 'assistant' "
+            "else role end as role, text, embedding "
+            "from ranked where rn = 1 and op <> 'delete'), "
+            "q(query_id, qe) as (values " + ", ".join(
+                f"(cast({i} as bigint), [{', '.join(repr(float(x)) for x in row)}]"
+                "::double[])"
+                for i, row in enumerate(_vec_search_queries())) + "), "
+            "scored as (select q.query_id, f.conv_id, f.turn_idx, f.role, "
+            "f.text, row_number() over (partition by q.query_id order by "
+            "list_cosine_similarity(q.qe, f.embedding) desc, "
+            "f.conv_id, f.turn_idx) as rank from q cross join folded f) "
+            "select query_id, rank, conv_id, turn_idx, role, text "
+            "from scored where rank <= 5",
         # Filtered vector search: the same fold restricted to the payload
         # predicate BEFORE ranking (filter-then-top-k, the vector-DB
         # metadata-predicate semantics); the stored payload column is a

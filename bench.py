@@ -180,7 +180,8 @@ def run_queries(sf_dir: str) -> dict:
              "cdc_clustered_read", "cdc_zorder_read",
              "cdc_point_lookup_clustered", "cdc_aggregate_pushdown",
              "cdc_text_search", "cdc_vector_search",
-             "cdc_vector_search_quantized", "cdc_vector_search_filtered"]
+             "cdc_vector_search_quantized", "cdc_vector_search_filtered",
+             "cdc_rag_retrieve"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session
