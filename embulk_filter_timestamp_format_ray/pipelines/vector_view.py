@@ -97,7 +97,16 @@ def _read_view_manifest(index_dir: str) -> "dict | None":
 
 
 def _gen_dir(index_dir: str, gen: int) -> str:
-    return os.path.join(index_dir, f"gen-{gen:06d}")
+    """Writer-UNIQUE staging dir for one generation's files.  The uuid
+    suffix is the lake's txn-dir discipline: two writers racing the same
+    generation must never share a directory, because the winner collects
+    its files by listing its own dir — a shared dir would make the winner
+    reference the loser's files too (double-indexed rows; caught by
+    stress_occ --vector-view).  The loser's whole dir becomes a gc-able
+    orphan."""
+    import uuid
+
+    return os.path.join(index_dir, f"gen-{gen:06d}-{uuid.uuid4().hex[:8]}")
 
 
 def _list_parquet_files(root: str) -> "dict[int, list[str]]":

@@ -45,6 +45,13 @@ try:
     wid, n_events, lake = {wid}, {n_events}, {lake!r}
     full = expected_event_table(n_events, patch_permille={patch},
                                 conv_delete_permille={convdel})
+    vector = {vector}
+    if vector:
+        from embulk_filter_timestamp_format_ray.sources.changegen import (
+            embed_batch,
+        )
+
+        full = embed_batch(full, dim=8)
     pipe = CDCPipeline(lake, num_partitions=8)
     exchange = "dataset"
     if {exchange!r} == "actor":
@@ -57,6 +64,7 @@ try:
 
         exchange = ActorExchange(lake, 8)
     conflicts = 0
+    vv_conflicts = 0
     # every writer applies the WHOLE stream in 4 chunks, offset so the
     # writers overlap heavily (at-least-once redundant delivery)
     step = n_events // 4
@@ -86,7 +94,31 @@ try:
                     break
                 except mf.CommitConflict:
                     conflicts += 1
-    print(json.dumps({{"wid": wid, "conflicts": conflicts}}))
+        if vector:
+            # every writer also maintains ONE SHARED vector view: build
+            # races resolve via the generation-guarded commit; refresh
+            # races converge (the loser re-reads the advanced cursor)
+            from embulk_filter_timestamp_format_ray.pipelines.vector_view import (
+                VectorIndexView,
+                ViewCommitConflict,
+                _read_view_manifest,
+            )
+
+            vdir = lake + "_vv"
+            for attempt in range(64):
+                try:
+                    view = VectorIndexView(pipe, vdir, n_centroids=4)
+                    if _read_view_manifest(vdir) is None:
+                        view.build()
+                    else:
+                        view.refresh()
+                    break
+                except (ViewCommitConflict, ValueError):
+                    vv_conflicts += 1
+            else:
+                raise SystemExit(f"writer {{wid}}: view retries exhausted")
+    print(json.dumps({{"wid": wid, "conflicts": conflicts,
+                       "vv_conflicts": vv_conflicts}}))
 finally:
     ray.shutdown()
 """
@@ -103,6 +135,10 @@ def main() -> int:
                     default="dataset",
                     help="'actor' = one persistent push-exchange pool per "
                          "writer, reused across all its commits")
+    ap.add_argument("--vector-view", action="store_true",
+                    help="writers also race build/refresh of ONE shared "
+                         "vector view (generation-guarded commits); the "
+                         "final audit must be green")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     lake = args.lake or os.path.join(
@@ -115,7 +151,8 @@ def main() -> int:
              WORKER.format(repo=repo, wid=w, n_events=args.events,
                            lake=lake, patch=args.patch_permille,
                            convdel=args.conv_delete_permille,
-                           exchange=args.exchange)],
+                           exchange=args.exchange,
+                           vector=args.vector_view)],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
         for w in range(args.writers)
     ]
@@ -146,16 +183,36 @@ def main() -> int:
         solo_lake = os.path.join(
             tempfile.gettempdir(), f"stress_solo_{uuid.uuid4().hex[:8]}")
         solo = CDCPipeline(solo_lake, num_partitions=8)
-        solo.apply(ray.data.from_arrow(expected_event_table(
+        solo_events = expected_event_table(
             args.events, patch_permille=args.patch_permille,
-            conv_delete_permille=args.conv_delete_permille)))
+            conv_delete_permille=args.conv_delete_permille)
+        if args.vector_view:
+            from embulk_filter_timestamp_format_ray.sources.changegen import (
+                embed_batch,
+            )
+
+            solo_events = embed_batch(solo_events, dim=8)
+        solo.apply(ray.data.from_arrow(solo_events))
         exp = solo.final_state_sorted()
         ok = got.equals(exp)
-        print(json.dumps({
+        out = {
             "ok": ok, "rows": got.num_rows, "writers": writer_stats,
             "total_conflicts": sum(w["conflicts"] for w in writer_stats),
             "wall_sec": round(wall, 2), "lake": lake,
-        }))
+        }
+        if args.vector_view:
+            from embulk_filter_timestamp_format_ray.pipelines.vector_view import (
+                VectorIndexView,
+            )
+
+            view = VectorIndexView(pipe, lake + "_vv", n_centroids=4)
+            view.refresh()  # final catch-up past the last racer
+            out["vector_view_verify"] = view.verify()
+            out["vv_conflicts"] = sum(w.get("vv_conflicts", 0)
+                                      for w in writer_stats)
+            ok = ok and out["vector_view_verify"]["ok"]
+            out["ok"] = ok
+        print(json.dumps(out))
         return 0 if ok else 1
     finally:
         ray.shutdown()

@@ -453,6 +453,31 @@ def test_gc_reclaims_superseded_generations(lake, tmp_path):
     assert view.verify()["ok"]
 
 
+def test_quantized_filtered_compose(lake, tmp_path):
+    """The int8 storage tier and payload filtering compose: payload
+    columns ride the quantize map (which swaps only the vector column)
+    and a filtered search over the quantized view matches the float
+    view's filtered results rank-for-rank (the int8 round trip reorders
+    no pair on this data — same property the quantized oracle pins)."""
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    pipe, ev, cut = lake
+    where = [parse_constraint("role:in:assistant")]
+    out = {}
+    for tag, quant in (("f", False), ("q", True)):
+        view = VectorIndexView(pipe, str(tmp_path / f"view_{tag}"),
+                               n_centroids=N_CENTROIDS, quantized=quant,
+                               payload_cols=("role",))
+        view.build()
+        out[tag] = _sorted_rows(view.search(_queries(), k=10,
+                                            nprobe=N_CENTROIDS,
+                                            where=where))
+    assert out["f"] == out["q"]
+    assert len(out["f"]) == 3 * 10
+
+
 def test_commit_conflict_refused(lake, tmp_path):
     """Two writers racing on one view: the loser's commit is refused
     (its generation files stay as unreferenced gc fodder), never
