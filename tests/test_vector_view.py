@@ -478,6 +478,36 @@ def test_quantized_filtered_compose(lake, tmp_path):
     assert len(out["f"]) == 3 * 10
 
 
+def test_payload_through_exact_feed(lake, tmp_path):
+    """Payload columns must also ride the EXACT change-feed refresh path
+    (patch traffic forces it): the post-image payload lands in the index
+    and filtered search matches a fresh payload-built reference."""
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        parse_constraint,
+    )
+
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS,
+                           payload_cols=("role",))
+    view.build()
+    evp = embed_batch(expected_event_table(
+        N_EVENTS, seed=42, patch_permille=400), dim=DIM)
+    pipe.apply_delta(ray.data.from_arrow(
+        evp.filter(pc.greater_equal(evp.column("lsn"), cut))))
+    assert view.refresh()["source"] == "change_feed"
+    where = [parse_constraint("role:in:assistant")]
+    got = _sorted_rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS,
+                                   where=where))
+    ref = VectorIndexView(pipe, str(tmp_path / "ref"),
+                          n_centroids=N_CENTROIDS, payload_cols=("role",))
+    ref.build()
+    want = _sorted_rows(ref.search(_queries(), k=10, nprobe=N_CENTROIDS,
+                                   where=where))
+    assert got == want and len(got) == 3 * 10
+    assert view.verify()["ok"]
+
+
 def test_commit_conflict_refused(lake, tmp_path):
     """Two writers racing on one view: the loser's commit is refused
     (its generation files stay as unreferenced gc fodder), never
