@@ -25,6 +25,8 @@ hash-compare floats (DESIGN.md #17).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -34,6 +36,8 @@ from embulk_filter_timestamp_format_ray.stages.dedup import (
     token_stream,
     tokenize_column,
 )
+
+logger = logging.getLogger(__name__)
 
 
 def word_ngram_hashes(text: "pa.Array | pa.ChunkedArray", k: int):
@@ -270,8 +274,16 @@ def term_df(ds, text_col: str = "text", id_col: str = "doc_id"):
     return grouped_aggregate(rows, ["term"], {"df": ("term", "count")})
 
 
+# Vocabulary-row bound below which the DF table broadcasts to every worker
+# (one ray.put + per-batch index_in).  Above it the vocabulary never touches
+# the driver: DF stays a Dataset and attaches via a term-sharded shuffle join
+# (two-tier dispatch, same shape as dedup_near_duplicates' pair bound).
+TFIDF_BROADCAST_VOCAB_ROWS = 2_000_000
+
+
 def tfidf_top_terms(ds, *, top_k: int = 3, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id",
+                    broadcast_vocab_rows: int = TFIDF_BROADCAST_VOCAB_ROWS):
     """Top characteristic terms per document by rarity-weighted frequency.
 
     Score is the integer-exact tf/df form ``cnt * 1_000_000 //
@@ -280,11 +292,34 @@ def tfidf_top_terms(ds, *, top_k: int = 3, text_col: str = "text",
     DESIGN.md #17); a float log-idf column would rank near-ties
     differently across engines.  Ties break by term ascending.
 
-    Shape: one DF shuffle (vocabulary-sized output), DF broadcast back via
-    the object store, per-doc ranking inside map_batches."""
+    Shape: one DF shuffle (vocabulary-sized output) materialized in the
+    OBJECT STORE (spillable, never a driver collect).  The tier dispatch
+    then reads the materialized row count (metadata, free):
+
+    - vocab ≤ ``broadcast_vocab_rows``: DF broadcasts back via ``ray.put``
+      and each batch ranks its own docs locally (one pass, no second
+      exchange).
+    - vocab above the bound (hapax-heavy web corpora — billions of distinct
+      terms): DF is attached by a term-sharded ``shuffle_join`` and the
+      per-doc ranking runs through ``top_k_by_group`` (doc-sharded
+      exchange carrying ≤ top_k rows per doc per block).  The vocabulary
+      never materializes on any single node.
+
+    Both tiers produce identical rows (parity pytest forces the join tier
+    on the same input and compares sorted outputs)."""
     import ray
 
-    df_tbl = pa.Table.from_pandas(term_df(ds, text_col, id_col).to_pandas())
+    df_ds = term_df(ds, text_col, id_col).materialize()
+    vocab_rows = df_ds.count()
+    if vocab_rows > broadcast_vocab_rows:
+        logger.info(
+            "tfidf_top_terms: vocabulary %d rows > broadcast bound %d — "
+            "using the distributed DF-join tier", vocab_rows,
+            broadcast_vocab_rows)
+        return _tfidf_top_terms_joined(ds, df_ds, top_k=top_k,
+                                       text_col=text_col, id_col=id_col)
+
+    df_tbl = pa.Table.from_pandas(df_ds.to_pandas())
     df_map_ref = ray.put(df_tbl) if ray.is_initialized() else df_tbl
 
     class _Rank:
@@ -343,6 +378,49 @@ def tfidf_top_terms(ds, *, top_k: int = 3, text_col: str = "text",
 
     return ds.map_batches(_Rank, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=4)
+
+
+def _tfidf_top_terms_joined(ds, df_ds, *, top_k: int, text_col: str,
+                            id_col: str):
+    """Beyond-broadcast tfidf tier: the vocabulary stays distributed.
+
+    (doc, term, cnt, n_tokens) rows shuffle-join the materialized DF
+    Dataset on term (native hash join — the right side is provably NOT
+    broadcastable here, so auto-broadcast is disabled), the integer score
+    computes per batch, and ``top_k_by_group`` ranks per doc with the same
+    (-score, term ascending) order as the broadcast tier.  The input re-
+    scans once for the row stream (input-sized lineage re-scan, DESIGN
+    #31); only the materialized DF avoids re-execution."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        shuffle_join,
+        top_k_by_group,
+    )
+
+    rows = ds.map_batches(
+        lambda b: doc_term_count_batch(b, text_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = shuffle_join(rows, df_ds, on="term",
+                          auto_broadcast_bytes=None)
+
+    def _np64(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return np.asarray(col.cast(pa.int64()))
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        cnt = _np64(b.column("cnt"))
+        ntok = _np64(b.column("n_tokens"))
+        dfv = _np64(b.column("df"))
+        score = (cnt * 1_000_000) // (dfv * np.maximum(ntok, 1))
+        return b.append_column("score_ppm", pa.array(score))
+
+    scored = joined.map_batches(score_batch, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    ranked = top_k_by_group(scored, [id_col], "score_ppm", top_k,
+                            descending=True, tie_col="term")
+    return ranked.map_batches(
+        lambda b: b.select([id_col, "term", "cnt", "df", "score_ppm"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ----------------------------------------------------------- heavy hitters

@@ -172,6 +172,35 @@ def test_tfidf_tie_breaks_alphabetically(ray_session):
     assert out["term"].tolist() == ["apple"]
 
 
+def test_tfidf_joined_tier_matches_broadcast(ray_session):
+    """broadcast_vocab_rows=0 forces the distributed DF-join tier; rows
+    must be identical to the broadcast tier on the same corpus (incl.
+    score ties broken by term ascending and the top_k boundary)."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(40)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+            for _ in range(200)]
+    tbl = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                    "text": pa.array(docs)})
+
+    def norm(df):
+        return (df.sort_values(["doc_id", "term"])
+                .reset_index(drop=True)
+                [["doc_id", "term", "cnt", "df", "score_ppm"]]
+                .astype({"cnt": "int64", "df": "int64",
+                         "score_ppm": "int64"}))
+
+    base = norm(tfidf_top_terms(
+        ray.data.from_arrow(tbl), top_k=3).to_pandas())
+    joined = norm(tfidf_top_terms(
+        ray.data.from_arrow(tbl), top_k=3,
+        broadcast_vocab_rows=0).to_pandas())
+    assert len(base) == len(joined) > 0
+    assert base.equals(joined)
+
+
 def test_decontaminate_drop_keeps_payload_columns(ray_session):
     import ray.data
 
