@@ -447,6 +447,27 @@ def main() -> None:
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
         }))
+        if not args.headline_only:
+            # The driver archives only the LAST ~2000 chars of stdout; the
+            # full line above (100+ query timings) overflows that window and
+            # the round-4 snapshot lost the headline metric to it.  Repeat a
+            # compact headline-only summary LAST so the archived tail always
+            # parses (--headline-only keeps single-line output because the
+            # --scaling parent reads splitlines()[-1]).
+            print(json.dumps({
+                "metric": f"cdc-upsert-{N_EVENTS // 1_000_000}M-events-wall",
+                "value": round(headline["sec"], 3),
+                "unit": "sec",
+                "events_per_sec": round(headline["events_per_sec"], 1),
+                "events": headline["events"],
+                "events_applied": headline["events_applied"],
+                "queries": {"cdc_headline": round(headline["sec"], 3),
+                            "parse_1m": queries.get("parse_1m"),
+                            "n_queries_full_line_above": len(queries)},
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "compact": True,
+            }))
     finally:
         ray.shutdown()
 
