@@ -690,6 +690,121 @@ class VectorIndexView:
         return cand.groupby("query_id").map_groups(final_topk,
                                                    batch_format="pyarrow")
 
+    # ---------------------------------------------------------- retrain
+
+    def retrain(self, n_centroids: "int | None" = None,
+                sample_size: "int | None" = None,
+                seed: "int | None" = None) -> dict:
+        """Re-train the frozen centroids and rebuild every list under them
+        as ONE generation swap — the view's ``repartition_lake`` analog for
+        distribution drift (skewed lists degrade probe cost; ``stats()``
+        makes the skew observable).
+
+        Reads the LAKE at the view's cursor version (not the view's own
+        files): identical inputs to a fresh ``build()`` at that version, so
+        retrain ≡ delete-and-rebuild bit-for-bit (parity pytest), and a
+        quantized view re-quantizes from float truth instead of
+        round-tripping its stored int8 rows.  The cursor does not move; a
+        concurrent lake commit is invisible and the next ``refresh()``
+        picks it up against the NEW centroids.  Pending tombstones fold
+        away (the lake read is already live state).  OCC-guarded like
+        every other commit; the loser's generation files are gc() fodder.
+
+        Cost ∝ lake size at the cursor — a full rewrite by design, like
+        compaction of everything.  Requires the cursor version to still be
+        retained (refresh() to head first if retention already dropped
+        it)."""
+        import ray
+        import ray.data  # noqa: F401
+
+        m = self._manifest()
+        gen = m["generation"] + 1
+        v = m["cursor_version"]
+        k = int(n_centroids) if n_centroids else int(m["n_centroids"])
+        n_sample = int(sample_size) if sample_size else self.sample_size
+        rng_seed = self.seed if seed is None else int(seed)
+        payload = tuple(m.get("payload_cols", ()))
+        cols = [*KEY_COLUMNS, "lsn", m["col"], *payload]
+        ds = self.pipeline.read_lake_at(v, columns=cols)
+
+        sample_tbl = ds.limit(n_sample).to_pandas() \
+            .sort_values(list(KEY_COLUMNS)).reset_index(drop=True)
+        if not len(sample_tbl):
+            raise ValueError("cannot retrain a vector view over an empty "
+                             "lake snapshot")
+        sample = np.stack(sample_tbl[m["col"]].to_numpy()).astype(np.float64)
+        centroids = train_centroids(sample, k, rng_seed)
+
+        gdir = _gen_dir(self.index_dir, gen)
+        os.makedirs(os.path.join(gdir, "vectors"), exist_ok=True)
+        cref = ray.put(centroids) if ray.is_initialized() else centroids
+        assigned = ds.map_batches(_AssignStage(cref, m["col"]),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        assigned = assigned.map_batches(_stamp_gen(gen),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+        if m.get("quantized"):
+            col, dim = m["col"], int(centroids.shape[1])
+            assigned = assigned.map_batches(
+                lambda b: _to_quantized_batch(b, col, dim),
+                batch_format="pyarrow", zero_copy_batch=True)
+        assigned.write_parquet(os.path.join(gdir, "vectors"),
+                               partition_cols=["ivf_list"])
+        files = _list_parquet_files(gdir)
+        rows = sum(pq.read_metadata(p).num_rows
+                   for fs in files.values() for p in fs)
+        self._commit({**m, "generation": gen,
+                      "n_centroids": int(len(centroids)),
+                      "centroids": centroids.tolist(),
+                      "vector_files": {
+                          str(c): [os.path.relpath(p, self.index_dir)
+                                   for p in fs]
+                          for c, fs in files.items()},
+                      "tombstone_files": [],
+                      "rows_indexed": rows},
+                     expected_generation=m["generation"])
+        return {"retrained": True, "cursor_version": v,
+                "rows_indexed": rows, "lists": len(files),
+                "n_centroids": int(len(centroids))}
+
+    # ------------------------------------------------------------ stats
+
+    def stats(self) -> dict:
+        """Metadata-only health snapshot: per-list row counts from parquet
+        FOOTERS (≤ generations × lists files opened, zero data reads), the
+        skew ratio that tells an operator when ``retrain()`` is due, and
+        the pending-tombstone backlog that tells them when ``compact()``
+        is.  Counts are pre-tombstone (footer-level; subtracting would
+        need a data read — ``verify()`` is the exact tier)."""
+        m = self._manifest()
+        per_list = {
+            int(c): sum(pq.read_metadata(
+                os.path.join(self.index_dir, rel)).num_rows for rel in fs)
+            for c, fs in m["vector_files"].items()}
+        counts = np.array(list(per_list.values()), dtype=np.int64) \
+            if per_list else np.zeros(0, dtype=np.int64)
+        mean = float(counts.mean()) if len(counts) else 0.0
+        tombs = sum(pq.read_metadata(
+            os.path.join(self.index_dir, rel)).num_rows
+            for rel in m["tombstone_files"])
+        file_count = sum(len(fs) for fs in m["vector_files"].values())
+        return {
+            "generation": int(m["generation"]),
+            "cursor_version": int(m["cursor_version"]),
+            "n_centroids": int(m["n_centroids"]),
+            "quantized": bool(m.get("quantized", False)),
+            "lists_live": len(per_list),
+            "files": file_count,
+            "rows_stored": int(counts.sum()),
+            "tombstones_pending": int(tombs),
+            "rows_per_list": {"min": int(counts.min()) if len(counts) else 0,
+                              "max": int(counts.max()) if len(counts) else 0,
+                              "mean": round(mean, 1)},
+            "list_skew": round(float(counts.max()) / mean, 3)
+            if len(counts) and mean else 0.0,
+        }
+
     # ---------------------------------------------------------- compact
 
     def compact(self) -> dict:

@@ -152,6 +152,18 @@ def main() -> None:
                          "its pending tombstone-file backlog reaches N "
                          "files (the daemon's bounded-read-amplification "
                          "cadence)")
+    ap.add_argument("--vector-retrain", type=int, default=None, nargs="?",
+                    const=0, metavar="K",
+                    help="with --vector-view --events 0: re-train the "
+                         "frozen centroids (K lists; omit K to keep the "
+                         "committed count) and rebuild every list as one "
+                         "generation swap — the view's repartition analog "
+                         "for distribution drift; superseded generations "
+                         "are gc'd")
+    ap.add_argument("--vector-stats", action="store_true",
+                    help="with --vector-view --events 0: print the "
+                         "metadata-only view health snapshot (per-list "
+                         "row counts, skew ratio, pending tombstones)")
     ap.add_argument("--vector-verify", action="store_true",
                     help="with --vector-view: distributed audit that the "
                          "view's live rows equal the lake state at the "
@@ -502,6 +514,22 @@ def main() -> None:
         if args.vector_view is not None and args.events == 0 \
                 and args.tail_dir is None:
             res = _vector_view_sync(pipe, args.vector_view)
+            if args.vector_retrain is not None:
+                from embulk_filter_timestamp_format_ray.pipelines.vector_view import (  # noqa: E501
+                    VectorIndexView,
+                )
+
+                vvr = VectorIndexView(pipe, args.vector_view)
+                res["retrain"] = vvr.retrain(
+                    n_centroids=args.vector_retrain or None)
+                res["retrain"]["gc"] = vvr.gc()
+            if args.vector_stats:
+                from embulk_filter_timestamp_format_ray.pipelines.vector_view import (  # noqa: E501
+                    VectorIndexView,
+                )
+
+                res["stats"] = VectorIndexView(
+                    pipe, args.vector_view).stats()
             if args.vector_compact:
                 from embulk_filter_timestamp_format_ray.pipelines.vector_view import (  # noqa: E501
                     VectorIndexView,

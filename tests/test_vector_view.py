@@ -544,3 +544,83 @@ def test_refusals(lake, tmp_path):
     other = VectorIndexView(pipe, idx, col="text")
     with pytest.raises(ValueError, match="indexes column"):
         other.refresh()
+
+
+def test_retrain_equals_fresh_build(lake, tmp_path):
+    """retrain(n_centroids=k') after a drift-y refresh must equal a fresh
+    build at the same centroid count: identical committed centroids
+    (same lake snapshot, sample and seed) and identical full-probe search
+    results; pending tombstones fold away; verify stays green."""
+    pipe, ev, cut = lake
+    idx = str(tmp_path / "view")
+    view = VectorIndexView(pipe, idx, n_centroids=N_CENTROIDS)
+    view.build()
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    view.refresh()
+    assert view.stats()["tombstones_pending"] > 0
+
+    k2 = 8
+    res = view.retrain(n_centroids=k2)
+    assert res["retrained"] and res["n_centroids"] == k2
+    m = json.load(open(os.path.join(idx, "view_manifest.json")))
+    ref = VectorIndexView(pipe, str(tmp_path / "ref"), n_centroids=k2)
+    ref.build()
+    m_ref = json.load(open(os.path.join(str(tmp_path / "ref"),
+                                        "view_manifest.json")))
+    assert m["centroids"] == m_ref["centroids"]
+    assert m["tombstone_files"] == []
+    got = _sorted_rows(view.search(_queries(), k=10, nprobe=k2))
+    want = _sorted_rows(ref.search(_queries(), k=10, nprobe=k2))
+    assert got == want and len(got) == 3 * 10
+    assert view.verify()["ok"]
+
+    # the superseded pre-retrain generations are orphans now
+    assert view.gc()["files_removed"] > 0
+    assert _sorted_rows(view.search(_queries(), k=10, nprobe=k2)) == want
+
+    # refresh keeps working against the NEW centroids
+    extra = ev.filter(pc.greater_equal(ev.column("lsn"), cut)).slice(0, 0)
+    del extra  # (no-op refresh path)
+    assert view.refresh()["appended"] == 0
+    assert view.verify()["ok"]
+
+
+def test_retrain_quantized_no_drift(lake, tmp_path):
+    """A quantized view retrains from LAKE float truth (never its stored
+    int8 rows): results equal a fresh quantized build."""
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "vq"),
+                           n_centroids=N_CENTROIDS, quantized=True)
+    view.build()
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    view.refresh()
+    view.retrain()
+    ref = VectorIndexView(pipe, str(tmp_path / "vq_ref"),
+                          n_centroids=N_CENTROIDS, quantized=True)
+    ref.build()
+    got = _sorted_rows(view.search(_queries(), k=10, nprobe=N_CENTROIDS))
+    assert got == _sorted_rows(ref.search(_queries(), k=10,
+                                          nprobe=N_CENTROIDS))
+    assert view.verify()["ok"]
+
+
+def test_stats_reports_list_skew(lake, tmp_path):
+    pipe, ev, cut = lake
+    view = VectorIndexView(pipe, str(tmp_path / "view"),
+                           n_centroids=N_CENTROIDS)
+    view.build()
+    s = view.stats()
+    assert s["generation"] == 0 and s["lists_live"] >= 1
+    assert s["rows_stored"] == pipe.read_lake(
+        columns=["conv_id"]).count()
+    assert s["tombstones_pending"] == 0
+    assert s["list_skew"] >= 1.0
+    assert s["rows_per_list"]["max"] >= s["rows_per_list"]["min"] >= 0
+    pipe.apply_delta(ray.data.from_arrow(
+        ev.filter(pc.greater_equal(ev.column("lsn"), cut))))
+    view.refresh()
+    s2 = view.stats()
+    assert s2["generation"] == 1 and s2["tombstones_pending"] > 0
+    assert s2["files"] > s["files"]
