@@ -2278,6 +2278,46 @@ def q_multimodal_decode_png(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_multimodal_decode_wav(sf_dir: str):
+    """REAL stdlib audio decode end-to-end: deterministic 16-bit PCM WAV
+    payloads (stdlib ``wave`` writer, functions/audiocodec.py) attached
+    per doc, decoded by AudioDecodeStage inside the actor pool — rate /
+    channels / frames / duration and the integer PCM feature verified
+    against the closed-form SQL (every parameter is a pure function of
+    doc_id).  Completes the multimodal family's audio tier; video stays
+    a documented refusal."""
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        decode_audio,
+    )
+
+    def attach_wav(b: pa.Table) -> pa.Table:
+        from embulk_filter_timestamp_format_ray.functions.audiocodec import (
+            encode_wav,
+        )
+
+        payloads = []
+        for i in np.asarray(b.column("doc_id")):
+            i = int(i)
+            rate = 8000 + (i % 8) * 1000
+            channels = 1 + i % 2
+            n_frames = 100 + i % 50
+            val = (i * 37) % 2000
+            samples = np.full(n_frames * channels, val, dtype=np.int16)
+            payloads.append(encode_wav(samples, rate, channels))
+        return b.append_column("audio_bytes",
+                               pa.array(payloads, pa.binary()))
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    ds = ds.map_batches(attach_wav, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = decode_audio(ds, concurrency=(1, 4), batch_size=256, strict=True)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "sample_rate", "n_channels",
+                            "n_frames", "duration_ms", "mean_abs",
+                            "audio_format"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_top_words(sf_dir: str):
     """Corpus-wide top-20 words: flat-map explode → sharded count aggregate
     → global top-k combiner (≤ k rows survive per block; no global sort,
@@ -3196,6 +3236,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "ann_ivf_quantized": q_ann_ivf_quantized,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_decode_wav": q_multimodal_decode_wav,
         "multimodal_embed_ann": q_multimodal_embed_ann,
         "hll_distinct": q_hll_distinct,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -4266,6 +4307,17 @@ def oracle_sql() -> "dict[str, str]":
             "select doc_id, (1 + doc_id % 16)::int as img_width, "
             "(1 + doc_id % 9)::int as img_height, 'PNG' as img_format "
             "from documents",
+        "multimodal_decode_wav":
+            # every WAV parameter is a pure function of doc_id (the
+            # payloads are synthesized that way), so SQL replays the REAL
+            # stdlib-wave decode incl. the integer PCM mean-abs feature
+            "select doc_id, (8000 + (doc_id % 8) * 1000)::int as "
+            "sample_rate, (1 + doc_id % 2)::int as n_channels, "
+            "(100 + doc_id % 50)::bigint as n_frames, "
+            "((100 + doc_id % 50) * 1000 // (8000 + (doc_id % 8) * 1000))"
+            "::bigint as duration_ms, "
+            "((doc_id * 37) % 2000)::bigint as mean_abs, "
+            "'WAV' as audio_format from documents",
         "multimodal_embed_ann":
             "select query_id, doc_id, rank "
             f"from read_parquet('{_FIXTURES}/multimodal_ann_sf001.parquet')",

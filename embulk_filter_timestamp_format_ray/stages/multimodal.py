@@ -6,8 +6,10 @@ actor when available) → the stdlib image codec
 (``functions/imagecodec.py`` — REAL PNG decode/resize/encode and
 PNG/JPEG/GIF dimension sniffing, no external deps) → a clearly-marked
 deterministic fake for arbitrary non-image bytes; ``strict=True`` raises
-``NotImplementedError`` instead of faking.  Audio/video decode remains
-stubbed (no stdlib codec exists for those).
+``NotImplementedError`` instead of faking.  Audio decodes for REAL via
+the stdlib ``wave`` module (``functions/audiocodec.py`` — 16-bit PCM
+metadata + samples, ``AudioDecodeStage``); video decode remains stubbed
+(no stdlib codec exists).
 
 Scale notes baked into the design:
 * decode stages are callable CLASSES for ``map_batches(Cls,
@@ -304,6 +306,90 @@ class EmbedImageStage:
                                dtype=np.int32)),
             pa.array(v.ravel()))
         return batch.append_column("embedding", emb)
+
+
+class AudioDecodeStage:
+    """Actor-pool stage: binary audio → (sample_rate, n_channels,
+    n_frames, duration_ms, mean_abs, n_bytes, audio_format).
+
+    Tier chain, best available per payload:
+    1. stdlib ``wave`` (functions/audiocodec.py) — REAL decode for
+       RIFF/WAVE 16-bit PCM: container metadata plus one PCM feature
+       (``mean_abs``, the integer mean of |sample| over all channels —
+       floor division so engines replay it exactly; silence/empty = 0);
+    2. deterministic fake (payload-hash pseudo-metadata, marked ``FAKE``,
+       mean_abs = 0) for unrecognized bytes, so the pipeline shape stays
+       exercisable; ``strict=True`` raises ``NotImplementedError``
+       instead.
+
+    duration_ms is the integer floor ``n_frames * 1000 // sample_rate``
+    (never a float — oracle-replayable, DESIGN.md #17)."""
+
+    def __init__(self, binary_col: str = "audio_bytes",
+                 strict: bool = False):
+        self.binary_col = binary_col
+        self.strict = strict
+        # codec import once per actor (stdlib, but the tier shape is the
+        # contract: a real model/codec handle would bind here)
+        from embulk_filter_timestamp_format_ray.functions import audiocodec
+
+        self._codec = audiocodec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.binary_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = _payload_lengths(col)
+        rates, chans, frames, means, fmts = [], [], [], [], []
+        fake_h = splitmix64(lens.astype(np.uint64), 23)
+        for i, payload in enumerate(col.to_pylist()):
+            try:
+                rate, ch, nf, pcm = self._codec.decode_wav(payload or b"")
+                mean_abs = int(np.abs(pcm.astype(np.int64)).sum()
+                               // max(pcm.size, 1))
+                fmt = "WAV"
+            except Exception:
+                if self.strict:
+                    raise NotImplementedError(
+                        "strict audio decode handles RIFF/WAVE 16-bit PCM "
+                        "(stdlib wave); other containers need an external "
+                        "codec — run with strict=False for the stubbed "
+                        "decoder")
+                rate = int(8000 + fake_h[i] % np.uint64(8) * np.uint64(1000))
+                ch = int(1 + (fake_h[i] >> np.uint64(3)) % np.uint64(2))
+                nf = int((fake_h[i] >> np.uint64(4)) % np.uint64(4096))
+                mean_abs, fmt = 0, "FAKE"
+            rates.append(rate)
+            chans.append(ch)
+            frames.append(nf)
+            means.append(mean_abs)
+            fmts.append(fmt)
+        rates_np = np.asarray(rates, dtype=np.int64)
+        frames_np = np.asarray(frames, dtype=np.int64)
+        dur = frames_np * 1000 // np.maximum(rates_np, 1)
+        return batch.append_column("sample_rate",
+                                   pa.array(rates_np.astype(np.int32))) \
+                    .append_column("n_channels",
+                                   pa.array(chans, pa.int32())) \
+                    .append_column("n_frames", pa.array(frames_np)) \
+                    .append_column("duration_ms", pa.array(dur)) \
+                    .append_column("mean_abs", pa.array(means, pa.int64())) \
+                    .append_column("n_bytes",
+                                   pa.array(lens.astype(np.int64))) \
+                    .append_column("audio_format", pa.array(fmts, pa.string()))
+
+
+def decode_audio(ds, *, concurrency=(1, 8), batch_size: int = 64,
+                 binary_col: str = "audio_bytes", strict: bool = False):
+    """Attach the audio decode actor pool (same heap-bounded batch-size
+    discipline as ``decode_images``)."""
+    return ds.map_batches(
+        AudioDecodeStage,
+        fn_constructor_kwargs={"binary_col": binary_col, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 class FrameSampleStage:
