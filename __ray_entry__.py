@@ -780,6 +780,18 @@ def q_cdc_rag_retrieve(sf_dir: str):
 
 
 def _build_vector_lake(quantized: bool = False, payload_cols=()):
+    """Deterministic vector-query fixture (base apply → view build → delta
+    apply → view refresh), CACHED per (quantized, payload_cols, fixture
+    content) under a content-keyed tmp dir: the four vector queries share
+    one lake per shape instead of rebuilding ~3-6 s of fixture each (the
+    search itself is the query; the fixture is untimed input prep, same
+    policy as bench.py _events_parquet).  Build lands in a writer-unique
+    tmp dir and atomically renames in — a loser of the rename race just
+    adopts the winner's identical (seeded, deterministic) fixture.  All
+    lake/view manifest paths are relative, so the rename is layout-safe;
+    queries only read/search the shared lake, never mutate it."""
+    import hashlib
+
     import pyarrow.parquet as pq
     import ray.data
 
@@ -788,22 +800,39 @@ def _build_vector_lake(quantized: bool = False, payload_cols=()):
         VectorIndexView,
     )
 
-    run = uuid.uuid4().hex[:8]
-    events = pq.read_table(os.path.join(_FIXTURES,
-                                        "cdc_vec_events_20000.parquet"))
-    cut = pa.scalar(10_000, pa.int64())
-    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_vec_{run}")
-    # 16 partitions: the 20k-row fixture is task-overhead-bound at 32
-    pipe = CDCPipeline(lake, num_partitions=16)
-    pipe.apply(ray.data.from_arrow(
-        events.filter(pc.less(events.column("lsn"), cut))))
+    fixture = os.path.join(_FIXTURES, "cdc_vec_events_20000.parquet")
+    key = hashlib.md5(
+        (open(fixture, "rb").read()
+         + f"|v1|q={int(quantized)}|p={','.join(payload_cols)}"
+         .encode())).hexdigest()[:12]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_vecfix_{key}")
+    done = os.path.join(lake, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        events = pq.read_table(fixture)
+        cut = pa.scalar(10_000, pa.int64())
+        tmp = lake + "." + uuid.uuid4().hex[:8]
+        # 16 partitions: the 20k-row fixture is task-overhead-bound at 32
+        pipe = CDCPipeline(tmp, num_partitions=16)
+        pipe.apply(ray.data.from_arrow(
+            events.filter(pc.less(events.column("lsn"), cut))))
+        view = VectorIndexView(pipe, os.path.join(tmp, "_vector_view"),
+                               n_centroids=8, quantized=quantized,
+                               payload_cols=tuple(payload_cols))
+        view.build()
+        pipe.apply_delta(ray.data.from_arrow(
+            events.filter(pc.greater_equal(events.column("lsn"), cut))))
+        view.refresh()
+        open(os.path.join(tmp, "_FIXTURE_DONE"), "w").close()
+        try:
+            os.rename(tmp, lake)
+        except OSError:  # concurrent builder won the rename; adopt theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    pipe = CDCPipeline.from_lake(lake)
     view = VectorIndexView(pipe, os.path.join(lake, "_vector_view"),
                            n_centroids=8, quantized=quantized,
                            payload_cols=tuple(payload_cols))
-    view.build()
-    pipe.apply_delta(ray.data.from_arrow(
-        events.filter(pc.greater_equal(events.column("lsn"), cut))))
-    view.refresh()
     return view, pipe
 
 
