@@ -2507,6 +2507,56 @@ class CDCPipeline:
                 "num_partitions": new_num_partitions,
                 "rows": sum(int(r["rows"]) for r in rows)}
 
+    def recommended_partitions(self, target_rows_per_partition: int,
+                               min_partitions: int = 1,
+                               max_partitions: int = 65536) -> "dict":
+        """Manifest-only partition-count recommendation (O(partitions)
+        driver work): live rows = base + pending-delta rows, recommended
+        P = ceil(rows / target) clamped to [min, max].  Pure calculation;
+        ``maybe_repartition`` is the opt-in actuator."""
+        if target_rows_per_partition <= 0:
+            raise ValueError("target_rows_per_partition must be positive")
+        stats = self.table_stats()
+        rows = int(stats["rows"]) + int(stats["delta_rows"])
+        rec = max(min_partitions,
+                  min(max_partitions,
+                      -(-rows // target_rows_per_partition) or 1))
+        current = int(stats["partitions"]) or self.num_partitions
+        mean = rows / current if current else 0.0
+        return {"rows": rows, "current_partitions": current,
+                "rows_per_partition": round(mean, 1),
+                "target_rows_per_partition": int(target_rows_per_partition),
+                "recommended_partitions": int(rec),
+                "row_skew": stats["row_skew"]}
+
+    def maybe_repartition(self, target_rows_per_partition: int,
+                          drift_factor: float = 2.0,
+                          min_partitions: int = 1,
+                          max_partitions: int = 65536) -> "dict":
+        """Opt-in auto-repartition policy: when the mean rows/partition
+        drifts beyond ``drift_factor`` of the target in EITHER direction
+        (growth past a single merge task's comfort, or over-sharding after
+        retention/erasure sweeps), run ONE ``repartition_lake`` to the
+        recommended count.  Within the band it is a manifest-only no-op —
+        safe to call from a maintenance loop after every N commits.
+
+        The hysteresis band (not `!= current`) is the point: without it a
+        lake sitting near a boundary would thrash rewrite-the-world on
+        every call.  drift_factor must be > 1."""
+        if drift_factor <= 1.0:
+            raise ValueError("drift_factor must exceed 1.0 (the hysteresis "
+                             "band)")
+        rec = self.recommended_partitions(target_rows_per_partition,
+                                          min_partitions, max_partitions)
+        mean = rec["rows_per_partition"]
+        lo = target_rows_per_partition / drift_factor
+        hi = target_rows_per_partition * drift_factor
+        if (lo <= mean <= hi) or \
+                rec["recommended_partitions"] == rec["current_partitions"]:
+            return {**rec, "repartitioned": False}
+        res = self.repartition_lake(rec["recommended_partitions"])
+        return {**rec, "repartitioned": True, "result": res}
+
     def compact_deltas(self, max_commit_retries: int = 2) -> "dict":
         """Fold every partition's pending delta files back into its base
         parquet (the compaction half of the merge-on-read contract): one

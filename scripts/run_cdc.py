@@ -106,6 +106,14 @@ def main() -> None:
                          "count (distributed read -> reshuffle -> commit; "
                          "the escape hatch when partitions outgrow a merge "
                          "task), then apply nothing")
+    ap.add_argument("--auto-repartition", type=int, default=None,
+                    metavar="TARGET_ROWS",
+                    help="policy form of --repartition-to: re-shard to "
+                         "ceil(rows/TARGET_ROWS) partitions only when the "
+                         "mean rows/partition drifts beyond 2x the target "
+                         "either way (hysteresis band; in-band = "
+                         "manifest-only no-op — safe in a maintenance "
+                         "loop), then apply nothing")
     ap.add_argument("--cluster-by", default=None, metavar="COLS",
                     help="set the lake's durable base-file clustering "
                          "(comma-separated columns, e.g. 'ts'): one "
@@ -498,6 +506,11 @@ def main() -> None:
             res = pipe.repartition_lake(args.repartition_to)
             print(json.dumps({"lake": args.lake, "repartition": res,
                               "rows": pipe.read_lake().count()}))
+            return
+        if args.auto_repartition is not None:
+            res = pipe.maybe_repartition(args.auto_repartition)
+            print(json.dumps({"lake": args.lake,
+                              "auto_repartition": res}))
             return
         if args.cluster_by is not None:
             cols = () if args.cluster_by.lower() in ("none", "") else \

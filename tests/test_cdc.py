@@ -1235,3 +1235,58 @@ def test_apply_retries_when_concurrent_gc_collects_inputs(
     assert fed["stale"]  # attempt 1 really ran against the stale manifest
     assert stats["events_applied"] > 0
     _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(N_EVENTS))
+
+
+def test_maybe_repartition_policy(ray_session, tmp_path_factory, oracle):
+    """Auto-repartition hook: within the hysteresis band it is a
+    manifest-only no-op; growth past drift_factor x target triggers ONE
+    re-shard to the recommended count, after which state matches the
+    oracle and fsck is green."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.state import manifest as mf_mod
+
+    lake = str(tmp_path_factory.mktemp("lake_autorepart"))
+    pipe = CDCPipeline(lake, num_partitions=2, partition_mode="conv")
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 1000)))
+
+    rows_now = pipe.table_stats()["rows"]
+    mean = rows_now / 2
+    # in-band: no-op (target chosen so mean is within 2x either way)
+    res = pipe.maybe_repartition(int(mean), drift_factor=2.0)
+    assert res["repartitioned"] is False
+    assert res["recommended_partitions"] >= 1
+    assert mf_mod.read_manifest(lake)["partition_config"][
+        "num_partitions"] == 2
+
+    # growth past the band: one re-shard to ceil(rows/target)
+    pipe.apply(ray.data.from_arrow(full.slice(1000, 2000)))
+    rows_now = pipe.table_stats()["rows"]
+    target = max(rows_now // 8, 1)  # mean/target = 4 > drift 2
+    res = pipe.maybe_repartition(target, drift_factor=2.0)
+    assert res["repartitioned"] is True
+    want_p = -(-rows_now // target)
+    assert res["result"]["num_partitions"] == want_p
+    assert mf_mod.read_manifest(lake)["partition_config"][
+        "num_partitions"] == want_p
+    # idempotent: immediately after, the lake is in band
+    assert pipe.maybe_repartition(target,
+                                  drift_factor=2.0)["repartitioned"] is False
+
+    # state unchanged by the policy rewrite; later applies merge correctly
+    pipe.apply(ray.data.from_arrow(full.slice(3000)))
+    _assert_matches_oracle(_lake_as_dict(pipe), oracle)
+    assert pipe.fsck()["violations"] == []
+
+
+def test_maybe_repartition_refusals(ray_session, tmp_path_factory):
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_autorepart_ref"))
+    pipe = CDCPipeline(lake, num_partitions=2)
+    pipe.apply(ray.data.from_arrow(expected_event_table(200)))
+    with pytest.raises(ValueError, match="positive"):
+        pipe.recommended_partitions(0)
+    with pytest.raises(ValueError, match="drift_factor"):
+        pipe.maybe_repartition(100, drift_factor=1.0)
