@@ -30,15 +30,18 @@ import pyarrow.parquet as pq
 import ray
 
 from embulk_filter_timestamp_format_ray.pipelines.cdc import (
+    DLQ_PID,
     MergeApplier,
     _count_fresh_deletes,
     cluster_spec_of,
     text_index_of,
     extras_schema_b64,
     fold_partition_state,
+    make_partition_router,
     merge_partition_table,
     merge_schema_entries,
     write_base_file,
+    write_dlq_table,
 )
 
 
@@ -81,6 +84,11 @@ class PartitionBufferActor:
             rows = []
             for pid, parts in sorted(self.buffers.items()):
                 delta = pa.concat_tables(parts, promote_options="permissive")
+                if pid == DLQ_PID:
+                    # reserved dead-letter lane: quarantine, never merge
+                    rows.append(write_dlq_table(self.lake_dir, self.txn_id,
+                                                delta))
+                    continue
                 meta = self.partition_meta.get(pid, {})
                 r = write_delta_file(self.lake_dir, self.txn_id, pid,
                                      meta.get("last_applied_lsn", -1), delta)
@@ -91,6 +99,10 @@ class PartitionBufferActor:
         rows = []
         for pid, parts in sorted(self.buffers.items()):
             delta = pa.concat_tables(parts, promote_options="permissive")
+            if pid == DLQ_PID:
+                rows.append(write_dlq_table(self.lake_dir, self.txn_id,
+                                            delta))
+                continue
             meta = self.partition_meta.get(pid, {})
             watermark = meta.get("last_applied_lsn", -1)
             prior = None
@@ -217,21 +229,23 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
             f"(P={exchange.num_partitions}); this pipeline is "
             f"{pipeline.lake_dir!r} (P={pipeline.num_partitions})")
 
-    # same expectation tiers as the dataset exchange (dlq is refused on
-    # this path, so violations abort or drop — never quarantine)
+    # same expectation tiers as the dataset exchange, dlq included: tagged
+    # rows route to the reserved dead-letter pid and the owning actor
+    # quarantines them instead of merging
     constraints = pipeline.effective_constraints(manifest)
     ds = events_ds.map_batches(
         NormalizeStage(pipeline.epoch_specs, low_watermark=low,
                        stop_on_invalid=pipeline.stop_on_invalid,
-                       constraints=constraints),
+                       dlq=pipeline.dlq, constraints=constraints),
         batch_format="pyarrow", zero_copy_batch=True)
     # Must route identically to CDCPipeline.apply: same mode + salting, or a
     # second apply on a conv-mode lake sends keys to fresh pids and prior
     # state is never superseded.
-    ds = ds.map_batches(PartitionStage(pipeline.num_partitions,
-                                       by_turn=(pipeline.partition_mode == "turn"),
-                                       salt_keys=pipeline.salt_keys,
-                                       salt_factor=pipeline.salt_factor),
+    partition = PartitionStage(pipeline.num_partitions,
+                               by_turn=(pipeline.partition_mode == "turn"),
+                               salt_keys=pipeline.salt_keys,
+                               salt_factor=pipeline.salt_factor)
+    ds = ds.map_batches(make_partition_router(partition, pipeline.dlq),
                         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(PreMergeCombiner(), batch_format="pyarrow",
                         zero_copy_batch=True)
@@ -243,8 +257,16 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
     pipeline._check_delete_guard(rows)
 
     partitions = dict(manifest["partitions"])
-    total_applied = 0
+    # quarantine bookkeeping mirrors CDCPipeline._apply_dataset: normal
+    # applies APPEND to the committed dlq entry list
+    dlq_entries = list(manifest.get("dlq", []))
+    total_applied = quarantined = 0
     for r in rows:
+        if int(r["pid"]) == DLQ_PID:
+            quarantined = int(r["rows"])
+            dlq_entries.append({"txn": txn_id, "path": r["path"],
+                                "rows": quarantined})
+            continue
         pid = str(r["pid"])
         prev = partitions.get(pid, {})
         lineage = list(prev.get("lineage", []))
@@ -276,14 +298,12 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
         "num_partitions": pipeline.num_partitions,
         "partition_config": pipeline.partition_config(),
         "last_txn": txn_id,
-        **merge_schema_entries(manifest, [r.get("schema_ipc") or ""
-                                          for r in rows]),
+        **merge_schema_entries(manifest, [
+            r.get("schema_ipc") or "" for r in rows
+            if int(r["pid"]) != DLQ_PID]),
     }
-    if manifest.get("dlq"):
-        # the quarantine belongs to the lake, not the exchange: dropping it
-        # here would orphan the dlq parquet files for GC once the retained
-        # history rotates (every other manifest writer preserves it)
-        new_manifest["dlq"] = manifest["dlq"]
+    if dlq_entries:
+        new_manifest["dlq"] = dlq_entries
     if constraints:
         # expectations are durable lake properties (see CDCPipeline.
         # _apply_dataset): record the enforced set on every commit
@@ -301,4 +321,6 @@ def apply_with_actor_exchange(pipeline, events_ds, delta: bool = False,
     if pipeline.auto_gc:
         mf.gc_orphan_txns(pipeline.lake_dir, keep_txns={txn_id})
     return {"txn": txn_id, "version": new_manifest["version"],
-            "partitions_touched": len(rows), "events_applied": total_applied}
+            "partitions_touched": len(rows) - (1 if quarantined else 0),
+            "events_applied": total_applied,
+            "events_quarantined": quarantined}

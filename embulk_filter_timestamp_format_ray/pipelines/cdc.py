@@ -1513,11 +1513,39 @@ class MergeApplier:
         return pa.Table.from_pylist(rows, schema=schema)
 
 
+def make_partition_router(partition, dlq: bool):
+    """Routing stage shared by the dataset and actor exchanges: hash
+    partitioning for clean rows; in dlq mode, rows the normalizer tagged
+    (non-NULL ``dlq_reason`` — possibly NULL conv_id/turn_idx, so they must
+    not hit the key hash) go to the reserved dead-letter pid instead."""
+    if not dlq:
+        return partition
+
+    def partition_or_dlq(batch: pa.Table) -> pa.Table:
+        bad = pc.is_valid(batch.column("dlq_reason"))
+        if not pc.any(bad).as_py():
+            return partition(batch)
+        good_p = partition(batch.filter(pc.invert(bad)))
+        bad_t = batch.filter(bad)
+        bad_p = bad_t.append_column("_pid", pa.array(
+            np.full(bad_t.num_rows, DLQ_PID, dtype=np.int32)))
+        return pa.concat_tables([good_p, bad_p])
+
+    return partition_or_dlq
+
+
 def _write_dlq_group(lake_dir: str, txn_id: str, group: pa.Table) -> "dict":
     """Quarantine partition: append-only forensic parquet, committed through
     the SAME two-phase txn as the data partitions (a crash before the
     manifest swap orphans it together with them)."""
-    dlq_tbl = decode_shuffle_encoding(group.drop_columns(["_pid"]))
+    return write_dlq_table(lake_dir, txn_id, group.drop_columns(["_pid"]))
+
+
+def write_dlq_table(lake_dir: str, txn_id: str, tbl: pa.Table) -> "dict":
+    """Write one txn's quarantine parquet from an already-unrouted table
+    (no ``_pid``) — the shared core for the dataset exchange's merge group
+    and the actor exchange's dead-letter buffer."""
+    dlq_tbl = decode_shuffle_encoding(tbl)
     dlq_tbl = dlq_tbl.take(pc.sort_indices(
         dlq_tbl, sort_keys=[("lsn", "ascending")]))
     rel = os.path.join(f"txn-{txn_id}", "dlq.parquet")
@@ -2167,11 +2195,6 @@ class CDCPipeline:
         for attempt in range(max_commit_retries + 1):
             try:
                 if exchange != "dataset":
-                    if self.dlq:
-                        raise ValueError(
-                            "dlq requires the dataset exchange (the actor "
-                            "exchange routes by pid array and has no "
-                            "reserved dead-letter lane)")
                     from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
                         apply_with_actor_exchange,
                     )
@@ -2221,11 +2244,6 @@ class CDCPipeline:
         for attempt in range(max_commit_retries + 1):
             try:
                 if exchange != "dataset":
-                    if self.dlq:
-                        raise ValueError(
-                            "dlq requires the dataset exchange (the actor "
-                            "exchange routes by pid array and has no "
-                            "reserved dead-letter lane)")
                     from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
                         apply_with_actor_exchange,
                     )
@@ -2293,24 +2311,8 @@ class CDCPipeline:
                                        dlq=self.dlq,
                                        constraints=constraints)
             ds = events_ds.map_batches(normalize, **norm_kwargs)
-        if self.dlq:
-            # quarantined rows (possibly NULL conv_id/turn_idx) must not hit
-            # the key hash — route them to the reserved dead-letter pid and
-            # hash-partition only the clean remainder
-            def partition_or_dlq(batch: pa.Table) -> pa.Table:
-                bad = pc.is_valid(batch.column("dlq_reason"))
-                if not pc.any(bad).as_py():
-                    return partition(batch)
-                good_p = partition(batch.filter(pc.invert(bad)))
-                bad_t = batch.filter(bad)
-                bad_p = bad_t.append_column("_pid", pa.array(
-                    np.full(bad_t.num_rows, DLQ_PID, dtype=np.int32)))
-                return pa.concat_tables([good_p, bad_p])
-
-            ds = ds.map_batches(partition_or_dlq, batch_format="pyarrow",
-                                zero_copy_batch=True)
-        else:
-            ds = ds.map_batches(partition, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(make_partition_router(partition, self.dlq),
+                            batch_format="pyarrow", zero_copy_batch=True)
         # map-side combine: shrink the all-to-all exchange to one row per
         # merge key per block before the shuffle
         ds = ds.map_batches(PreMergeCombiner(self.wire_encode),

@@ -798,6 +798,55 @@ def test_dlq_replay_requarantines_but_lake_idempotent(ray_session,
     _assert_matches_oracle(_lake_as_dict(pipe), sequential_oracle(n_clean))
 
 
+def test_dlq_actor_exchange_bit_equal(ray_session, tmp_path_factory):
+    """The actor exchange's reserved dead-letter lane quarantines the same
+    rows and leaves the same lake state as the dataset exchange — base
+    (apply) and merge-on-read (apply_delta) commits both, through one
+    persistent pool."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.actor_exchange import (
+        ActorExchange,
+    )
+
+    events, n_clean = _events_with_bad_rows()
+    lsn = events.column("lsn")
+    cut = pa.scalar(n_clean // 2, pa.int64())
+    first = events.filter(pc.less(lsn, cut))            # clean prefix
+    second = events.filter(pc.greater_equal(lsn, cut))  # rest + 4 poison
+
+    def build(kind):
+        lake = str(tmp_path_factory.mktemp(f"dlq_x_{kind}") / "lake")
+        pipe = CDCPipeline(lake, num_partitions=4, dlq=True)
+        if kind == "dataset":
+            s1 = pipe.apply(ray.data.from_arrow(first))
+            s2 = pipe.apply_delta(ray.data.from_arrow(second))
+            return pipe, s1, s2
+        pool = ActorExchange(lake, 4)
+        try:
+            s1 = pipe.apply(ray.data.from_arrow(first), exchange=pool)
+            s2 = pipe.apply_delta(ray.data.from_arrow(second), exchange=pool)
+        finally:
+            pool.shutdown()
+        return pipe, s1, s2
+
+    ds_pipe, d1, d2 = build("dataset")
+    ac_pipe, a1, a2 = build("actor")
+    assert (d1["events_quarantined"], d2["events_quarantined"]) == (0, 4)
+    assert (a1["events_quarantined"], a2["events_quarantined"]) == (0, 4)
+
+    def dlq_rows(p):
+        t = p.read_dlq()
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("lsn", "ascending")])).to_pylist()
+
+    assert dlq_rows(ac_pipe) == dlq_rows(ds_pipe)
+    _assert_matches_oracle(_lake_as_dict(ds_pipe), sequential_oracle(n_clean))
+    assert _lake_as_dict(ac_pipe) == _lake_as_dict(ds_pipe)
+    assert ac_pipe.fsck()["violations"] == []
+
+
 def test_dlq_files_survive_gc_and_repartition(ray_session, tmp_path_factory):
     import ray.data
 
