@@ -1650,8 +1650,11 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
       committed and the others to pick up the replay on the next apply
       (watermarks dedup), exactly like independent consumers of one log.
     * The shared normalize pass requires identical epoch_specs /
-      stop_on_invalid across tables; dlq pipelines are refused (quarantine
-      per lake with separate applies).
+      stop_on_invalid / dlq across tables (a mixed dlq fan-out would give
+      the exchange a per-batch-varying schema).  With dlq on, each lake
+      quarantines ITS OWN tagged rows: a table's dead-letter lane rides
+      the same composite exchange under a reserved negative pid and lands
+      in that lake's ``dlq.parquet`` inside its exactly-once commit.
     * ``delta=True`` commits merge-on-read delta files per lake instead of
       base merges (apply_delta's cost model — the steady-state shape for a
       multi-tenant micro-batch tail); compact each lake on its own cadence.
@@ -1663,17 +1666,15 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
     if len(set(dirs)) != len(dirs):
         raise ValueError(
             "apply_multi pipelines must target distinct lake dirs")
-    if any(p.dlq for p in pipelines.values()):
-        raise ValueError(
-            "apply_multi does not support dlq pipelines; quarantine per "
-            "lake with separate applies")
     first = pipelines[names[0]]
     for t in names[1:]:
         if (pipelines[t].epoch_specs != first.epoch_specs
-                or pipelines[t].stop_on_invalid != first.stop_on_invalid):
+                or pipelines[t].stop_on_invalid != first.stop_on_invalid
+                or pipelines[t].dlq != first.dlq):
             raise ValueError(
-                "apply_multi runs ONE shared normalize pass; epoch_specs "
-                "and stop_on_invalid must be identical across tables")
+                "apply_multi runs ONE shared normalize pass; epoch_specs, "
+                "stop_on_invalid and dlq must be identical across tables")
+    dlq = first.dlq
 
     manifests = {t: mf.read_manifest(pipelines[t].lake_dir) for t in names}
     for t in names:
@@ -1692,9 +1693,10 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
     # route() already splits the batch per table before normalizing
     normalizers = {t: NormalizeStage(
         first.epoch_specs, low_watermark=low,
-        stop_on_invalid=first.stop_on_invalid,
+        stop_on_invalid=first.stop_on_invalid, dlq=dlq,
         constraints=pipelines[t].effective_constraints(manifests[t]))
         for t in names}
+    routers = {t: make_partition_router(stages[t], dlq) for t in names}
     normalize = normalizers[names[0]]  # _empty_out shape (shared schema)
     combiner = PreMergeCombiner()
     idx_of = {t: i for i, t in enumerate(names)}
@@ -1719,10 +1721,15 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
             sub = normalizers[t](sub.drop_columns([table_col]))
             if sub.num_rows == 0:
                 continue
-            sub = combiner(stages[t](sub))
+            sub = combiner(routers[t](sub))
             pid = np.asarray(sub.column("_pid").cast(pa.int32()))
-            comp = pa.array(
-                (pid.astype(np.int64) + idx_of[t] * stride).astype(np.int32))
+            # composite pid: table_idx*stride + pid for clean rows; each
+            # table's dead-letter lane gets the reserved NEGATIVE composite
+            # -(idx+1) (DLQ_PID + a positive lift would collide with the
+            # previous table's last partition)
+            comp = pa.array(np.where(
+                pid < 0, -(idx_of[t] + 1),
+                pid.astype(np.int64) + idx_of[t] * stride).astype(np.int32))
             i = sub.schema.get_field_index("_pid")
             parts.append(sub.set_column(i, "_pid", comp))
         if not parts:
@@ -1748,10 +1755,12 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
             return MergeApplier._result(None).append_column(
                 "table", pa.array([], pa.string()))
         comp = int(group.column("_pid")[0].as_py())
-        t = names[comp // stride]
+        # negative composite = a table's dead-letter lane (see route())
+        t = names[-comp - 1] if comp < 0 else names[comp // stride]
+        lowered = DLQ_PID if comp < 0 else comp % stride
         i = group.schema.get_field_index("_pid")
         group = group.set_column(i, "_pid", pa.array(
-            np.full(group.num_rows, comp % stride, dtype=np.int32)))
+            np.full(group.num_rows, lowered, dtype=np.int32)))
         res = appliers[t](group)
         return res.append_column("table",
                                  pa.array([t] * res.num_rows, pa.string()))
@@ -1773,11 +1782,18 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
         if not mine:
             # pure replay for this table: nothing merged, no version churn
             out[t] = {"txn": None, "version": manifest.get("version", 0),
-                      "partitions_touched": 0, "events_applied": 0}
+                      "partitions_touched": 0, "events_applied": 0,
+                      "events_quarantined": 0}
             continue
         partitions = dict(manifest["partitions"])
-        total = 0
+        dlq_entries = list(manifest.get("dlq", []))
+        total = quarantined = 0
         for r in mine:
+            if int(r["pid"]) == DLQ_PID:
+                quarantined = int(r["rows"])
+                dlq_entries.append({"txn": txn_id, "path": r["path"],
+                                    "rows": quarantined})
+                continue
             pid = str(r["pid"])
             prev = partitions.get(pid, {})
             lineage = list(prev.get("lineage", []))
@@ -1811,10 +1827,11 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
             "partition_config": pipelines[t].partition_config(),
             "last_txn": txn_id,
             **merge_schema_entries(manifest, [
-                r.get("schema_ipc") or "" for r in mine]),
+                r.get("schema_ipc") or "" for r in mine
+                if int(r["pid"]) != DLQ_PID]),
         }
-        if manifest.get("dlq"):
-            new_manifest["dlq"] = manifest["dlq"]
+        if dlq_entries:
+            new_manifest["dlq"] = dlq_entries
         # each lake records ITS enforced expectations (durable properties)
         if normalizers[t].constraints:
             new_manifest["constraints"] = [
@@ -1827,7 +1844,9 @@ def apply_multi(events_ds, pipelines: "dict[str, CDCPipeline]",
         if pipelines[t].auto_gc:
             mf.gc_orphan_txns(pipelines[t].lake_dir, keep_txns={txn_id})
         out[t] = {"txn": txn_id, "version": new_manifest["version"],
-                  "partitions_touched": len(mine), "events_applied": total}
+                  "partitions_touched": len(mine) - (1 if quarantined else 0),
+                  "events_applied": total,
+                  "events_quarantined": quarantined}
     return out
 
 

@@ -456,9 +456,10 @@ def main() -> None:
                 manifest as _mf,
             )
 
-            other = CDCPipeline.from_lake(args.fanout_to) \
+            # dlq must match across the fan-out (one shared normalize pass)
+            other = CDCPipeline.from_lake(args.fanout_to, dlq=args.dlq) \
                 if _mf.read_manifest(args.fanout_to).get("version", 0) \
-                else CDCPipeline(args.fanout_to,
+                else CDCPipeline(args.fanout_to, dlq=args.dlq,
                                  num_partitions=pipe.num_partitions)
 
             def tagged(b):
@@ -481,6 +482,7 @@ def main() -> None:
                 "events": args.events,
                 "sec": round(time.perf_counter() - t0, 3),
                 "lakes": {t: {"applied": s["events_applied"],
+                              "quarantined": s.get("events_quarantined", 0),
                               "version": s["version"]}
                           for t, s in stats.items()},
             }))

@@ -9,7 +9,10 @@ Contract under test:
   including when tables SHARE merge keys (the map-side combine must never
   fold across tables)
 * replays dedup per lake; lakes may differ in partition count; unknown
-  table values and dlq-mode pipelines are refused
+  table values and MIXED dlq configs are refused
+* with dlq on everywhere, each lake quarantines its own tagged rows
+  through the same composite exchange (reserved negative pids) and
+  matches the single-lake dlq reference bit-for-bit
 """
 
 import numpy as np
@@ -153,12 +156,72 @@ def test_multi_refuses_bad_config(ray_session, tmp_path):
             "a": CDCPipeline(same, num_partitions=2),
             "b": CDCPipeline(same, num_partitions=2),
         })
+    # MIXED dlq configs refused (all-on is supported; see
+    # test_multi_dlq_matches_per_table_reference)
     with pytest.raises(ValueError, match="dlq"):
         apply_multi(ray.data.from_arrow(events), {
             "a": CDCPipeline(str(tmp_path / "la"), num_partitions=2,
                              dlq=True),
             "b": CDCPipeline(str(tmp_path / "lb"), num_partitions=2),
         })
+
+
+def _with_poison(tagged: pa.Table, n_clean: int) -> pa.Table:
+    """Two poison rows per table (lsns beyond the clean range)."""
+    bad = pa.Table.from_pylist([
+        {"lsn": n_clean + 0, "op": "bogus", "conv_id": "conv-bad",
+         "turn_idx": 0, "role": "user", "text": "bad op", "tool": None,
+         "ts_raw": "1704067200000", "schema_epoch": 0, "table": "a"},
+        {"lsn": n_clean + 1, "op": "upsert", "conv_id": None,
+         "turn_idx": 1, "role": "user", "text": "no conv", "tool": None,
+         "ts_raw": "1704067200000", "schema_epoch": 0, "table": "a"},
+        {"lsn": n_clean + 2, "op": "upsert", "conv_id": "conv-epoch9",
+         "turn_idx": 2, "role": "user", "text": "future epoch", "tool": None,
+         "ts_raw": "2024-01-01T00:00:00Z", "schema_epoch": 9, "table": "b"},
+        {"lsn": n_clean + 3, "op": "upsert", "conv_id": "conv-unparse",
+         "turn_idx": 3, "role": "user", "text": "bad ts", "tool": None,
+         "ts_raw": "not a timestamp", "schema_epoch": 1, "table": "b"},
+    ], schema=tagged.schema)
+    return pa.concat_tables([tagged, bad])
+
+
+def test_multi_dlq_matches_per_table_reference(ray_session, tmp_path):
+    """Fan-out with dlq on: each lake's state AND quarantine equal the
+    single-lake dlq apply of that table's filtered stream; replays stay
+    exactly-once for state and at-least-once for the quarantine."""
+    import ray.data
+
+    n = 2000
+    events = _with_poison(_tagged(expected_event_table(n)), n)
+    pipes = {
+        "a": CDCPipeline(str(tmp_path / "lake_a"), num_partitions=4,
+                         dlq=True),
+        "b": CDCPipeline(str(tmp_path / "lake_b"), num_partitions=6,
+                         dlq=True),
+    }
+    stats = apply_multi(ray.data.from_arrow(events), pipes)
+    assert {t: s["events_quarantined"] for t, s in stats.items()} == \
+           {"a": 2, "b": 2}
+
+    def dlq_sorted(p):
+        t = p.read_dlq()
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("lsn", "ascending")])).to_pylist()
+
+    for t in ("a", "b"):
+        sub = events.filter(pc.equal(events.column("table"), t))
+        ref = CDCPipeline(str(tmp_path / f"ref_{t}"),
+                          num_partitions=pipes[t].num_partitions, dlq=True)
+        ref.apply(ray.data.from_arrow(sub.drop_columns(["table"])))
+        assert pipes[t].final_state_sorted().equals(ref.final_state_sorted())
+        assert dlq_sorted(pipes[t]) == dlq_sorted(ref)
+        assert pipes[t].fsck()["violations"] == []
+
+    again = apply_multi(ray.data.from_arrow(events), pipes)
+    assert all(s["events_applied"] == 0 for s in again.values())
+    assert {t: s["events_quarantined"] for t, s in again.items()} == \
+           {"a": 2, "b": 2}
+    assert pipes["a"].read_dlq().num_rows == 4
 
 
 def test_multi_unknown_table_value_aborts(ray_session, tmp_path):
