@@ -5,6 +5,7 @@ sorted value hash.  Usage: python scripts/check_oracle.py [sf_dir] [names...]
 
 import hashlib
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -53,11 +54,13 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as exc:  # noqa: BLE001
             print(f"{name:24} RAY-ERROR {type(exc).__name__}: {exc}")
             continue
+        ray_sec = time.perf_counter() - t0
         sql = oracles.get(name)
         if sql is None:
             print(f"{name:24} rows-only: {len(got)} rows, cols={list(got.columns)}")
@@ -70,7 +73,7 @@ def main():
         rc = "OK " if len(got) == len(exp) else f"ROWS {len(got)} vs {len(exp)}"
         hg, he = value_hash(got.copy()), value_hash(exp.copy())
         hc = "HASH-OK" if hg == he else "HASH-MISMATCH"
-        print(f"{name:24} {rc} {hc}")
+        print(f"{name:24} {rc} {hc}  {ray_sec:6.2f}s")
         if hg != he and len(got) == len(exp):
             g = got.reindex(sorted(got.columns), axis=1).sort_values(
                 sorted(got.columns)).reset_index(drop=True)
