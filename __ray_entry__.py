@@ -151,6 +151,37 @@ def q_cdc_upsert_latest(sf_dir: str):
 
 
 
+def q_cdc_scd2(sf_dir: str):
+    """SCD Type-2 history of the events stream (the APPLY CHANGES ... STORED
+    AS SCD TYPE 2 analog): one row per key VERSION with its validity interval
+    [valid_from, valid_to) in LSN units, delete events closing their
+    predecessor without emitting a row.  One hash-shard exchange of the four
+    selected columns, vectorized sort+shift per shard (stages/relational.py
+    scd2_history)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import scd2_history
+
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type", "value"])
+    out = scd2_history(
+        ds, keys=["user_id", "event_type"], seq_col="event_id",
+        delete_expr=lambda t: pc.less(t.column("value"), 1.0),
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(b.column("value"), 100.0), 0.5)), pa.int64())
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "valid_from": b.column("valid_from"),
+            "valid_to": b.column("valid_to"),
+            "is_current": b.column("is_current"),
+            "value_cents": cents,
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _token_counts(ds):
     """(doc_id, text) → (doc_id, n_tokens) — the ONE tokenizer-count pass
     shared by every packing caller (the count must stay bit-identical
@@ -3187,6 +3218,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "shuffle_join_revenue": q_shuffle_join_revenue,
         "cdc_upsert_latest": q_cdc_upsert_latest,
+        "cdc_scd2": q_cdc_scd2,
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changefeed": q_cdc_changefeed,
@@ -3370,6 +3402,16 @@ def oracle_sql() -> "dict[str, str]":
             "order by event_id desc) as rn from events) "
             "select user_id, event_type, event_id as lsn, value "
             "from ranked where rn = 1 and value >= 1.0",
+        # SCD2: LEAD over ALL events (deletes close their predecessor's
+        # interval), delete rows themselves emit no version
+        "cdc_scd2":
+            "with w as (select user_id, event_type, event_id, value, "
+            "lead(event_id) over (partition by user_id, event_type "
+            "order by event_id) as valid_to from events) "
+            "select user_id, event_type, event_id as valid_from, valid_to, "
+            "(valid_to is null) as is_current, "
+            "cast(floor(value * 100 + 0.5) as bigint) as value_cents "
+            "from w where value >= 1.0",
         # Flagship: the deterministic seed=42 binlog is committed as a fixture
         # (scripts/make_fixtures.py); final lake state == argmax-LSN fold with
         # delete-wins + epoch-2 role renames.  Valid at the driver's sf0.01

@@ -377,6 +377,59 @@ def latest_by_key(ds, keys, seq_col: str, delete_expr=None):
 
 
 
+def scd2_history(ds, keys, seq_col: str, delete_expr=None,
+                 valid_from: str = "valid_from", valid_to: str = "valid_to",
+                 current_flag: str = "is_current"):
+    """Slowly-changing-dimension TYPE 2 history from a CDC stream: one row
+    per key VERSION with its validity interval ``[valid_from, valid_to)`` in
+    ``seq_col`` units (``valid_to`` NULL = still open) and an ``is_current``
+    flag — the engine analog of Delta Live Tables' ``APPLY CHANGES ... STORED
+    AS SCD TYPE 2``.
+
+    Semantics (matching the CDC merge's LSN ordering):
+    * every event opens a version at its own ``seq_col``;
+    * the NEXT event on the same key (upsert OR delete) closes it —
+      ``valid_to`` = that event's seq;
+    * delete events (``delete_expr`` rows) close their predecessor but emit
+      no version row themselves; a later upsert on the key re-opens history;
+    * ``is_current`` = the key's last event was an upsert and this is it.
+
+    Scale shape: unlike ``latest_by_key`` there is no map-side combiner —
+    every version row survives by definition — so this is ONE all-to-all
+    hash-shard exchange of the selected columns (prune upstream!), then a
+    single vectorized sort + shift per shard.  No per-key Python callbacks,
+    no global sort."""
+    keys = list(keys)
+
+    def shard_intervals(group: pa.Table) -> pa.Table:
+        tbl = group.drop_columns(["_shard"])
+        order = pc.sort_indices(
+            tbl, sort_keys=[(k, "ascending") for k in keys]
+            + [(seq_col, "ascending")])
+        b = tbl.take(order)
+        n = b.num_rows
+        seq = np.asarray(b.column(seq_col).combine_chunks().cast(pa.int64()))
+        same = _same_as_prev_row(b, keys)
+        # valid_to[i] = seq[i+1] when row i+1 is the same key, else NULL
+        vto = np.empty(n, dtype=np.int64)
+        has_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            vto[:-1] = seq[1:]
+            has_next[:-1] = same[1:]
+        vto_arr = pa.array(vto, type=pa.int64(),
+                           mask=~has_next)  # mask=True → NULL
+        out = b.append_column(valid_from, b.column(seq_col).cast(pa.int64()))
+        out = out.append_column(valid_to, vto_arr)
+        out = out.append_column(current_flag, pa.array(~has_next))
+        if delete_expr is not None and n:
+            out = out.filter(pc.invert(delete_expr(out)))
+        return out
+
+    ds = _with_key_shard(ds, keys)
+    return ds.groupby("_shard").map_groups(shard_intervals,
+                                           batch_format="pyarrow")
+
+
 def resolve_broadcast(ref):
     """Unwrap a ``ray.ObjectRef`` broadcast via ``ray.put`` (passthrough
     for plain values) — the single lazy-bind step every broadcast-consuming

@@ -2,6 +2,7 @@
 stats, multimodal stubs, grouped aggregation, sessionize)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -798,6 +799,36 @@ def test_latest_by_key_and_sessionize(ray_session):
     t2 = pa.table({"u": ["a", "a", "a", "a"], "ts": ts})
     sess = sessionize(ray.data.from_arrow(t2), "u", "ts", 1800).to_pandas()
     assert list(sess["n_sessions"]) == [2]
+
+
+def test_scd2_history(ray_session):
+    """SCD2 interval assembly: upserts open versions, the NEXT event on the
+    key (upsert or delete) closes them, deletes emit no row, re-insert after
+    a delete re-opens history, and is_current marks open intervals only."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import scd2_history
+
+    t = pa.table({
+        # key a: v1 → v2 → delete → v4 (re-insert, still current)
+        # key b: single version, current
+        # key c: delete only → no history rows
+        "k": ["a", "a", "a", "a", "b", "c"],
+        "seq": pa.array([1, 2, 3, 4, 7, 9], pa.int64()),
+        "val": [10.0, 20.0, 0.5, 40.0, 5.0, 0.5],
+    })
+    out = scd2_history(
+        ray.data.from_arrow(t), ["k"], "seq",
+        delete_expr=lambda b: pa.compute.less(b.column("val"), 1.0),
+    ).to_pandas().sort_values(["k", "valid_from"]).reset_index(drop=True)
+
+    assert list(out["k"]) == ["a", "a", "a", "b"]
+    assert list(out["valid_from"]) == [1, 2, 4, 7]
+    # pandas renders the nullable int column with NaN for open intervals
+    vt = [None if pd.isna(v) else int(v) for v in out["valid_to"]]
+    assert vt == [2, 3, None, None]
+    assert list(out["is_current"]) == [False, False, True, True]
+    assert list(out["val"]) == [10.0, 20.0, 40.0, 5.0]
 
 
 def test_keyed_window_group_guard(ray_session, caplog):
