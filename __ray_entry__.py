@@ -182,6 +182,30 @@ def q_cdc_scd2(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_profile_events(sf_dir: str):
+    """Per-column data profile of the events stream (count / nulls / min /
+    max / EXACT distinct) — the table-maintenance operator
+    (stages/relational.py profile_table).  Floats are pre-scaled to cents so
+    min/max stringification is integer-exact on both sides; the exact
+    distinct pass is the honest cost of exactness (hll_distinct is the
+    sketch tier)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import profile_table
+
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.floor(pc.add(
+            pc.multiply(b.column("value"), 100.0), 0.5)), pa.int64())
+        return pa.table({
+            "event_id": b.column("event_id"), "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"), "value_cents": vc})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return profile_table(
+        ds, ["event_id", "user_id", "event_type", "value_cents"])
+
+
 def _token_counts(ds):
     """(doc_id, text) → (doc_id, n_tokens) — the ONE tokenizer-count pass
     shared by every packing caller (the count must stay bit-identical
@@ -3219,6 +3243,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "shuffle_join_revenue": q_shuffle_join_revenue,
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_scd2": q_cdc_scd2,
+        "profile_events": q_profile_events,
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changefeed": q_cdc_changefeed,
@@ -3412,6 +3437,19 @@ def oracle_sql() -> "dict[str, str]":
             "(valid_to is null) as is_current, "
             "cast(floor(value * 100 + 0.5) as bigint) as value_cents "
             "from w where value >= 1.0",
+        # Data profile: one UNION ALL branch per profiled column; floats
+        # pre-scaled to integer cents so CAST(...AS VARCHAR) is exact
+        "profile_events":
+            "with t as (select event_id, user_id, event_type, "
+            "cast(floor(value * 100 + 0.5) as bigint) as value_cents "
+            "from events) "
+            + " union all ".join(
+                f"select '{c}' as column_name, count(*) as n_rows, "
+                f"count(*) - count({c}) as n_nulls, "
+                f"cast(min({c}) as varchar) as min_str, "
+                f"cast(max({c}) as varchar) as max_str, "
+                f"count(distinct {c}) as n_distinct from t"
+                for c in ("event_id", "user_id", "event_type", "value_cents")),
         # Flagship: the deterministic seed=42 binlog is committed as a fixture
         # (scripts/make_fixtures.py); final lake state == argmax-LSN fold with
         # delete-wins + epoch-2 role renames.  Valid at the driver's sf0.01

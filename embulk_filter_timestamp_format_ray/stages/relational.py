@@ -430,6 +430,81 @@ def scd2_history(ds, keys, seq_col: str, delete_expr=None,
                                            batch_format="pyarrow")
 
 
+def profile_table(ds, columns) -> pa.Table:
+    """Per-column data profile: one output row per profiled column with
+    ``column_name, n_rows, n_nulls, min_str, max_str, n_distinct`` (min/max
+    canonically stringified so heterogeneous column types share one schema).
+
+    Scale shape: pass A is a ``map_batches`` partial — ONE typed stats row
+    per block — folded on the driver (#blocks × #columns scalars,
+    aggregate-sized by construction).  Pass B computes EXACT distinct
+    counts: per-block ``pc.unique`` (combiner) → ``(column, value)``
+    groupby → per-column count; the exchange carries the distinct set
+    itself, which is the irreducible cost of exactness — at vocabulary
+    scale use the HLL sketch tier (``stages/text_stats.py hll_distinct``)
+    instead.  Input scans twice (two passes over a lazy Dataset re-execute
+    lineage; profiling is a maintenance op, DESIGN #31 applies)."""
+    cols = list(columns)
+
+    def partial(b: pa.Table) -> pa.Table:
+        arrs = {"n": pa.array([b.num_rows], pa.int64())}
+        for c in cols:
+            col = b.column(c)
+            mm = pc.min_max(col)
+            arrs[c + "::nulls"] = pa.array([col.null_count], pa.int64())
+            arrs[c + "::min"] = pa.array([mm["min"].as_py()], type=col.type)
+            arrs[c + "::max"] = pa.array([mm["max"].as_py()], type=col.type)
+        return pa.table(arrs)
+
+    def melt_unique(b: pa.Table) -> pa.Table:
+        pieces = []
+        for c in cols:
+            u = pc.unique(b.column(c).combine_chunks()).drop_null()
+            s = pc.cast(u, pa.string())
+            pieces.append(pa.table({
+                "column_name": pa.array([c] * len(s), pa.string()),
+                "value": s}))
+        return pa.concat_tables(pieces)
+
+    stats = pa.concat_tables(_iter_arrow(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)))
+
+    pairs = ds.map_batches(melt_unique, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    per_value = pairs.groupby(["column_name", "value"]).count()
+    nd_tbl = pa.concat_tables(
+        _iter_arrow(per_value.groupby("column_name").count()))
+    nd = {r["column_name"]: r["count()"] for r in nd_tbl.to_pylist()}
+
+    n_rows = int(pc.sum(stats.column("n")).as_py() or 0)
+    rows = {"column_name": [], "n_rows": [], "n_nulls": [], "min_str": [],
+            "max_str": [], "n_distinct": []}
+    for c in cols:
+        mn = pc.min(stats.column(c + "::min"))
+        mx = pc.max(stats.column(c + "::max"))
+        rows["column_name"].append(c)
+        rows["n_rows"].append(n_rows)
+        rows["n_nulls"].append(int(pc.sum(stats.column(c + "::nulls")).as_py() or 0))
+        rows["min_str"].append(pc.cast(mn, pa.string()).as_py())
+        rows["max_str"].append(pc.cast(mx, pa.string()).as_py())
+        rows["n_distinct"].append(int(nd.get(c, 0)))
+    return pa.table({
+        "column_name": pa.array(rows["column_name"], pa.string()),
+        "n_rows": pa.array(rows["n_rows"], pa.int64()),
+        "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+        "min_str": pa.array(rows["min_str"], pa.string()),
+        "max_str": pa.array(rows["max_str"], pa.string()),
+        "n_distinct": pa.array(rows["n_distinct"], pa.int64()),
+    })
+
+
+def _iter_arrow(ds):
+    """Yield a Dataset's blocks as pyarrow Tables (driver-side; callers must
+    be aggregate-sized — see profile_table's contract)."""
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        yield b
+
+
 def resolve_broadcast(ref):
     """Unwrap a ``ray.ObjectRef`` broadcast via ``ray.put`` (passthrough
     for plain values) — the single lazy-bind step every broadcast-consuming

@@ -831,6 +831,26 @@ def test_scd2_history(ray_session):
     assert list(out["val"]) == [10.0, 20.0, 40.0, 5.0]
 
 
+def test_profile_table(ray_session):
+    """Per-column profile: nulls counted, typed min/max (no string-order
+    bugs: 9 < 10 for ints), exact distinct, heterogeneous types in one
+    output schema."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import profile_table
+
+    t = pa.table({
+        "i": pa.array([9, 10, 10, None, 2], pa.int64()),
+        "s": pa.array(["b", None, "a", "a", "c"], pa.string()),
+    })
+    out = profile_table(ray.data.from_arrow(t).repartition(3), ["i", "s"])
+    rows = {r["column_name"]: r for r in out.to_pylist()}
+    assert rows["i"] == {"column_name": "i", "n_rows": 5, "n_nulls": 1,
+                         "min_str": "2", "max_str": "10", "n_distinct": 3}
+    assert rows["s"] == {"column_name": "s", "n_rows": 5, "n_nulls": 1,
+                         "min_str": "a", "max_str": "c", "n_distinct": 3}
+
+
 def test_keyed_window_group_guard(ray_session, caplog):
     """Skewed-key visibility (r1 verdict #8): sessionize/asof_join log a
     warning when one key's group exceeds the cap, instead of silently
