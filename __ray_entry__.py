@@ -206,6 +206,76 @@ def q_profile_events(sf_dir: str):
         ds, ["event_id", "user_id", "event_type", "value_cents"])
 
 
+_BM25_TERMS = ("merge", "spark", "window")
+
+# Shared CTE chain for the bm25_search / hybrid_retrieve oracles: whitespace
+# tokenization (== stages/dedup.py token_stream), corpus stats, query-term
+# postings, df, integer-exact BM25 components, per-doc score.
+_BM25_ORACLE_CTES = (
+    "with d as (select doc_id, list_filter(string_split_regex("
+    "text, '\\s+'), x -> x <> '') as ws from documents), "
+    "s as (select count(*)::bigint as n, sum(len(ws))::bigint as total "
+    "from d), "
+    "t as (select doc_id, unnest(ws) as term, len(ws) as dl from d), "
+    "c as (select doc_id, term, count(*)::bigint as tf, "
+    "any_value(dl)::bigint as dl from t where term in "
+    + "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ") "
+    "group by doc_id, term), "
+    "f as (select term, count(*)::bigint as df from c group by term), "
+    "comp as (select c.doc_id, "
+    "((1000 * (2 * s.n - 2 * f.df + 1)) // (2 * f.df + 1)) * "
+    "((1000 * 22 * c.tf * s.total) // "
+    "(10 * c.tf * s.total + 3 * s.total + 9 * c.dl * s.n)) as comp "
+    "from c join f using(term) cross join s), "
+    "sc as (select doc_id, sum(comp)::bigint as score from comp "
+    "group by doc_id) "
+)
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 sparse ranked retrieval over documents (integer-exact scoring,
+    stages/ngrams.py bm25_topk): top-10 docs for a fixed 3-term query."""
+    from embulk_filter_timestamp_format_ray.stages.ngrams import bm25_topk
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = bm25_topk(ds, _BM25_TERMS, k=10)
+    return out.map_batches(lambda b: b.select(["doc_id", "score", "rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_hybrid_retrieve(sf_dir: str):
+    """Hybrid retrieval: BM25 sparse top-50 + dense cosine top-50 (query =
+    embedding of vec_id 0) fused by integer reciprocal-rank fusion
+    (rrf = Σ 1_000_000 // (60 + rank)), top-10 by fused score.  Both legs
+    are distributed operators; the fusion itself is two ≤50-row lists
+    (aggregate-sized, driver-side by design)."""
+    from embulk_filter_timestamp_format_ray.stages.ann import brute_force_topk
+    from embulk_filter_timestamp_format_ray.stages.ngrams import bm25_topk
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    sparse = pa.concat_tables(
+        bm25_topk(docs, _BM25_TERMS, k=50).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    dense = pa.concat_tables(
+        brute_force_topk(emb, _ann_queries(sf_dir)[:1], k=50).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+
+    fused: "dict[int, int]" = {}
+    for r in sparse.to_pylist():
+        fused[int(r["doc_id"])] = fused.get(int(r["doc_id"]), 0) \
+            + 1_000_000 // (60 + int(r["rank"]))
+    for r in dense.to_pylist():
+        fused[int(r["vec_id"])] = fused.get(int(r["vec_id"]), 0) \
+            + 1_000_000 // (60 + int(r["rank"]))
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "rrf_x1e6": pa.array([s for _, s in top], pa.int64()),
+        "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+    })
+
+
 def _token_counts(ds):
     """(doc_id, text) → (doc_id, n_tokens) — the ONE tokenizer-count pass
     shared by every packing caller (the count must stay bit-identical
@@ -3244,6 +3314,8 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_scd2": q_cdc_scd2,
         "profile_events": q_profile_events,
+        "bm25_search": q_bm25_search,
+        "hybrid_retrieve": q_hybrid_retrieve,
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changefeed": q_cdc_changefeed,
@@ -3450,6 +3522,30 @@ def oracle_sql() -> "dict[str, str]":
                 f"cast(max({c}) as varchar) as max_str, "
                 f"count(distinct {c}) as n_distinct from t"
                 for c in ("event_id", "user_id", "event_type", "value_cents")),
+        # BM25 (integer-exact: un-logged idf ratio + fraction-cleared
+        # k1=1.2/b=0.75 saturation — stages/ngrams.py bm25_topk docstring)
+        "bm25_search": _BM25_ORACLE_CTES +
+            "select doc_id, score, row_number() over "
+            "(order by score desc, doc_id) as rank from sc "
+            "qualify rank <= 10",
+        # Hybrid RRF: sparse top-50 ∪ dense cosine top-50 (query vec_id 0),
+        # integer reciprocal-rank fusion, top-10
+        "hybrid_retrieve": _BM25_ORACLE_CTES +
+            ", sp as (select doc_id, row_number() over "
+            "(order by score desc, doc_id) as rank from sc "
+            "qualify rank <= 50), "
+            "q as (select embedding from embeddings where vec_id = 0), "
+            "de as (select e.vec_id as doc_id, row_number() over "
+            "(order by list_cosine_similarity(q.embedding, e.embedding) "
+            "desc, e.vec_id) as rank from q cross join embeddings e "
+            "qualify rank <= 50), "
+            "u as (select doc_id, 1000000 // (60 + rank) as pts from sp "
+            "union all select doc_id, 1000000 // (60 + rank) from de), "
+            "fu as (select doc_id, sum(pts)::bigint as rrf_x1e6 from u "
+            "group by doc_id) "
+            "select doc_id, rrf_x1e6, row_number() over "
+            "(order by rrf_x1e6 desc, doc_id) as rank from fu "
+            "qualify rank <= 10",
         # Flagship: the deterministic seed=42 binlog is committed as a fixture
         # (scripts/make_fixtures.py); final lake state == argmax-LSN fold with
         # delete-wins + epoch-2 role renames.  Valid at the driver's sf0.01

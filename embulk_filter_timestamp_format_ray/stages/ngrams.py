@@ -628,3 +628,109 @@ def source_gram_overlap(ds, *, k: int = 5, text_col: str = "text",
                                                   batch_format="pyarrow")
     return grouped_aggregate(pair_rows, ["source_a", "source_b"],
                              {"shared_grams": ("source_a", "count")})
+
+
+# ------------------------------------------------------------------ BM25
+
+
+def _corpus_stats(ds, text_col: str) -> "tuple[int, int]":
+    """(n_docs, total_tokens) over the corpus — one map_batches partial
+    (one 2-scalar row per block) folded on the driver (aggregate-sized)."""
+    def partial(b: pa.Table) -> pa.Table:
+        _, _, cnt_per_doc = token_stream(b.column(text_col))
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "total": pa.array([int(cnt_per_doc.sum())], pa.int64())})
+
+    n_docs = 0
+    total = 0
+    for t in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow", batch_size=None):
+        n_docs += int(pc.sum(t.column("n")).as_py() or 0)
+        total += int(pc.sum(t.column("total")).as_py() or 0)
+    return n_docs, total
+
+
+def bm25_topk(ds, query_terms, *, k: int = 10, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """BM25-style ranked retrieval: top-k documents for a bag of query
+    terms, scored integer-exact so a SQL oracle replays the ranking
+    bit-for-bit (DESIGN #17 — never hash floats):
+
+    * rarity weight = the un-logged BM25 idf ratio
+      ``(N - df + 0.5)/(df + 0.5)`` cleared of fractions —
+      ``(1000*(2N - 2df + 1)) // (2df + 1)`` (log-free for cross-engine
+      exactness, same rationale as tfidf_top_terms' 1/df);
+    * tf saturation = classic k1=1.2 / b=0.75 BM25, fractions cleared by
+      multiplying through by ``10*total``:
+      ``(1000*22*tf*total) // (10*tf*total + 3*total + 9*dl*N)``;
+    * doc score = SUM of the per-term floored components (int64; the
+      intermediate ``22000*tf*total`` bounds the corpus at ~4e13 tokens
+      per tf unit — beyond that, shift the 1000 scale down).
+
+    Shape: pass 1 folds corpus stats to two scalars; pass 2 tokenizes and
+    keeps only the query terms' postings (|Q| terms broadcast in the
+    closure) and aggregates df (|Q| rows); pass 3 re-derives the postings
+    (input-sized data re-scans — DESIGN #31), scores each posting
+    vectorized, doc-shard-sums, and takes local-then-final top-k (each
+    block ships ≤ k rows to the single final reduce)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+    )
+
+    terms = sorted(set(query_terms))
+    n_docs, total = _corpus_stats(ds, text_col)
+
+    def postings(b: pa.Table) -> pa.Table:
+        rows = doc_term_count_batch(b, text_col, id_col)
+        return rows.filter(pc.is_in(rows.column("term"),
+                                    value_set=pa.array(terms, pa.string())))
+
+    df_tbl = pa.concat_tables(
+        grouped_aggregate(
+            ds.map_batches(postings, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["term"], {"df": ("term", "count")},
+        ).iter_batches(batch_format="pyarrow", batch_size=None))
+    df_map = {r["term"]: int(r["df"]) for r in df_tbl.to_pylist()}
+    w_idf = {t: (1000 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1)
+             for t, df in df_map.items()}
+
+    def score_components(b: pa.Table) -> pa.Table:
+        rows = postings(b)
+        if rows.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "comp": pa.array([], pa.int64())})
+        tf = np.asarray(rows.column("cnt").cast(pa.int64()))
+        dl = np.asarray(rows.column("n_tokens").cast(pa.int64()))
+        idf_by_term = np.array([w_idf.get(t, 0) for t in terms],
+                               dtype=np.int64)  # |Q|-sized, built per batch
+        pos = pc.index_in(rows.column("term"),
+                          value_set=pa.array(terms, pa.string()))
+        idf = idf_by_term[np.asarray(pos.combine_chunks().cast(pa.int64()))]
+        w_tf = (1000 * 22 * tf * total) // (
+            10 * tf * total + 3 * total + 9 * dl * n_docs)
+        return pa.table({id_col: rows.column(id_col).cast(pa.int64()),
+                         "comp": pa.array(idf * w_tf)})
+
+    scored = grouped_aggregate(
+        ds.map_batches(score_components, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [id_col], {"score": ("comp", "sum")})
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(b, sort_keys=[("score", "descending"),
+                                              (id_col, "ascending")])
+        return b.take(order).slice(0, k)
+
+    def final_topk(b: pa.Table) -> pa.Table:
+        g = local_topk(b)
+        return g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)))
+
+    return (scored.map_batches(local_topk, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final_topk, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None))

@@ -424,3 +424,24 @@ def test_packed_sequences_token_budget(ray_session):
     assert out.loc[0, "text"].startswith("w0t0")
     assert "w4t19 w5t0" not in out.loc[0, "text"]  # doc 5 is in seq 1
     assert out.loc[1, "text"].startswith("w5t0")
+
+
+def test_bm25_topk_hand_checked(ray_session):
+    """Integer-exact BM25 on a 3-doc corpus, components verified by hand:
+    N=3, total=9; df(a)=1, df(c)=2; w_idf(a)=1666, w_idf(c)=600;
+    w_tf = (198000*tf) // (90*tf + 27 + 27*dl)."""
+    import pyarrow as pa
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.ngrams import bm25_topk
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["a a b", "b c", "c c c c"],
+    })
+    out = bm25_topk(ray.data.from_arrow(t).repartition(2), ("a", "c"),
+                    k=2).to_pandas()
+    # doc0: 1666 * (396000 // 288) = 1666*1375; doc2: 600 * (792000 // 495)
+    assert out["doc_id"].tolist() == [0, 2]
+    assert out["score"].tolist() == [1666 * 1375, 600 * 1600]
+    assert out["rank"].tolist() == [1, 2]
