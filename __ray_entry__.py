@@ -546,6 +546,46 @@ def q_cdc_changefeed(sf_dir: str):
     return pipe.lake_changes(1, 2)
 
 
+def q_cdc_scd2_lake(sf_dir: str):
+    """Lake-level SCD Type-2 at VERSION granularity: the 20k-event binlog is
+    applied in THREE lsn-chunks (versions 1..3) and CDCPipeline.scd2()
+    derives per-key validity intervals by composing the oldest retained
+    snapshot (opening inserts) with the per-pair change feeds through the
+    scd2_history interval kernel.  Oracle: seed fold ∪ two FULL-OUTER-JOIN
+    state diffs, LEAD window over version, deletes dropped."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    # Content-keyed cached fixture (same policy as _build_vector_lake): the
+    # 3-apply lake is untimed input prep; the scd2() derivation is the query.
+    fixture = os.path.join(_FIXTURES, "cdc_events_20000.parquet")
+    key = hashlib.md5(open(fixture, "rb").read() + b"|scd2|v1").hexdigest()[:12]
+    lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_scd2fix_{key}")
+    if not os.path.exists(os.path.join(lake, "_FIXTURE_DONE")):
+        events = pq.read_table(fixture)
+        lsn = events.column("lsn")
+        tmp = lake + "." + uuid.uuid4().hex[:8]
+        pipe = CDCPipeline(tmp, num_partitions=16)
+        c1, c2 = pa.scalar(10_000, pa.int64()), pa.scalar(15_000, pa.int64())
+        pipe.apply(ray.data.from_arrow(events.filter(pc.less(lsn, c1))))
+        pipe.apply(ray.data.from_arrow(events.filter(
+            pc.and_(pc.greater_equal(lsn, c1), pc.less(lsn, c2)))))
+        pipe.apply(ray.data.from_arrow(events.filter(
+            pc.greater_equal(lsn, c2))))
+        open(os.path.join(tmp, "_FIXTURE_DONE"), "w").close()
+        try:
+            os.rename(tmp, lake)
+        except OSError:  # concurrent builder won the rename; adopt theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return CDCPipeline.from_lake(lake).scd2(columns=())
+
+
 def q_cdc_dlq(sf_dir: str):
     """Dead-letter queue: the deterministic 20k-event binlog is poisoned in
     two disjoint lsn bands (changegen.poison_batch: lsn&1023<10 → corrupt
@@ -3319,6 +3359,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changefeed": q_cdc_changefeed,
+        "cdc_scd2_lake": q_cdc_scd2_lake,
         "cdc_dlq": q_cdc_dlq,
         "cdc_constraints": q_cdc_constraints,
         "cdc_retention": q_cdc_retention,
@@ -3592,6 +3633,51 @@ def oracle_sql() -> "dict[str, str]":
             "from f1 full outer join f2 on f1.conv_id = f2.conv_id "
             "and f1.turn_idx = f2.turn_idx "
             "where f1.lsn is null or f2.lsn is null or f1.lsn <> f2.lsn",
+        # Lake SCD2 at version granularity: seed fold (version 1) ∪ the two
+        # FULL-OUTER state diffs (versions 2, 3), LEAD window closes each
+        # interval at the key's next change, deletes emit no version row
+        "cdc_scd2_lake":
+            "with ev as (select * from "
+            f"read_parquet('{_FIXTURES}/cdc_events_20000.parquet')), "
+            "f1 as (select conv_id, turn_idx, lsn from (select *, "
+            "row_number() over (partition by conv_id, turn_idx "
+            "order by lsn desc) as rn from ev where lsn < 10000) "
+            "where rn = 1 and op <> 'delete'), "
+            "f2 as (select conv_id, turn_idx, lsn from (select *, "
+            "row_number() over (partition by conv_id, turn_idx "
+            "order by lsn desc) as rn from ev where lsn < 15000) "
+            "where rn = 1 and op <> 'delete'), "
+            "f3 as (select conv_id, turn_idx, lsn from (select *, "
+            "row_number() over (partition by conv_id, turn_idx "
+            "order by lsn desc) as rn from ev) "
+            "where rn = 1 and op <> 'delete'), "
+            "seed as (select conv_id, turn_idx, lsn, "
+            "'insert' as change_type, 1::bigint as version from f1), "
+            "d12 as (select coalesce(a.conv_id, b.conv_id) as conv_id, "
+            "coalesce(a.turn_idx, b.turn_idx) as turn_idx, "
+            "coalesce(b.lsn, a.lsn) as lsn, "
+            "case when a.lsn is null then 'insert' "
+            "when b.lsn is null then 'delete' else 'update' end "
+            "as change_type, 2::bigint as version "
+            "from f1 a full outer join f2 b on a.conv_id = b.conv_id "
+            "and a.turn_idx = b.turn_idx "
+            "where a.lsn is null or b.lsn is null or a.lsn <> b.lsn), "
+            "d23 as (select coalesce(a.conv_id, b.conv_id) as conv_id, "
+            "coalesce(a.turn_idx, b.turn_idx) as turn_idx, "
+            "coalesce(b.lsn, a.lsn) as lsn, "
+            "case when a.lsn is null then 'insert' "
+            "when b.lsn is null then 'delete' else 'update' end "
+            "as change_type, 3::bigint as version "
+            "from f2 a full outer join f3 b on a.conv_id = b.conv_id "
+            "and a.turn_idx = b.turn_idx "
+            "where a.lsn is null or b.lsn is null or a.lsn <> b.lsn), "
+            "evs as (select * from seed union all select * from d12 "
+            "union all select * from d23), "
+            "w as (select *, lead(version) over (partition by conv_id, "
+            "turn_idx order by version) as valid_to_version from evs) "
+            "select conv_id, turn_idx, lsn, version as valid_from_version, "
+            "valid_to_version, (valid_to_version is null) as is_current "
+            "from w where change_type <> 'delete'",
         # DLQ: replay changegen.poison_batch's pure-function-of-lsn band rule
         # over the committed fixture; DISTINCT collapses the at-least-once
         # replay duplicates on both sides

@@ -4082,6 +4082,83 @@ class CDCPipeline:
         return ds.groupby("_shard").map_groups(diff_shard,
                                                batch_format="pyarrow")
 
+    def scd2(self, columns=("role", "text", "tool")):
+        """SCD Type-2 history of the lake at VERSION granularity (the
+        warehouse ``APPLY CHANGES ... STORED AS SCD TYPE 2`` shape): one row
+        per key VERSION that was ever live in a retained snapshot, with
+        ``valid_from_version`` / ``valid_to_version`` (NULL = open) and
+        ``is_current``.
+
+        Composition, no new state: the OLDEST retained snapshot seeds the
+        opening inserts, each consecutive retained version pair contributes
+        its change feed (:meth:`lake_changes` — delta-priced manifest
+        diffs), and the union folds through the generic interval kernel
+        (``stages/relational.py scd2_history``) keyed on the version
+        number.  Deletes close their predecessor and emit no row.
+
+        Resolution is bounded by the retention policy: intra-version
+        rewrites of a key collapse to the version's post-image (exactly the
+        Delta-CDF convention ``lake_changes`` documents).  Cost = one feed
+        diff per retained pair + one key-shard exchange — NOT lake-sized
+        re-reads for untouched partitions."""
+        import ray.data
+
+        from embulk_filter_timestamp_format_ray.stages.relational import (
+            scd2_history,
+        )
+
+        payload = [c for c in (columns or [])
+                   if c not in ("conv_id", "turn_idx", "lsn")]
+        vs = self.versions()
+        if not vs:
+            return ray.data.from_arrow(_empty_lake_table())
+
+        sel = ["conv_id", "turn_idx", "lsn", *payload]
+
+        def seed(v: int):
+            base = self.read_lake_at(v, columns=sel)
+
+            def tag(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    **{c: b.column(c) for c in sel},
+                    "change_type": pa.array(["insert"] * b.num_rows,
+                                            pa.string()),
+                    "version": pa.array(np.full(b.num_rows, v,
+                                                dtype=np.int64)),
+                })
+
+            return base.map_batches(tag, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+        def feed(v_from: int, v_to: int):
+            ch = self.lake_changes(v_from, v_to, columns=payload)
+
+            def tag(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    **{c: b.column(c) for c in sel},
+                    "change_type": b.column("change_type"),
+                    "version": pa.array(np.full(b.num_rows, v_to,
+                                                dtype=np.int64)),
+                })
+
+            return ch.map_batches(tag, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+        ds = seed(vs[0])
+        for v_from, v_to in zip(vs, vs[1:]):
+            ds = ds.union(feed(v_from, v_to))
+
+        out = scd2_history(
+            ds, keys=["conv_id", "turn_idx"], seq_col="version",
+            delete_expr=lambda t: pc.equal(t.column("change_type"),
+                                           "delete"),
+            valid_from="valid_from_version", valid_to="valid_to_version",
+        )
+        keep = ["conv_id", "turn_idx", "lsn", *payload,
+                "valid_from_version", "valid_to_version", "is_current"]
+        return out.map_batches(lambda b: b.select(keep),
+                               batch_format="pyarrow", zero_copy_batch=True)
+
     SYNC_CURSOR = "_sync_cursor.json"
 
     def sync_changes(self, out_dir: str,

@@ -97,6 +97,10 @@ def main() -> None:
                          "via lake_changes — cost scales with the delta, "
                          "only changed partitions are read); add "
                          "--diff-out DIR to also write the change rows")
+    ap.add_argument("--scd2-out", default=None, metavar="DIR",
+                    help="write the lake's SCD Type-2 history (per-key "
+                         "validity intervals at version granularity, "
+                         "CDCPipeline.scd2) as parquet and exit")
     ap.add_argument("--diff-out", default=None, metavar="DIR",
                     help="with --diff: write the full change rows "
                          "(post-image payload) as parquet to DIR")
@@ -422,6 +426,22 @@ def main() -> None:
         if args.history:
             print(json.dumps({"lake": args.lake,
                               "history": pipe.history()}))
+            return
+        if args.scd2_out is not None:
+            hist = pipe.scd2()
+            hist.write_parquet(args.scd2_out)
+            import ray.data as _rd
+
+            done = _rd.read_parquet(args.scd2_out)
+            cur = done.map_batches(
+                lambda b: b.filter(b.column("is_current")),
+                batch_format="pyarrow", zero_copy_batch=True)
+            print(json.dumps({
+                "lake": args.lake, "scd2_out": args.scd2_out,
+                "versions": pipe.versions(),
+                "history_rows": done.count(),
+                "current_rows": cur.count(),
+            }))
             return
         if args.diff is not None:
             v_from, v_to = args.diff

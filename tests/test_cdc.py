@@ -119,6 +119,44 @@ def test_incremental_apply_in_epoch_chunks(ray_session, tmp_path_factory, oracle
     _assert_matches_oracle(_lake_as_dict(pipe), oracle)
 
 
+def test_scd2_lake_invariants(ray_session, tmp_path_factory):
+    """Lake-level SCD2 (CDCPipeline.scd2): current rows ≡ final lake state,
+    closed intervals end at a later retained version, and every key that
+    vanished from the lake has a closed last interval."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_scd2"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    for chunk in (full.slice(0, 1500), full.slice(1500, 1000),
+                  full.slice(2500)):
+        pipe.apply(ray.data.from_arrow(chunk))
+
+    hist = pa.Table.from_pylist(pipe.scd2(columns=("role",)).take_all())
+    cur = hist.filter(hist.column("is_current"))
+    # 1) current slice == final lake state (key, lsn, role)
+    lake_rows = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["role"])
+                 for r in pipe.read_lake(
+                     columns=["conv_id", "turn_idx", "lsn", "role"]
+                 ).take_all()}
+    cur_rows = {(r["conv_id"], r["turn_idx"]): (r["lsn"], r["role"])
+                for r in cur.to_pylist()}
+    assert cur_rows == lake_rows and len(cur_rows) == cur.num_rows
+    # 2) every interval is well-formed; closed ⟺ not current
+    for r in hist.to_pylist():
+        if r["is_current"]:
+            assert r["valid_to_version"] is None
+        else:
+            assert r["valid_to_version"] is not None
+            assert r["valid_to_version"] > r["valid_from_version"]
+            assert r["valid_to_version"] in (2, 3)
+    # 3) a key deleted from the lake appears only as closed history
+    gone = [r for r in hist.to_pylist()
+            if (r["conv_id"], r["turn_idx"]) not in lake_rows]
+    assert gone, "stream contains deletes; some history must be closed"
+    assert all(not r["is_current"] for r in gone)
+
+
 def test_restart_overlapping_stream_idempotent(ray_session, tmp_path_factory, oracle):
     # crash-restart: re-deliver an overlapping suffix; watermarks make the
     # replayed prefix a no-op
