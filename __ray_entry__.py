@@ -2478,8 +2478,8 @@ def q_multimodal_decode_wav(sf_dir: str):
     per doc, decoded by AudioDecodeStage inside the actor pool — rate /
     channels / frames / duration and the integer PCM feature verified
     against the closed-form SQL (every parameter is a pure function of
-    doc_id).  Completes the multimodal family's audio tier; video stays
-    a documented refusal."""
+    doc_id).  Completes the multimodal family's audio tier; video's
+    stdlib tier is multimodal_decode_y4m."""
     from embulk_filter_timestamp_format_ray.stages.multimodal import (
         decode_audio,
     )
@@ -2509,6 +2509,48 @@ def q_multimodal_decode_wav(sf_dir: str):
         lambda b: b.select(["doc_id", "sample_rate", "n_channels",
                             "n_frames", "duration_ms", "mean_abs",
                             "audio_format"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_multimodal_decode_y4m(sf_dir: str):
+    """REAL stdlib video decode end-to-end: deterministic YUV4MPEG2
+    payloads (functions/videocodec.py — mixed Cmono / C420jpeg streams)
+    attached per doc, decoded by VideoDecodeStage inside the actor pool —
+    dims / fps / frame count / duration and the integer luma feature
+    verified against closed-form SQL (every parameter is a pure function
+    of doc_id).  Completes the multimodal family's video tier; compressed
+    containers stay a documented refusal (strict tier)."""
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        decode_video,
+    )
+
+    def attach_y4m(b: pa.Table) -> pa.Table:
+        from embulk_filter_timestamp_format_ray.functions.videocodec import (
+            encode_y4m,
+        )
+
+        payloads = []
+        for i in np.asarray(b.column("doc_id")):
+            i = int(i)
+            w, h = 16 + (i % 3) * 16, 8 + (i % 2) * 8
+            n_frames = 3 + i % 5
+            fps = 24 + i % 6
+            val = (i * 53) % 256
+            frames = np.full((n_frames, w * h), val, dtype=np.uint8)
+            payloads.append(encode_y4m(
+                frames, w, h, fps_num=fps, fps_den=1,
+                colorspace="Cmono" if i % 2 else "C420jpeg"))
+        return b.append_column("video_bytes",
+                               pa.array(payloads, pa.binary()))
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    ds = ds.map_batches(attach_y4m, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = decode_video(ds, concurrency=(1, 4), batch_size=128, strict=True)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "width", "height", "fps_num",
+                            "n_frames", "duration_ms", "mean_y",
+                            "video_format"]),
         batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -3436,6 +3478,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_wav": q_multimodal_decode_wav,
+        "multimodal_decode_y4m": q_multimodal_decode_y4m,
         "multimodal_embed_ann": q_multimodal_embed_ann,
         "hll_distinct": q_hll_distinct,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -4609,6 +4652,17 @@ def oracle_sql() -> "dict[str, str]":
             "::bigint as duration_ms, "
             "((doc_id * 37) % 2000)::bigint as mean_abs, "
             "'WAV' as audio_format from documents",
+        # every Y4M parameter is likewise a pure function of doc_id; the
+        # constant-fill frames make the integer luma mean exactly the fill
+        "multimodal_decode_y4m":
+            "select doc_id, (16 + (doc_id % 3) * 16)::int as width, "
+            "(8 + (doc_id % 2) * 8)::int as height, "
+            "(24 + doc_id % 6)::bigint as fps_num, "
+            "(3 + doc_id % 5)::bigint as n_frames, "
+            "((3 + doc_id % 5) * 1000 // (24 + doc_id % 6))::bigint "
+            "as duration_ms, "
+            "((doc_id * 53) % 256)::bigint as mean_y, "
+            "'Y4M' as video_format from documents",
         "multimodal_embed_ann":
             "select query_id, doc_id, rank "
             f"from read_parquet('{_FIXTURES}/multimodal_ann_sf001.parquet')",

@@ -5,8 +5,8 @@
 Completes the multimodal family the brief asks for: audio payloads ride
 the lake as opaque ``binary`` columns and decode to typed metadata +
 int16 PCM inside actor-pool stages (``stages/multimodal.py
-AudioDecodeStage``).  Video stays a documented refusal (no stdlib codec
-exists).
+AudioDecodeStage``).  Video's stdlib tier is ``functions/videocodec.py``
+(uncompressed Y4M); compressed video stays a documented refusal.
 
 Scope: 16-bit PCM (the dominant interchange form).  ``decode_wav``
 raises on other sample widths rather than mis-scaling them;

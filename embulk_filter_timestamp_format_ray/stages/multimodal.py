@@ -8,8 +8,11 @@ PNG/JPEG/GIF dimension sniffing, no external deps) → a clearly-marked
 deterministic fake for arbitrary non-image bytes; ``strict=True`` raises
 ``NotImplementedError`` instead of faking.  Audio decodes for REAL via
 the stdlib ``wave`` module (``functions/audiocodec.py`` — 16-bit PCM
-metadata + samples, ``AudioDecodeStage``); video decode remains stubbed
-(no stdlib codec exists).
+metadata + samples, ``AudioDecodeStage``); video decodes for REAL via the
+pure-stdlib Y4M codec (``functions/videocodec.py`` — uncompressed
+YUV4MPEG2 metadata + luma planes, ``VideoDecodeStage``); compressed video
+containers stay a strict-tier refusal (vendor ffmpeg/pyav on a real
+cluster image and the tier chain picks it up first).
 
 Scale notes baked into the design:
 * decode stages are callable CLASSES for ``map_batches(Cls,
@@ -385,6 +388,94 @@ def decode_audio(ds, *, concurrency=(1, 8), batch_size: int = 64,
     discipline as ``decode_images``)."""
     return ds.map_batches(
         AudioDecodeStage,
+        fn_constructor_kwargs={"binary_col": binary_col, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class VideoDecodeStage:
+    """Actor-pool stage: binary video → (width, height, fps_num, fps_den,
+    n_frames, duration_ms, mean_y, n_bytes, video_format).
+
+    Tier chain, best available per payload:
+    1. stdlib Y4M (functions/videocodec.py) — REAL decode for YUV4MPEG2
+       streams: header metadata plus one pixel feature (``mean_y``, the
+       integer mean of the luma plane over all frames — floor division so
+       engines replay it exactly; empty stream = 0);
+    2. deterministic fake (payload-hash pseudo-metadata, marked ``FAKE``,
+       mean_y = 0) for unrecognized bytes so the pipeline shape stays
+       exercisable; ``strict=True`` raises ``NotImplementedError``
+       instead (compressed mp4/webm need an external codec — vendored
+       ffmpeg/pyav would slot in as tier 0 on a real cluster image).
+
+    duration_ms is the integer floor ``n_frames * 1000 * fps_den //
+    fps_num`` (never a float — oracle-replayable, DESIGN.md #17)."""
+
+    def __init__(self, binary_col: str = "video_bytes",
+                 strict: bool = False):
+        self.binary_col = binary_col
+        self.strict = strict
+        from embulk_filter_timestamp_format_ray.functions import videocodec
+
+        self._codec = videocodec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.binary_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = _payload_lengths(col)
+        ws, hs, fns, fds, nfs, means, fmts = [], [], [], [], [], [], []
+        fake_h = splitmix64(lens.astype(np.uint64), 29)
+        for i, payload in enumerate(col.to_pylist()):
+            try:
+                w, h, fn, fd, _cs, y = self._codec.decode_y4m(payload or b"")
+                mean_y = int(y.astype(np.int64).sum() // max(y.size, 1))
+                nf, fmt = len(y), "Y4M"
+            except Exception:
+                if self.strict:
+                    raise NotImplementedError(
+                        "strict video decode handles YUV4MPEG2 (stdlib "
+                        "Y4M); compressed containers need an external "
+                        "codec — run with strict=False for the stubbed "
+                        "decoder")
+                w = int(64 + fake_h[i] % np.uint64(8) * np.uint64(16))
+                h = int(64 + (fake_h[i] >> np.uint64(3))
+                        % np.uint64(4) * np.uint64(16))
+                fn, fd = 25, 1
+                nf = int((fake_h[i] >> np.uint64(5)) % np.uint64(256))
+                mean_y, fmt = 0, "FAKE"
+            ws.append(w)
+            hs.append(h)
+            fns.append(fn)
+            fds.append(fd)
+            nfs.append(nf)
+            means.append(mean_y)
+            fmts.append(fmt)
+        fns_np = np.asarray(fns, dtype=np.int64)
+        nfs_np = np.asarray(nfs, dtype=np.int64)
+        dur = nfs_np * 1000 * np.asarray(fds, dtype=np.int64) \
+            // np.maximum(fns_np, 1)
+        return batch.append_column("width", pa.array(ws, pa.int32())) \
+                    .append_column("height", pa.array(hs, pa.int32())) \
+                    .append_column("fps_num", pa.array(fns_np)) \
+                    .append_column("fps_den", pa.array(fds, pa.int64())) \
+                    .append_column("n_frames", pa.array(nfs_np)) \
+                    .append_column("duration_ms", pa.array(dur)) \
+                    .append_column("mean_y", pa.array(means, pa.int64())) \
+                    .append_column("n_bytes",
+                                   pa.array(lens.astype(np.int64))) \
+                    .append_column("video_format", pa.array(fmts, pa.string()))
+
+
+def decode_video(ds, *, concurrency=(1, 8), batch_size: int = 16,
+                 binary_col: str = "video_bytes", strict: bool = False):
+    """Attach the video decode actor pool.  Default batch_size is SMALLER
+    than images/audio — raw video payloads are the largest multimodal
+    binaries (batch × concurrency must fit the worker heap)."""
+    return ds.map_batches(
+        VideoDecodeStage,
         fn_constructor_kwargs={"binary_col": binary_col, "strict": strict},
         batch_format="pyarrow",
         batch_size=batch_size,
