@@ -206,6 +206,56 @@ def q_profile_events(sf_dir: str):
         ds, ["event_id", "user_id", "event_type", "value_cents"])
 
 
+def q_temporal_dim_join(sf_dir: str):
+    """Point-in-time (AS OF) lookup against SCD2 history: even events form
+    the dimension stream (folded to validity intervals by scd2_history),
+    odd events are the fact stream; temporal_join attaches the dimension
+    version valid at each fact's lsn (LEFT semantics — facts before the
+    first version / in a post-delete gap / on unknown keys keep NULLs).
+    One key-shard exchange per operator, rank-compressed searchsorted
+    matching (stages/relational.py temporal_join)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        scd2_history,
+        temporal_join,
+    )
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type", "value"])
+
+    def parity(p: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(
+                pc.bit_wise_and(b.column("event_id"), 1), p))
+        return f
+
+    hist = scd2_history(
+        ev.map_batches(parity(0), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["user_id", "event_type"], seq_col="event_id",
+        delete_expr=lambda t: pc.less(t.column("value"), 1.0),
+    )
+
+    def dim_proj(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(b.column("value"), 100.0), 0.5)), pa.int64())
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "valid_from": b.column("valid_from"),
+            "valid_to": b.column("valid_to"),
+            "value_cents": cents,
+        })
+
+    hist = hist.map_batches(dim_proj, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    facts = ev.map_batches(parity(1), batch_format="pyarrow",
+                           zero_copy_batch=True).select_columns(
+        ["event_id", "user_id", "event_type"])
+    return temporal_join(facts, hist, keys=["user_id", "event_type"],
+                         fact_seq="event_id",
+                         payload=["value_cents", "valid_from"])
+
+
 _BM25_TERMS = ("merge", "spark", "window")
 
 # Shared CTE chain for the bm25_search / hybrid_retrieve oracles: whitespace
@@ -3396,6 +3446,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_scd2": q_cdc_scd2,
         "profile_events": q_profile_events,
+        "temporal_dim_join": q_temporal_dim_join,
         "bm25_search": q_bm25_search,
         "hybrid_retrieve": q_hybrid_retrieve,
         "cdc_transcripts_final": q_cdc_transcripts_final,
@@ -3606,6 +3657,27 @@ def oracle_sql() -> "dict[str, str]":
                 f"cast(max({c}) as varchar) as max_str, "
                 f"count(distinct {c}) as n_distinct from t"
                 for c in ("event_id", "user_id", "event_type", "value_cents")),
+        # Point-in-time join: dimension = SCD2 over even events, facts =
+        # odd events; each fact joins the ≤1 interval containing its lsn
+        "temporal_dim_join":
+            "with ev as (select event_id, user_id, event_type, value "
+            "from events), "
+            "w as (select user_id, event_type, event_id, value, "
+            "lead(event_id) over (partition by user_id, event_type "
+            "order by event_id) as valid_to from ev "
+            "where event_id % 2 = 0), "
+            "hist as (select user_id, event_type, event_id as valid_from, "
+            "valid_to, cast(floor(value * 100 + 0.5) as bigint) "
+            "as value_cents from w where value >= 1.0), "
+            "facts as (select event_id, user_id, event_type from ev "
+            "where event_id % 2 = 1) "
+            "select f.event_id, f.user_id, f.event_type, "
+            "h.value_cents as value_cents_dim, "
+            "h.valid_from as valid_from_dim "
+            "from facts f left join hist h on f.user_id = h.user_id "
+            "and f.event_type = h.event_type "
+            "and h.valid_from <= f.event_id "
+            "and (h.valid_to is null or f.event_id < h.valid_to)",
         # BM25 (integer-exact: un-logged idf ratio + fraction-cleared
         # k1=1.2/b=0.75 saturation — stages/ngrams.py bm25_topk docstring)
         "bm25_search": _BM25_ORACLE_CTES +

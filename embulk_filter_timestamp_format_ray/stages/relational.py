@@ -1779,6 +1779,128 @@ def _rank_encode(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     return np.asarray(pc.fill_null(col.cast(pa.int64()), 0))
 
 
+def _key_group_ids(tbl: pa.Table, keys: "list[str]") -> np.ndarray:
+    """Dense int64 group id per row for a (possibly multi-column) key tuple
+    — one sort + run-compare, no Python per row."""
+    view = tbl.select(keys)
+    order = np.asarray(pc.sort_indices(
+        view, sort_keys=[(k, "ascending") for k in keys]))
+    same = _same_as_prev_row(view.take(pa.array(order)), keys)
+    gid = np.empty(len(order), dtype=np.int64)
+    gid[order] = np.cumsum(~same) - 1
+    return gid
+
+
+def temporal_join(facts_ds, history_ds, keys, fact_seq: str,
+                  valid_from: str = "valid_from",
+                  valid_to: str = "valid_to",
+                  payload=(), suffix: str = "_dim"):
+    """Point-in-time (AS OF) join of a fact stream against an SCD Type-2
+    history: each fact row joins the AT MOST ONE dimension version whose
+    validity interval contains the fact's sequence value
+    (``valid_from <= seq < valid_to``, NULL valid_to = open) — the lookup
+    every warehouse pairs with ``scd2_history``.  LEFT semantics: facts
+    with no valid version keep NULL payload.
+
+    Shape (same as ``time_band_join``): tag + union both sides, ONE
+    key-shard exchange, then per shard a single lexsort of the history by
+    (key-group, valid_from) and a batched ``searchsorted`` — fact and
+    interval times are rank-compressed into one shared order so the
+    (group, time) composite can never overflow int64.  No per-key
+    callbacks, no global sort."""
+    keys = list(keys)
+    payload = list(payload)
+    f_schema = facts_ds.schema()
+    f_names = list(f_schema.names)
+    f_types = dict(zip(f_schema.names, f_schema.types))
+    h_schema = history_ds.schema()
+    h_types = dict(zip(h_schema.names, h_schema.types))
+    pay_names = [p + suffix for p in payload]
+    out_names = f_names + pay_names
+
+    def tag_facts(b: pa.Table) -> pa.Table:
+        cols = {c: b.column(c) for c in f_names}
+        cols["__side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        for p, pn in zip(payload, pay_names):
+            cols[pn] = pa.nulls(b.num_rows, h_types[p])
+        cols["__vf"] = pa.nulls(b.num_rows, pa.int64())
+        cols["__vt"] = pa.nulls(b.num_rows, pa.int64())
+        return pa.table(cols)
+
+    def tag_history(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {}
+        for c in f_names:
+            cols[c] = b.column(c) if c in keys else pa.nulls(n, f_types[c])
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        for p, pn in zip(payload, pay_names):
+            cols[pn] = b.column(p)
+        cols["__vf"] = b.column(valid_from).cast(pa.int64())
+        vt = b.column(valid_to).cast(pa.int64())
+        if isinstance(vt, pa.ChunkedArray):
+            vt = vt.combine_chunks()
+        # open intervals → +inf sentinel (never a legal seq value)
+        cols["__vt"] = pc.fill_null(vt, np.iinfo(np.int64).max)
+        return pa.table(cols)
+
+    ft = facts_ds.map_batches(tag_facts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    ht = history_ds.map_batches(tag_history, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    unioned = _with_key_shard(ft.union(ht), keys)
+
+    def match_shard(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_shard"])
+        warn_large_key_group(g.num_rows, "temporal_join", "shard")
+        side = np.asarray(g.column("__side"))
+        f_mask = side == 0
+        if not f_mask.any():
+            return pa.table({c: pa.array([], f_types.get(
+                c, h_types.get(c.removesuffix(suffix), pa.int64())))
+                for c in out_names})
+        f_idx = np.nonzero(f_mask)[0]
+        facts = g.take(pa.array(f_idx))
+        h_idx = np.nonzero(~f_mask)[0]
+        if not len(h_idx):
+            return pa.table({
+                **{c: facts.column(c) for c in f_names},
+                **{pn: pa.nulls(facts.num_rows,
+                                h_types[p])
+                   for p, pn in zip(payload, pay_names)}})
+        gid = _key_group_ids(g, keys)
+        t = _ts_to_us(facts.column(fact_seq))
+        # nullable-safe int64 extraction (np.asarray on nullable → float64)
+        vf = np.asarray(g.column("__vf").take(pa.array(h_idx))
+                        .combine_chunks().cast(pa.int64()))
+        vt = np.asarray(g.column("__vt").take(pa.array(h_idx))
+                        .combine_chunks().cast(pa.int64()))
+        # rank-compress fact seqs + interval starts into one shared order
+        uniq = np.unique(np.concatenate([t, vf]))
+        t_r = np.searchsorted(uniq, t)
+        vf_r = np.searchsorted(uniq, vf)
+        span = np.int64(len(uniq) + 1)
+        fg, hg = gid[f_idx], gid[h_idx]
+        h_order = np.lexsort((vf_r, hg))
+        h_comp = hg[h_order] * span + vf_r[h_order]
+        pos = np.searchsorted(h_comp, fg * span + t_r, side="right") - 1
+        safe = np.maximum(pos, 0)
+        ok = (pos >= 0) & (hg[h_order][safe] == fg) \
+            & (t < vt[h_order][safe])
+        take_h = pa.array(h_idx[h_order][safe])
+        valid = pa.array(ok)
+        cols = {c: facts.column(c) for c in f_names}
+        for pn in pay_names:
+            taken = g.column(pn).take(take_h)
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            cols[pn] = pc.if_else(valid, taken,
+                                  pa.nulls(len(ok), taken.type))
+        return pa.table(cols)
+
+    return unioned.groupby("_shard").map_groups(match_shard,
+                                                batch_format="pyarrow")
+
+
 def time_band_join(left_ds, right_ds, key: str, ts_col: str,
                    band_lo_us: int, band_hi_us: int,
                    right_payload: "list[str]", suffix: str = "_r"):

@@ -851,6 +851,38 @@ def test_profile_table(ray_session):
                          "min_str": "a", "max_str": "c", "n_distinct": 3}
 
 
+def test_temporal_join_hand_checked(ray_session):
+    """Point-in-time join vs SCD2 intervals: before-first-version, inside
+    each interval, inside a post-delete GAP, open interval, unknown key."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        temporal_join,
+    )
+
+    hist = pa.table({
+        "k": ["a", "a", "a", "b"],
+        "valid_from": pa.array([1, 3, 7, 2], pa.int64()),
+        # a: [1,3) [3,5) then a delete-gap [5,7) then [7,∞); b: [2,∞)
+        "valid_to": pa.array([3, 5, None, None], pa.int64()),
+        "val": pa.array([10, 20, 40, 5], pa.int64()),
+    })
+    facts = pa.table({
+        "k": ["a", "a", "a", "a", "a", "a", "a", "b", "c"],
+        "t": pa.array([0, 1, 2, 4, 5, 6, 100, 2, 9], pa.int64()),
+    })
+    out = temporal_join(
+        ray.data.from_arrow(facts).repartition(2),
+        ray.data.from_arrow(hist).repartition(2),
+        keys=["k"], fact_seq="t", payload=["val"],
+    ).to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+
+    got = [None if pd.isna(v) else int(v) for v in out["val_dim"]]
+    assert list(out["k"]) == ["a"] * 7 + ["b", "c"]
+    assert list(out["t"]) == [0, 1, 2, 4, 5, 6, 100, 2, 9]
+    assert got == [None, 10, 10, 20, None, None, 40, 5, None]
+
+
 def test_keyed_window_group_guard(ray_session, caplog):
     """Skewed-key visibility (r1 verdict #8): sessionize/asof_join log a
     warning when one key's group exceeds the cap, instead of silently
