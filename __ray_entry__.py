@@ -256,7 +256,72 @@ def q_temporal_dim_join(sf_dir: str):
                          payload=["value_cents", "valid_from"])
 
 
+def q_pagerank_interactions(sf_dir: str):
+    """Integer-exact PageRank (3 supersteps) over the customer–supplier
+    interaction graph: distinct (o_custkey, l_suppkey) pairs from
+    orders⋈lineitem become bidirectional edges (suppliers negated to keep
+    one int64 node space).  Every superstep is one key-shard attach + one
+    map-side-combined sum — no per-iteration join-actor cold starts
+    (stages/graph.py pagerank, DESIGN #64)."""
+    from embulk_filter_timestamp_format_ray.stages.graph import pagerank
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+        shuffle_join,
+    )
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey"])
+    joined = shuffle_join(li, orders, on="l_orderkey",
+                          right_on="o_orderkey")
+    pairs = grouped_aggregate(
+        joined, ["o_custkey", "l_suppkey"],
+        {"n_items": ("l_suppkey", "count")})
+
+    def expand(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("o_custkey").combine_chunks()
+                       .cast(pa.int64()))
+        s = -np.asarray(b.column("l_suppkey").combine_chunks()
+                        .cast(pa.int64()))
+        return pa.table({"src": pa.array(np.concatenate([c, s])),
+                         "dst": pa.array(np.concatenate([s, c]))})
+
+    edges = pairs.map_batches(expand, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return pagerank(edges, iters=3)
+
+
 _BM25_TERMS = ("merge", "spark", "window")
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled-iteration PageRank oracle (integer-exact: every // floors
+    exactly where stages/graph.py pagerank floors — DESIGN #64).  The
+    150000 teleport numerator = (100-85) * 1_000_000 // 100."""
+    sql = (
+        "with e0 as (select distinct o_custkey as c, l_suppkey as s "
+        "from orders join lineitem on o_orderkey = l_orderkey), "
+        "edges as (select c as src, -s as dst from e0 "
+        "union all select -s as src, c as dst from e0), "
+        "deg as (select src, count(*)::bigint as outdeg from edges "
+        "group by src), "
+        "nodes as (select src as node from edges "
+        "union select dst from edges), "
+        "p as (select count(*)::bigint as n from nodes), "
+        "r0 as (select node, (1000000 // p.n)::bigint as r "
+        "from nodes cross join p)")
+    for k in range(1, iters + 1):
+        sql += (
+            f", i{k} as (select e.dst as node, "
+            f"sum(r{k-1}.r // d.outdeg)::bigint as insum "
+            f"from edges e join deg d on e.src = d.src "
+            f"join r{k-1} on e.src = r{k-1}.node group by e.dst), "
+            f"r{k} as (select nodes.node, ((150000 // p.n) + "
+            f"(85 * coalesce(i{k}.insum, 0)) // 100)::bigint as r "
+            f"from nodes cross join p "
+            f"left join i{k} on nodes.node = i{k}.node)")
+    return sql + f" select node, r as rank_x from r{iters}"
+
 
 # Shared CTE chain for the bm25_search / hybrid_retrieve oracles: whitespace
 # tokenization (== stages/dedup.py token_stream), corpus stats, query-term
@@ -3447,6 +3512,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_scd2": q_cdc_scd2,
         "profile_events": q_profile_events,
         "temporal_dim_join": q_temporal_dim_join,
+        "pagerank_interactions": q_pagerank_interactions,
         "bm25_search": q_bm25_search,
         "hybrid_retrieve": q_hybrid_retrieve,
         "cdc_transcripts_final": q_cdc_transcripts_final,
@@ -3678,6 +3744,8 @@ def oracle_sql() -> "dict[str, str]":
             "and f.event_type = h.event_type "
             "and h.valid_from <= f.event_id "
             "and (h.valid_to is null or f.event_id < h.valid_to)",
+        # PageRank, 3 supersteps unrolled (integer-exact floors both sides)
+        "pagerank_interactions": _pagerank_sql(3),
         # BM25 (integer-exact: un-logged idf ratio + fraction-cleared
         # k1=1.2/b=0.75 saturation — stages/ngrams.py bm25_topk docstring)
         "bm25_search": _BM25_ORACLE_CTES +

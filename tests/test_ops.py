@@ -1356,3 +1356,60 @@ def test_chunk_documents_batch_windows():
                              "chunk_tokens": len(seg),
                              "chunk_text": " ".join(seg)})
         assert got == want, (size, stride)
+
+
+def test_pagerank_hand_checked(ray_session):
+    """Integer-exact PageRank on a 3-node cycle+fan, two supersteps
+    verified by hand: N=3, r0=333333, teleport=50000."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.graph import pagerank
+
+    edges = pa.table({
+        "src": pa.array([1, 1, 2, 3], pa.int64()),
+        "dst": pa.array([2, 3, 3, 1], pa.int64()),
+    })
+    out = pagerank(ray.data.from_arrow(edges).repartition(2), iters=2)
+    got = {r["node"]: r["rank_x"] for r in out.take_all()}
+    # iter1: insum = {1: 333333, 2: 166666, 3: 499999}
+    # iter2: r = 50000 + 85*insum//100 with insum {1: 474999, 2: 166666,
+    #        3: 358332}
+    assert got == {1: 453749, 2: 191666, 3: 354582}
+
+
+def test_attach_by_key_left_semantics(ray_session):
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.graph import attach_by_key
+
+    left = pa.table({"k": pa.array([5, 7, 9], pa.int64()),
+                     "tag": ["a", "b", "c"]})
+    right = pa.table({"node": pa.array([7, 5], pa.int64()),
+                      "v": pa.array([70, 50], pa.int64())})
+    out = attach_by_key(
+        ray.data.from_arrow(left).repartition(2), "k",
+        ray.data.from_arrow(right), "node", "v", default=-1,
+    ).to_pandas().sort_values("k")
+    assert out["v"].tolist() == [50, 70, -1]
+    assert out["tag"].tolist() == ["a", "b", "c"]
+
+
+def test_pagerank_tier_parity(ray_session):
+    """The broadcast and fully-distributed tiers floor identically —
+    forcing broadcast_nodes=0 sends the same graph down the distributed
+    path (the tfidf two-tier contract applied to graphs)."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    edges = pa.table({
+        "src": pa.array(rng.integers(0, 40, 300), pa.int64()),
+        "dst": pa.array(rng.integers(0, 50, 300), pa.int64()),
+    })
+    ds = ray.data.from_arrow(edges).repartition(3)
+    fast = {r["node"]: r["rank_x"]
+            for r in pagerank(ds, iters=3).take_all()}
+    slow = {r["node"]: r["rank_x"]
+            for r in pagerank(ds, iters=3, broadcast_nodes=0).take_all()}
+    assert fast == slow and len(fast) == 50
