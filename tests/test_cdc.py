@@ -157,6 +157,52 @@ def test_scd2_lake_invariants(ray_session, tmp_path_factory):
     assert all(not r["is_current"] for r in gone)
 
 
+def test_scd2_interop_repartition_and_rollback(ray_session,
+                                               tmp_path_factory):
+    """SCD2 across layout/lineage maintenance: a repartition commit is a
+    pure rewrite (empty change feed) so the history is IDENTICAL before
+    and after it; a rollback closes the undone intervals at the rollback
+    version and re-opens the restored state, whose current slice equals
+    the rolled-back snapshot."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_scd2_interop"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2000)))
+    pipe.apply(ray.data.from_arrow(full.slice(2000)))
+
+    def rows(p):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["lsn"],
+             r["valid_from_version"], r["valid_to_version"],
+             r["is_current"])
+            for r in p.scd2(columns=()).take_all())
+
+    base = rows(pipe)
+    pipe.repartition_lake(8)
+    pipe2 = CDCPipeline.from_lake(lake)
+    assert rows(pipe2) == base  # rewrite commit = empty feed = no intervals
+
+    pipe2.rollback(1)
+    hist = pipe2.scd2(columns=()).take_all()
+    cur = {(r["conv_id"], r["turn_idx"]): r["lsn"]
+           for r in hist if r["is_current"]}
+    want = {(r["conv_id"], r["turn_idx"]): r["lsn"]
+            for r in pipe2.read_lake(
+                columns=["conv_id", "turn_idx", "lsn"]).take_all()}
+    v1 = {(r["conv_id"], r["turn_idx"]): r["lsn"]
+          for r in pipe2.read_lake_at(
+              1, columns=["conv_id", "turn_idx", "lsn"]).take_all()}
+    assert cur == want == v1
+    # every interval the rollback closed ends exactly at the new head
+    head = max(r["valid_from_version"] for r in hist)
+    closed_at_head = [r for r in hist
+                      if r["valid_to_version"] == head]
+    assert head > 2 and closed_at_head, \
+        "rollback must close the undone intervals at the restored head"
+
+
 def test_restart_overlapping_stream_idempotent(ray_session, tmp_path_factory, oracle):
     # crash-restart: re-deliver an overlapping suffix; watermarks make the
     # replayed prefix a no-op
