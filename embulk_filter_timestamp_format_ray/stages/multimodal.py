@@ -484,20 +484,42 @@ def decode_video(ds, *, concurrency=(1, 8), batch_size: int = 16,
 
 
 class FrameSampleStage:
-    """Video frame-sampling stub: binary video → every-Nth-frame offsets.
-    Same actor-pool shape; the codec call is the stubbed part."""
+    """Video frame sampling: binary video → every-Nth-frame indexes.
+
+    Tier chain: Y4M payloads get their REAL frame count from the
+    header-only probe (``sniff_y4m_meta`` — frame count from stream
+    length, no pixel reads); anything else falls back to the documented
+    stub rule (``len(payload)//1024`` pseudo-frames) so the pipeline
+    shape stays exercisable on arbitrary bytes."""
 
     def __init__(self, binary_col: str = "video_bytes", every_n: int = 30):
         self.binary_col = binary_col
         self.every_n = every_n
+        from embulk_filter_timestamp_format_ray.functions import videocodec
+
+        self._codec = videocodec
+
+    def _n_frames(self, col: pa.Array) -> np.ndarray:
+        n = _payload_lengths(col) // 1024  # stub rule for non-Y4M bytes
+        flat, starts, lens, _empty = _payload_views(col)
+        magic = np.frombuffer(b"YUV4MPEG2 ", dtype=np.uint8)
+        for i in np.nonzero(lens >= len(magic))[0]:
+            s = int(starts[i])
+            if np.array_equal(flat[s:s + len(magic)], magic):
+                try:
+                    n[i] = self._codec.sniff_y4m_meta(
+                        flat[s:s + int(lens[i])].tobytes())[5]
+                except ValueError:
+                    pass  # malformed Y4M keeps the stub count
+        return n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.binary_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        # range(0, max(len//1024, 1), every_n) per row, batch-vectorized:
+        # per row: range(0, max(n_frames, 1), every_n), batch-vectorized:
         # run lengths → flat within-run positions × every_n
-        n_frames = np.maximum(_payload_lengths(col) // 1024, 1)
+        n_frames = np.maximum(self._n_frames(col), 1)
         counts = (n_frames + self.every_n - 1) // self.every_n
         list_offsets = np.concatenate(
             [[0], np.cumsum(counts)]).astype(np.int32)

@@ -78,3 +78,23 @@ def test_video_decode_stage_tiers(ray_session):
     with pytest.raises(Exception):  # strict tier refuses non-Y4M payloads
         decode_video(ray.data.from_arrow(t), strict=True,
                      concurrency=(1, 2)).take_all()
+
+
+def test_frame_sample_real_y4m_tier(ray_session):
+    """FrameSampleStage samples every-Nth over the REAL Y4M frame count
+    (header-only sniff) and keeps the stub len//1024 rule for other bytes."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.multimodal import (
+        FrameSampleStage,
+    )
+
+    y4m = encode_y4m(np.zeros((10, 4 * 4), np.uint8), width=4, height=4)
+    t = pa.table({"vid": pa.array([0, 1], pa.int64()),
+                  "video_bytes": pa.array([y4m, b"x" * 4096], pa.binary())})
+    out = ray.data.from_arrow(t).map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"every_n": 4},
+        batch_format="pyarrow", concurrency=(1, 1),
+    ).to_pandas().sort_values("vid")
+    assert list(out.iloc[0]["frame_offsets"]) == [0, 4, 8]   # 10 real frames
+    assert list(out.iloc[1]["frame_offsets"]) == [0]         # 4096//1024=4
