@@ -181,7 +181,12 @@ def run_queries(sf_dir: str) -> dict:
              "cdc_point_lookup_clustered", "cdc_aggregate_pushdown",
              "cdc_text_search", "cdc_vector_search",
              "cdc_vector_search_quantized", "cdc_vector_search_filtered",
-             "cdc_rag_retrieve"]
+             "cdc_rag_retrieve",
+             # round-5 operators
+             "cdc_scd2", "cdc_scd2_lake", "temporal_dim_join",
+             "profile_events", "bm25_search", "hybrid_retrieve",
+             "pagerank_interactions", "multimodal_decode_y4m",
+             "multimodal_decode_wav"]
     qs = entry.queries()
     out = {}
     # Recycle the Ray session every N queries: a long single session

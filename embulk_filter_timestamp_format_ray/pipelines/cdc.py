@@ -3844,6 +3844,30 @@ class CDCPipeline:
             mf.read_manifest_at(self.lake_dir, version), columns=columns,
             where=where)
 
+    def version_at(self, ts_unix_ms: int) -> int:
+        """TIMESTAMP AS OF resolution: the LATEST retained version whose
+        commit wall-clock is ≤ ``ts_unix_ms`` (Delta semantics).  Raises
+        ``ValueError`` when the timestamp precedes every retained commit
+        (or the lake predates commit timestamps).  Metadata-only."""
+        best = None
+        for v in mf.list_versions(self.lake_dir):
+            m = mf.read_manifest_at(self.lake_dir, v)
+            at = m.get("committed_at_unix_ms")
+            if at is not None and int(at) <= int(ts_unix_ms):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained version committed at or before "
+                f"{ts_unix_ms} (unix ms); earliest retained versions: "
+                f"{mf.list_versions(self.lake_dir)[:3]}")
+        return best
+
+    def read_lake_at_ts(self, ts_unix_ms: int, columns=None, where=None):
+        """TIMESTAMP AS OF read: resolve the version via
+        :meth:`version_at`, then the ordinary snapshot read."""
+        return self.read_lake_at(self.version_at(ts_unix_ms),
+                                 columns=columns, where=where)
+
     def versions(self) -> "list[int]":
         """Manifest versions currently readable via ``read_lake_at``."""
         return mf.list_versions(self.lake_dir)
@@ -3879,6 +3903,8 @@ class CDCPipeline:
                 "watermark_min": min(wms, default=-1),
                 "watermark_max": max(wms, default=-1),
             }
+            if "committed_at_unix_ms" in m:
+                row["committed_at_unix_ms"] = int(m["committed_at_unix_ms"])
             if "rolled_back_to" in m:
                 row["rolled_back_to"] = int(m["rolled_back_to"])
             out.append(row)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Any
 
 MANIFEST_NAME = "manifest.json"
@@ -101,6 +102,9 @@ def commit_manifest(lake_dir: str, manifest: "dict[str, Any]",
                     f"writer merged against version {expected_version}; a "
                     f"concurrent writer committed first — retry the apply "
                     f"(watermarks dedup already-committed events)")
+        # commit wall-clock (TIMESTAMP AS OF resolution — metadata only,
+        # never part of any data/equality contract)
+        manifest["committed_at_unix_ms"] = int(time.time() * 1000)
         _atomic_write_json(lake_paths(lake_dir), manifest)
         version = int(manifest.get("version", 0))
         os.makedirs(os.path.join(lake_dir, HISTORY_DIR), exist_ok=True)

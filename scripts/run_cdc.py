@@ -78,6 +78,10 @@ def main() -> None:
     ap.add_argument("--view", action="store_true",
                     help="maintain the incremental per-conversation stats "
                          "view after each micro-batch (<lake>_view)")
+    ap.add_argument("--at-timestamp", default=None, metavar="MS_OR_ISO",
+                    help="TIMESTAMP AS OF read: unix ms or an ISO-8601 "
+                         "datetime (naive = UTC); resolves to the latest "
+                         "retained version committed at or before it")
     ap.add_argument("--at-version", type=int, default=None,
                     help="read-only: report row count + retained versions of "
                          "the lake AS OF this manifest version, apply nothing")
@@ -612,6 +616,25 @@ def main() -> None:
             print(json.dumps({
                 "lake": args.lake, "at_version": args.at_version,
                 "rows": snap.count(), "versions": pipe.versions(),
+            }))
+            return
+        if args.at_timestamp is not None:
+            spec = args.at_timestamp
+            try:
+                ts_ms = int(spec)
+            except ValueError:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(spec)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                ts_ms = int(dt.timestamp() * 1000)
+            v = pipe.version_at(ts_ms)
+            snap = pipe.read_lake_at(v)
+            print(json.dumps({
+                "lake": args.lake, "at_timestamp_unix_ms": ts_ms,
+                "resolved_version": v, "rows": snap.count(),
+                "versions": pipe.versions(),
             }))
             return
         view = None

@@ -157,6 +157,38 @@ def test_scd2_lake_invariants(ray_session, tmp_path_factory):
     assert all(not r["is_current"] for r in gone)
 
 
+def test_timestamp_as_of(ray_session, tmp_path_factory):
+    """TIMESTAMP AS OF: version_at resolves the latest retained commit at
+    or before a wall-clock instant; read_lake_at_ts equals the versioned
+    read; pre-history timestamps refuse."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_tsaof"))
+    pipe = CDCPipeline(lake, num_partitions=8)
+    full = expected_event_table(N_EVENTS)
+    pipe.apply(ray.data.from_arrow(full.slice(0, 2000)))
+    pipe.apply(ray.data.from_arrow(full.slice(2000)))
+    hist = {r["version"]: r["committed_at_unix_ms"] for r in pipe.history()}
+    assert set(hist) == {1, 2} and hist[2] >= hist[1]
+    assert pipe.version_at(hist[1]) in (1, 2)  # ms ties resolve forward
+    if hist[2] > hist[1]:
+        assert pipe.version_at(hist[1]) == 1
+        assert pipe.version_at(hist[2] - 1) == 1
+    assert pipe.version_at(hist[2]) == 2
+    assert pipe.version_at(hist[2] + 10_000) == 2
+    rows_ts = sorted((r["conv_id"], r["turn_idx"], r["lsn"]) for r in
+                     pipe.read_lake_at_ts(
+                         hist[2], columns=["conv_id", "turn_idx", "lsn"]
+                     ).take_all())
+    rows_v = sorted((r["conv_id"], r["turn_idx"], r["lsn"]) for r in
+                    pipe.read_lake_at(
+                        2, columns=["conv_id", "turn_idx", "lsn"]
+                    ).take_all())
+    assert rows_ts == rows_v
+    with pytest.raises(ValueError, match="no retained version"):
+        pipe.version_at(hist[1] - 1_000_000)
+
+
 def test_scd2_interop_repartition_and_rollback(ray_session,
                                                tmp_path_factory):
     """SCD2 across layout/lineage maintenance: a repartition commit is a
