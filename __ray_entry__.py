@@ -358,6 +358,35 @@ def q_bm25_search(sf_dir: str):
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_bm25_search_indexed(sf_dir: str):
+    """BM25 served from the ON-DISK postings index (stages/ngrams.py
+    build_postings_index / bm25_topk_indexed): the probe opens only the
+    query terms' term-hash shard dirs, so query cost is postings-sized and
+    independent of corpus size — the sparse analog of the IVF index.  Must
+    hash-equal bm25_search (same SQL oracle): the index is an access path,
+    never a semantics change."""
+    import hashlib
+
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        bm25_topk_indexed,
+        build_postings_index,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:bm25v1"
+        .encode()).hexdigest()[:16]
+    idx = os.path.join("/tmp/graft_postings", key)
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        os.makedirs("/tmp/graft_postings", exist_ok=True)
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        build_postings_index(ds, idx)
+    out = bm25_topk_indexed(idx, _BM25_TERMS, k=10)
+    return out.map_batches(lambda b: b.select(["doc_id", "score", "rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_hybrid_retrieve(sf_dir: str):
     """Hybrid retrieval: BM25 sparse top-50 + dense cosine top-50 (query =
     embedding of vec_id 0) fused by integer reciprocal-rank fusion
@@ -3514,6 +3543,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "temporal_dim_join": q_temporal_dim_join,
         "pagerank_interactions": q_pagerank_interactions,
         "bm25_search": q_bm25_search,
+        "bm25_search_indexed": q_bm25_search_indexed,
         "hybrid_retrieve": q_hybrid_retrieve,
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "cdc_time_travel": q_cdc_time_travel,
@@ -3749,6 +3779,12 @@ def oracle_sql() -> "dict[str, str]":
         # BM25 (integer-exact: un-logged idf ratio + fraction-cleared
         # k1=1.2/b=0.75 saturation — stages/ngrams.py bm25_topk docstring)
         "bm25_search": _BM25_ORACLE_CTES +
+            "select doc_id, score, row_number() over "
+            "(order by score desc, doc_id) as rank from sc "
+            "qualify rank <= 10",
+        # the postings-index path is an access path, not a semantics
+        # change — same oracle as bm25_search
+        "bm25_search_indexed": _BM25_ORACLE_CTES +
             "select doc_id, score, row_number() over "
             "(order by score desc, doc_id) as rank from sc "
             "qualify rank <= 10",

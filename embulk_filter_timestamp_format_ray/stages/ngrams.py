@@ -687,27 +687,54 @@ def bm25_topk(ds, query_terms, *, k: int = 10, text_col: str = "text",
         return rows.filter(pc.is_in(rows.column("term"),
                                     value_set=pa.array(terms, pa.string())))
 
+    posts = ds.map_batches(postings, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    df_map = _bm25_df(posts)
+    # second pass re-derives the postings (input re-scans — DESIGN #31)
+    posts2 = ds.map_batches(postings, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _bm25_rank(posts2, terms, df_map, n_docs, total, k=k,
+                      id_col=id_col, tf_col="cnt", dl_col="n_tokens")
+
+
+def _bm25_df(posts_ds) -> "dict[str, int]":
+    """Document frequency per query term from (doc, term)-unique postings
+    rows (|Q|-sized result)."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+    )
+
     df_tbl = pa.concat_tables(
-        grouped_aggregate(
-            ds.map_batches(postings, batch_format="pyarrow",
-                           zero_copy_batch=True),
-            ["term"], {"df": ("term", "count")},
-        ).iter_batches(batch_format="pyarrow", batch_size=None))
-    df_map = {r["term"]: int(r["df"]) for r in df_tbl.to_pylist()}
+        grouped_aggregate(posts_ds, ["term"], {"df": ("term", "count")})
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    return {r["term"]: int(r["df"]) for r in df_tbl.to_pylist()}
+
+
+def _bm25_rank(posts_ds, terms, df_map, n_docs: int, total: int, *,
+               k: int, id_col: str, tf_col: str, dl_col: str):
+    """Shared BM25 scoring tail (see bm25_topk's formula docstring): score
+    each posting vectorized, doc-shard-sum, local-then-final top-k.  Used
+    by the tokenize-on-the-fly and on-disk-postings-index paths — both
+    must produce identical integers."""
+    from embulk_filter_timestamp_format_ray.stages.relational import (
+        grouped_aggregate,
+    )
+
     w_idf = {t: (1000 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1)
              for t, df in df_map.items()}
 
-    def score_components(b: pa.Table) -> pa.Table:
-        rows = postings(b)
+    def score_components(rows: pa.Table) -> pa.Table:
         if rows.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "comp": pa.array([], pa.int64())})
-        tf = np.asarray(rows.column("cnt").cast(pa.int64()))
-        dl = np.asarray(rows.column("n_tokens").cast(pa.int64()))
+        tf = np.asarray(rows.column(tf_col).combine_chunks()
+                        .cast(pa.int64()))
+        dl = np.asarray(rows.column(dl_col).combine_chunks()
+                        .cast(pa.int64()))
         idf_by_term = np.array([w_idf.get(t, 0) for t in terms],
                                dtype=np.int64)  # |Q|-sized, built per batch
         pos = pc.index_in(rows.column("term"),
-                          value_set=pa.array(terms, pa.string()))
+                          value_set=pa.array(list(terms), pa.string()))
         idf = idf_by_term[np.asarray(pos.combine_chunks().cast(pa.int64()))]
         w_tf = (1000 * 22 * tf * total) // (
             10 * tf * total + 3 * total + 9 * dl * n_docs)
@@ -715,8 +742,8 @@ def bm25_topk(ds, query_terms, *, k: int = 10, text_col: str = "text",
                          "comp": pa.array(idf * w_tf)})
 
     scored = grouped_aggregate(
-        ds.map_batches(score_components, batch_format="pyarrow",
-                       zero_copy_batch=True),
+        posts_ds.map_batches(score_components, batch_format="pyarrow",
+                             zero_copy_batch=True),
         [id_col], {"score": ("comp", "sum")})
 
     def local_topk(b: pa.Table) -> pa.Table:
@@ -734,3 +761,107 @@ def bm25_topk(ds, query_terms, *, k: int = 10, text_col: str = "text",
             .repartition(1)
             .map_batches(final_topk, batch_format="pyarrow",
                          zero_copy_batch=True, batch_size=None))
+
+
+# ------------------------------------------------- on-disk postings index
+
+
+POSTINGS_SHARDS = 64
+
+
+def build_postings_index(ds, index_dir: str, *, shards: int = POSTINGS_SHARDS,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """Materialize an on-disk POSTINGS (inverted) index for BM25 — the
+    sparse-retrieval analog of ``stages/ann.py build_ivf_index``.
+
+    Layout::
+
+        index_dir/postings/term_shard=<s>/*.parquet  (id_col, term, tf, dl)
+        index_dir/params.json   (n_docs, total_tokens, shards, columns)
+        index_dir/_SUCCESS
+
+    ONE tokenize pass: each block fans its (doc, term) rows into
+    term-hash shard files locally (hive-style ``partition_cols`` write —
+    nothing shuffles); a query later opens ONLY its terms' shards, so
+    query cost is postings-sized, independent of corpus size.  Sharding
+    uses the deterministic ``det_hash_str`` (never process-seeded
+    ``hash()``)."""
+    import json
+    import os
+
+    from embulk_filter_timestamp_format_ray.stages.dedup import det_hash_str
+
+    n_docs, total = _corpus_stats(ds, text_col)
+
+    def post(b: pa.Table) -> pa.Table:
+        rows = doc_term_count_batch(b, text_col, id_col)
+        terms_col = rows.column("term").combine_chunks()
+        enc = pc.dictionary_encode(terms_col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()  # per-batch vocabulary (small)
+        shard_of = np.array([det_hash_str(t) % shards for t in vocab],
+                            dtype=np.int32)
+        sh = shard_of[np.asarray(enc.indices.cast(pa.int64()))] \
+            if rows.num_rows else np.empty(0, np.int32)
+        return pa.table({
+            id_col: rows.column(id_col).cast(pa.int64()),
+            "term": terms_col,
+            "tf": rows.column("cnt").cast(pa.int64()),
+            "dl": rows.column("n_tokens").cast(pa.int64()),
+            "term_shard": pa.array(sh),
+        })
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(post, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        os.path.join(index_dir, "postings"), partition_cols=["term_shard"])
+    with open(os.path.join(index_dir, "params.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "total_tokens": total,
+                   "shards": shards, "id_col": id_col}, f)
+    open(os.path.join(index_dir, "_SUCCESS"), "w").close()
+    return index_dir
+
+
+def bm25_topk_indexed(index_dir: str, query_terms, *, k: int = 10):
+    """BM25 top-k served from a ``build_postings_index`` artifact: opens
+    ONLY the query terms' shard directories (|Q| of ``shards`` — the read
+    itself prunes, like the IVF probe), filters to the exact terms, then
+    the SHARED scoring tail — bit-identical to ``bm25_topk`` over the
+    same corpus (parity pytest)."""
+    import json
+    import os
+
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.dedup import det_hash_str
+
+    with open(os.path.join(index_dir, "params.json")) as f:
+        params = json.load(f)
+    shards, id_col = int(params["shards"]), params["id_col"]
+    terms = sorted(set(query_terms))
+    need = sorted({det_hash_str(t) % shards for t in terms})
+    dirs = [os.path.join(index_dir, "postings", f"term_shard={s}")
+            for s in need]
+    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+
+    def only_terms(b: pa.Table) -> pa.Table:
+        b = b.select([id_col, "term", "tf", "dl"])
+        return b.filter(pc.is_in(b.column("term"),
+                                 value_set=pa.array(terms, pa.string())))
+
+    def posts():
+        return ray.data.read_parquet(paths).map_batches(
+            only_terms, batch_format="pyarrow", zero_copy_batch=True)
+
+    df_map = _bm25_df(posts())
+    return _bm25_rank(posts(), terms, df_map, int(params["n_docs"]),
+                      int(params["total_tokens"]), k=k, id_col=id_col,
+                      tf_col="tf", dl_col="dl")

@@ -445,3 +445,48 @@ def test_bm25_topk_hand_checked(ray_session):
     assert out["doc_id"].tolist() == [0, 2]
     assert out["score"].tolist() == [1666 * 1375, 600 * 1600]
     assert out["rank"].tolist() == [1, 2]
+
+
+def test_postings_index_parity_and_pruning(ray_session, tmp_path):
+    """bm25_topk_indexed over the on-disk postings index is bit-identical
+    to tokenize-on-the-fly bm25_topk, and the probe opens ONLY the query
+    terms' shard dirs (renaming every other shard away must not break it)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.dedup import det_hash_str
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_postings_index,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+             for _ in range(120)]
+    t = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(4)
+    terms = ("w3", "w17", "w31")
+
+    direct = bm25_topk(ds, terms, k=8).to_pandas()
+    idx = str(tmp_path / "postings_idx")
+    build_postings_index(ds, idx, shards=16)
+    served = bm25_topk_indexed(idx, terms, k=8).to_pandas()
+    assert direct[["doc_id", "score", "rank"]].values.tolist() == \
+        served[["doc_id", "score", "rank"]].values.tolist()
+
+    # pruning proof: hide every shard the query does NOT need
+    need = {det_hash_str(tm) % 16 for tm in terms}
+    pdir = os.path.join(idx, "postings")
+    for name in os.listdir(pdir):
+        s = int(name.split("=")[1])
+        if s not in need:
+            shutil.move(os.path.join(pdir, name),
+                        os.path.join(idx, "hidden_" + name))
+    pruned = bm25_topk_indexed(idx, terms, k=8).to_pandas()
+    assert pruned[["doc_id", "score", "rank"]].values.tolist() == \
+        served[["doc_id", "score", "rank"]].values.tolist()
