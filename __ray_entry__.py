@@ -346,6 +346,27 @@ _BM25_ORACLE_CTES = (
     "group by doc_id) "
 )
 
+# Hybrid RRF oracle (shared by the on-the-fly and fully-indexed variants —
+# indexes are access paths, never semantics changes): sparse top-50 ∪ dense
+# cosine top-50 (query vec_id 0), integer reciprocal-rank fusion, top-10.
+_HYBRID_ORACLE = _BM25_ORACLE_CTES + (
+    ", sp as (select doc_id, row_number() over "
+    "(order by score desc, doc_id) as rank from sc "
+    "qualify rank <= 50), "
+    "q as (select embedding from embeddings where vec_id = 0), "
+    "de as (select e.vec_id as doc_id, row_number() over "
+    "(order by list_cosine_similarity(q.embedding, e.embedding) "
+    "desc, e.vec_id) as rank from q cross join embeddings e "
+    "qualify rank <= 50), "
+    "u as (select doc_id, 1000000 // (60 + rank) as pts from sp "
+    "union all select doc_id, 1000000 // (60 + rank) from de), "
+    "fu as (select doc_id, sum(pts)::bigint as rrf_x1e6 from u "
+    "group by doc_id) "
+    "select doc_id, rrf_x1e6, row_number() over "
+    "(order by rrf_x1e6 desc, doc_id) as rank from fu "
+    "qualify rank <= 10"
+)
+
 
 def q_bm25_search(sf_dir: str):
     """BM25 sparse ranked retrieval over documents (integer-exact scoring,
@@ -358,17 +379,12 @@ def q_bm25_search(sf_dir: str):
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_bm25_search_indexed(sf_dir: str):
-    """BM25 served from the ON-DISK postings index (stages/ngrams.py
-    build_postings_index / bm25_topk_indexed): the probe opens only the
-    query terms' term-hash shard dirs, so query cost is postings-sized and
-    independent of corpus size — the sparse analog of the IVF index.  Must
-    hash-equal bm25_search (same SQL oracle): the index is an access path,
-    never a semantics change."""
+def _postings_index_dir(sf_dir: str) -> str:
+    """Build (once, content-keyed cache) the on-disk postings index for
+    sf_dir's documents table — same policy as _ivf_index_dir."""
     import hashlib
 
     from embulk_filter_timestamp_format_ray.stages.ngrams import (
-        bm25_topk_indexed,
         build_postings_index,
     )
 
@@ -382,7 +398,21 @@ def q_bm25_search_indexed(sf_dir: str):
         os.makedirs("/tmp/graft_postings", exist_ok=True)
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         build_postings_index(ds, idx)
-    out = bm25_topk_indexed(idx, _BM25_TERMS, k=10)
+    return idx
+
+
+def q_bm25_search_indexed(sf_dir: str):
+    """BM25 served from the ON-DISK postings index (stages/ngrams.py
+    build_postings_index / bm25_topk_indexed): the probe opens only the
+    query terms' term-hash shard dirs, so query cost is postings-sized and
+    independent of corpus size — the sparse analog of the IVF index.  Must
+    hash-equal bm25_search (same SQL oracle): the index is an access path,
+    never a semantics change."""
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        bm25_topk_indexed,
+    )
+
+    out = bm25_topk_indexed(_postings_index_dir(sf_dir), _BM25_TERMS, k=10)
     return out.map_batches(lambda b: b.select(["doc_id", "score", "rank"]),
                            batch_format="pyarrow", zero_copy_batch=True)
 
@@ -403,6 +433,46 @@ def q_hybrid_retrieve(sf_dir: str):
     emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
     dense = pa.concat_tables(
         brute_force_topk(emb, _ann_queries(sf_dir)[:1], k=50).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+
+    fused: "dict[int, int]" = {}
+    for r in sparse.to_pylist():
+        fused[int(r["doc_id"])] = fused.get(int(r["doc_id"]), 0) \
+            + 1_000_000 // (60 + int(r["rank"]))
+    for r in dense.to_pylist():
+        fused[int(r["vec_id"])] = fused.get(int(r["vec_id"]), 0) \
+            + 1_000_000 // (60 + int(r["rank"]))
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "rrf_x1e6": pa.array([s for _, s in top], pa.int64()),
+        "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+    })
+
+
+def q_hybrid_retrieve_indexed(sf_dir: str):
+    """Fully-INDEXED hybrid retrieval: the sparse leg serves from the
+    on-disk postings index (only the query terms' shards open), the dense
+    leg from the centroid-partitioned IVF index probed at nprobe=all
+    (exact ranking, pruned-read machinery); the two top-50 lists fuse with
+    the same integer RRF as hybrid_retrieve — and the SAME SQL oracle,
+    because both indexes are access paths, never semantics changes."""
+    from embulk_filter_timestamp_format_ray.stages.ann import (
+        ivf_topk_partitioned,
+    )
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        bm25_topk_indexed,
+    )
+
+    pidx = _postings_index_dir(sf_dir)
+    sparse = pa.concat_tables(
+        bm25_topk_indexed(pidx, _BM25_TERMS, k=50).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+
+    vidx = _ivf_index_dir(sf_dir)
+    dense = pa.concat_tables(
+        ivf_topk_partitioned(vidx, _ann_queries(sf_dir)[:1], k=50,
+                             nprobe=16).iter_batches(
             batch_format="pyarrow", batch_size=None))
 
     fused: "dict[int, int]" = {}
@@ -3545,6 +3615,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "bm25_search": q_bm25_search,
         "bm25_search_indexed": q_bm25_search_indexed,
         "hybrid_retrieve": q_hybrid_retrieve,
+        "hybrid_retrieve_indexed": q_hybrid_retrieve_indexed,
         "cdc_transcripts_final": q_cdc_transcripts_final,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changefeed": q_cdc_changefeed,
@@ -3790,22 +3861,10 @@ def oracle_sql() -> "dict[str, str]":
             "qualify rank <= 10",
         # Hybrid RRF: sparse top-50 ∪ dense cosine top-50 (query vec_id 0),
         # integer reciprocal-rank fusion, top-10
-        "hybrid_retrieve": _BM25_ORACLE_CTES +
-            ", sp as (select doc_id, row_number() over "
-            "(order by score desc, doc_id) as rank from sc "
-            "qualify rank <= 50), "
-            "q as (select embedding from embeddings where vec_id = 0), "
-            "de as (select e.vec_id as doc_id, row_number() over "
-            "(order by list_cosine_similarity(q.embedding, e.embedding) "
-            "desc, e.vec_id) as rank from q cross join embeddings e "
-            "qualify rank <= 50), "
-            "u as (select doc_id, 1000000 // (60 + rank) as pts from sp "
-            "union all select doc_id, 1000000 // (60 + rank) from de), "
-            "fu as (select doc_id, sum(pts)::bigint as rrf_x1e6 from u "
-            "group by doc_id) "
-            "select doc_id, rrf_x1e6, row_number() over "
-            "(order by rrf_x1e6 desc, doc_id) as rank from fu "
-            "qualify rank <= 10",
+        "hybrid_retrieve": _HYBRID_ORACLE,
+        # both legs indexed (postings shards + IVF nprobe=all) — access
+        # paths only, so the oracle is IDENTICAL
+        "hybrid_retrieve_indexed": _HYBRID_ORACLE,
         # Flagship: the deterministic seed=42 binlog is committed as a fixture
         # (scripts/make_fixtures.py); final lake state == argmax-LSN fold with
         # delete-wins + epoch-2 role renames.  Valid at the driver's sf0.01

@@ -865,3 +865,56 @@ def bm25_topk_indexed(index_dir: str, query_terms, *, k: int = 10):
     return _bm25_rank(posts(), terms, df_map, int(params["n_docs"]),
                       int(params["total_tokens"]), k=k, id_col=id_col,
                       tf_col="tf", dl_col="dl")
+
+
+def append_to_postings_index(ds, index_dir: str, *, text_col: str = "text",
+                             id_col: str = "doc_id") -> str:
+    """Incrementally add NEW documents to an existing
+    ``build_postings_index`` layout — the growing-corpus maintenance path
+    (same contract as ``stages/ann.py append_to_ivf_index``: the shard
+    function is FROZEN by params.json, appended rows land as NEW parquet
+    files inside their shard dirs, existing files are never rewritten, and
+    a concurrent probe simply sees a prefix of the new postings).  The
+    caller guarantees appended ``id_col`` values are new documents (df and
+    corpus stats would double-count an update — re-build for rewrites).
+    params.json's corpus stats accumulate, so a later query scores
+    append-then-query ≡ build-all (parity pytest)."""
+    import json
+    import os
+
+    from embulk_filter_timestamp_format_ray.stages.dedup import det_hash_str
+
+    with open(os.path.join(index_dir, "params.json")) as f:
+        params = json.load(f)
+    shards = int(params["shards"])
+    add_docs, add_total = _corpus_stats(ds, text_col)
+
+    def post(b: pa.Table) -> pa.Table:
+        rows = doc_term_count_batch(b, text_col, id_col)
+        terms_col = rows.column("term").combine_chunks()
+        enc = pc.dictionary_encode(terms_col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        shard_of = np.array([det_hash_str(t) % shards for t in vocab],
+                            dtype=np.int32)
+        sh = shard_of[np.asarray(enc.indices.cast(pa.int64()))] \
+            if rows.num_rows else np.empty(0, np.int32)
+        return pa.table({
+            id_col: rows.column(id_col).cast(pa.int64()),
+            "term": terms_col,
+            "tf": rows.column("cnt").cast(pa.int64()),
+            "dl": rows.column("n_tokens").cast(pa.int64()),
+            "term_shard": pa.array(sh),
+        })
+
+    ds.map_batches(post, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        os.path.join(index_dir, "postings"), partition_cols=["term_shard"])
+    params["n_docs"] = int(params["n_docs"]) + add_docs
+    params["total_tokens"] = int(params["total_tokens"]) + add_total
+    tmp = os.path.join(index_dir, f"params.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, os.path.join(index_dir, "params.json"))
+    return index_dir

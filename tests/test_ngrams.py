@@ -490,3 +490,38 @@ def test_postings_index_parity_and_pruning(ray_session, tmp_path):
     pruned = bm25_topk_indexed(idx, terms, k=8).to_pandas()
     assert pruned[["doc_id", "score", "rank"]].values.tolist() == \
         served[["doc_id", "score", "rank"]].values.tolist()
+
+
+def test_postings_index_incremental_append(ray_session, tmp_path):
+    """build(half) + append(half) serves the SAME ranking as build(all):
+    appended files land beside the existing shard files (never rewriting
+    them) and params' corpus stats accumulate exactly."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.stages.ngrams import (
+        append_to_postings_index,
+        bm25_topk_indexed,
+        build_postings_index,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 25)))
+             for _ in range(100)]
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": pa.array(texts)})
+    terms = ("w2", "w11")
+
+    full_idx = str(tmp_path / "idx_full")
+    build_postings_index(ray.data.from_arrow(t).repartition(3), full_idx,
+                         shards=8)
+    inc_idx = str(tmp_path / "idx_inc")
+    build_postings_index(ray.data.from_arrow(t.slice(0, 60)).repartition(2),
+                         inc_idx, shards=8)
+    append_to_postings_index(ray.data.from_arrow(t.slice(60)).repartition(2),
+                             inc_idx)
+
+    want = bm25_topk_indexed(full_idx, terms, k=10).to_pandas()
+    got = bm25_topk_indexed(inc_idx, terms, k=10).to_pandas()
+    assert want[["doc_id", "score", "rank"]].values.tolist() == \
+        got[["doc_id", "score", "rank"]].values.tolist()
