@@ -4124,9 +4124,11 @@ class CDCPipeline:
 
         Resolution is bounded by the retention policy: intra-version
         rewrites of a key collapse to the version's post-image (exactly the
-        Delta-CDF convention ``lake_changes`` documents).  Cost = one feed
-        diff per retained pair + one key-shard exchange — NOT lake-sized
-        re-reads for untouched partitions."""
+        Delta-CDF convention ``lake_changes`` documents).  Cost = ONE
+        snapshot-sized read (the oldest retained seed — inherent: every
+        key's history opens there) + one delta-priced feed diff per
+        retained pair + one key-shard exchange; untouched partitions are
+        never re-read by the diffs."""
         import ray.data
 
         from embulk_filter_timestamp_format_ray.stages.relational import (
