@@ -323,28 +323,35 @@ def _pagerank_sql(iters: int = 3) -> str:
     return sql + f" select node, r as rank_x from r{iters}"
 
 
-# Shared CTE chain for the bm25_search / hybrid_retrieve oracles: whitespace
-# tokenization (== stages/dedup.py token_stream), corpus stats, query-term
-# postings, df, integer-exact BM25 components, per-doc score.
-_BM25_ORACLE_CTES = (
-    "with d as (select doc_id, list_filter(string_split_regex("
-    "text, '\\s+'), x -> x <> '') as ws from documents), "
-    "s as (select count(*)::bigint as n, sum(len(ws))::bigint as total "
-    "from d), "
-    "t as (select doc_id, unnest(ws) as term, len(ws) as dl from d), "
-    "c as (select doc_id, term, count(*)::bigint as tf, "
-    "any_value(dl)::bigint as dl from t where term in "
-    + "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ") "
-    "group by doc_id, term), "
-    "f as (select term, count(*)::bigint as df from c group by term), "
-    "comp as (select c.doc_id, "
-    "((1000 * (2 * s.n - 2 * f.df + 1)) // (2 * f.df + 1)) * "
-    "((1000 * 22 * c.tf * s.total) // "
-    "(10 * c.tf * s.total + 3 * s.total + 9 * c.dl * s.n)) as comp "
-    "from c join f using(term) cross join s), "
-    "sc as (select doc_id, sum(comp)::bigint as score from comp "
-    "group by doc_id) "
-)
+def _bm25_ctes(corpus_sql: str, id_col: str, terms) -> str:
+    """Shared BM25 oracle CTE chain over an arbitrary (id, text) corpus:
+    whitespace tokenization (== stages/dedup.py token_stream), corpus
+    stats, query-term postings, df, integer-exact components, per-doc
+    score — ends with ``sc(<id_col>, score)``."""
+    in_list = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return (
+        f"with corpus as ({corpus_sql}), "
+        f"d as (select {id_col}, list_filter(string_split_regex("
+        "text, '\\s+'), x -> x <> '') as ws from corpus), "
+        "s as (select count(*)::bigint as n, sum(len(ws))::bigint as total "
+        "from d), "
+        f"t as (select {id_col}, unnest(ws) as term, len(ws) as dl from d), "
+        f"c as (select {id_col}, term, count(*)::bigint as tf, "
+        f"any_value(dl)::bigint as dl from t where term in {in_list} "
+        f"group by {id_col}, term), "
+        "f as (select term, count(*)::bigint as df from c group by term), "
+        f"comp as (select c.{id_col}, "
+        "((1000 * (2 * s.n - 2 * f.df + 1)) // (2 * f.df + 1)) * "
+        "((1000 * 22 * c.tf * s.total) // "
+        "(10 * c.tf * s.total + 3 * s.total + 9 * c.dl * s.n)) as comp "
+        "from c join f using(term) cross join s), "
+        f"sc as (select {id_col}, sum(comp)::bigint as score from comp "
+        f"group by {id_col}) "
+    )
+
+
+_BM25_ORACLE_CTES = _bm25_ctes("select doc_id, text from documents",
+                               "doc_id", _BM25_TERMS)
 
 # Hybrid RRF oracle (shared by the on-the-fly and fully-indexed variants —
 # indexes are access paths, never semantics changes): sparse top-50 ∪ dense
@@ -760,13 +767,11 @@ def q_cdc_changefeed(sf_dir: str):
     return pipe.lake_changes(1, 2)
 
 
-def q_cdc_scd2_lake(sf_dir: str):
-    """Lake-level SCD Type-2 at VERSION granularity: the 20k-event binlog is
-    applied in THREE lsn-chunks (versions 1..3) and CDCPipeline.scd2()
-    derives per-key validity intervals by composing the oldest retained
-    snapshot (opening inserts) with the per-pair change feeds through the
-    scd2_history interval kernel.  Oracle: seed fold ∪ two FULL-OUTER-JOIN
-    state diffs, LEAD window over version, deletes dropped."""
+def _scd2_fixture_lake() -> str:
+    """Content-keyed cached 3-apply fixture lake over the deterministic
+    20k-event binlog (same caching policy as _build_vector_lake): the
+    lake build is untimed input prep shared by the scd2 / text-rank
+    queries; each query's derivation is the timed part."""
     import hashlib
 
     import pyarrow.parquet as pq
@@ -774,8 +779,6 @@ def q_cdc_scd2_lake(sf_dir: str):
 
     from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
 
-    # Content-keyed cached fixture (same policy as _build_vector_lake): the
-    # 3-apply lake is untimed input prep; the scd2() derivation is the query.
     fixture = os.path.join(_FIXTURES, "cdc_events_20000.parquet")
     key = hashlib.md5(open(fixture, "rb").read() + b"|scd2|v1").hexdigest()[:12]
     lake = os.path.join(tempfile.gettempdir(), f"graft_cdc_scd2fix_{key}")
@@ -797,7 +800,39 @@ def q_cdc_scd2_lake(sf_dir: str):
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    return CDCPipeline.from_lake(lake).scd2(columns=())
+    return lake
+
+
+def q_cdc_scd2_lake(sf_dir: str):
+    """Lake-level SCD Type-2 at VERSION granularity: the 20k-event binlog is
+    applied in THREE lsn-chunks (versions 1..3) and CDCPipeline.scd2()
+    derives per-key validity intervals by composing the oldest retained
+    snapshot (opening inserts) with the per-pair change feeds through the
+    scd2_history interval kernel.  Oracle: seed fold ∪ two FULL-OUTER-JOIN
+    state diffs, LEAD window over version, deletes dropped."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+
+    return CDCPipeline.from_lake(_scd2_fixture_lake()).scd2(columns=())
+
+
+_CDC_RANK_TERMS = ("merge", "agent", "stream")
+
+
+def q_cdc_text_rank(sf_dir: str):
+    """BM25 ranked search over the CDC LAKE's live turns (doc id = the
+    surviving row's lsn — unique per live row): completes the lake-search
+    triad (exact token skip index / dense vector view / ranked sparse).
+    The corpus is the folded lake state read column-pruned to (lsn, text);
+    the oracle replays the flagship argmax-LSN fold then the shared BM25
+    CTE chain over it."""
+    from embulk_filter_timestamp_format_ray.pipelines.cdc import CDCPipeline
+    from embulk_filter_timestamp_format_ray.stages.ngrams import bm25_topk
+
+    pipe = CDCPipeline.from_lake(_scd2_fixture_lake())
+    ds = pipe.read_lake(columns=["lsn", "text"])
+    out = bm25_topk(ds, _CDC_RANK_TERMS, k=10, id_col="lsn")
+    return out.map_batches(lambda b: b.select(["lsn", "score", "rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_cdc_dlq(sf_dir: str):
@@ -3620,6 +3655,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_scd2_lake": q_cdc_scd2_lake,
+        "cdc_text_rank": q_cdc_text_rank,
         "cdc_dlq": q_cdc_dlq,
         "cdc_constraints": q_cdc_constraints,
         "cdc_retention": q_cdc_retention,
@@ -3956,6 +3992,17 @@ def oracle_sql() -> "dict[str, str]":
             "select conv_id, turn_idx, lsn, version as valid_from_version, "
             "valid_to_version, (valid_to_version is null) as is_current "
             "from w where change_type <> 'delete'",
+        # Ranked search over the lake: flagship argmax-LSN fold as the
+        # corpus (doc id = surviving lsn), then the shared BM25 chain
+        "cdc_text_rank": _bm25_ctes(
+            "select lsn, text from (select *, row_number() over "
+            "(partition by conv_id, turn_idx order by lsn desc) as rn "
+            f"from read_parquet('{_FIXTURES}/cdc_events_20000.parquet')) "
+            "where rn = 1 and op <> 'delete'",
+            "lsn", _CDC_RANK_TERMS) +
+            "select lsn, score, row_number() over "
+            "(order by score desc, lsn) as rank from sc "
+            "qualify rank <= 10",
         # DLQ: replay changegen.poison_batch's pure-function-of-lsn band rule
         # over the committed fixture; DISTINCT collapses the at-least-once
         # replay duplicates on both sides
