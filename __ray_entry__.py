@@ -497,6 +497,28 @@ def q_hybrid_retrieve_indexed(sf_dir: str):
     })
 
 
+def q_quality_report(sf_dir: str):
+    """Offline data-quality expectations report (the dbt-tests role) over
+    the events stream: per-constraint checked/violating counts computed
+    with the SAME value kernels the CDC commit gate enforces
+    (pipelines/constraints.py validate_table — partial per block, scalars
+    to the driver).  SQL CHECK semantics: NULL passes value rules,
+    not_null counts nulls."""
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        Constraint,
+        validate_table,
+    )
+
+    ds = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_type", "value"])
+    return validate_table(ds, (
+        Constraint("user_id", "not_null"),
+        Constraint("event_type", "in_set", values=("click", "view")),
+        Constraint("value", "between", lo="0.5"),
+        Constraint("event_type", "matches", values=("^[a-z]+$",)),
+    ))
+
+
 def _token_counts(ds):
     """(doc_id, text) → (doc_id, n_tokens) — the ONE tokenizer-count pass
     shared by every packing caller (the count must stay bit-identical
@@ -3645,6 +3667,7 @@ def queries() -> "dict[str, Callable[[str], Any]]":
         "cdc_upsert_latest": q_cdc_upsert_latest,
         "cdc_scd2": q_cdc_scd2,
         "profile_events": q_profile_events,
+        "quality_report": q_quality_report,
         "temporal_dim_join": q_temporal_dim_join,
         "pagerank_interactions": q_pagerank_interactions,
         "bm25_search": q_bm25_search,
@@ -3860,6 +3883,27 @@ def oracle_sql() -> "dict[str, str]":
                 f"cast(max({c}) as varchar) as max_str, "
                 f"count(distinct {c}) as n_distinct from t"
                 for c in ("event_id", "user_id", "event_type", "value_cents")),
+        # Offline expectations report: SQL CHECK semantics (NULL passes
+        # value rules; not_null counts nulls; matches = re.search)
+        "quality_report":
+            "with s as (select count(*)::bigint as n, "
+            "(count(*) - count(user_id))::bigint as v_notnull, "
+            "count(*) filter (where event_type is not null and "
+            "event_type not in ('click', 'view'))::bigint as v_inset, "
+            "count(*) filter (where value is not null and "
+            "value < 0.5)::bigint as v_between, "
+            "count(*) filter (where event_type is not null and "
+            "not regexp_matches(event_type, '^[a-z]+$'))::bigint "
+            "as v_matches from events) "
+            "select 'user_id_not_null' as constraint_name, "
+            "'user_id' as column_name, 'not_null' as kind, n as n_rows, "
+            "v_notnull as n_violations, v_notnull = 0 as passed from s "
+            "union all select 'event_type_in_set', 'event_type', "
+            "'in_set', n, v_inset, v_inset = 0 from s "
+            "union all select 'value_between', 'value', 'between', n, "
+            "v_between, v_between = 0 from s "
+            "union all select 'event_type_matches', 'event_type', "
+            "'matches', n, v_matches, v_matches = 0 from s",
         # Point-in-time join: dimension = SCD2 over even events, facts =
         # odd events; each fact joins the ≤1 interval containing its lsn
         "temporal_dim_join":

@@ -184,7 +184,8 @@ def run_queries(sf_dir: str) -> dict:
              "cdc_rag_retrieve",
              # round-5 operators
              "cdc_scd2", "cdc_scd2_lake", "temporal_dim_join",
-             "profile_events", "bm25_search", "bm25_search_indexed",
+             "profile_events", "quality_report",
+             "bm25_search", "bm25_search_indexed",
              "hybrid_retrieve", "hybrid_retrieve_indexed", "cdc_text_rank",
              "pagerank_interactions", "multimodal_decode_y4m",
              "multimodal_decode_wav"]

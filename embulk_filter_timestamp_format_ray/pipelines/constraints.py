@@ -310,3 +310,56 @@ def carry_constraints(manifest: dict, new_manifest: dict) -> None:
     the pipeline's effective list themselves."""
     if manifest.get("constraints") and "constraints" not in new_manifest:
         new_manifest["constraints"] = manifest["constraints"]
+
+
+def validate_table(ds, constraints) -> pa.Table:
+    """Offline data-quality REPORT over any Dataset — the dbt-tests /
+    expectations-suite role — evaluated with the SAME value kernels the
+    commit gate enforces (``Constraint._value_violations``), so a rule
+    that passes here passes at ingest and vice versa.
+
+    Pure VALUE semantics (no CDC op scoping): NULL passes every value
+    rule, ``not_null`` counts nulls, a missing column counts every row as
+    a ``not_null`` violation and passes value rules (all-NULL column).
+
+    Scale shape: one ``map_batches`` partial (one #constraints-wide row
+    per block) folded on the driver — #blocks × #constraints scalars,
+    aggregate-sized by construction; the data never leaves the workers.
+    Returns one row per constraint: (constraint_name, column_name, kind,
+    n_rows, n_violations, passed)."""
+    cons = tuple(constraints)
+
+    def col_of(b: pa.Table, c: Constraint):
+        if c.column not in b.schema.names:
+            return pa.nulls(b.num_rows, pa.string())
+        col = b.column(c.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        return col
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = {"n": pa.array([b.num_rows], pa.int64())}
+        for i, c in enumerate(cons):
+            col = col_of(b, c)
+            bad = pc.is_null(col) if c.kind == "not_null" \
+                else c._value_violations(col)
+            n_bad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+            cols[f"v{i}"] = pa.array([int(n_bad)], pa.int64())
+        return pa.table(cols)
+
+    parts = list(ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    n_rows = sum(int(pc.sum(t.column("n")).as_py() or 0) for t in parts)
+    viol = [sum(int(pc.sum(t.column(f"v{i}")).as_py() or 0) for t in parts)
+            for i in range(len(cons))]
+    return pa.table({
+        "constraint_name": pa.array([c.name for c in cons], pa.string()),
+        "column_name": pa.array([c.column for c in cons], pa.string()),
+        "kind": pa.array([c.kind for c in cons], pa.string()),
+        "n_rows": pa.array([n_rows] * len(cons), pa.int64()),
+        "n_violations": pa.array(viol, pa.int64()),
+        "passed": pa.array([v == 0 for v in viol], pa.bool_()),
+    })

@@ -1455,3 +1455,35 @@ def test_maybe_repartition_refusals(ray_session, tmp_path_factory):
         pipe.recommended_partitions(0)
     with pytest.raises(ValueError, match="drift_factor"):
         pipe.maybe_repartition(100, drift_factor=1.0)
+
+
+def test_validate_table_report(ray_session):
+    """Offline expectations report: SQL CHECK semantics (NULL passes value
+    rules, not_null counts nulls), missing column = all-NULL column."""
+    import ray.data
+
+    from embulk_filter_timestamp_format_ray.pipelines.constraints import (
+        Constraint,
+        validate_table,
+    )
+
+    t = pa.table({
+        "a": pa.array([1, None, 5], pa.int64()),
+        "s": pa.array(["ok", "BAD", None], pa.string()),
+    })
+    rep = validate_table(ray.data.from_arrow(t).repartition(2), (
+        Constraint("a", "not_null"),
+        Constraint("a", "between", lo="2"),       # 1 violates; NULL passes
+        Constraint("s", "matches", values=("^[a-z]+$",)),  # BAD violates
+        Constraint("missing", "not_null"),        # absent col = all NULL
+        Constraint("missing", "in_set", values=("x",)),    # NULLs pass
+    ))
+    rows = {r["constraint_name"]: r for r in rep.to_pylist()}
+    assert all(r["n_rows"] == 3 for r in rows.values())
+    assert rows["a_not_null"]["n_violations"] == 1
+    assert rows["a_between"]["n_violations"] == 1
+    assert rows["s_matches"]["n_violations"] == 1
+    assert rows["missing_not_null"]["n_violations"] == 3
+    assert rows["missing_in_set"]["n_violations"] == 0
+    assert rows["missing_in_set"]["passed"] is True
+    assert rows["a_between"]["passed"] is False
