@@ -68,7 +68,12 @@ def attach_by_key(left_ds, key: str, right_ds, right_key: str,
     out_names = l_names + [out_col]
 
     def attach_shard(group: pa.Table) -> pa.Table:
+        from embulk_filter_timestamp_format_ray.stages.relational import (
+            warn_large_key_group,
+        )
+
         g = group.drop_columns(["_shard"])
+        warn_large_key_group(g.num_rows, "attach_by_key", "shard")
         side = np.asarray(g.column("__side"))
         l_mask = side == 0
         if not l_mask.any():
