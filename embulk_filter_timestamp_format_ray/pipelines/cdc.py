@@ -4108,7 +4108,33 @@ class CDCPipeline:
         return ds.groupby("_shard").map_groups(diff_shard,
                                                batch_format="pyarrow")
 
-    def scd2(self, columns=("role", "text", "tool")):
+    # mean changed-partition fraction across retained version pairs above
+    # which scd2() prefers the snapshot-union tier (manifest metadata only)
+    SCD2_SNAPSHOT_FRACTION = 0.5
+
+    def _scd2_changed_fraction(self, vs) -> float:
+        """Mean fraction of partitions whose state signature differs
+        across consecutive retained versions — the scd2 tier-dispatch
+        input, computed from manifest snapshots alone (free)."""
+        def signature(m: "dict") -> "dict":
+            return {p: (meta.get("path"),
+                        tuple(d["path"] for d in meta.get("deltas", [])),
+                        tuple(d["path"] for d in meta.get("dvs", [])))
+                    for p, meta in m["partitions"].items()}
+
+        fracs = []
+        prev = None
+        for v in vs:
+            sig = signature(mf.read_manifest_at(self.lake_dir, v))
+            if prev is not None:
+                keys = set(prev) | set(sig)
+                if keys:
+                    fracs.append(sum(prev.get(p) != sig.get(p)
+                                     for p in keys) / len(keys))
+            prev = sig
+        return sum(fracs) / len(fracs) if fracs else 0.0
+
+    def scd2(self, columns=("role", "text", "tool"), mode: str = "auto"):
         """SCD Type-2 history of the lake at VERSION granularity (the
         warehouse ``APPLY CHANGES ... STORED AS SCD TYPE 2`` shape): one row
         per key VERSION that was ever live in a retained snapshot, with
@@ -4124,11 +4150,26 @@ class CDCPipeline:
 
         Resolution is bounded by the retention policy: intra-version
         rewrites of a key collapse to the version's post-image (exactly the
-        Delta-CDF convention ``lake_changes`` documents).  Cost = ONE
-        snapshot-sized read (the oldest retained seed — inherent: every
-        key's history opens there) + one delta-priced feed diff per
-        retained pair + one key-shard exchange; untouched partitions are
-        never re-read by the diffs."""
+        Delta-CDF convention ``lake_changes`` documents).
+
+        TWO TIERS, auto-dispatched from manifest metadata alone
+        (``_scd2_changed_fraction`` vs ``SCD2_SNAPSHOT_FRACTION``; parity
+        pytest forces both on the same lake):
+
+        * ``feed`` (small deltas — the 100-TB steady state): ONE
+          snapshot-sized seed read (inherent: every key's history opens
+          there) + one delta-priced feed diff per retained pair (each with
+          its own key-shard exchange) + the interval exchange; untouched
+          partitions are never re-read by the diffs.
+        * ``snapshot`` (most partitions change every version — dense
+          update traffic / few retained versions): every retained snapshot
+          folds ONCE (per-partition, exchange-free) and ONE key-shard
+          exchange assembles intervals directly from the version-tagged
+          rows — a key's run of consecutive same-lsn versions is one
+          interval, closed at ``vs[last_run_version_index + 1]`` whether
+          the run ends by update, delete (absence gap), or not at all
+          (open).  Reads versions × lake size but replaces 2·pairs
+          exchanges with one."""
         import ray.data
 
         from embulk_filter_timestamp_format_ray.stages.relational import (
@@ -4140,8 +4181,18 @@ class CDCPipeline:
         vs = self.versions()
         if not vs:
             return ray.data.from_arrow(_empty_lake_table())
+        if mode not in ("auto", "feed", "snapshot"):
+            raise ValueError(f"unknown scd2 mode {mode!r}")
+        if mode == "auto":
+            frac = self._scd2_changed_fraction(vs)
+            mode = "snapshot" if frac > self.SCD2_SNAPSHOT_FRACTION \
+                else "feed"
+            logger.info("scd2: changed-partition fraction %.2f → %s tier",
+                        frac, mode)
 
         sel = ["conv_id", "turn_idx", "lsn", *payload]
+        if mode == "snapshot":
+            return self._scd2_snapshot(vs, sel, payload)
 
         def seed(v: int):
             base = self.read_lake_at(v, columns=sel)
@@ -4186,6 +4237,86 @@ class CDCPipeline:
                 "valid_from_version", "valid_to_version", "is_current"]
         return out.map_batches(lambda b: b.select(keep),
                                batch_format="pyarrow", zero_copy_batch=True)
+
+    def _scd2_snapshot(self, vs, sel, payload):
+        """Snapshot-union scd2 tier (see :meth:`scd2`): version-tagged
+        folds of every retained snapshot, ONE key-shard exchange, per
+        shard a single sort + run-collapse — a maximal run of
+        consecutive-version same-lsn rows is one interval whose close is
+        ``vs[vidx_last + 1]`` regardless of HOW it ended (update = next
+        version differs, delete = absence gap, open = run reaches the
+        head)."""
+        from embulk_filter_timestamp_format_ray.stages.relational import (
+            _same_as_prev_row,
+            _with_key_shard,
+        )
+
+        vs_arr = np.asarray(vs, dtype=np.int64)
+
+        def tagged(v: int):
+            base = self.read_lake_at(v, columns=sel)
+
+            def tag(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    **{c: b.column(c) for c in sel},
+                    "version": pa.array(np.full(b.num_rows, v,
+                                                dtype=np.int64)),
+                })
+
+            return base.map_batches(tag, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+        ds = tagged(vs[0])
+        for v in vs[1:]:
+            ds = ds.union(tagged(v))
+        ds = _with_key_shard(ds, ["conv_id", "turn_idx"])
+        out_cols = ["conv_id", "turn_idx", "lsn", *payload,
+                    "valid_from_version", "valid_to_version", "is_current"]
+
+        def assemble(group: pa.Table) -> pa.Table:
+            g = group.drop_columns(["_shard"])
+            types = {f.name: f.type for f in g.schema}
+            types.update({"valid_from_version": pa.int64(),
+                          "valid_to_version": pa.int64(),
+                          "is_current": pa.bool_()})
+            if g.num_rows == 0:
+                return pa.table({c: pa.array([], types[c])
+                                 for c in out_cols})
+            order = pc.sort_indices(g, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending"),
+                ("version", "ascending")])
+            b = g.take(order)
+            n = b.num_rows
+            same = _same_as_prev_row(b, ["conv_id", "turn_idx"])
+            vidx = np.searchsorted(vs_arr, np.asarray(
+                b.column("version").combine_chunks().cast(pa.int64())))
+            lsn = np.asarray(b.column("lsn").combine_chunks()
+                             .cast(pa.int64()))
+            prev_vidx = np.empty(n, dtype=np.int64)
+            prev_vidx[0] = -9
+            prev_vidx[1:] = vidx[:-1]
+            prev_lsn = np.empty(n, dtype=np.int64)
+            prev_lsn[0] = -1
+            prev_lsn[1:] = lsn[:-1]
+            change_open = (~same) | (vidx != prev_vidx + 1) \
+                | (lsn != prev_lsn)
+            starts = np.nonzero(change_open)[0]
+            last = np.r_[starts[1:] - 1, n - 1]
+            vidx_last = vidx[last]
+            open_mask = vidx_last == len(vs_arr) - 1
+            vto = vs_arr[np.minimum(vidx_last + 1, len(vs_arr) - 1)]
+            rows = b.take(pa.array(starts))
+            return pa.table({
+                **{c: rows.column(c) for c in sel},
+                "valid_from_version": rows.column("version")
+                    .cast(pa.int64()),
+                "valid_to_version": pa.array(vto.astype(np.int64),
+                                             mask=open_mask),
+                "is_current": pa.array(open_mask),
+            })
+
+        return ds.groupby("_shard").map_groups(assemble,
+                                               batch_format="pyarrow")
 
     SYNC_CURSOR = "_sync_cursor.json"
 

@@ -189,6 +189,35 @@ def test_timestamp_as_of(ray_session, tmp_path_factory):
         pipe.version_at(hist[1] - 1_000_000)
 
 
+def test_scd2_tier_parity(ray_session, tmp_path_factory):
+    """The feed and snapshot scd2 tiers produce IDENTICAL history on the
+    same lake (incl. payload columns); auto dispatch picks snapshot on
+    this dense-update fixture (most partitions change every version)."""
+    import ray.data
+
+    lake = str(tmp_path_factory.mktemp("lake_scd2_tiers"))
+    pipe = CDCPipeline(lake, num_partitions=16)
+    full = expected_event_table(N_EVENTS)
+    for chunk in (full.slice(0, 1500), full.slice(1500, 1000),
+                  full.slice(2500)):
+        pipe.apply(ray.data.from_arrow(chunk))
+
+    def rows(mode):
+        return sorted(map(tuple, (
+            (r["conv_id"], r["turn_idx"], r["lsn"], r["role"],
+             r["valid_from_version"], r["valid_to_version"],
+             r["is_current"])
+            for r in pipe.scd2(columns=("role",), mode=mode).take_all())))
+
+    feed = rows("feed")
+    snap = rows("snapshot")
+    assert feed == snap and len(feed) > 0
+    assert pipe._scd2_changed_fraction(pipe.versions()) > \
+        CDCPipeline.SCD2_SNAPSHOT_FRACTION
+    with pytest.raises(ValueError, match="unknown scd2 mode"):
+        pipe.scd2(mode="bogus")
+
+
 def test_scd2_interop_repartition_and_rollback(ray_session,
                                                tmp_path_factory):
     """SCD2 across layout/lineage maintenance: a repartition commit is a
